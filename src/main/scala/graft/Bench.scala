@@ -1,24 +1,46 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries against
+  * SPARK_GRAFT_SF_DIR, forcing full plan execution through the noop
+  * datasource sink (a bare .count() would let Catalyst prune the
+  * per-row work we mean to measure). Prints ONE JSON line.
+  */
 object Bench {
+  // headline set: the three biggest operator families (scan/agg, joins,
+  // window) + the data-pipeline ops; bounded at any SF.
+  val headline: Seq[String] = Seq(
+    "tpch_q01_pricing_summary", "tpch_q03_topk_revenue", "tpch_q05_local_supplier",
+    "tpch_q06_forecast_revenue", "tpch_q09_nation_profit", "tpch_q13_order_counts",
+    "tpch_q18_large_orders", "tpch_q22_dormant_customers",
+    "window_group_limit", "ev_sessionize",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
+    "sim_ann_brute_topk", "sim_ann_lsh",
+    "text_quality", "text_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qj = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

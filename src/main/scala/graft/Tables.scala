@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+/** Table loaders + shared helpers for the graft engine's query library.
+  *
+  * Data model mirrors the reference's (SURVEY.md §1): plain relational
+  * tables of Spark-defined schema; everything is a `DataFrame`. Scans are
+  * plain parquet scans so Catalyst gets predicate pushdown + column
+  * pruning for free (reference analog: FileSourceScanExecTransformer,
+  * gluten-substrait/.../FileSourceScanExecTransformer.scala:1-228 — for
+  * us the built-in `FileSourceScanExec` already provides the offloaded
+  * behavior).
+  */
+object Tables {
+  val tpch = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extra = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = tpch ++ extra
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read as raw nanos and truncate to micros (the
+      // data is microsecond-resolution, so this is lossless).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register all tables as temp views named exactly as the files. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  // ---- determinism helpers shared by the query library -----------------
+  // Money columns are stored as DOUBLE with 2-decimal values. Summing
+  // doubles is order-dependent (parallel partial aggregation!), so every
+  // money aggregate first casts to an exact DECIMAL: per-row conversion is
+  // deterministic, decimal sums are exact, and the final cast back to
+  // DOUBLE is deterministic — making Spark results bit-equal to the
+  // DuckDB oracle regardless of partitioning.
+
+  /** price-like column (magnitudes < 1e10) → exact DECIMAL(12,2) */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** rate-like column (discount/tax, < 10) → exact DECIMAL(4,2) */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** literal 1.00 as DECIMAL(3,2) so (1 - discount) follows identical
+    * decimal-arithmetic typing rules in Spark and DuckDB. */
+  val oneDec: Column = lit(new java.math.BigDecimal("1.00")).cast(DecimalType(3, 2))
+
+  def dbl(c: Column): Column = c.cast("double")
+
+  /** exact revenue term: extendedprice * (1 - discount), decimal typed */
+  def revenue(price: Column, discount: Column): Column =
+    dec(price) * (oneDec - rate(discount))
+}

@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the LLM-data-pipeline operators
+  * (SURVEY.md §7 step 5: dedup / similarity primitives the reference
+  * lacks and Spark has no built-in for).
+  *
+  * Design: native `Expression`s (preferred over UDFs per SURVEY.md §7's
+  * mechanism table) so they stay inside whole-stage codegen and operate
+  * on `ArrayData` primitives without boxing — the hot path of a
+  * brute-force ANN scan is exactly this inner loop.
+  */
+object GraftExpressions {
+
+  /** Cosine similarity between two float vectors, computed in double
+    * precision element-wise (matches the SQL-oracle formulation:
+    * dot/(||a||*||b||), each element widened to double first).
+    * Codegen'd: the generated loop reads primitive floats straight from
+    * the columnar/unsafe array representation.
+    */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "cosine_similarity"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble
+        val yv = y.getFloat(i).toDouble
+        dot += xv * yv; nx += xv * xv; ny += yv * yv
+        i += 1
+      }
+      val den = math.sqrt(nx) * math.sqrt(ny)
+      if (den == 0.0) 0.0 else dot / den
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny"); val den = ctx.freshName("den")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double) $a.getFloat($i);
+           |  double $yv = (double) $b.getFloat($i);
+           |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+           |}
+           |double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+           |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** 64-bit SimHash over an array of string tokens: each token is
+    * xxhash64'd; per bit position the signed vote of all token hashes
+    * decides the output bit. Near-duplicate docs differ in few bits →
+    * pair candidates via hamming distance (bit_count(a^b), a built-in).
+    * Seed fixed so signatures are stable across runs/partitions.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "simhash64"
+
+    private val seed = 42L
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var t = 0
+      val n = arr.numElements()
+      while (t < n) {
+        if (!arr.isNullAt(t)) {
+          val s = arr.getUTF8String(t)
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        t += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) {
+        if (votes(j) >= 0) out |= (1L << j)
+        j += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ------------------------------------------------------ column helpers
+
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** MinHash signature of a token array as `array<bigint>` of length k.
+    * Composed purely from codegen'd built-ins: k independent hash
+    * functions realized as xxhash64 over (token, perm-index) — no
+    * wrapping arithmetic (ANSI-safe; Spark 4 defaults ANSI on) and no
+    * correlated linear permutations.
+    */
+  def minhash_signature(tokens: Column, k: Int): Column =
+    transform(
+      sequence(lit(0L), lit(k.toLong - 1)),
+      i => array_min(transform(tokens, t => xxhash64(t, i))))
+
+  /** Register SQL names for the custom expressions. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+  }
+}

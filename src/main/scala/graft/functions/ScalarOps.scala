@@ -1,0 +1,337 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-expression coverage batteries (SURVEY.md §2.10): one query per
+  * function family, each computing a column per function over real table
+  * data with a dialect-matched DuckDB oracle. Reference test analogs:
+  * ScalarFunctionsValidateSuite.scala (1510 LoC),
+  * VeloxStringFunctionsSuite.scala, DateFunctionsValidateSuite.scala,
+  * MathFunctionsValidateSuite.scala, JsonFunctionsValidateSuite.scala
+  * (backends-velox/src/test; see SURVEY.md §5).
+  *
+  * Dialect notes baked into the oracles:
+  *  - DuckDB length/strpos/ascii return BIGINT → CAST to INTEGER;
+  *  - Spark ceil/floor return BIGINT → DuckDB side CAST to BIGINT;
+  *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *    replace-all; DuckDB double→int CAST rounds while Spark truncates
+  *    (→ trunc() first); DuckDB EXTRACT(DOW) is 0-based Sunday while
+  *    Spark dayofweek is 1-based.
+  *  - transcendental fns (exp/ln/sin...) are correctly-rounded in neither
+  *    engine → round(…, 9); sqrt IS IEEE-exact in both.
+  */
+object ScalarOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val fnString: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        lower(col("source")).as("lo"),
+        upper(col("lang")).as("up"),
+        length(col("text")).as("len"),
+        substring(col("text"), 5, 12).as("sub"),
+        trim(concat(lit("  "), col("source"), lit(" "))).as("tr"),
+        lpad(col("lang"), 6, "*").as("lp"),
+        rpad(col("lang"), 6, "#").as("rp"),
+        expr("replace(source, 'src', 'S')").as("rep"),
+        reverse(col("lang")).as("rev"),
+        concat_ws("|", col("lang"), col("source")).as("cw"),
+        expr("left(text, 8)").as("lft"),
+        expr("right(source, 2)").as("rgt"),
+        repeat(col("lang"), 2).as("rpt"),
+        expr("split_part(source, 'rc', 2)").as("sp"),
+        instr(col("text"), "data").as("pos"),
+        col("text").contains("spark").as("has_spark"),
+        col("source").startsWith("src1").as("sw"),
+        col("source").endsWith("1").as("ew"),
+        initcap(col("lang")).as("ic"),
+        translate(col("source"), "src", "XYZ").as("tl"))
+      .orderBy(col("doc_id"))
+
+  private val fnStringSql =
+    """SELECT doc_id,
+      |  lower(source) AS lo, upper(lang) AS up,
+      |  CAST(length(text) AS INTEGER) AS len,
+      |  substr(text, 5, 12) AS sub,
+      |  trim('  ' || source || ' ') AS tr,
+      |  lpad(lang, 6, '*') AS lp, rpad(lang, 6, '#') AS rp,
+      |  replace(source, 'src', 'S') AS rep, reverse(lang) AS rev,
+      |  concat_ws('|', lang, source) AS cw,
+      |  left(text, 8) AS lft, right(source, 2) AS rgt,
+      |  repeat(lang, 2) AS rpt,
+      |  split_part(source, 'rc', 2) AS sp,
+      |  CAST(strpos(text, 'data') AS INTEGER) AS pos,
+      |  contains(text, 'spark') AS has_spark,
+      |  starts_with(source, 'src1') AS sw,
+      |  suffix(source, '1') AS ew,
+      |  concat(upper(substr(lang, 1, 1)), lower(substr(lang, 2))) AS ic,
+      |  translate(source, 'src', 'XYZ') AS tl
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val fnMath: Q = (s, dir) =>
+    load(s, dir, "part")
+      .select(col("p_partkey"),
+        abs(col("p_size") - 25).as("a"),
+        ceil(col("p_retailprice") / 100.0).as("ce"),
+        floor(col("p_retailprice") / 100.0).as("fl"),
+        round(col("p_retailprice"), 1).as("rnd"),
+        sqrt(col("p_size").cast("double")).as("sq"),
+        round(exp(col("p_size") / 50.0), 9).as("ex"),
+        round(log(col("p_size").cast("double") + 1.0), 9).as("ln_"),
+        round(log10(col("p_size").cast("double") + 1.0), 9).as("lg"),
+        round(pow(col("p_size").cast("double"), 2.0), 6).as("pw"),
+        signum(col("p_size") - 25).cast("double").as("sg"),
+        greatest(col("p_size"), lit(25)).as("gr"),
+        least(col("p_size"), lit(25)).as("ls"),
+        pmod(col("p_size"), lit(7)).as("pm"),
+        (col("p_size") % 7).as("md"),
+        round(sin(col("p_size").cast("double")), 9).as("sn"),
+        round(cos(col("p_size").cast("double")), 9).as("cs"),
+        round(atan(col("p_size").cast("double")), 9).as("at"),
+        expr("shiftleft(p_size, 2)").as("shl"),
+        expr("shiftright(p_size, 1)").as("shr"),
+        (col("p_size").bitwiseAND(12)).as("ba"),
+        (col("p_size").bitwiseOR(3)).as("bo"),
+        (col("p_size").bitwiseXOR(21)).as("bx"),
+        bitwise_not(col("p_size")).as("bn"),
+        expr("bit_count(p_size)").as("bc"),
+        factorial(col("p_size") % 10).as("fact"),
+        upper(hex(col("p_size"))).as("hx"))
+      .orderBy(col("p_partkey"))
+
+  private val fnMathSql =
+    """SELECT p_partkey,
+      |  abs(p_size - 25) AS a,
+      |  CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS ce,
+      |  CAST(floor(p_retailprice / 100.0) AS BIGINT) AS fl,
+      |  round(p_retailprice, 1) AS rnd,
+      |  sqrt(CAST(p_size AS DOUBLE)) AS sq,
+      |  round(exp(p_size / 50.0), 9) AS ex,
+      |  round(ln(CAST(p_size AS DOUBLE) + 1.0), 9) AS ln_,
+      |  round(log10(CAST(p_size AS DOUBLE) + 1.0), 9) AS lg,
+      |  round(pow(CAST(p_size AS DOUBLE), 2.0), 6) AS pw,
+      |  CAST(sign(p_size - 25) AS DOUBLE) AS sg,
+      |  CAST(greatest(p_size, 25) AS INTEGER) AS gr, CAST(least(p_size, 25) AS INTEGER) AS ls,
+      |  ((p_size % 7) + 7) % 7 AS pm,
+      |  p_size % 7 AS md,
+      |  round(sin(CAST(p_size AS DOUBLE)), 9) AS sn,
+      |  round(cos(CAST(p_size AS DOUBLE)), 9) AS cs,
+      |  round(atan(CAST(p_size AS DOUBLE)), 9) AS at,
+      |  p_size << 2 AS shl, p_size >> 1 AS shr,
+      |  p_size & 12 AS ba, p_size | 3 AS bo, xor(p_size, 21) AS bx,
+      |  CAST(-p_size - 1 AS INTEGER) AS bn,
+      |  CAST(bit_count(p_size) AS INTEGER) AS bc,
+      |  CAST(factorial(p_size % 10) AS BIGINT) AS fact,
+      |  upper(to_hex(p_size)) AS hx
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  private val fnDate: Q = (s, dir) =>
+    load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        quarter(col("o_orderdate")).as("qt"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("wk"),
+        date_add(to_date(col("o_orderdate")), 30).cast("string").as("plus30"),
+        datediff(to_date(col("o_orderdate")), lit("1996-01-01").cast("date")).as("dd"),
+        last_day(to_date(col("o_orderdate"))).cast("string").as("ld"),
+        trunc(to_date(col("o_orderdate")), "month").cast("string").as("mstart"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        make_date(lit(2020), (col("o_orderkey") % 12 + 1).cast("int"), lit(15)).cast("string").as("md"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy(col("o_orderkey"))
+      .limit(2000)
+
+  private val fnDateSql =
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+      |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mo,
+      |  CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS dy,
+      |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS qt,
+      |  CAST(EXTRACT(DOW FROM o_orderdate) + 1 AS INTEGER) AS dow,
+      |  CAST(EXTRACT(WEEK FROM o_orderdate) AS INTEGER) AS wk,
+      |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
+      |  CAST(date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS dd,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS ld,
+      |  CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS VARCHAR) AS mstart,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+      |  CAST(make_date(2020, CAST(o_orderkey % 12 + 1 AS INTEGER), 15) AS VARCHAR) AS md,
+      |  strftime(o_orderdate, '%Y-%m') AS ym
+      |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin
+
+  private val fnJson: Q = (s, dir) =>
+    load(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        get_json_object(col("props"), "$.missing").as("miss"),
+        json_array_length(concat(lit("[1,2,"), col("user_id"), lit("]"))).as("jlen"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_struct"))
+      .orderBy(col("event_id"))
+      .limit(2000)
+
+  private val fnJsonSql =
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+      |  json_extract_string(props, '$.missing') AS miss,
+      |  CAST(json_array_length('[1,2,' || CAST(user_id AS VARCHAR) || ']') AS INTEGER) AS jlen,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
+      |FROM events ORDER BY event_id LIMIT 2000""".stripMargin
+
+  private val fnHash: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h_md5"), sha2(col("text"), 256).as("h_sha256"))
+      .orderBy(col("doc_id"))
+
+  private val fnHashSql =
+    """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // Spark-native hash family — no DuckDB counterpart (rows-only check)
+  private val fnHashNative: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("h_xx64"),
+        hash(col("text")).as("h_murmur3"), crc32(col("text")).as("h_crc32"),
+        sha1(col("text")).as("h_sha1"))
+      .orderBy(col("doc_id"))
+
+  private val fnConditional: Q = (s, dir) =>
+    load(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_acctbal") > 5000.0, "high")
+          .when(col("c_acctbal") > 1000.0, "mid").otherwise("low").as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        expr("nvl(nullif(c_mktsegment, 'MACHINERY'), 'M!')").as("seg2"),
+        expr("nvl2(nullif(c_mktsegment, 'FURNITURE'), 'kept', 'was_f')").as("seg3"),
+        greatest(col("c_acctbal"), lit(1000.0)).as("gr"),
+        least(col("c_acctbal"), lit(1000.0)).as("ls"),
+        col("c_acctbal").between(100.0, 5000.0).as("btw"),
+        col("c_mktsegment").isin("BUILDING", "MACHINERY").as("in2"),
+        isnull(nullif(col("c_mktsegment"), lit("BUILDING"))).as("isn"),
+        expr("if(c_acctbal > 2500.0, 'hi', 'lo')").as("iff"))
+      .orderBy(col("c_custkey"))
+
+  private val fnConditionalSql =
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal > 5000.0 THEN 'high' WHEN c_acctbal > 1000.0 THEN 'mid' ELSE 'low' END AS tier,
+      |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+      |  IFNULL(NULLIF(c_mktsegment, 'MACHINERY'), 'M!') AS seg2,
+      |  CASE WHEN NULLIF(c_mktsegment, 'FURNITURE') IS NOT NULL THEN 'kept' ELSE 'was_f' END AS seg3,
+      |  greatest(c_acctbal, 1000.0) AS gr, least(c_acctbal, 1000.0) AS ls,
+      |  c_acctbal BETWEEN 100.0 AND 5000.0 AS btw,
+      |  c_mktsegment IN ('BUILDING', 'MACHINERY') AS in2,
+      |  NULLIF(c_mktsegment, 'BUILDING') IS NULL AS isn,
+      |  CASE WHEN c_acctbal > 2500.0 THEN 'hi' ELSE 'lo' END AS iff
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  private val fnArray: Q = (s, dir) => {
+    val arr = array(col("p_size"), col("p_size") * 2, lit(7))
+    load(s, dir, "part")
+      .select(col("p_partkey"),
+        size(arr).as("sz"),
+        array_contains(arr, 7).as("has7"),
+        array_max(arr).as("mx"),
+        array_min(arr).as("mn"),
+        element_at(arr, 2).as("e2"),
+        array_join(sort_array(arr).cast("array<string>"), ",").as("sorted"),
+        size(array_distinct(arr)).as("n_dist"),
+        array_join(slice(sequence(lit(1), lit(6)), 2, 3).cast("array<string>"), ",").as("seq_slice"),
+        aggregate(arr, lit(0), (acc, x) => acc + x).as("total"),
+        array_join(filter(arr, x => x > 10).cast("array<string>"), ",").as("gt10"),
+        exists(arr, x => x % 2 === 0).as("any_even"),
+        forall(arr, x => x > 0).as("all_pos"),
+        array_join(transform(arr, x => x + 1).cast("array<string>"), ",").as("plus1"),
+        array_position(arr, 7).cast("int").as("pos7"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val fnArraySql =
+    """SELECT p_partkey,
+      |  CAST(len(l) AS INTEGER) AS sz,
+      |  list_contains(l, 7) AS has7,
+      |  list_aggregate(l, 'max') AS mx,
+      |  list_aggregate(l, 'min') AS mn,
+      |  l[2] AS e2,
+      |  array_to_string(list_transform(list_sort(l), x -> CAST(x AS VARCHAR)), ',') AS sorted,
+      |  CAST(len(list_distinct(l)) AS INTEGER) AS n_dist,
+      |  array_to_string(list_transform(generate_series(1, 6)[2:4], x -> CAST(x AS VARCHAR)), ',') AS seq_slice,
+      |  CAST(list_sum(l) AS INTEGER) AS total,
+      |  COALESCE(array_to_string(list_transform(list_filter(l, x -> x > 10), x -> CAST(x AS VARCHAR)), ','), '') AS gt10,
+      |  len(list_filter(l, x -> x % 2 = 0)) > 0 AS any_even,
+      |  len(list_filter(l, x -> x <= 0)) = 0 AS all_pos,
+      |  array_to_string(list_transform(l, x -> CAST(x + 1 AS VARCHAR)), ',') AS plus1,
+      |  CAST(COALESCE(list_position(l, 7), 0) AS INTEGER) AS pos7
+      |FROM (SELECT p_partkey, [p_size, p_size * 2, 7] AS l FROM part) t
+      |ORDER BY p_partkey""".stripMargin
+
+  private val fnRegex: Q = (s, dir) =>
+    load(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        col("text").rlike("data[a-z]*").as("m"),
+        regexp_extract(col("source"), "([0-9]+)", 1).as("num"),
+        regexp_replace(col("text"), "[aeiou]", "_").as("repl"),
+        regexp_extract(col("text"), "(sc[a-z]+)", 1).as("scw"))
+      .orderBy(col("doc_id"))
+
+  private val fnRegexSql =
+    """SELECT doc_id,
+      |  regexp_matches(text, 'data[a-z]*') AS m,
+      |  regexp_extract(source, '([0-9]+)', 1) AS num,
+      |  regexp_replace(text, '[aeiou]', '_', 'g') AS repl,
+      |  regexp_extract(text, '(sc[a-z]+)', 1) AS scw
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  private val fnCast: Q = (s, dir) =>
+    load(s, dir, "events")
+      .select(col("event_id"),
+        col("value").cast("int").as("v_int"),
+        col("user_id").cast("string").as("u_str"),
+        col("ts").cast("date").cast("string").as("d"),
+        dec(col("value")).cast("string").as("v_dec_str"),
+        (col("value") > 100.0).cast("int").as("b_int"),
+        concat(lit(""), col("event_id")).cast("bigint").as("roundtrip"),
+        col("event_id").cast("double").as("id_dbl"))
+      .orderBy(col("event_id"))
+      .limit(2000)
+
+  private val fnCastSql =
+    """SELECT event_id,
+      |  CAST(trunc(value) AS INTEGER) AS v_int,
+      |  CAST(user_id AS VARCHAR) AS u_str,
+      |  CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+      |  CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS v_dec_str,
+      |  CAST(value > 100.0 AS INTEGER) AS b_int,
+      |  CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS roundtrip,
+      |  CAST(event_id AS DOUBLE) AS id_dbl
+      |FROM events ORDER BY event_id LIMIT 2000""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> fnString,
+    "fn_math" -> fnMath,
+    "fn_date" -> fnDate,
+    "fn_json" -> fnJson,
+    "fn_hash" -> fnHash,
+    "fn_hash_native" -> fnHashNative,
+    "fn_conditional" -> fnConditional,
+    "fn_array" -> fnArray,
+    "fn_regex" -> fnRegex,
+    "fn_cast" -> fnCast)
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" -> fnStringSql,
+    "fn_math" -> fnMathSql,
+    "fn_date" -> fnDateSql,
+    "fn_json" -> fnJsonSql,
+    "fn_hash" -> fnHashSql,
+    "fn_conditional" -> fnConditionalSql,
+    "fn_array" -> fnArraySql,
+    "fn_regex" -> fnRegexSql,
+    "fn_cast" -> fnCastSql)
+}

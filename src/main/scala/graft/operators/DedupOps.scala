@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.GraftExpressions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash group-by), MinHash+LSH banding, SimHash hamming pairs,
+  * n-gram Jaccard, and embedding-cosine near-dup. Beyond-reference
+  * surface (the reference has no dedup operators; SURVEY.md §7 step 5).
+  *
+  * Scale design:
+  *  - exact dedup is a single hash shuffle on the fingerprint;
+  *  - MinHash-LSH shuffles once on (band, bandKey) so only same-bucket
+  *    pairs are joined — no all-pairs product at any SF; the exact
+  *    Jaccard verification runs only on band candidates;
+  *  - SimHash pairs join on 16-bit signature bands (4 bands/doc) —
+  *    a near-dup within hamming≤8 shares ≥1 band by pigeonhole when
+  *    the 8 differing bits fall in ≤3 bands; candidates verified with
+  *    bit_count(a^b);
+  *  - n-gram Jaccard is bounded to a fixed doc_id<150 slice (the
+  *    unbounded variant is the LSH path above);
+  *  - embedding near-dup brute force is the correctness baseline; the
+  *    scalable path is SimilarityOps.sim_ann_lsh.
+  */
+object DedupOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // exact duplicate groups by content fingerprint
+  private val dedupExact: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("fp"))
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
+
+  // keep-first per business key
+  private val dedupKeyed: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("source"))
+
+  private val dedupKeyedSql =
+    """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** MinHash(32 perms) + LSH(16 bands × 2 rows) candidate generation,
+    * then exact word-set Jaccard ≥ 0.9 verification. Band recall at the
+    * 0.9 threshold is 1-(1-0.81)^16 ≈ 1-2.7e-12 — deterministically
+    * equal to the exact-pairwise oracle on this data.
+    */
+  private val dedupMinhashLsh: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("words"))
+    val sig = docs.withColumn("sig", GraftExpressions.minhash_signature(col("words"), 32))
+    val bands = sig.select(col("doc_id"), col("words"),
+      explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
+      .select(col("doc_id"), col("words"), col("band"),
+        xxhash64(col("band"), element_at(col("sig"), col("band") * 2 + 1),
+          element_at(col("sig"), col("band") * 2 + 2)).as("band_key"))
+    val a = bands.select(col("band").as("band_a"), col("band_key").as("key_a"),
+      col("doc_id").as("doc_a"), col("words").as("words_a"))
+    val b = bands.select(col("band").as("band_b"), col("band_key").as("key_b"),
+      col("doc_id").as("doc_b"), col("words").as("words_b"))
+    a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("words_a"), col("words_b")).distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("words_a"), col("words_b"))).cast("double") /
+          size(array_union(col("words_a"), col("words_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupMinhashLshSql =
+    """WITH ws AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |  FROM ws a JOIN ws b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  round(CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
+      |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash near-dup pairs: 64-bit signature, 4×16-bit LSH bands for
+    * candidates, hamming ≤ 8 verification. Engine-specific hash — no SQL
+    * oracle (rows-only check). */
+  private val dedupSimhash: Q = (s, dir) => {
+    val sigs = load(s, dir, "documents")
+      .select(col("doc_id"),
+        GraftExpressions.simhash64(array_distinct(split(col("text"), " "))).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_bits", expr("shiftright(sig, band * 16)").bitwiseAND(lit(0xFFFFL)))
+    val a = bands.select(col("band").as("band_a"), col("band_bits").as("bits_a"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = bands.select(col("band").as("band_b"), col("band_bits").as("bits_b"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, col("band_a") === col("band_b") && col("bits_a") === col("bits_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").as("hamming")).distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // character-5-gram Jaccard on a fixed bounded slice
+  private val dedupNgram: Q = (s, dir) => {
+    val g = load(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))).as("s"))
+    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = g.select(col("doc_id").as("da"), col("s"))
+      .join(g.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupNgramSql =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, length(text) - 4), i -> substr(text, i, 5))) AS s
+      |  FROM documents WHERE doc_id < 150),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  round(CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
+      |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // embedding-cosine near-dup pairs (brute-force baseline)
+  private val dedupEmbedding: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", GraftExpressions.cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(round(col("cos"), 6) >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupEmbeddingSql =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |dt AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+      |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id)
+      |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+      |FROM dt JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+      |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_keyed" -> dedupKeyed,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgram,
+    "dedup_embedding" -> dedupEmbedding)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_keyed" -> dedupKeyedSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_ngram_jaccard" -> dedupNgramSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}

@@ -1,0 +1,644 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Per-operator micro-queries covering SURVEY.md §2's inventory:
+  * join types (§2.3), aggregation modes (§2.4), window functions (§2.5),
+  * sort/limit/top-k/sample (§2.6), set operations (§2.7), generators
+  * (§2.9), plus exchange-exercising shapes. Reference test analogs:
+  * MiscOperatorSuite.scala, VeloxAggregateFunctionsSuite.scala,
+  * VeloxWindowExpressionSuite.scala, VeloxHashJoinSuite.scala
+  * (backends-velox/src/test, see SURVEY.md §5).
+  *
+  * Every query ends in a deterministic ORDER BY and aligns column names
+  * and types with its DuckDB oracle (INT vs BIGINT casts are explicit).
+  */
+object RelationalOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def q(entries: ((String, Q), String)*): (Map[String, Q], Map[String, String]) =
+    (entries.map(_._1).toMap, entries.map(e => (e._1._1, e._2)).toMap)
+
+  // ---------------------------------------------------------------- joins
+
+  private val joinInner: Q = (s, dir) =>
+    load(s, dir, "orders").join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dbl(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("c_mktsegment"))
+
+  private val joinInnerSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val joinLeftOuter: Q = (s, dir) =>
+    load(s, dir, "customer")
+      .join(load(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dbl(sum(dec(col("o_totalprice")))).as("spend"))
+      .orderBy(col("c_custkey"))
+
+  private val joinLeftOuterSql =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  private val joinRightOuter: Q = (s, dir) =>
+    load(s, dir, "orders")
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"), count(lit(1)).as("n_rows"))
+      .orderBy(col("c_mktsegment"))
+
+  private val joinRightOuterSql =
+    """SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val joinFullOuter: Q = (s, dir) => {
+    val sn = load(s, dir, "supplier").select(col("s_nationkey").as("sn")).distinct()
+    val cn = load(s, dir, "customer").select(col("c_nationkey").as("cn")).distinct()
+    sn.join(cn, col("sn") === col("cn"), "full_outer")
+      .select(coalesce(col("sn"), col("cn")).as("nationkey"),
+        col("sn").isNotNull.as("has_supp"), col("cn").isNotNull.as("has_cust"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val joinFullOuterSql =
+    """SELECT COALESCE(sn, cn) AS nationkey, sn IS NOT NULL AS has_supp, cn IS NOT NULL AS has_cust
+      |FROM (SELECT DISTINCT s_nationkey AS sn FROM supplier) a
+      |FULL JOIN (SELECT DISTINCT c_nationkey AS cn FROM customer) b ON sn = cn
+      |ORDER BY nationkey""".stripMargin
+
+  private val joinLeftSemi: Q = (s, dir) =>
+    load(s, dir, "customer")
+      .join(load(s, dir, "orders").filter(col("o_totalprice") > 100000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val joinLeftSemiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val joinLeftAnti: Q = (s, dir) =>
+    load(s, dir, "customer")
+      .join(load(s, dir, "orders").filter(col("o_totalprice") > 100000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val joinLeftAntiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val joinCross: Q = (s, dir) =>
+    load(s, dir, "region").crossJoin(load(s, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  private val joinCrossSql =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+
+  // broadcast nested-loop join: pure non-equi condition
+  private val joinNonEqui: Q = (s, dir) =>
+    load(s, dir, "supplier")
+      .join(broadcast(load(s, dir, "region")), col("s_acctbal") > col("r_regionkey") * 2000.0)
+      .select(col("s_suppkey"), col("r_regionkey"))
+      .orderBy(col("s_suppkey"), col("r_regionkey"))
+
+  private val joinNonEquiSql =
+    """SELECT s_suppkey, r_regionkey FROM supplier JOIN region ON s_acctbal > r_regionkey * 2000.0
+      |ORDER BY s_suppkey, r_regionkey""".stripMargin
+
+  private val joinExistence: Q = (s, dir) => {
+    val big = load(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+      .select(col("o_custkey")).distinct().withColumn("flag", lit(true))
+    load(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), coalesce(col("flag"), lit(false)).as("has_big"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val joinExistenceSql =
+    """SELECT c_custkey, c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0) AS has_big
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ----------------------------------------------------------- aggregates
+
+  private val aggDistinctMulti: Q = (s, dir) =>
+    load(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggDistinctMultiSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val aggSumDistinct: Q = (s, dir) =>
+    load(s, dir, "lineitem").groupBy(col("l_linestatus"))
+      .agg(sum_distinct(col("l_quantity").cast("bigint")).as("sum_dq"),
+        count_distinct(col("l_quantity").cast("bigint")).as("n_dq"))
+      .orderBy(col("l_linestatus"))
+
+  private val aggSumDistinctSql =
+    """SELECT l_linestatus, CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_dq,
+      |  COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS n_dq
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  private val aggMinMaxBy: Q = (s, dir) =>
+    load(s, dir, "customer").groupBy(col("c_mktsegment"))
+      .agg(max_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey"))).as("richest"),
+        min_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey"))).as("poorest"),
+        max(col("c_acctbal")).as("max_bal"), min(col("c_acctbal")).as("min_bal"))
+      .orderBy(col("c_mktsegment"))
+
+  private val aggMinMaxBySql =
+    """WITH r AS (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey DESC) rmax,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) rmin
+      |  FROM customer)
+      |SELECT c_mktsegment,
+      |  MAX(CASE WHEN rmax = 1 THEN c_custkey END) AS richest,
+      |  MAX(CASE WHEN rmin = 1 THEN c_custkey END) AS poorest,
+      |  MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal
+      |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val aggRollup: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("l_quantity")))).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val aggRollupSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  private val aggCube: Q = (s, dir) =>
+    load(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private val aggCubeSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  private val aggGroupingSets: Q = (s, dir) => {
+    load(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val aggGroupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // exact integer power sums — deterministic moment building blocks
+  private val aggExactMoments: Q = (s, dir) => {
+    val q = col("l_quantity").cast("bigint")
+    load(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(sum(q).as("s1"), sum(q * q).as("s2"), sum(q * q * q).as("s3"),
+        min(q).as("mn"), max(q).as("mx"), count(q).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val aggExactMomentsSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+      |  CAST(MIN(l_quantity) AS BIGINT) AS mn, CAST(MAX(l_quantity) AS BIGINT) AS mx,
+      |  COUNT(l_quantity) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // streaming variance/correlation — rounded to absorb merge-order ulps
+  private val aggStats: Q = (s, dir) =>
+    load(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_samp"),
+        round(stddev_pop(col("l_quantity")), 6).as("sd_pop"),
+        round(var_samp(col("l_quantity")), 6).as("v_samp"),
+        round(var_pop(col("l_quantity")), 6).as("v_pop"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("qd_covar"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggStatsSql =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 6) AS sd_samp,
+      |  round(stddev_pop(l_quantity), 6) AS sd_pop,
+      |  round(var_samp(l_quantity), 6) AS v_samp,
+      |  round(var_pop(l_quantity), 6) AS v_pop,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+      |  round(covar_pop(l_quantity, l_discount), 6) AS qd_covar
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val aggBitwise: Q = (s, dir) =>
+    load(s, dir, "customer").groupBy(col("c_mktsegment"))
+      .agg(expr("bit_and(c_custkey)").as("b_and"),
+        expr("bit_or(c_custkey)").as("b_or"),
+        expr("bit_xor(c_custkey)").as("b_xor"))
+      .orderBy(col("c_mktsegment"))
+
+  private val aggBitwiseSql =
+    """SELECT c_mktsegment, bit_and(c_custkey) AS b_and, bit_or(c_custkey) AS b_or, bit_xor(c_custkey) AS b_xor
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val aggCollect: Q = (s, dir) =>
+    load(s, dir, "nation").groupBy(col("n_regionkey"))
+      .agg(array_join(slice(sort_array(collect_set(col("n_name"))), 1, 5), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
+  private val aggCollectSql =
+    """SELECT n_regionkey, array_to_string(list_sort(list(DISTINCT n_name))[1:5], ',') AS nations, COUNT(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // exact interpolated percentiles (integral input → exact doubles)
+  private val aggPercentile: Q = (s, dir) =>
+    load(s, dir, "lineitem").groupBy(col("l_linestatus"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
+      .orderBy(col("l_linestatus"))
+
+  private val aggPercentileSql =
+    """SELECT l_linestatus, round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // sketch aggregates — engine-specific estimates, no SQL oracle (rows-only)
+  private val aggApprox: Q = (s, dir) =>
+    load(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("apx_median"))
+      .orderBy(col("l_returnflag"))
+
+  // ------------------------------------------------------------- windows
+
+  private val windowRank: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
+    val wt = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        row_number().over(wt).as("rn"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  private val windowRankSql =
+    """SELECT c_custkey, c_mktsegment, CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk, CAST(rn AS INTEGER) AS rn
+      |FROM (
+      |  SELECT c_custkey, c_mktsegment,
+      |    RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+      |    DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer) t
+      |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin
+
+  private val windowLeadLag: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        lag(col("value"), 1, -1.0).over(w).as("prev_v"),
+        lead(col("value"), 1, -1.0).over(w).as("next_v"))
+      .orderBy(col("event_id"))
+      .limit(500)
+  }
+
+  private val windowLeadLagSql =
+    """SELECT event_id, user_id,
+      |  LAG(value, 1, -1.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+      |  LEAD(value, 1, -1.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v
+      |FROM events ORDER BY event_id LIMIT 500""".stripMargin
+
+  private val windowRunning: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        dbl(sum(dec(col("value"))).over(w)).as("running"),
+        count(lit(1)).over(w).as("n_so_far"))
+      .orderBy(col("event_id"))
+      .limit(1000)
+  }
+
+  private val windowRunningSql =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running,
+      |  COUNT(*) OVER w AS n_so_far
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id LIMIT 1000""".stripMargin
+
+  private val windowRangeFrame: Q = (s, dir) => {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_size")).rangeBetween(-5, 0)
+    load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        count(lit(1)).over(w).as("cnt5"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val windowRangeFrameSql =
+    """SELECT p_partkey, p_brand, p_size,
+      |  COUNT(*) OVER (PARTITION BY p_brand ORDER BY p_size RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS cnt5
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  private val windowNtile: Q = (s, dir) => {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    load(s, dir, "orders")
+      .select(col("o_orderkey"), ntile(4).over(w).as("bucket"),
+        round(cume_dist().over(w), 9).as("cd"), round(percent_rank().over(w), 9).as("pr"))
+      .orderBy(col("o_orderkey"))
+      .limit(1000)
+  }
+
+  private val windowNtileSql =
+    """SELECT o_orderkey, CAST(NTILE(4) OVER w AS INTEGER) AS bucket,
+      |  round(cume_dist() OVER w, 9) AS cd, round(percent_rank() OVER w, 9) AS pr
+      |FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey LIMIT 1000""".stripMargin
+
+  // top-1-per-group: Spark ≥3.5 plans this as WindowGroupLimit (rank pushdown)
+  private val windowGroupLimit: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  private val windowGroupLimitSql =
+    """SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------- sort / limit / sample
+
+  private val sortNulls: Q = (s, dir) =>
+    load(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_acctbal") < 500.0, lit(null)).otherwise(col("c_mktsegment")).as("seg"),
+        col("c_acctbal"))
+      .orderBy(col("seg").asc_nulls_first, col("c_custkey"))
+      .limit(200)
+
+  private val sortNullsSql =
+    """SELECT c_custkey, CASE WHEN c_acctbal < 500.0 THEN NULL ELSE c_mktsegment END AS seg, c_acctbal
+      |FROM customer ORDER BY seg ASC NULLS FIRST, c_custkey LIMIT 200""".stripMargin
+
+  private val limitOffset: Q = (s, dir) =>
+    load(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey")).offset(100).limit(50)
+
+  private val limitOffsetSql =
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100"
+
+  private val distinctPairs: Q = (s, dir) =>
+    load(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val distinctPairsSql =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // deterministic hash-bucket sampling (scales: pure filter, no shuffle;
+  // reference analog: SampleExecTransformer's rand-filter rewrite,
+  // gluten-substrait/.../SampleExecTransformer.scala:32-44)
+  private val sampleHashBucket: Q = (s, dir) =>
+    load(s, dir, "orders")
+      .filter(ascii(substring(md5(col("o_orderkey").cast("string")), 1, 1)) % 4 === 0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("o_orderstatus"))
+
+  private val sampleHashBucketSql =
+    """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders WHERE ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) % 4 = 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // built-in Bernoulli sample — seed semantics are engine-specific: rows-only
+  private val sampleBernoulli: Q = (s, dir) =>
+    load(s, dir, "orders").sample(withReplacement = false, 0.1, 42L)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  // ------------------------------------------------------------- set ops
+
+  private val setUnionAll: Q = (s, dir) =>
+    load(s, dir, "region").select(col("r_name").as("name"))
+      .union(load(s, dir, "nation").select(col("n_name")))
+      .orderBy(col("name"))
+
+  private val setUnionAllSql =
+    """SELECT name FROM (SELECT r_name AS name FROM region UNION ALL SELECT n_name FROM nation) t
+      |ORDER BY name""".stripMargin
+
+  private val setUnionDistinct: Q = (s, dir) =>
+    load(s, dir, "lineitem").select(col("l_returnflag").as("v")).distinct()
+      .union(load(s, dir, "lineitem").select(col("l_linestatus")).distinct()).distinct()
+      .orderBy(col("v"))
+
+  private val setUnionDistinctSql =
+    """SELECT l_returnflag AS v FROM lineitem UNION SELECT l_linestatus FROM lineitem ORDER BY v""".stripMargin
+
+  private val setIntersect: Q = (s, dir) =>
+    load(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(load(s, dir, "supplier").select(col("s_nationkey")))
+      .orderBy(col("nk"))
+
+  private val setIntersectSql =
+    "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk"
+
+  private val setExcept: Q = (s, dir) =>
+    load(s, dir, "part").select(col("p_partkey").as("pk"))
+      .except(load(s, dir, "lineitem").select(col("l_partkey")))
+      .orderBy(col("pk"))
+
+  private val setExceptSql =
+    "SELECT p_partkey AS pk FROM part EXCEPT SELECT l_partkey FROM lineitem ORDER BY pk"
+
+  // ---------------------------------------------------------- generators
+
+  private val generateExplode: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+
+  private val generateExplodeSql =
+    """SELECT w AS word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |GROUP BY w ORDER BY n DESC, word LIMIT 50""".stripMargin
+
+  private val generatePosExplode: Q = (s, dir) =>
+    load(s, dir, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  private val generatePosExplodeSql =
+    """SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
+      |  unnest(string_split(text, ' ')) AS word
+      |FROM documents WHERE doc_id < 20 ORDER BY doc_id, pos""".stripMargin
+
+  private val generateStack: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"), expr("stack(2, 'lang', lang, 'source', source)").as(Seq("attr", "val")))
+      .orderBy(col("doc_id"), col("attr"))
+
+  private val generateStackSql =
+    """SELECT doc_id, attr, val FROM (
+      |  SELECT doc_id, 'lang' AS attr, lang AS val FROM documents
+      |  UNION ALL SELECT doc_id, 'source', source FROM documents) t
+      |ORDER BY doc_id, attr""".stripMargin
+
+  private val generateInline: Q = (s, dir) =>
+    load(s, dir, "nation")
+      .select(col("n_nationkey"),
+        inline(array(struct(lit(1).as("idx"), col("n_name").as("nm")),
+          struct(lit(2).as("idx"), upper(col("n_name")).as("nm")))))
+      .orderBy(col("n_nationkey"), col("idx"))
+
+  private val generateInlineSql =
+    """SELECT n_nationkey, idx, nm FROM (
+      |  SELECT n_nationkey, 1 AS idx, n_name AS nm FROM nation
+      |  UNION ALL SELECT n_nationkey, 2, upper(n_name) FROM nation) t
+      |ORDER BY n_nationkey, idx""".stripMargin
+
+  private val generateSequence: Q = (s, dir) =>
+    load(s, dir, "part").filter(col("p_partkey") < 100)
+      .select(col("p_partkey"), explode(sequence(lit(1), col("p_size") % 5 + 1)).as("i"))
+      .orderBy(col("p_partkey"), col("i"))
+
+  private val generateSequenceSql =
+    """SELECT p_partkey, CAST(unnest(generate_series(1, p_size % 5 + 1)) AS INTEGER) AS i
+      |FROM part WHERE p_partkey < 100 ORDER BY p_partkey, i""".stripMargin
+
+  // ------------------------------------------------------ event pipelines
+
+  private val evSessionize: Q = (s, dir) => {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wRun).cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), dbl(sum(dec(col("value")))).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val evSessionizeSql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+      |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new FROM e),
+      |g AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id FROM f)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  private val evPivot: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(to_date(date_trunc("DAY", col("ts"))).cast("string").as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .orderBy(col("day"))
+
+  private val evPivotSql =
+    """SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------ assembly
+
+  private val built: (Map[String, Q], Map[String, String]) = q(
+    ("join_inner" -> joinInner, joinInnerSql),
+    ("join_left_outer" -> joinLeftOuter, joinLeftOuterSql),
+    ("join_right_outer" -> joinRightOuter, joinRightOuterSql),
+    ("join_full_outer" -> joinFullOuter, joinFullOuterSql),
+    ("join_left_semi" -> joinLeftSemi, joinLeftSemiSql),
+    ("join_left_anti" -> joinLeftAnti, joinLeftAntiSql),
+    ("join_cross" -> joinCross, joinCrossSql),
+    ("join_non_equi" -> joinNonEqui, joinNonEquiSql),
+    ("join_existence" -> joinExistence, joinExistenceSql),
+    ("agg_distinct_multi" -> aggDistinctMulti, aggDistinctMultiSql),
+    ("agg_sum_distinct" -> aggSumDistinct, aggSumDistinctSql),
+    ("agg_minmax_by" -> aggMinMaxBy, aggMinMaxBySql),
+    ("agg_rollup" -> aggRollup, aggRollupSql),
+    ("agg_cube" -> aggCube, aggCubeSql),
+    ("agg_grouping_sets" -> aggGroupingSets, aggGroupingSetsSql),
+    ("agg_exact_moments" -> aggExactMoments, aggExactMomentsSql),
+    ("agg_stats" -> aggStats, aggStatsSql),
+    ("agg_bitwise" -> aggBitwise, aggBitwiseSql),
+    ("agg_collect" -> aggCollect, aggCollectSql),
+    ("agg_percentile" -> aggPercentile, aggPercentileSql),
+    ("window_rank" -> windowRank, windowRankSql),
+    ("window_lead_lag" -> windowLeadLag, windowLeadLagSql),
+    ("window_running" -> windowRunning, windowRunningSql),
+    ("window_range_frame" -> windowRangeFrame, windowRangeFrameSql),
+    ("window_ntile" -> windowNtile, windowNtileSql),
+    ("window_group_limit" -> windowGroupLimit, windowGroupLimitSql),
+    ("sort_nulls" -> sortNulls, sortNullsSql),
+    ("limit_offset" -> limitOffset, limitOffsetSql),
+    ("distinct_pairs" -> distinctPairs, distinctPairsSql),
+    ("sample_hash_bucket" -> sampleHashBucket, sampleHashBucketSql),
+    ("setop_union_all" -> setUnionAll, setUnionAllSql),
+    ("setop_union_distinct" -> setUnionDistinct, setUnionDistinctSql),
+    ("setop_intersect" -> setIntersect, setIntersectSql),
+    ("setop_except" -> setExcept, setExceptSql),
+    ("generate_explode" -> generateExplode, generateExplodeSql),
+    ("generate_posexplode" -> generatePosExplode, generatePosExplodeSql),
+    ("generate_stack" -> generateStack, generateStackSql),
+    ("generate_inline" -> generateInline, generateInlineSql),
+    ("generate_sequence" -> generateSequence, generateSequenceSql),
+    ("ev_sessionize" -> evSessionize, evSessionizeSql),
+    ("ev_pivot" -> evPivot, evPivotSql))
+
+  val queries: Map[String, Q] = built._1 ++ Map[String, Q](
+    "agg_approx_sketch" -> aggApprox,
+    "sample_bernoulli" -> sampleBernoulli)
+
+  val oracles: Map[String, String] = built._2
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.GraftExpressions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, plus two approximate
+  * scale paths — random-hyperplane LSH bucketing and an IVF-style
+  * coarse quantizer. Beyond-reference surface (SURVEY.md §7 step 5).
+  *
+  * Scale design: brute force is O(|Q|·|C|) — exact and fine for small
+  * query sets (it broadcasts the query side). The LSH/IVF variants
+  * shuffle the corpus once by bucket and probe only matching buckets,
+  * the shape that survives a 100 TB corpus; their recall<1 makes them
+  * rows-only checks (no SQL oracle).
+  */
+object SimilarityOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** exact top-5 neighbors (vec_id<10 queries vs vec_id>=10 corpus) */
+  private val annBrute: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", round(GraftExpressions.cosine_sim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private val annBruteSql =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |dt AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+      |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+      |  GROUP BY q.vec_id, c.vec_id),
+      |cs AS (
+      |  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+      |  FROM dt JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid),
+      |r AS (SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM cs)
+      |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, cos FROM r WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
+  /** deterministic pseudo-random hyperplane weight for (dim i, plane j):
+    * xxhash64 of the index pair, mapped to [-0.5, 0.5). No RNG state —
+    * every executor derives the same hyperplanes. */
+  private def planeWeight(i: org.apache.spark.sql.Column, j: Int) =
+    pmod(xxhash64(i * 64 + lit(j)), lit(1000L)).cast("double") / 1000.0 - 0.5
+
+  /** 8-bit random-hyperplane LSH signature as a bucketing column. */
+  private def lshBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { j =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0L), lit(63L)), (x, i) => x.cast("double") * planeWeight(i, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** approximate top-3: probe only the query's LSH bucket (rows-only) */
+  private val annLsh: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings").withColumn("bucket", lshBucket(col("embedding")))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("bucket"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .withColumn("cos", round(GraftExpressions.cosine_sim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"), col("bucket"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** IVF-style: centroids = label means (coarse quantizer); each query
+    * probes its 2 nearest centroids' partitions only (rows-only). */
+  private val annIvf: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings")
+    // centroid per label: positional explode → mean per (label, dim) → re-assemble
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+      .select(col("label").as("c_label"),
+        transform(col("pairs"), p => p.getField("cx").cast("float")).as("centroid"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("c_cos").desc, col("c_label"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("c_cos", GraftExpressions.cosine_sim(col("q_emb"), col("centroid")))
+      .withColumn("c_rnk", row_number().over(wc))
+      .filter(col("c_rnk") <= 2)
+      .select(col("qid"), col("q_emb"), col("c_label"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    load(s, dir, "embeddings").filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("label"))
+      .join(broadcast(probes), col("label") === col("c_label"))
+      .withColumn("cos", round(GraftExpressions.cosine_sim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"), col("label"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** label-centroid similarity matrix — aggregation over vector columns */
+  private val labelCentroidSim: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings")
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p.getField("cx").cast("float")).as("centroid"))
+    val a = cent.select(col("label").as("la"), col("centroid").as("ca"))
+    val b = cent.select(col("label").as("lb"), col("centroid").as("cb"))
+    a.crossJoin(b).filter(col("la") < col("lb"))
+      .select(col("la"), col("lb"),
+        round(GraftExpressions.cosine_sim(col("ca"), col("cb")), 4).as("cos"))
+      .orderBy(col("la"), col("lb"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_ann_brute_topk" -> annBrute,
+    "sim_ann_lsh" -> annLsh,
+    "sim_ann_ivf" -> annIvf,
+    "sim_label_centroids" -> labelCentroidSim)
+
+  val oracles: Map[String, String] = Map(
+    "sim_ann_brute_topk" -> annBruteSql)
+}

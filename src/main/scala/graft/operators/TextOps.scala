@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * Beyond-reference surface (SURVEY.md §7 step 5). All are pure
+  * per-row expression pipelines — embarrassingly parallel, no shuffle,
+  * fully codegen'd built-ins.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "is", "in")
+
+  private val textTokens: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        col("n_chars"),
+        size(filter(split(col("text"), "[^a-z0-9]+"), t => t =!= "")).as("n_alnum_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val textTokensSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  CAST(length(text) AS INTEGER) AS n_chars_calc,
+      |  n_chars,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), t -> t <> '')) AS INTEGER) AS n_alnum_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val textQuality: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    val stopCount = size(filter(words, w => w.isin(stopwords: _*)))
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        nWords.as("n_words"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / nWords, 6).as("avg_word_len"),
+        round(stopCount.cast("double") / nWords, 6).as("stop_ratio"),
+        round(size(array_distinct(words)).cast("double") / nWords, 6).as("ttr"),
+        (nWords >= 20 && (stopCount.cast("double") / nWords) > 0.02).as("is_quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textQualitySql =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+       |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_word_len,
+       |  round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to','is','in'))) AS DOUBLE)
+       |    / len(string_split(text, ' ')), 6) AS stop_ratio,
+       |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS ttr,
+       |  (len(string_split(text, ' ')) >= 20 AND
+       |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to','is','in'))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) > 0.02) AS is_quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** stopword-profile language scorer (n-gram-heuristic shaped): score
+    * text against per-language marker-token profiles, argmax with a
+    * deterministic preference order. */
+  private val textLangId: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    def score(markers: Seq[String]) = size(filter(words, w => w.isin(markers: _*)))
+    val sEn = score(Seq("the", "a", "is"))
+    val sQy = score(Seq("query", "table", "row"))
+    val sDt = score(Seq("data", "batch", "stream"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        sEn.as("score_en"), sQy.as("score_qy"), sDt.as("score_dt"),
+        when(sEn >= sQy && sEn >= sDt, "en")
+          .when(sQy >= sDt, "qy").otherwise("dt").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textLangIdSql =
+    """SELECT doc_id, lang,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','is'))) AS INTEGER) AS score_en,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('query','table','row'))) AS INTEGER) AS score_qy,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('data','batch','stream'))) AS INTEGER) AS score_dt,
+      |  CASE
+      |    WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the','a','is')))
+      |      >= len(list_filter(string_split(text, ' '), w -> w IN ('query','table','row')))
+      |     AND len(list_filter(string_split(text, ' '), w -> w IN ('the','a','is')))
+      |      >= len(list_filter(string_split(text, ' '), w -> w IN ('data','batch','stream'))) THEN 'en'
+      |    WHEN len(list_filter(string_split(text, ' '), w -> w IN ('query','table','row')))
+      |      >= len(list_filter(string_split(text, ' '), w -> w IN ('data','batch','stream'))) THEN 'qy'
+      |    ELSE 'dt' END AS lang_pred
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // canonicalized content fingerprint (whitespace-normalized, lowercased)
+  private val textFingerprint: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
+        substring(md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 8).as("fp_short"))
+      .orderBy(col("doc_id"))
+
+  private val textFingerprintSql =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+      |  substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS fp_short
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangId,
+    "text_fingerprint" -> textFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangIdSql,
+    "text_fingerprint" -> textFingerprintSql)
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column↔Expression conversion for
+  * registering custom Catalyst expressions as user-facing Columns.
+  * (Reference analog: Gluten likewise hosts helpers inside
+  * `org.apache.spark.sql` packages, e.g.
+  * gluten-substrait/src/main/scala/org/apache/spark/sql/execution/.)
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
