@@ -73,6 +73,55 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /** Jaccard similarity of two bitmap sets encoded as array<bigint>
+    * chunks: bit_count(AND)/bit_count(OR), 0.0 when the union is empty.
+    * Codegen'd allocation-free loop — the composed-builtins equivalent
+    * (zip_with + aggregate) allocates two intermediate arrays per row,
+    * which dominates runtime on multi-million-pair verification joins.
+    */
+  case class BitmapJaccard(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bitmap_jaccard"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var inter = 0L; var uni = 0L
+      var i = 0
+      while (i < n) {
+        val xv = x.getLong(i); val yv = y.getLong(i)
+        inter += java.lang.Long.bitCount(xv & yv)
+        uni += java.lang.Long.bitCount(xv | yv)
+        i += 1
+      }
+      if (uni == 0L) 0.0 else inter.toDouble / uni.toDouble
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val inter = ctx.freshName("inter"); val uni = ctx.freshName("uni")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $inter = 0L; long $uni = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($i);
+           |  $inter += java.lang.Long.bitCount($xv & $yv);
+           |  $uni += java.lang.Long.bitCount($xv | $yv);
+           |}
+           |${ev.value} = ($uni == 0L) ? 0.0 : (double) $inter / (double) $uni;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** 64-bit SimHash over an array of string tokens: each token is
     * xxhash64'd; per bit position the signed vote of all token hashes
     * decides the output bit. Near-duplicate docs differ in few bits →
@@ -124,6 +173,9 @@ object GraftExpressions {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def bitmap_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(BitmapJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** MinHash signature of a token array as `array<bigint>` of length k.
     * Composed purely from codegen'd built-ins: k independent hash
