@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.GraftExpressions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DateType
+
+/** Engine façade: the `GlutenSessionExtensions` analog
+  * (gluten-core/src/main/scala/org/apache/gluten/GlutenSessionExtensions.scala:26-61
+  * injected by GlutenPlugin). Where the reference injects offload rule
+  * pipelines, we inject (a) the engine's custom Catalyst expressions as
+  * SQL functions and (b) micro optimizer rules mirroring the reference's
+  * expression-rewrite layer (e.g. EliminateRedundantGetTimestamp,
+  * gluten-substrait rewrite rules — SURVEY.md §4).
+  *
+  * Activate with `spark.sql.extensions=graft.GraftExtensions` or
+  * through [[GraftSession.builder]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[GraftExpressions.CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[Expression]) => GraftExpressions.CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[GraftExpressions.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => GraftExpressions.SimHash64(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_jaccard"),
+      new ExpressionInfo(classOf[GraftExpressions.BitmapJaccard].getName, "bitmap_jaccard"),
+      (exprs: Seq[Expression]) => GraftExpressions.BitmapJaccard(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => EliminateRedundantToDate)
+  }
+}
+
+/** `to_date(c)` / `CAST(c AS DATE)` over an already-DATE child is a
+  * no-op — drop it so it neither blocks scan pushdown of comparisons
+  * nor costs a per-row branch. Mirrors the reference's redundant-
+  * timestamp-conversion elimination (EliminateRedundantGetTimestamp,
+  * SURVEY.md §4). */
+object EliminateRedundantToDate extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case c @ Cast(child, DateType, _, _) if child.dataType == DateType &&
+          child.resolved => child
+    }
+}
+
+/** Session bootstrap with the engine's tuned defaults (GlutenPlugin
+  * conf-forcing analog, gluten-core/.../GlutenPlugin.scala:105-155):
+  * AQE with skew handling, hash-join preference, nested pruning,
+  * runtime bloom-filter join pruning. */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+}

@@ -312,7 +312,92 @@ object ScalarOps {
       |  CAST(event_id AS DOUBLE) AS id_dbl
       |FROM events ORDER BY event_id LIMIT 2000""".stripMargin
 
+  private val fnString2: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("char(65 + doc_id % 26)").as("ch"),
+        levenshtein(col("lang"), col("source")).as("lev"),
+        format_string("%d-%s", col("doc_id"), col("lang")).as("fmt"),
+        expr("btrim(concat('xx', lang, 'xx'), 'x')").as("bt"),
+        expr("elt(1 + CAST(doc_id % 2 AS INT), 'first', 'second')").as("el"),
+        substring_index(col("source"), "r", 1).as("si"),
+        expr("find_in_set(lang, 'en,de,fr')").as("fis"),
+        expr("overlay(source PLACING 'XX' FROM 2 FOR 2)").as("ov"),
+        ascii(col("lang")).as("asc"),
+        octet_length(col("text")).as("olen"),
+        bit_length(col("lang")).as("blen"))
+      .orderBy(col("doc_id"))
+
+  private val fnString2Sql =
+    """SELECT doc_id,
+      |  chr(65 + CAST(doc_id % 26 AS INTEGER)) AS ch,
+      |  CAST(levenshtein(lang, source) AS INTEGER) AS lev,
+      |  printf('%d-%s', doc_id, lang) AS fmt,
+      |  trim('xx' || lang || 'xx', 'x') AS bt,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'first' ELSE 'second' END AS el,
+      |  split_part(source, 'r', 1) AS si,
+      |  CAST(COALESCE(list_position(string_to_array('en,de,fr', ','), lang), 0) AS INTEGER) AS fis,
+      |  substr(source, 1, 1) || 'XX' || substr(source, 4) AS ov,
+      |  CAST(ascii(lang) AS INTEGER) AS asc,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS olen,
+      |  CAST(8 * octet_length(encode(lang)) AS INTEGER) AS blen
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val fnTime: Q = (s, dir) =>
+    load(s, dir, "events")
+      .select(col("event_id"),
+        hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"),
+        second(col("ts")).as("se"),
+        date_trunc("HOUR", col("ts")).cast("string").as("hstart"),
+        unix_millis(col("ts")).as("ems"),
+        add_months(to_date(col("ts")), 3).cast("string").as("plus3m"),
+        date_format(col("ts"), "HH:mm").as("hm"))
+      .orderBy(col("event_id"))
+      .limit(2000)
+
+  private val fnTimeSql =
+    """SELECT event_id,
+      |  CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS h,
+      |  CAST(EXTRACT(MINUTE FROM ts) AS INTEGER) AS mi,
+      |  CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INTEGER) AS se,
+      |  CAST(date_trunc('hour', ts) AS VARCHAR) AS hstart,
+      |  CAST(epoch_ms(date_trunc('millisecond', ts)) AS BIGINT) AS ems,
+      |  CAST(CAST(CAST(ts AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+      |  strftime(ts, '%H:%M') AS hm
+      |FROM events ORDER BY event_id LIMIT 2000""".stripMargin
+
+  private val fnMap: Q = (s, dir) => {
+    val m = map_from_arrays(array(lit("u"), lit("e")),
+      array(col("user_id"), col("event_id")))
+    load(s, dir, "events")
+      .select(col("event_id"),
+        array_join(map_keys(m), ",").as("ks"),
+        array_join(map_values(m).cast("array<string>"), ",").as("vs"),
+        size(m).as("card"),
+        element_at(m, "u").as("u_val"),
+        array_join(map_values(map_concat(m, map(lit("x"), lit(7L)))).cast("array<string>"), ",").as("cat"),
+        array_join(transform(map_values(m), v => (v * 2).cast("string")), ",").as("dbl"))
+      .orderBy(col("event_id"))
+      .limit(2000)
+  }
+
+  private val fnMapSql =
+    """SELECT event_id,
+      |  array_to_string(map_keys(m), ',') AS ks,
+      |  array_to_string(list_transform(map_values(m), v -> CAST(v AS VARCHAR)), ',') AS vs,
+      |  CAST(cardinality(m) AS INTEGER) AS card,
+      |  element_at(m, 'u')[1] AS u_val,
+      |  array_to_string(list_transform(map_values(map_concat(m, map(['x'], [CAST(7 AS BIGINT)]))),
+      |    v -> CAST(v AS VARCHAR)), ',') AS cat,
+      |  array_to_string(list_transform(map_values(m), v -> CAST(v * 2 AS VARCHAR)), ',') AS dbl
+      |FROM (SELECT event_id, map(['u', 'e'], [user_id, event_id]) AS m FROM events) t
+      |ORDER BY event_id LIMIT 2000""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fn_string2" -> fnString2,
+    "fn_time" -> fnTime,
+    "fn_map" -> fnMap,
     "fn_string" -> fnString,
     "fn_math" -> fnMath,
     "fn_date" -> fnDate,
@@ -325,6 +410,9 @@ object ScalarOps {
     "fn_cast" -> fnCast)
 
   val oracles: Map[String, String] = Map(
+    "fn_string2" -> fnString2Sql,
+    "fn_time" -> fnTimeSql,
+    "fn_map" -> fnMapSql,
     "fn_string" -> fnStringSql,
     "fn_math" -> fnMathSql,
     "fn_date" -> fnDateSql,

@@ -105,15 +105,34 @@ object TextOps {
       |  substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS fp_short
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** corpus-wide heavy hitters via the custom space-saving aggregate
+    * (graft.functions.TopKFreq): constant-memory mergeable sketch —
+    * no full-word shuffle at scale. Capacity 64 ≥ this corpus's
+    * vocabulary, so the sketch is exact and oracle-checkable. */
+  private val textTopWords: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(graft.functions.TopKFreq.topk_freq(col("w"), 64).as("sketch"))
+      .select(explode(col("sketch")).as("s"))
+      .select(col("s.word").as("word"), col("s.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+
+  private val textTopWordsSql =
+    """SELECT w AS word, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |GROUP BY w ORDER BY cnt DESC, word""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
-    "text_fingerprint" -> textFingerprint)
+    "text_fingerprint" -> textFingerprint,
+    "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_top_words_sketch" -> textTopWordsSql)
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension — beyond-reference surface: the
+  * reference offloads no Spark streaming operators at all (SURVEY.md
+  * §2.12), so this module is pure added capability, staged per §7 step 9.
+  *
+  * Shapes provided over an `events`-schema stream
+  * (event_id, ts timestamp, user_id, event_type, value, props):
+  *  - watermarked tumbling/sliding-window aggregation,
+  *  - watermark-bounded stream deduplication,
+  *  - stream-static enrichment join,
+  *  - custom session windows via flatMapGroupsWithState.
+  *
+  * Scale notes: all operators are keyed-state friendly — state is
+  * bounded by the watermark (windows, dedup) or an explicit processing
+  * timeout (sessions); nothing accumulates unboundedly on a 1000-executor
+  * cluster.
+  */
+object StreamingOps {
+
+  /** tumbling 1-hour windowed counts/revenue per event type, 2h watermark */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** sliding 30-min windows advancing by 10 min */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** drop duplicate event_ids arriving within the watermark horizon */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
+
+  /** enrich a stream against a static dimension (broadcast join) */
+  def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left_outer")
+
+  // ---- custom sessionization state machine ----------------------------
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Int, total: Double)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int, total_value: Double)
+
+  /** session windows with a 30-min inactivity gap, emitted on timeout.
+    * (Custom-state analog of the batch ev_sessionize query.) */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.lastTs, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= 30 * 60 * 1000L =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.start, s.lastTs, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration("30 minutes")
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

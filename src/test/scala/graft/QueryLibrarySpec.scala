@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + determinism + plan-shape assertions over the full query
+  * library (reference analog: MiscOperatorSuite + the plan-golden checks
+  * in VeloxTPCHSuite — we assert plan properties instead of offload
+  * tags; see SURVEY.md §5).
+  */
+class QueryLibrarySpec extends AnyFunSuite {
+  private lazy val spark = GraftSparkSession.spark
+  private val dir = GraftSparkSession.sfDir
+
+  test("every registered query runs at sf0.001 and its oracle key exists in queries") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
+    val failures = qs.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("queries are deterministic across reruns") {
+    for (name <- Seq("tpch_q01_pricing_summary", "dedup_minhash_lsh", "sim_ann_brute_topk")) {
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, dir).collect().toSeq
+      val b = fn(spark, dir).collect().toSeq
+      assert(a == b, s"$name differed across runs")
+    }
+  }
+
+  test("filter and projection are pushed into the parquet scan (q06)") {
+    val plan = SparkEntry.queries("tpch_q06_forecast_revenue")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("l_discount"), "discount predicate should be pushed")
+    // column pruning: scan must not read l_orderkey/l_comment-width schema
+    assert(!plan.contains("l_partkey"), "unused columns must be pruned from scan")
+  }
+
+  test("dimension joins broadcast (q05 uses BroadcastHashJoin)") {
+    val plan = SparkEntry.queries("tpch_q05_local_supplier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("semi/anti joins plan as join operators, not subquery re-scans") {
+    val semi = SparkEntry.queries("join_left_semi")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(semi.contains("LeftSemi"), semi.take(1500))
+    val anti = SparkEntry.queries("join_left_anti")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(anti.contains("LeftAnti"), anti.take(1500))
+  }
+
+  test("top-1-per-group plans with WindowGroupLimit pushdown") {
+    val plan = SparkEntry.queries("window_group_limit")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("ordered limit plans as TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("tpch_q03_topk_revenue")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("whole-stage codegen covers the custom cosine expression") {
+    val df = SparkEntry.queries("sim_ann_brute_topk")(spark, dir)
+    df.collect() // materialize so AQE collapses stages into codegen spans
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen spans render as "*(n)" in toString
+    assert(plan.contains("*("), plan.take(2000))
+    assert(plan.contains("cosine_similarity"), "custom expression should appear in the plan")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{SessionEvent, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSparkSession.spark
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  test("watermarked tumbling window aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, ts(5), 1, "click", 1.0, "{}"),
+      Ev(2, ts(20), 1, "click", 2.0, "{}"),
+      Ev(3, ts(70), 2, "view", 3.0, "{}"))
+    val q = StreamingOps.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stream deduplication drops watermark-horizon duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, ts(1), 1, "click", 1.0, "{}"),
+      Ev(1, ts(1), 1, "click", 1.0, "{}"),
+      Ev(2, ts(2), 1, "view", 2.0, "{}"))
+    val q = StreamingOps.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    // two sessions for user 1 separated by a >30min gap
+    in.addData(
+      SessionEvent(1, ts(0), 1.0),
+      SessionEvent(1, ts(10), 2.0),
+      SessionEvent(1, ts(60), 5.0))
+    // AvailableNow: process the backlog and stop — ProcessingTimeTimeout
+    // otherwise keeps scheduling timeout-check batches and
+    // processAllAvailable never settles.
+    val q = StreamingOps.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(120000)
+      val closed = spark.table("sessions").as[SessionOut].collect()
+      assert(closed.length == 1)
+      assert(closed.head.n_events == 2 && closed.head.total_value == 3.0)
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins without shuffling the stream side") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    in.addData(Ev(1, ts(1), 1, "click", 1.0, "{}"), Ev(2, ts(2), 3, "view", 2.0, "{}"))
+    val q = StreamingOps.enrich(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("event_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (2L, None)))
+    } finally q.stop()
+  }
+}

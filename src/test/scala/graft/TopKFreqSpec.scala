@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.TopKFreq.topk_freq
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKFreqSpec extends AnyFunSuite {
+  private lazy val spark = GraftSparkSession.spark
+  import spark.implicits._
+
+  private def sketchOf(words: Seq[String], k: Int): Seq[(String, Long)] =
+    words.toDF("w").repartition(4) // force partial/merge path
+      .agg(topk_freq($"w", k).as("s"))
+      .select(explode($"s").as("e"))
+      .select($"e.word", $"e.cnt").as[(String, Long)].collect().toSeq
+
+  test("exact when capacity >= distinct count, across partition merges") {
+    val words = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(7)("c") ++ Seq("d")
+    val got = sketchOf(words, 10).toMap
+    assert(got == Map("a" -> 5L, "b" -> 3L, "c" -> 7L, "d" -> 1L))
+  }
+
+  test("bounded capacity: keeps heavy hitters, overestimates only") {
+    val words = (1 to 100).flatMap(i => Seq.fill(i % 7 + 1)(s"w$i")) ++ Seq.fill(500)("HH")
+    val got = sketchOf(words, 20)
+    assert(got.size <= 20)
+    val asMap = got.toMap
+    assert(asMap.contains("HH"), "heavy hitter must survive eviction")
+    assert(asMap("HH") >= 500L, "space-saving never undercounts")
+  }
+
+  test("deterministic output ordering (-cnt, word)") {
+    val words = Seq("b", "a", "b", "a", "c")
+    val got = sketchOf(words, 10)
+    assert(got == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("null inputs are ignored") {
+    val df = Seq(Some("x"), None, Some("x")).toDF("w")
+    val got = df.agg(topk_freq($"w", 4).as("s"))
+      .select(explode($"s").as("e")).select($"e.word", $"e.cnt")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("x", 2L)))
+  }
+}
