@@ -8,6 +8,8 @@ object GraftSparkSession {
     val s = GraftSession.builder("local[4]", 4)
       .appName("graft-test")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

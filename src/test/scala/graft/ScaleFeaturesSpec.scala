@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-machinery evidence: dynamic partition pruning, bucketed
+  * co-located joins (shuffle-free), AQE behaviors, and the Scala UDF
+  * registry surface (SURVEY.md §2.8/§2.11, §4 — the partitioning/
+  * shuffle discipline the 100 TB design leans on).
+  */
+class ScaleFeaturesSpec extends AnyFunSuite {
+  private lazy val spark = GraftSparkSession.spark
+  private val dir = GraftSparkSession.sfDir
+
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    val tmp = Files.createTempDirectory("dpp_fact").toString
+    Tables.load(spark, dir, "lineitem")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    // dim filtered on a NON-join column: the qualifying partition keys
+    // are only known at runtime → genuine dynamic pruning (a filter on
+    // the join key itself would be propagated statically instead)
+    val dim = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_linestatus")).distinct()
+      .filter(col("l_linestatus") === "F")
+    withConf("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "100000") {
+      val joined = fact.join(dim, col("l_returnflag") === col("flag"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan.take(3000))
+      assert(joined.collect().nonEmpty)
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    Tables.load(spark, dir, "orders")
+      .write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_bkt")
+    Tables.load(spark, dir, "lineitem")
+      .write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_bkt")
+    try {
+      withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+        val j = spark.table("lineitem_bkt")
+          .join(spark.table("orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        j.collect()
+        val plan = j.queryExecution.executedPlan.toString
+        val exchangesBeforeAgg = plan.split("HashAggregate").head
+        assert(!exchangesBeforeAgg.contains("Exchange hashpartitioning(l_orderkey"),
+          "bucketed join must not re-shuffle fact side:\n" + plan.take(3000))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
+  test("AQE coalesces shuffle partitions on small data") {
+    val d = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)))
+    d.collect()
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") || plan.contains("coalesced"), plan.take(2000))
+  }
+
+  test("scala UDF registry surface (the .so-registry analog)") {
+    val qualityScore = udf((nWords: Int, stopRatio: Double) =>
+      if (nWords >= 20 && stopRatio > 0.02) 1.0 else 0.0)
+    spark.udf.register("quality_score", qualityScore)
+    val viaApi = Tables.load(spark, dir, "documents")
+      .select(qualityScore(lit(25), lit(0.1)).as("q")).head.getDouble(0)
+    val viaSql = spark.sql("SELECT quality_score(25, 0.1) AS q").head.getDouble(0)
+    assert(viaApi == 1.0 && viaSql == 1.0)
+  }
+
+  test("runtime bloom filter join pruning can be planned") {
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = Tables.load(spark, dir, "lineitem")
+      val filtered = Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 150000.0)
+      val j = li.join(filtered, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") || optimized.contains("might_contain"),
+        optimized.take(3000))
+    }
+  }
+
+  private def withConf[A](entries: (String, String)*)(f: => A): A = {
+    val old = entries.map { case (k, _) => k -> spark.conf.getOption(k) }
+    entries.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
