@@ -575,6 +575,34 @@ object RelationalOps {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // as-of join by composition: each purchase joined to the latest prior
+  // click of the same user (merged-stream window — no per-row range scan;
+  // single shuffle on user_id; DuckDB's native ASOF JOIN is the oracle's
+  // window-equivalent). The reference has no as-of join (SURVEY.md §2.3).
+  private val evAsof: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    load(s, dir, "events")
+      .withColumn("prev_click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("prev_click_us"),
+        (unix_micros(col("ts")) - col("prev_click_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val evAsofSql =
+    """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |  prev_click_us, CAST(epoch_us(ts) AS BIGINT) - prev_click_us AS gap_us
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN CAST(epoch_us(ts) AS BIGINT) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_us
+      |  FROM events) t
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   private val evPivot: Q = (s, dir) =>
     load(s, dir, "events")
       .groupBy(to_date(date_trunc("DAY", col("ts"))).cast("string").as("day"))
@@ -634,6 +662,7 @@ object RelationalOps {
     ("generate_inline" -> generateInline, generateInlineSql),
     ("generate_sequence" -> generateSequence, generateSequenceSql),
     ("ev_sessionize" -> evSessionize, evSessionizeSql),
+    ("ev_asof_join" -> evAsof, evAsofSql),
     ("ev_pivot" -> evPivot, evPivotSql))
 
   val queries: Map[String, Q] = built._1 ++ Map[String, Q](

@@ -60,6 +60,86 @@ object TpchLike {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // q02: min-cost supplier per part (TPC-H Q2 shape; partsupp surrogate =
+  // distinct lineitem part-supplier pairs, cost surrogate = s_acctbal)
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    val pairs = load(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+    val cand = load(s, dir, "part").filter(col("p_type") === "LARGE")
+      .join(pairs, col("p_partkey") === col("l_partkey"))
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(load(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(load(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+    val minBal = cand.groupBy(col("p_partkey").as("mb_partkey"))
+      .agg(min(col("s_acctbal")).as("min_bal"))
+    cand.join(minBal, col("p_partkey") === col("mb_partkey") && col("s_acctbal") === col("min_bal"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"), col("p_name"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  private val q02Sql =
+    """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |cand AS (
+      |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+      |  FROM part, pairs, supplier, nation, region
+      |  WHERE p_type = 'LARGE' AND p_partkey = l_partkey AND l_suppkey = s_suppkey
+      |    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM cand c
+      |WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM cand m WHERE m.p_partkey = c.p_partkey)
+      |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin
+
+  // q11: important stock value per part with global-fraction having
+  // (TPC-H Q11 shape; value surrogate = shipped quantity)
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val inNation = load(s, dir, "lineitem")
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(load(s, dir, "nation").filter(col("n_name") === "NATION_5")),
+        col("s_nationkey") === col("n_nationkey"))
+    val perPart = inNation.groupBy(col("l_partkey"))
+      .agg(dbl(sum(dec(col("l_quantity")))).as("value"))
+    val total = perPart.agg(sum(col("value")).as("total"))
+    perPart.join(broadcast(total))
+      .filter(col("value") > col("total") * 0.005)
+      .select(col("l_partkey"), col("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  private val q11Sql =
+    """WITH per_part AS (
+      |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS value
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, value FROM per_part
+      |WHERE value > (SELECT SUM(value) FROM per_part) * 0.005
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // q16: supplier count per part attributes with exclusions
+  // (TPC-H Q16 shape over the distinct-pairs surrogate)
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val pairs = load(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+    val okSupp = load(s, dir, "supplier").filter(col("s_acctbal") >= 0.0)
+    load(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .join(pairs, col("p_partkey") === col("l_partkey"))
+      .join(okSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs, part
+      |WHERE p_partkey = l_partkey AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   // q03: 3-way join + group-by + top-k (TPC-H Q3, no shippriority column)
   private def q03(s: SparkSession, dir: String): DataFrame = {
     val cust = load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -367,7 +447,10 @@ object TpchLike {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q01_pricing_summary" -> q01 _,
+    "tpch_q02_min_cost_supplier" -> q02 _,
     "tpch_q03_topk_revenue" -> q03 _,
+    "tpch_q11_important_stock" -> q11 _,
+    "tpch_q16_supplier_count" -> q16 _,
     "tpch_q05_local_supplier" -> q05 _,
     "tpch_q06_forecast_revenue" -> q06 _,
     "tpch_q07_volume_shipping" -> q07 _,
@@ -384,7 +467,10 @@ object TpchLike {
 
   val oracles: Map[String, String] = Map(
     "tpch_q01_pricing_summary" -> q01Sql,
+    "tpch_q02_min_cost_supplier" -> q02Sql,
     "tpch_q03_topk_revenue" -> q03Sql,
+    "tpch_q11_important_stock" -> q11Sql,
+    "tpch_q16_supplier_count" -> q16Sql,
     "tpch_q05_local_supplier" -> q05Sql,
     "tpch_q06_forecast_revenue" -> q06Sql,
     "tpch_q07_volume_shipping" -> q07Sql,
