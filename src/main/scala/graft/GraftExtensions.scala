@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExpressions.BitmapJaccard].getName, "bitmap_jaccard"),
       (exprs: Seq[Expression]) => GraftExpressions.BitmapJaccard(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => EliminateRedundantToDate)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -603,6 +603,27 @@ object RelationalOps {
       |  FROM events) t
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  // the same as-of semantics through the CUSTOM physical operator
+  // (graft.plans.AsOfJoinExec via AsOfJoinStrategy); oracle is DuckDB's
+  // native ASOF LEFT JOIN.
+  private val evAsofCustom: Q = (s, dir) => {
+    val events = load(s, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoinApi.asofJoin(purchases, clicks, Seq("user_id"), Seq("c_user"), "ts", "c_ts")
+      .select(col("event_id"), unix_micros(col("c_ts")).as("prev_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val evAsofCustomSql =
+    """SELECT p.event_id, CAST(epoch_us(c.c_ts) AS BIGINT) AS prev_click_us
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.c_user AND p.ts >= c.c_ts
+      |ORDER BY p.event_id""".stripMargin
+
   private val evPivot: Q = (s, dir) =>
     load(s, dir, "events")
       .groupBy(to_date(date_trunc("DAY", col("ts"))).cast("string").as("day"))
@@ -663,6 +684,7 @@ object RelationalOps {
     ("generate_sequence" -> generateSequence, generateSequenceSql),
     ("ev_sessionize" -> evSessionize, evSessionizeSql),
     ("ev_asof_join" -> evAsof, evAsofSql),
+    ("ev_asof_join_custom" -> evAsofCustom, evAsofCustomSql),
     ("ev_pivot" -> evPivot, evPivotSql))
 
   val queries: Map[String, Q] = built._1 ++ Map[String, Q](
