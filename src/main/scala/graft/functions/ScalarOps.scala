@@ -394,7 +394,71 @@ object ScalarOps {
       |FROM (SELECT event_id, map(['u', 'e'], [user_id, event_id]) AS m FROM events) t
       |ORDER BY event_id LIMIT 2000""".stripMargin
 
+  private val fnMath2: Q = (s, dir) =>
+    load(s, dir, "part")
+      .select(col("p_partkey"),
+        round(asin(col("p_size") / 100.0), 9).as("asn"),
+        round(acos(col("p_size") / 100.0), 9).as("acs"),
+        round(sinh(col("p_size") / 25.0), 9).as("snh"),
+        round(cosh(col("p_size") / 25.0), 9).as("csh"),
+        round(tanh(col("p_size") / 25.0), 9).as("tnh"),
+        round(cbrt(col("p_size").cast("double")), 9).as("cbr"),
+        round(log2(col("p_size").cast("double") + 1.0), 9).as("lg2"),
+        round(radians(col("p_size").cast("double")), 9).as("rad"),
+        round(degrees(col("p_size") / 10.0), 9).as("deg"),
+        round(lit(math.E), 9).as("e_"),
+        round(lit(math.Pi), 9).as("pi_"),
+        round(col("p_retailprice"), -1).as("br"),
+        round(expr("atan2(p_size, 7)"), 9).as("at2"),
+        round(hypot(col("p_size").cast("double"), lit(7.0)), 9).as("hyp"))
+      .orderBy(col("p_partkey"))
+
+  private val fnMath2Sql =
+    """SELECT p_partkey,
+      |  round(asin(p_size / 100.0), 9) AS asn,
+      |  round(acos(p_size / 100.0), 9) AS acs,
+      |  round((exp(p_size / 25.0) - exp(-(p_size / 25.0))) / 2, 9) AS snh,
+      |  round((exp(p_size / 25.0) + exp(-(p_size / 25.0))) / 2, 9) AS csh,
+      |  round((exp(2 * (p_size / 25.0)) - 1) / (exp(2 * (p_size / 25.0)) + 1), 9) AS tnh,
+      |  round(cbrt(CAST(p_size AS DOUBLE)), 9) AS cbr,
+      |  round(log2(CAST(p_size AS DOUBLE) + 1.0), 9) AS lg2,
+      |  round(radians(CAST(p_size AS DOUBLE)), 9) AS rad,
+      |  round(degrees(p_size / 10.0), 9) AS deg,
+      |  round(exp(1.0), 9) AS e_,
+      |  round(pi(), 9) AS pi_,
+      |  round(p_retailprice, -1) AS br,
+      |  round(atan2(p_size, 7), 9) AS at2,
+      |  round(sqrt(CAST(p_size AS DOUBLE) * p_size + 49.0), 9) AS hyp
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // SQL entry point (spark.sql over registered views — Entry point A of
+  // SURVEY.md §3) with the identical oracle text modulo dialect
+  private val sqlSurface: Q = (s, dir) => {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+        |  COUNT(*) AS n,
+        |  RANK() OVER (ORDER BY COUNT(*) DESC, l_returnflag) AS rnk
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  private val sqlSurfaceSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+      |  COUNT(*) AS n,
+      |  CAST(RANK() OVER (ORDER BY COUNT(*) DESC, l_returnflag) AS INTEGER) AS rnk
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fn_math2" -> fnMath2,
+    "sql_surface" -> sqlSurface,
     "fn_string2" -> fnString2,
     "fn_time" -> fnTime,
     "fn_map" -> fnMap,
@@ -410,6 +474,8 @@ object ScalarOps {
     "fn_cast" -> fnCast)
 
   val oracles: Map[String, String] = Map(
+    "fn_math2" -> fnMath2Sql,
+    "sql_surface" -> sqlSurfaceSql,
     "fn_string2" -> fnString2Sql,
     "fn_time" -> fnTimeSql,
     "fn_map" -> fnMapSql,
