@@ -14,7 +14,7 @@ object Bench {
     "tpch_q01_pricing_summary", "tpch_q03_topk_revenue", "tpch_q05_local_supplier",
     "tpch_q06_forecast_revenue", "tpch_q09_nation_profit", "tpch_q13_order_counts",
     "tpch_q18_large_orders", "tpch_q22_dormant_customers",
-    "window_group_limit", "ev_sessionize",
+    "window_group_limit", "ev_sessionize", "ev_asof_join_custom",
     "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
     "sim_ann_brute_topk", "sim_ann_lsh",
     "text_quality", "text_fingerprint")
