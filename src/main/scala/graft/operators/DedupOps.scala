@@ -208,7 +208,61 @@ object DedupOps {
       |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Near-dup clusters: connected components over the MinHash-LSH pair
+    * graph via iterative min-label propagation (each doc adopts the
+    * smallest doc_id reachable; iterate to fixpoint — O(component
+    * diameter) rounds, each one shuffle on doc_id; near-dup components
+    * are near-cliques so 2-3 rounds converge). Output: one row per
+    * cluster representative with member count — the "keep one copy"
+    * dedup primitive. Oracle: DuckDB recursive-CTE transitive closure.
+    */
+  private val dedupClusters: Q = (s, dir) => {
+    val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+    val docs = load(s, dir, "documents").select(col("doc_id"))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
+      val updated = labels.join(neighborMin, col("doc_id") === col("src"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"),
+          (col("nb_label").isNotNull && col("nb_label") < col("label")).as("chg"))
+      updated.cache()
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("doc_id"), col("label"))
+      rounds += 1
+    }
+    labels.groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_member"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE ws AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |  FROM ws a JOIN ws b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT da, db
+      |  FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      |  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.9),
+      |edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |labels AS (SELECT a AS doc_id, MIN(b) AS label FROM reach GROUP BY a)
+      |SELECT label AS cluster_rep, COUNT(*) AS n_docs, MAX(doc_id) AS max_member
+      |FROM labels GROUP BY label ORDER BY cluster_rep""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_cluster_groups" -> dedupClusters,
     "dedup_exact" -> dedupExact,
     "dedup_keyed" -> dedupKeyed,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -217,6 +271,7 @@ object DedupOps {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "dedup_cluster_groups" -> dedupClustersSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_keyed" -> dedupKeyedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

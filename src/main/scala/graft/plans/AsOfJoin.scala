@@ -142,6 +142,13 @@ object AsOfJoinApi {
     require(leftKeyCols.nonEmpty && leftKeyCols.size == rightKeyCols.size,
       "as-of join needs aligned non-empty key lists")
     val spark = leftDf.sparkSession
+    // robust in sessions built without GraftExtensions: register the
+    // planner strategy on demand
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy) &&
+        !spark.sessionState.planner.strategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String) =
