@@ -640,6 +640,57 @@ object RelationalOps {
       |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ClickBench-shaped event analytics (reference bench corpus includes
+  // 43 ClickBench queries, tools/gluten-it/.../clickbench-queries/)
+
+  private val evDau: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"),
+        count(lit(1)).as("n_events"),
+        dbl(sum(dec(col("value")))).as("total_value"))
+      .orderBy(col("day"))
+
+  private val evDauSql =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(DISTINCT user_id) AS dau,
+      |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR) ORDER BY day""".stripMargin
+
+  private val evValueBuckets: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(floor(col("value") / 50.0).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dbl(min(dec(col("value")))).as("lo"), dbl(max(dec(col("value")))).as("hi"))
+      .orderBy(col("bucket"))
+
+  private val evValueBucketsSql =
+    """SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket, COUNT(*) AS n,
+      |  CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+      |  CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS hi
+      |FROM events GROUP BY CAST(floor(value / 50.0) AS INTEGER) ORDER BY bucket""".stripMargin
+
+  private val evHourly: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(hour(col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hr"), col("event_type"))
+
+  private val evHourlySql =
+    """SELECT CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
+
+  private val evTopUsers: Q = (s, dir) =>
+    load(s, dir, "events").filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purch"), dbl(sum(dec(col("value")))).as("spend"))
+      .orderBy(col("spend").desc, col("user_id"))
+      .limit(25)
+
+  private val evTopUsersSql =
+    """SELECT user_id, COUNT(*) AS n_purch, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 25""".stripMargin
+
   // ------------------------------------------------------------ assembly
 
   private val built: (Map[String, Q], Map[String, String]) = q(
@@ -685,7 +736,11 @@ object RelationalOps {
     ("ev_sessionize" -> evSessionize, evSessionizeSql),
     ("ev_asof_join" -> evAsof, evAsofSql),
     ("ev_asof_join_custom" -> evAsofCustom, evAsofCustomSql),
-    ("ev_pivot" -> evPivot, evPivotSql))
+    ("ev_pivot" -> evPivot, evPivotSql),
+    ("ev_daily_active_users" -> evDau, evDauSql),
+    ("ev_value_buckets" -> evValueBuckets, evValueBucketsSql),
+    ("ev_hourly_load" -> evHourly, evHourlySql),
+    ("ev_top_users" -> evTopUsers, evTopUsersSql))
 
   val queries: Map[String, Q] = built._1 ++ Map[String, Q](
     "agg_approx_sketch" -> aggApprox,

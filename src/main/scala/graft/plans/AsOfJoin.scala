@@ -82,6 +82,7 @@ case class AsOfJoinExec(
     val ltEval = leftTime
     val rtEval = rightTime
     val nRight = right.output.size
+    val outAttrs = output // right side already marked nullable
 
     left.execute().zipPartitions(right.execute()) { (lIterRaw, rIterRaw) =>
       val lProj = UnsafeProjection.create(lKeyExprs, lOutput)
@@ -97,6 +98,9 @@ case class AsOfJoinExec(
       val rIter = rIterRaw.buffered
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
+      // emit UnsafeRows: consumers (collect, exchanges) require the
+      // unsafe format when this operator is the top of a stage
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
 
       new Iterator[InternalRow] {
         private var curKey: InternalRow = _
@@ -120,7 +124,7 @@ case class AsOfJoinExec(
               })) {
             lastRight = rIter.next().copy()
           }
-          joined(l, if (lastRight == null) nullRight else lastRight)
+          outProj(joined(l, if (lastRight == null) nullRight else lastRight))
         }
       }
     }
