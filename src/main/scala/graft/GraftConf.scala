@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine config namespace (`spark.graft.*`) — the GlutenConfig analog
+  * (gluten-substrait/.../config/GlutenConfig.scala per SURVEY.md §4):
+  * session-conf-backed knobs with engine defaults. Defaults reproduce
+  * the oracled semantics; tuning changes performance shape only (or,
+  * where semantics-bearing like thresholds, is the caller's choice).
+  */
+object GraftConf {
+
+  final case class Entry[T](key: String, default: T, doc: String)
+
+  val DedupLshPerms: Entry[Int] = Entry("spark.graft.dedup.lsh.perms", 48,
+    "MinHash permutations (signature length)")
+  val DedupLshBands: Entry[Int] = Entry("spark.graft.dedup.lsh.bands", 16,
+    "LSH bands; rows-per-band = perms/bands")
+  val DedupJaccardThreshold: Entry[Double] = Entry("spark.graft.dedup.jaccardThreshold", 0.9,
+    "near-duplicate word-set Jaccard threshold")
+  val SimTopK: Entry[Int] = Entry("spark.graft.similarity.topk", 5,
+    "neighbors returned per query vector")
+  val SimLshBits: Entry[Int] = Entry("spark.graft.similarity.lsh.bits", 8,
+    "random-hyperplane signature bits for ANN bucketing")
+
+  def getInt(spark: SparkSession, e: Entry[Int]): Int =
+    spark.conf.getOption(e.key).map(_.toInt).getOrElse(e.default)
+
+  def getDouble(spark: SparkSession, e: Entry[Double]): Double =
+    spark.conf.getOption(e.key).map(_.toDouble).getOrElse(e.default)
+
+  /** all registered entries (for docs / introspection) */
+  val entries: Seq[Entry[_]] =
+    Seq(DedupLshPerms, DedupLshBands, DedupJaccardThreshold, SimTopK, SimLshBits)
+}

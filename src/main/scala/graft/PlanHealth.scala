@@ -1,0 +1,73 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Plan-health reporter — the GlutenFallbackReporter / gluten-ui analog
+  * (SURVEY.md §4 "Fallback reporting/UI"): where the reference explains
+  * which nodes fell back to vanilla Spark, we summarize each executed
+  * query's physical plan (shuffle/broadcast counts, codegen coverage,
+  * scan pushdown presence) so regressions in plan shape are observable
+  * without reading full explains.
+  */
+object PlanHealth {
+
+  final case class Record(
+      name: String,
+      durationNs: Long,
+      exchanges: Int,
+      broadcasts: Int,
+      codegenSpans: Int,
+      scans: Int,
+      scansWithPushedFilters: Int,
+      failed: Boolean)
+
+  final class Listener extends QueryExecutionListener {
+    val records = new mutable.ArrayBuffer[Record]()
+
+    private def summarize(name: String, qe: QueryExecution, durationNs: Long,
+        failed: Boolean): Record = {
+      val plan = qe.executedPlan.toString
+      def count(token: String): Int = {
+        var n = 0; var i = plan.indexOf(token)
+        while (i >= 0) { n += 1; i = plan.indexOf(token, i + 1) }
+        n
+      }
+      Record(name, durationNs,
+        exchanges = count("Exchange "),
+        broadcasts = count("BroadcastExchange"),
+        codegenSpans = count("WholeStageCodegen") max count("*("),
+        scans = count("FileScan") + count("Scan parquet"),
+        scansWithPushedFilters = count("PushedFilters: [") - count("PushedFilters: []"),
+        failed = failed)
+    }
+
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      records.synchronized { records += summarize(funcName, qe, durationNs, failed = false) }
+
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      records.synchronized { records += summarize(funcName, qe, 0L, failed = true) }
+  }
+
+  /** attach a fresh listener to the session and return it */
+  def attach(spark: SparkSession): Listener = {
+    val l = new Listener
+    spark.listenerManager.register(l)
+    l
+  }
+
+  def detach(spark: SparkSession, l: Listener): Unit =
+    spark.listenerManager.unregister(l)
+
+  /** one-line textual report per record */
+  def report(l: Listener): Seq[String] = l.records.synchronized {
+    l.records.map { r =>
+      f"${r.name}%-12s ${r.durationNs / 1e6}%9.1f ms exch=${r.exchanges} bcast=${r.broadcasts} " +
+        f"codegen=${r.codegenSpans} scans=${r.scans} pushed=${r.scansWithPushedFilters}" +
+        (if (r.failed) " FAILED" else "")
+    }.toSeq
+  }
+}

@@ -65,16 +65,20 @@ object DedupOps {
     */
   private val dedupMinhashLsh: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
+    // tunables from the spark.graft.* namespace (defaults = oracled semantics)
+    val perms = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshPerms)
+    val nBands = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshBands)
+    val rowsPerBand = math.max(1, perms / nBands)
+    val threshold = graft.GraftConf.getDouble(s, graft.GraftConf.DedupJaccardThreshold)
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("words"))
     val sigs = docs.select(col("doc_id"),
-      GraftExpressions.minhash_signature(col("words"), 48).as("sig"))
+      GraftExpressions.minhash_signature(col("words"), perms).as("sig"))
     val bands = sigs.select(col("doc_id"),
-      explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
+      explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
-        xxhash64(col("band"), element_at(col("sig"), col("band") * 3 + 1),
-          element_at(col("sig"), col("band") * 3 + 2),
-          element_at(col("sig"), col("band") * 3 + 3)).as("band_key"))
+        xxhash64(col("band"),
+          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("band_key"))
     val cand = bands.select(col("band").as("band_a"), col("band_key").as("key_a"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band").as("band_b"), col("band_key").as("key_b"), col("doc_id").as("doc_b")),
         col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
@@ -103,7 +107,7 @@ object DedupOps {
       .join(broadcast(masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))), Seq("doc_a"))
       .join(broadcast(masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"))), Seq("doc_b"))
       .withColumn("jaccard", GraftExpressions.bitmap_jaccard(col("mask_a"), col("mask_b")))
-      .filter(col("jaccard") >= 0.9)
+      .filter(col("jaccard") >= threshold)
       // dedup multi-band hits AFTER the cheap verify: the filter runs
       // pipelined inside the band-join stage, so only surviving pairs
       // are shuffled for the distinct (vs deduping all candidates first)

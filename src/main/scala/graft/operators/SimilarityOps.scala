@@ -28,11 +28,12 @@ object SimilarityOps {
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
     val corpus = e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val topK = graft.GraftConf.getInt(s, graft.GraftConf.SimTopK)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     corpus.crossJoin(broadcast(queries))
       .withColumn("cos", round(GraftExpressions.cosine_sim(col("q_emb"), col("c_emb")), 6))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= topK)
       .select(col("qid"), col("rnk"), col("cid"), col("cos"))
       .orderBy(col("qid"), col("rnk"))
   }
