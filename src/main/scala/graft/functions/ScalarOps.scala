@@ -456,7 +456,35 @@ object ScalarOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  private val fnMisc: Q = (s, dir) =>
+    load(s, dir, "events")
+      .select(col("event_id"),
+        array_join(json_object_keys(col("props")), ",").as("jkeys"),
+        from_unixtime(col("event_id") + 1704067200L).as("fut"),
+        array_join(flatten(array(array(col("user_id")), array(col("event_id"), lit(7L))))
+          .cast("array<string>"), ",").as("flat"),
+        array_join(transform(
+          sequence(lit("2024-01-01").cast("date"), lit("2024-04-01").cast("date"),
+            expr("interval 1 month")),
+          d => d.cast("string")), ",").as("months"),
+        size(arrays_zip(array(col("user_id")), array(col("event_id")))).as("zipped_n"))
+      .orderBy(col("event_id"))
+      .limit(1000)
+
+  private val fnMiscSql =
+    """SELECT event_id,
+      |  array_to_string(json_keys(props), ',') AS jkeys,
+      |  strftime(to_timestamp(event_id + 1704067200), '%Y-%m-%d %H:%M:%S') AS fut,
+      |  array_to_string(list_transform(flatten([[user_id], [event_id, CAST(7 AS BIGINT)]]),
+      |    x -> CAST(x AS VARCHAR)), ',') AS flat,
+      |  array_to_string(list_transform(
+      |    generate_series(DATE '2024-01-01', DATE '2024-04-01', INTERVAL 1 MONTH),
+      |    d -> CAST(CAST(d AS DATE) AS VARCHAR)), ',') AS months,
+      |  CAST(len(list_zip([user_id], [event_id])) AS INTEGER) AS zipped_n
+      |FROM events ORDER BY event_id LIMIT 1000""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fn_misc" -> fnMisc,
     "fn_math2" -> fnMath2,
     "sql_surface" -> sqlSurface,
     "fn_string2" -> fnString2,
@@ -474,6 +502,7 @@ object ScalarOps {
     "fn_cast" -> fnCast)
 
   val oracles: Map[String, String] = Map(
+    "fn_misc" -> fnMiscSql,
     "fn_math2" -> fnMath2Sql,
     "sql_surface" -> sqlSurfaceSql,
     "fn_string2" -> fnString2Sql,
