@@ -640,6 +640,38 @@ object RelationalOps {
       |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  // bucketed range join: purchases matched to clicks of the same user
+  // within ±10 minutes. Scale shape: each side gets a time bucket of the
+  // window width; the probe side explodes into {b-1, b, b+1} so the join
+  // is a plain equi-join on (user, bucket) + residual filter — no
+  // per-row range scan, no cross product (the reference has no
+  // range/interval join; SURVEY.md §2.3).
+  private val evRangeJoin: Q = (s, dir) => {
+    val events = load(s, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"))
+      .withColumn("bucket", expr("c_us div 600000000"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket", explode(array(
+        expr("p_us div 600000000") - 1, expr("p_us div 600000000"), expr("p_us div 600000000") + 1)))
+    purchases.join(clicks, Seq("bucket"))
+      .filter(col("p_user") === col("c_user") &&
+        abs(col("p_us") - col("c_us")) <= 600000000L)
+      .select(col("purchase_id"), col("click_id"), (col("p_us") - col("c_us")).as("delta_us"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  private val evRangeJoinSql =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  CAST(epoch_us(p.ts) AS BIGINT) - CAST(epoch_us(c.ts) AS BIGINT) AS delta_us
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND abs(CAST(epoch_us(p.ts) AS BIGINT) - CAST(epoch_us(c.ts) AS BIGINT)) <= 600000000
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   // ClickBench-shaped event analytics (reference bench corpus includes
   // 43 ClickBench queries, tools/gluten-it/.../clickbench-queries/)
 
@@ -737,6 +769,7 @@ object RelationalOps {
     ("ev_asof_join" -> evAsof, evAsofSql),
     ("ev_asof_join_custom" -> evAsofCustom, evAsofCustomSql),
     ("ev_pivot" -> evPivot, evPivotSql),
+    ("ev_range_join_bucketed" -> evRangeJoin, evRangeJoinSql),
     ("ev_daily_active_users" -> evDau, evDauSql),
     ("ev_value_buckets" -> evValueBuckets, evValueBucketsSql),
     ("ev_hourly_load" -> evHourly, evHourlySql),

@@ -78,6 +78,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join with time-bound condition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(Ev(1, ts(5), 1, "click", 1.0, "{}"), Ev(2, ts(50), 1, "click", 2.0, "{}"))
+    purchases.addData(Ev(10, ts(12), 1, "purchase", 9.0, "{}"))
+    val c = clicks.toDF()
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.toDF()
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = p.join(c,
+      col("p_user") === col("c_user") && col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 10 minutes"))
+      .select(col("purchase_id"), col("click_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((10L, 1L)), s"got $rows") // only the click 7min before qualifies
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins without shuffling the stream side") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
