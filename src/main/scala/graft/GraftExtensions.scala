@@ -70,4 +70,9 @@ object GraftSession {
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Plan/explain strings are O(plan size) driver heap; iterative
+      // pipelines (label propagation, stream batches) grow plans every
+      // round, and an unbounded toString is a driver-OOM vector long
+      // before the plan itself is a problem. 8 MB is plenty to debug.
+      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
 }

@@ -52,67 +52,98 @@ object DedupOps {
 
   /** MinHash(48 perms) + LSH(16 bands × 3 rows) near-dup pairs at
     * word-set Jaccard ≥ 0.9, staged for scale:
-    *   1. band join carries ONLY (band, key, doc_id) — no payload
-    *      arrays move through the shuffle; duplicate candidates from
-    *      multiple bands collapse via a narrow distinct;
-    *   2. exact verification on candidates via vocabulary bitmasks
-    *      (bit_count over AND/OR of array<bigint> chunks) — constant
-    *      work per pair even when the corpus is so self-similar that
-    *      banding barely prunes.
-    * Recall vs the exact-pairwise oracle: a pair at j ≥ 0.9 misses the
-    * band stage w.p. (1-0.9³)^16 ≈ 8.5e-10 — zero expected misses
+    *   1. **exact-dup collapse first**: docs are grouped by their sorted
+    *      word-set, so minhashing / banding / verification all run once
+    *      per *distinct set* — a near-dup corpus is mostly exact dups,
+    *      and every later stage is quadratic in its input;
+    *   2. band join at the set level carries only (band, key, gid, sz);
+    *      an exact **length filter** sits in the join condition
+    *      (j ≥ t ⟹ min(|A|,|B|)/max(|A|,|B|) ≥ t), pruning candidates
+    *      before the pair row is ever materialized — no false negatives;
+    *   3. exact verification on surviving candidates via vocabulary
+    *      bitmasks (codegen bit_count over AND/OR of array<bigint>
+    *      chunks) — constant work per pair; the tiny set-level pair list
+    *      is distinct'ed and expanded back to doc pairs through
+    *      broadcast member lists (identical sets pair at j = 1.0).
+    * Recall vs the exact-pairwise oracle: a set pair at j ≥ 0.9 misses
+    * the band stage w.p. (1-0.9³)^16 ≈ 8.5e-10 — zero expected misses
     * (empirically exact at sf0.01).
     */
   private val dedupMinhashLsh: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     // tunables from the spark.graft.* namespace (defaults = oracled semantics)
     val perms = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshPerms)
     val nBands = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshBands)
     val rowsPerBand = math.max(1, perms / nBands)
     val threshold = graft.GraftConf.getDouble(s, graft.GraftConf.DedupJaccardThreshold)
     val docs = load(s, dir, "documents")
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("words"))
-    val sigs = docs.select(col("doc_id"),
+      .select(col("doc_id"), sort_array(array_distinct(split(col("text"), " "))).as("words"))
+    // one row per distinct word-set; cached (it feeds 4 downstream stages
+    // and is |distinct sets| rows — small even when the corpus is not)
+    val groups = docs.groupBy(col("words"))
+      .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("members"))
+      .withColumn("sz", size(col("words")))
+      .cache()
+    val sigs = groups.select(col("gid"), col("sz"),
       GraftExpressions.minhash_signature(col("words"), perms).as("sig"))
-    val bands = sigs.select(col("doc_id"),
+    val bands = sigs.select(col("gid"), col("sz"),
       explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"),
+      .select(col("gid"), col("sz"), col("band"),
         xxhash64(col("band"),
           slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("band_key"))
-    val cand = bands.select(col("band").as("band_a"), col("band_key").as("key_a"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("band").as("band_b"), col("band_key").as("key_b"), col("doc_id").as("doc_b")),
+    val cand = bands.select(col("band").as("band_a"), col("band_key").as("key_a"),
+        col("gid").as("gid_a"), col("sz").as("sz_a"))
+      .join(bands.select(col("band").as("band_b"), col("band_key").as("key_b"),
+          col("gid").as("gid_b"), col("sz").as("sz_b")),
         col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
-          col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-    // Exact verification via vocabulary bitmasks: this corpus's word sets
-    // draw from a small global vocabulary, so each doc's set is an
-    // array<bigint> bitmap and pair Jaccard is bit_count(AND)/bit_count(OR)
-    // — identical to set Jaccard, no string arrays cross the pair join.
-    // (General path for unbounded vocab: posting-list join as in
-    // dedup_ngram_jaccard. The global row_number index is a one-off small
-    // dim build.)
-    val wordRows = docs.select(col("doc_id"), explode(col("words")).as("w"))
-    val vocab = wordRows.select(col("w")).distinct()
-      .withColumn("idx", row_number().over(Window.orderBy(col("w"))) - 1)
+          col("gid_a") < col("gid_b") &&
+          // length filter: evaluated at probe time, so size-incompatible
+          // pairs never generate a join output row. m/n >= t is safe in
+          // IEEE (correctly-rounded division vs the same threshold double).
+          least(col("sz_a"), col("sz_b")).cast("double") /
+            greatest(col("sz_a"), col("sz_b")) >= threshold)
+      .select(col("gid_a"), col("gid_b"))
+    // Exact verification via vocabulary bitmasks: word sets index into a
+    // global vocabulary, so each set is an array<bigint> bitmap and pair
+    // Jaccard is bit_count(AND)/bit_count(OR) — identical to set Jaccard,
+    // no string arrays cross the pair join. Vocabulary ids come from
+    // sortBy + zipWithIndex (distributed contiguous ids — no
+    // single-partition window stage at any vocabulary size).
+    val vocabRdd = groups.select(explode(col("words")).as("w")).distinct()
+      .select(col("w")).as[String].rdd.sortBy(identity).zipWithIndex()
+    val vocab = vocabRdd.toDF("w", "idx").cache()
     val nChunks = (vocab.count().toInt + 63) / 64
-    val masks = wordRows.join(broadcast(vocab), Seq("w"))
-      .groupBy(col("doc_id"), (col("idx") / 64).cast("int").as("chunk"))
+    val masks = groups.select(col("gid"), explode(col("words")).as("w"))
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(col("gid"), (col("idx") / 64).cast("int").as("chunk"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT)))").as("m"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("gid"))
       .agg(map_from_entries(collect_list(struct(col("chunk"), col("m")))).as("mm"))
-      .select(col("doc_id"),
+      .select(col("gid"),
         transform(sequence(lit(0), lit(nChunks - 1)),
           c => coalesce(element_at(col("mm"), c), lit(0L))).as("mask"))
-    cand
-      .join(broadcast(masks.select(col("doc_id").as("doc_a"), col("mask").as("mask_a"))), Seq("doc_a"))
-      .join(broadcast(masks.select(col("doc_id").as("doc_b"), col("mask").as("mask_b"))), Seq("doc_b"))
+    val crossGroup = cand
+      .join(broadcast(masks.select(col("gid").as("gid_a"), col("mask").as("mask_a"))), Seq("gid_a"))
+      .join(broadcast(masks.select(col("gid").as("gid_b"), col("mask").as("mask_b"))), Seq("gid_b"))
       .withColumn("jaccard", GraftExpressions.bitmap_jaccard(col("mask_a"), col("mask_b")))
       .filter(col("jaccard") >= threshold)
-      // dedup multi-band hits AFTER the cheap verify: the filter runs
-      // pipelined inside the band-join stage, so only surviving pairs
-      // are shuffled for the distinct (vs deduping all candidates first)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      // multi-band hits collapse here — at the *set-pair* level the
+      // surviving list is tiny, so the distinct shuffle is negligible
+      .select(col("gid_a"), col("gid_b"), col("jaccard"))
       .distinct()
+    // identical word-sets are near-dups at exactly j = 1.0
+    val selfGroup = groups.filter(size(col("members")) > 1)
+      .select(col("gid").as("gid_a"), col("gid").as("gid_b"), lit(1.0).as("jaccard"))
+    val mem = groups.select(col("gid"), col("members"))
+    crossGroup.union(selfGroup)
+      .join(broadcast(mem.select(col("gid").as("gid_a"), col("members").as("ma"))), Seq("gid_a"))
+      .join(broadcast(mem.select(col("gid").as("gid_b"), col("members").as("mb"))), Seq("gid_b"))
+      .select(col("gid_a"), col("gid_b"), col("jaccard"), explode(col("ma")).as("da"), col("mb"))
+      .select(col("gid_a"), col("gid_b"), col("jaccard"), col("da"), explode(col("mb")).as("db"))
+      .filter(col("gid_a") =!= col("gid_b") || col("da") < col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -221,11 +252,17 @@ object DedupOps {
     * dedup primitive. Oracle: DuckDB recursive-CTE transitive closure.
     */
   private val dedupClusters: Q = (s, dir) => {
-    val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    // materialize the pair list once: every propagation round re-reads
+    // edges, and caching here turns each round's plan leaf into an
+    // InMemoryTableScan instead of the whole LSH DAG (both the repeated
+    // compute and the per-round plan size would otherwise grow with the
+    // upstream pipeline)
+    val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b")).cache()
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
     val docs = load(s, dir, "documents").select(col("doc_id"))
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -237,6 +274,9 @@ object DedupOps {
           (col("nb_label").isNotNull && col("nb_label") < col("label")).as("chg"))
       updated.cache()
       changed = updated.filter(col("chg")).count()
+      // the new round is materialized; the previous round's cache is dead
+      prev.foreach(_.unpersist())
+      prev = Some(updated)
       labels = updated.select(col("doc_id"), col("label"))
       rounds += 1
     }
