@@ -420,6 +420,123 @@ object TpchLike {
        |  (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) OR
        |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin
 
+  // q04: order priority checking — EXISTS over the fact table (TPC-H Q4;
+  // no commit/receipt dates in this schema, so "late" = shipped more than
+  // 30 days after the order date)
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val ord = load(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("1996-07-01").cast("date") &&
+        to_date(col("o_orderdate")) < lit("1996-10-01").cast("date"))
+    val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 30), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q04Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // q12: shipping class vs order priority — conditional counts over a
+  // fact-fact join (TPC-H Q12 shape; returnflag stands in for shipmode,
+  // late receipt = shipped >30 days after ordering)
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    load(s, dir, "orders")
+      .join(load(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1997-01-01").cast("date") &&
+        to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 30))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_class"))
+  }
+
+  private val q12Sql =
+    """SELECT l_returnflag AS ship_class,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      |  AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30
+      |GROUP BY l_returnflag ORDER BY ship_class""".stripMargin
+
+  // q20: suppliers with large shipped volume of a part class — semi join
+  // against an aggregate-filtered set (TPC-H Q20 shape over the
+  // no-partsupp schema: shipped quantity stands in for available stock)
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val shipped = load(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1997-01-01").cast("date"))
+      .join(broadcast(load(s, dir, "part").filter(col("p_type") === "SMALL")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(dbl(sum(dec(col("l_quantity")))).as("total_qty"))
+      .filter(col("total_qty") > 400.0)
+    load(s, dir, "supplier")
+      .join(broadcast(load(s, dir, "nation").filter(col("n_name") === "NATION_2")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  private val q20Sql =
+    """SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_2'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+      |    WHERE p_type = 'SMALL'
+      |      AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      |    GROUP BY l_suppkey
+      |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 400.0)
+      |ORDER BY s_name""".stripMargin
+
+  // q21: suppliers who kept orders waiting — EXISTS + NOT EXISTS on the
+  // same fact (TPC-H Q21; late = shipped >60 days after the order date)
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val ordF = load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .filter(to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 60))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    late
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
+        col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_semi")
+      .join(late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3")),
+        col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  private val q21Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |  AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND CAST(l3.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   // q22: customers with above-average balance and no orders —
   // scalar subquery + anti join (TPC-H Q22, mktsegment instead of phone)
   private def q22(s: SparkSession, dir: String): DataFrame = {
@@ -449,7 +566,11 @@ object TpchLike {
     "tpch_q01_pricing_summary" -> q01 _,
     "tpch_q02_min_cost_supplier" -> q02 _,
     "tpch_q03_topk_revenue" -> q03 _,
+    "tpch_q04_priority_check" -> q04 _,
     "tpch_q11_important_stock" -> q11 _,
+    "tpch_q12_ship_priority" -> q12 _,
+    "tpch_q20_excess_stock" -> q20 _,
+    "tpch_q21_waiting_suppliers" -> q21 _,
     "tpch_q16_supplier_count" -> q16 _,
     "tpch_q05_local_supplier" -> q05 _,
     "tpch_q06_forecast_revenue" -> q06 _,
@@ -469,7 +590,11 @@ object TpchLike {
     "tpch_q01_pricing_summary" -> q01Sql,
     "tpch_q02_min_cost_supplier" -> q02Sql,
     "tpch_q03_topk_revenue" -> q03Sql,
+    "tpch_q04_priority_check" -> q04Sql,
     "tpch_q11_important_stock" -> q11Sql,
+    "tpch_q12_ship_priority" -> q12Sql,
+    "tpch_q20_excess_stock" -> q20Sql,
+    "tpch_q21_waiting_suppliers" -> q21Sql,
     "tpch_q16_supplier_count" -> q16Sql,
     "tpch_q05_local_supplier" -> q05Sql,
     "tpch_q06_forecast_revenue" -> q06Sql,
