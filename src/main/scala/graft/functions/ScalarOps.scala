@@ -343,6 +343,75 @@ object ScalarOps {
       |  CAST(8 * octet_length(encode(lang)) AS INTEGER) AS blen
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // base conversion, URL parsing, space, binary roundtrips, regex
+  // count/substr (SURVEY §2.10: conv, parse_url, space, bin, hex/unhex,
+  // regexp families). DuckDB lacks parse_url — the oracle emulates it
+  // with regexp_extract, which is exact for well-formed URLs.
+  private val fnString3: Q = (s, dir) => {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/p"), col("doc_id"), lit("?q="), col("lang"), lit("&id="), col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("conv(cast(doc_id % 1000 AS STRING), 10, 16)").as("cv16"),
+        expr("conv(cast(doc_id % 64 AS STRING), 10, 2)").as("cv2"),
+        bin(col("doc_id") % 64).as("bn"),
+        expr("space(CAST(doc_id % 3 AS INT))").as("spc"),
+        expr("decode(unhex(hex(encode(lang, 'UTF-8'))), 'UTF-8')").as("hexrt"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("q")).as("qparam"),
+        regexp_count(col("text"), lit("[aeiou]")).as("vowels"),
+        expr("nullif(regexp_substr(text, 'sc[a-z]+'), '')").as("rsub"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val fnString3Sql =
+    """SELECT doc_id,
+      |  to_base(doc_id % 1000, 16) AS cv16,
+      |  to_base(doc_id % 64, 2) AS cv2,
+      |  to_base(doc_id % 64, 2) AS bn,
+      |  repeat(' ', CAST(doc_id % 3 AS INTEGER)) AS spc,
+      |  decode(unhex(hex(encode(lang)))) AS hexrt,
+      |  regexp_extract('https://' || source || '.example.com/' || lang || '/p' || doc_id || '?q=' || lang || '&id=' || doc_id, '^https?://([^/?#]+)', 1) AS host,
+      |  regexp_extract('https://' || source || '.example.com/' || lang || '/p' || doc_id || '?q=' || lang || '&id=' || doc_id, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+      |  regexp_extract('https://' || source || '.example.com/' || lang || '/p' || doc_id || '?q=' || lang || '&id=' || doc_id, '\?([^#]*)', 1) AS query,
+      |  regexp_extract('https://' || source || '.example.com/' || lang || '/p' || doc_id || '?q=' || lang || '&id=' || doc_id, '[?&]q=([^&#]*)', 1) AS qparam,
+      |  CAST(len(regexp_extract_all(text, '[aeiou]')) AS INTEGER) AS vowels,
+      |  NULLIF(regexp_extract(text, 'sc[a-z]+'), '') AS rsub
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // try_* family: ANSI-mode-safe arithmetic that yields NULL instead of
+  // raising (SURVEY §2.10 try_eval). Overflow/zero-division/parse
+  // failures are exercised on alternating rows so both branches appear.
+  private val fnTry: Q = (s, dir) => {
+    val even = col("event_id") % 2 === 0
+    load(s, dir, "events").filter(col("event_id") < 500)
+      .select(col("event_id"),
+        expr("try_divide(event_id, user_id % 5)").as("tdiv"),
+        expr("try_add(9223372036854775807L, CAST(event_id % 2 AS BIGINT))").as("tadd"),
+        expr("try_subtract(CAST('-9223372036854775808' AS BIGINT), CAST(event_id % 2 AS BIGINT))").as("tsub"),
+        expr("try_multiply(4611686018427387904L, CAST(1 + event_id % 2 AS BIGINT))").as("tmul"),
+        expr("try_mod(event_id, user_id % 5)").as("tmod"),
+        expr("try_element_at(array('a','b'), CAST(1 + event_id % 3 AS INT))").as("telem"),
+        expr("try_cast(CASE WHEN event_id % 2 = 0 THEN '12' ELSE 'x9' END AS INT)").as("tcast"),
+        when(even, expr("try_to_timestamp('2020-01-02 03:04:05')"))
+          .otherwise(expr("try_to_timestamp('nope')")).cast("string").as("tts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val fnTrySql =
+    """SELECT event_id,
+      |  CASE WHEN user_id % 5 = 0 THEN NULL ELSE CAST(event_id AS DOUBLE) / (user_id % 5) END AS tdiv,
+      |  CASE WHEN event_id % 2 = 0 THEN 9223372036854775807 END AS tadd,
+      |  CASE WHEN event_id % 2 = 0 THEN CAST('-9223372036854775808' AS BIGINT) END AS tsub,
+      |  CASE WHEN event_id % 2 = 0 THEN 4611686018427387904 END AS tmul,
+      |  CASE WHEN user_id % 5 = 0 THEN NULL ELSE event_id % (user_id % 5) END AS tmod,
+      |  (['a','b'])[CAST(1 + event_id % 3 AS INTEGER)] AS telem,
+      |  TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '12' ELSE 'x9' END AS INTEGER) AS tcast,
+      |  CAST(TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '2020-01-02 03:04:05' ELSE 'nope' END AS TIMESTAMP) AS VARCHAR) AS tts
+      |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
+
   private val fnTime: Q = (s, dir) =>
     load(s, dir, "events")
       .select(col("event_id"),
@@ -486,6 +555,8 @@ object ScalarOps {
   val queries: Map[String, Q] = Map(
     "fn_misc" -> fnMisc,
     "fn_math2" -> fnMath2,
+    "fn_string3" -> fnString3,
+    "fn_try" -> fnTry,
     "sql_surface" -> sqlSurface,
     "fn_string2" -> fnString2,
     "fn_time" -> fnTime,
@@ -504,6 +575,8 @@ object ScalarOps {
   val oracles: Map[String, String] = Map(
     "fn_misc" -> fnMiscSql,
     "fn_math2" -> fnMath2Sql,
+    "fn_string3" -> fnString3Sql,
+    "fn_try" -> fnTrySql,
     "sql_surface" -> sqlSurfaceSql,
     "fn_string2" -> fnString2Sql,
     "fn_time" -> fnTimeSql,

@@ -723,6 +723,116 @@ object RelationalOps {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 25""".stripMargin
 
+  // linear-regression aggregate family (SURVEY §2.4 extras). Co-moment
+  // sums sxx/syy/sxy are large-magnitude — rounded to 3 decimals so the
+  // streaming-vs-two-pass accumulation difference stays inside the
+  // rounding tolerance; O(1) ratios round at 6.
+  private val aggRegr: Q = (s, dir) =>
+    load(s, dir, "events")
+      .withColumn("x", (col("user_id") % 100).cast("double"))
+      .groupBy(col("event_type"))
+      .agg(expr("regr_count(value, x)").as("n"),
+        round(expr("regr_avgx(value, x)"), 6).as("ax"),
+        round(expr("regr_avgy(value, x)"), 6).as("ay"),
+        round(expr("regr_slope(value, x)"), 6).as("slope"),
+        round(expr("regr_intercept(value, x)"), 6).as("icept"),
+        round(expr("regr_r2(value, x)"), 6).as("r2"),
+        round(expr("regr_sxx(value, x)"), 3).as("sxx"),
+        round(expr("regr_syy(value, x)"), 3).as("syy"),
+        round(expr("regr_sxy(value, x)"), 3).as("sxy"))
+      .orderBy(col("event_type"))
+
+  private val aggRegrSql =
+    """SELECT event_type, CAST(regr_count(value, x) AS BIGINT) AS n,
+      |  round(regr_avgx(value, x), 6) AS ax,
+      |  round(regr_avgy(value, x), 6) AS ay,
+      |  round(regr_slope(value, x), 6) AS slope,
+      |  round(regr_intercept(value, x), 6) AS icept,
+      |  round(regr_r2(value, x), 6) AS r2,
+      |  round(regr_sxx(value, x), 3) AS sxx,
+      |  round(regr_syy(value, x), 3) AS syy,
+      |  round(regr_sxy(value, x), 3) AS sxy
+      |FROM (SELECT event_type, value, CAST(user_id % 100 AS DOUBLE) AS x FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // skewness / kurtosis: DuckDB's versions are bias-corrected sample
+  // statistics, so the oracle reconstructs Spark's population formulas
+  // (skew = sqrt(n)·m3/m2^1.5, kurt = n·m4/m2² − 3 over central-moment
+  // sums) from a two-pass computation.
+  private val aggShape: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(skewness(col("l_quantity")), 6).as("skew"),
+        round(kurtosis(col("l_quantity")), 6).as("kurt"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggShapeSql =
+    """WITH t AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x FROM lineitem),
+      |mu AS (SELECT l_returnflag, avg(x) AS m FROM t GROUP BY 1),
+      |c AS (SELECT t.l_returnflag, COUNT(*) AS n,
+      |        SUM((x-m)*(x-m)) AS m2, SUM((x-m)*(x-m)*(x-m)) AS m3,
+      |        SUM((x-m)*(x-m)*(x-m)*(x-m)) AS m4
+      |      FROM t JOIN mu ON t.l_returnflag = mu.l_returnflag GROUP BY t.l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round(sqrt(n) * m3 / sqrt(m2*m2*m2), 6) AS skew,
+      |  round(n * m4 / (m2*m2) - 3.0, 6) AS kurt
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
+  // boolean aggregates + conditional count (bool_and/bool_or/every/count_if)
+  private val aggBool: Q = (s, dir) =>
+    load(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(bool_and(col("o_totalprice") > 1000.0).as("all_gt1k"),
+        bool_or(col("o_totalprice") > 400000.0).as("any_gt400k"),
+        expr("every(o_totalprice > 1000.0)").as("every_gt1k"),
+        count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"))
+      .orderBy(col("o_orderstatus"))
+
+  private val aggBoolSql =
+    """SELECT o_orderstatus,
+      |  bool_and(o_totalprice > 1000.0) AS all_gt1k,
+      |  bool_or(o_totalprice > 400000.0) AS any_gt400k,
+      |  bool_and(o_totalprice > 1000.0) AS every_gt1k,
+      |  CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // mode / median (exact). The grouping is chosen so each group's mode is
+  // unique at the tested SF — mode on a tied multiset is engine-defined.
+  private val aggModeMedian: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("mode(l_quantity)").as("q_mode"),
+        expr("median(l_quantity)").as("q_median"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggModeMedianSql =
+    """SELECT l_returnflag, mode(l_quantity) AS q_mode, median(l_quantity) AS q_median
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // nth_value / first_value / last_value over an explicit unbounded frame
+  private val windowNth: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        nth_value(col("c_custkey"), 3).over(w).as("third"),
+        first(col("c_custkey")).over(w).as("top"),
+        last(col("c_custkey")).over(w).as("bottom"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  private val windowNthSql =
+    """SELECT c_custkey, c_mktsegment,
+      |  nth_value(c_custkey, 3) OVER w AS third,
+      |  first_value(c_custkey) OVER w AS top,
+      |  last_value(c_custkey) OVER w AS bottom
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   // ------------------------------------------------------------ assembly
 
   private val built: (Map[String, Q], Map[String, String]) = q(
@@ -746,6 +856,11 @@ object RelationalOps {
     ("agg_bitwise" -> aggBitwise, aggBitwiseSql),
     ("agg_collect" -> aggCollect, aggCollectSql),
     ("agg_percentile" -> aggPercentile, aggPercentileSql),
+    ("agg_regr" -> aggRegr, aggRegrSql),
+    ("agg_shape" -> aggShape, aggShapeSql),
+    ("agg_bool" -> aggBool, aggBoolSql),
+    ("agg_mode_median" -> aggModeMedian, aggModeMedianSql),
+    ("window_nth" -> windowNth, windowNthSql),
     ("window_rank" -> windowRank, windowRankSql),
     ("window_lead_lag" -> windowLeadLag, windowLeadLagSql),
     ("window_running" -> windowRunning, windowRunningSql),

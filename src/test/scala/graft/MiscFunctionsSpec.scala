@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Functions from SURVEY §2.10 with no DuckDB-oracle equivalent —
+  * checked against fixed expected values / structural properties
+  * (reference analog: ScalarFunctionsValidateSuite rows whose semantics
+  * are engine-specific).
+  */
+class MiscFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSparkSession.spark
+  import spark.implicits._
+
+  test("soundex follows the published algorithm") {
+    val got = Seq("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister")
+      .toDF("s").select(soundex(col("s"))).as[String].collect().toSeq
+    assert(got == Seq("R163", "R163", "A261", "T522", "P236"))
+  }
+
+  test("format_number groups thousands and rounds") {
+    val got = Seq(1234567.891, 0.5).toDF("x")
+      .select(format_number(col("x"), 2)).as[String].collect().toSeq
+    assert(got == Seq("1,234,567.89", "0.50"))
+  }
+
+  test("uuid() yields well-formed distinct values per row") {
+    val ids = spark.range(100).select(expr("uuid()").as("u")).as[String].collect()
+    assert(ids.distinct.length == 100)
+    assert(ids.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+  }
+
+  test("monotonically_increasing_id is increasing within a partition") {
+    val df = spark.range(1000).repartition(4)
+      .select(monotonically_increasing_id().as("id"), spark_partition_id().as("p"))
+    val rows = df.collect().map(r => (r.getInt(1), r.getLong(0)))
+    rows.groupBy(_._1).values.foreach { part =>
+      val ids = part.map(_._2).toSeq
+      assert(ids == ids.sorted && ids.distinct.size == ids.size)
+    }
+  }
+
+  test("raise_error raises and assert_true passes on true") {
+    val ok = spark.range(1).select(expr("assert_true(id >= 0)")).collect()
+    assert(ok.length == 1)
+    val e = intercept[Exception] {
+      spark.range(1).select(expr("raise_error('boom')")).collect()
+    }
+    assert(e.getMessage.contains("boom"))
+  }
+}
