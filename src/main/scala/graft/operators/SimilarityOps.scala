@@ -115,7 +115,10 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** label-centroid similarity matrix — aggregation over vector columns */
+  /** label-centroid similarity matrix — aggregation over vector columns.
+    * Oracled: both sides quantize the double centroid means through
+    * FLOAT (bit-exact round-trip) before the cosine, and the final
+    * round(…,4) absorbs summation-order jitter in the ratio. */
   private val labelCentroidSim: Q = (s, dir) => {
     val e = load(s, dir, "embeddings")
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -175,7 +178,22 @@ object SimilarityOps {
     "sim_ann_ivf" -> annIvf,
     "sim_label_centroids" -> labelCentroidSim)
 
+  private val labelCentroidSimSql =
+    """WITH e AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS dim, CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |c AS (SELECT label, dim, CAST(CAST(avg(x) AS FLOAT) AS DOUBLE) AS cx FROM e GROUP BY label, dim),
+      |n AS (SELECT label, sqrt(SUM(cx * cx)) AS nrm FROM c GROUP BY label),
+      |d AS (
+      |  SELECT a.label AS la, b.label AS lb, SUM(a.cx * b.cx) AS dot
+      |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      |  GROUP BY a.label, b.label)
+      |SELECT la, lb, round(dot / (na.nrm * nb.nrm), 4) AS cos
+      |FROM d JOIN n na ON na.label = la JOIN n nb ON nb.label = lb
+      |ORDER BY la, lb""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_quantize_int8" -> quantizeSql,
-    "sim_ann_brute_topk" -> annBruteSql)
+    "sim_ann_brute_topk" -> annBruteSql,
+    "sim_label_centroids" -> labelCentroidSimSql)
 }

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink surface beyond the parquet default (SURVEY §2.1): ORC /
+  * CSV / JSON round-trips, partitioned writes with partition pruning,
+  * catalog tables, the columnar in-memory cache, and collect-limit /
+  * tail execution. Reference analog: the read-format validation in
+  * VeloxBackend (`backends-velox/.../VeloxBackend.scala:154-163,261-277`)
+  * and ArrowCSVFileFormat; writes per WriteFilesExecTransformer
+  * (`gluten-substrait/.../execution/WriteFilesExecTransformer.scala:1-309`).
+  */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = GraftSparkSession.spark
+  private val dir = GraftSparkSession.sfDir
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").resolve("out").toString
+
+  private lazy val nation = Tables.load(spark, dir, "nation")
+
+  test("ORC round-trip preserves schema and rows") {
+    val path = tmp("orc")
+    nation.write.orc(path)
+    val back = spark.read.orc(path)
+    assert(back.schema == nation.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("CSV round-trip with header and explicit schema") {
+    val path = tmp("csv")
+    nation.write.option("header", "true").csv(path)
+    val back = spark.read.option("header", "true").schema(nation.schema).csv(path)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("JSON round-trip (a plus over the reference, which has no JSON reader)") {
+    val path = tmp("json")
+    nation.write.json(path)
+    val back = spark.read.schema(nation.schema).json(path)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val path = tmp("part")
+    Tables.load(spark, dir, "customer")
+      .write.partitionBy("c_mktsegment").parquet(path)
+    val one = spark.read.parquet(path).filter(col("c_mktsegment") === "BUILDING")
+    val plan = one.queryExecution.executedPlan.toString
+    // partition pruning shows up as a PartitionFilters entry on the scan
+    assert(plan.contains("PartitionFilters: [isnotnull(c_mktsegment"), plan.take(1500))
+    assert(one.count() ==
+      Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING").count())
+  }
+
+  test("catalog table: saveAsTable then spark.table + insertInto append") {
+    spark.sql("DROP TABLE IF EXISTS graft_nation")
+    nation.write.saveAsTable("graft_nation")
+    val n0 = spark.table("graft_nation").count()
+    assert(n0 == nation.count())
+    nation.limit(1).write.mode("append").saveAsTable("graft_nation")
+    assert(spark.table("graft_nation").count() == n0 + 1)
+    spark.sql("DROP TABLE graft_nation")
+  }
+
+  test("persist() plans InMemoryTableScan and survives source reuse") {
+    val cached = nation.select(col("n_nationkey"), col("n_name")).persist()
+    try {
+      assert(cached.count() == nation.count())
+      val plan = cached.filter(col("n_nationkey") > 2).queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan.take(1500))
+    } finally cached.unpersist()
+  }
+
+  test("head/tail run as collect-limit, not full materialization") {
+    val sorted = Tables.load(spark, dir, "customer").orderBy("c_custkey")
+    val h = sorted.head(3).map(_.getLong(0)).toSeq
+    val t = sorted.tail(2).map(_.getLong(0)).toSeq
+    val all = sorted.select("c_custkey").collect().map(_.getLong(0)).toSeq
+    assert(h == all.take(3) && t == all.takeRight(2))
+    val limitPlan = sorted.limit(3).queryExecution.executedPlan.toString
+    assert(limitPlan.contains("TakeOrderedAndProject") || limitPlan.contains("CollectLimit"),
+      limitPlan.take(800))
+  }
+}
