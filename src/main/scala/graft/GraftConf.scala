@@ -18,6 +18,10 @@ object GraftConf {
     "LSH bands; rows-per-band = perms/bands")
   val DedupJaccardThreshold: Entry[Double] = Entry("spark.graft.dedup.jaccardThreshold", 0.9,
     "near-duplicate word-set Jaccard threshold")
+  val DedupVocabInlineMax: Entry[Int] = Entry("spark.graft.dedup.vocabInlineMax", 2048,
+    "vocabularies at or below this size are collected and inlined as a " +
+      "codegen map literal for bitmap indexing (the small-dim broadcast " +
+      "analog); larger vocabularies take the distributed sortBy+zipWithIndex path")
   val SimTopK: Entry[Int] = Entry("spark.graft.similarity.topk", 5,
     "neighbors returned per query vector")
   val SimLshBits: Entry[Int] = Entry("spark.graft.similarity.lsh.bits", 8,
@@ -31,5 +35,6 @@ object GraftConf {
 
   /** all registered entries (for docs / introspection) */
   val entries: Seq[Entry[_]] =
-    Seq(DedupLshPerms, DedupLshBands, DedupJaccardThreshold, SimTopK, SimLshBits)
+    Seq(DedupLshPerms, DedupLshBands, DedupJaccardThreshold,
+      DedupVocabInlineMax, SimTopK, SimLshBits)
 }

@@ -106,15 +106,28 @@ object DedupOps {
     // Exact verification via vocabulary bitmasks: word sets index into a
     // global vocabulary, so each set is an array<bigint> bitmap and pair
     // Jaccard is bit_count(AND)/bit_count(OR) — identical to set Jaccard,
-    // no string arrays cross the pair join. Vocabulary ids come from
-    // sortBy + zipWithIndex (distributed contiguous ids — no
-    // single-partition window stage at any vocabulary size).
-    val vocabRdd = groups.select(explode(col("words")).as("w")).distinct()
-      .select(col("w")).as[String].rdd.sortBy(identity).zipWithIndex()
-    val vocab = vocabRdd.toDF("w", "idx").cache()
-    val nChunks = (vocab.count().toInt + 63) / 64
-    val masks = groups.select(col("gid"), explode(col("words")).as("w"))
-      .join(broadcast(vocab), Seq("w"))
+    // no string arrays cross the pair join. Small vocabularies inline as
+    // a codegen map literal (the small-dim broadcast analog — no extra
+    // jobs or joins); large ones get distributed contiguous ids from
+    // sortBy + zipWithIndex (no single-partition window stage at any
+    // vocabulary size).
+    val vocabWords = groups.select(explode(col("words")).as("w")).distinct()
+    val inlineMax = graft.GraftConf.getInt(s, graft.GraftConf.DedupVocabInlineMax)
+    // single probe job: an over-limit fetch decides the path AND yields
+    // the inline vocabulary when it fits
+    val probe = vocabWords.orderBy(col("w")).limit(inlineMax + 1).as[String].collect()
+    val wordRows = groups.select(col("gid"), explode(col("words")).as("w"))
+    val (indexed, nVocab) =
+      if (probe.length <= inlineMax) {
+        (wordRows.withColumn("idx",
+          element_at(typedlit(probe.zipWithIndex.toMap), col("w")).cast("long")),
+          probe.length.toLong)
+      } else {
+        val vocab = vocabWords.as[String].rdd.sortBy(identity).zipWithIndex().toDF("w", "idx")
+        (wordRows.join(broadcast(vocab), Seq("w")), vocabWords.count())
+      }
+    val nChunks = ((nVocab + 63) / 64).toInt
+    val masks = indexed
       .groupBy(col("gid"), (col("idx") / 64).cast("int").as("chunk"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT)))").as("m"))
       .groupBy(col("gid"))
@@ -217,15 +230,23 @@ object DedupOps {
       |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  // embedding-cosine near-dup pairs (brute-force baseline)
+  // embedding-cosine near-dup pairs (brute-force baseline). The id
+  // ordering AND the cosine threshold both live in the join condition:
+  // the nested-loop join then emits only surviving pairs instead of
+  // materializing all O(n²) wide rows through a downstream filter (the
+  // codegen'd cosine runs inside the probe loop).
   private val dedupEmbedding: Q = (s, dir) => {
     val e = load(s, dir, "embeddings")
+    // the corpus parquet is one small file = one input split, but the
+    // probe side drives the O(n²) nested-loop work — spread it across
+    // the cluster before the join (cost: shuffling n skinny rows)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .repartition(s.sparkContext.defaultParallelism)
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", GraftExpressions.cosine_sim(col("emb_a"), col("emb_b")))
-      .filter(round(col("cos"), 6) >= 0.4)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    a.join(b, col("id_a") < col("id_b") &&
+        round(GraftExpressions.cosine_sim(col("emb_a"), col("emb_b")), 6) >= 0.4)
+      .select(col("id_a"), col("id_b"),
+        round(GraftExpressions.cosine_sim(col("emb_a"), col("emb_b")), 6).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
