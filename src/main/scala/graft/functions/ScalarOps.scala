@@ -412,6 +412,45 @@ object ScalarOps {
       |  CAST(TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '2020-01-02 03:04:05' ELSE 'nope' END AS TIMESTAMP) AS VARCHAR) AS tts
       |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
 
+  // width_bucket / NaN handling / banker's rounding / expm1-log1p /
+  // cot-sec-csc (SURVEY §2.10 stragglers). width_bucket bounds are
+  // powers of two so both evaluation orders of the bucket formula are
+  // IEEE-exact; bround/rint are fed exact .5 halves so the
+  // round-half-even branch is what's tested.
+  private val fnMath3: Q = (s, dir) => {
+    val x = col("p_size").cast("double") / 25.0
+    val nanOnEven = when(col("p_partkey") % 2 === 0, expr("CAST('NaN' AS DOUBLE)"))
+      .otherwise(col("p_retailprice"))
+    load(s, dir, "part")
+      .select(col("p_partkey"),
+        expr("width_bucket(p_retailprice, 0, 2048, 8)").as("wb"),
+        isnan(nanOnEven).as("is_nan"),
+        nanvl(nanOnEven, lit(-1.0)).as("nv"),
+        bround(col("p_size") + 0.5).as("br"),
+        rint(col("p_size") + 0.5).as("ri"),
+        round(expm1(x), 9).as("em1"),
+        round(log1p(x), 9).as("l1p"),
+        round(expr("cot(p_size / 10.0 + 0.1)"), 9).as("ct"),
+        round(expr("sec(p_size / 10.0 + 0.1)"), 9).as("sc"),
+        round(expr("csc(p_size / 10.0 + 0.1)"), 9).as("cs"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val fnMath3Sql =
+    """SELECT p_partkey,
+      |  CASE WHEN p_retailprice < 0 THEN 0 WHEN p_retailprice >= 2048 THEN 9
+      |       ELSE CAST(floor(p_retailprice / 2048 * 8) AS BIGINT) + 1 END AS wb,
+      |  CASE WHEN p_partkey % 2 = 0 THEN true ELSE false END AS is_nan,
+      |  CASE WHEN p_partkey % 2 = 0 THEN -1.0 ELSE p_retailprice END AS nv,
+      |  CAST(CASE WHEN p_size % 2 = 0 THEN p_size ELSE p_size + 1 END AS DOUBLE) AS br,
+      |  CAST(CASE WHEN p_size % 2 = 0 THEN p_size ELSE p_size + 1 END AS DOUBLE) AS ri,
+      |  round(exp(CAST(p_size AS DOUBLE) / 25.0) - 1.0, 9) AS em1,
+      |  round(ln(1.0 + CAST(p_size AS DOUBLE) / 25.0), 9) AS l1p,
+      |  round(cot(p_size / 10.0 + 0.1), 9) AS ct,
+      |  round(1.0 / cos(p_size / 10.0 + 0.1), 9) AS sc,
+      |  round(1.0 / sin(p_size / 10.0 + 0.1), 9) AS cs
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   private val fnTime: Q = (s, dir) =>
     load(s, dir, "events")
       .select(col("event_id"),
@@ -557,6 +596,7 @@ object ScalarOps {
     "fn_math2" -> fnMath2,
     "fn_string3" -> fnString3,
     "fn_try" -> fnTry,
+    "fn_math3" -> fnMath3,
     "sql_surface" -> sqlSurface,
     "fn_string2" -> fnString2,
     "fn_time" -> fnTime,
@@ -577,6 +617,7 @@ object ScalarOps {
     "fn_math2" -> fnMath2Sql,
     "fn_string3" -> fnString3Sql,
     "fn_try" -> fnTrySql,
+    "fn_math3" -> fnMath3Sql,
     "sql_surface" -> sqlSurfaceSql,
     "fn_string2" -> fnString2Sql,
     "fn_time" -> fnTimeSql,

@@ -833,6 +833,48 @@ object RelationalOps {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  // json_tuple is Spark's remaining UDTF-shaped generator (§2.9; the
+  // others are covered by generate_*): one lateral output row with the
+  // extracted fields as columns
+  private val generateJsonTuple: Q = (s, dir) =>
+    load(s, dir, "events").filter(col("event_id") < 500)
+      .select(col("event_id"), expr("json_tuple(props, 'k')").as("k"))
+      .orderBy(col("event_id"))
+
+  private val generateJsonTupleSql =
+    """SELECT event_id, json_extract_string(props, '$.k') AS k
+      |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
+
+  // TPC-DS-style composite: aggregate to (nation, year) grain, then a
+  // lag window over the aggregate for year-over-year revenue growth —
+  // the agg→window→filter pipeline shape of the DS report queries
+  private val aggWindowYoy: Q = (s, dir) => {
+    val w = Window.partitionBy(col("n_name")).orderBy(col("o_year"))
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(load(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("rev"))
+      .select(col("n_name"), col("o_year"), col("rev"),
+        (col("rev") - lag(col("rev"), 1).over(w)).as("yoy"))
+      .filter(col("o_year").between(1996, 1999))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  private val aggWindowYoySql =
+    s"""WITH r AS (
+       |  SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS rev
+       |  FROM lineitem, supplier, nation, orders
+       |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, o_year, rev,
+       |  rev - lag(rev, 1) OVER (PARTITION BY n_name ORDER BY o_year) AS yoy
+       |FROM r
+       |QUALIFY o_year BETWEEN 1996 AND 1999
+       |ORDER BY n_name, o_year""".stripMargin
+
   // ------------------------------------------------------------ assembly
 
   private val built: (Map[String, Q], Map[String, String]) = q(
@@ -861,6 +903,8 @@ object RelationalOps {
     ("agg_bool" -> aggBool, aggBoolSql),
     ("agg_mode_median" -> aggModeMedian, aggModeMedianSql),
     ("window_nth" -> windowNth, windowNthSql),
+    ("generate_json_tuple" -> generateJsonTuple, generateJsonTupleSql),
+    ("agg_window_yoy" -> aggWindowYoy, aggWindowYoySql),
     ("window_rank" -> windowRank, windowRankSql),
     ("window_lead_lag" -> windowLeadLag, windowLeadLagSql),
     ("window_running" -> windowRunning, windowRunningSql),
