@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => GraftExpressions.BitmapJaccard(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => EliminateRedundantToDate)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectQueryStagePrepRule(graft.plans.MergeTwoPhaseAggregate.apply)
   }
 }
 
