@@ -122,7 +122,98 @@ object TextOps {
       |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
       |GROUP BY w ORDER BY cnt DESC, word""".stripMargin
 
+  /** Benchmark decontamination: training docs sharing any 4-word shingle
+    * with the benchmark slice (doc_id < 20) are flagged with their
+    * distinct-overlap count. Scale design: the benchmark shingle set is
+    * tiny relative to the corpus → broadcast; the training side streams
+    * through one explode + broadcast-semi-probe + per-doc count — no
+    * all-pairs comparison at any corpus size.
+    */
+  private val textDecontaminate: Q = (s, dir) => {
+    def shingles4 = {
+      val w = split(col("text"), " ")
+      val n = size(w)
+      when(n >= 4,
+        array_distinct(transform(sequence(lit(1), n - 3),
+          i => array_join(slice(w, i, lit(4)), " "))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docs = load(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") < 20)
+      .select(explode(shingles4).as("sh")).distinct()
+    docs.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), explode(shingles4).as("sh"))
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textDecontaminateSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(generate_series(1, len(ws) - 3),
+      |      i -> array_to_string(ws[i:i+3], ' ')))) AS sh
+      |  FROM w WHERE len(ws) >= 4),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20)
+      |SELECT s.doc_id, COUNT(*) AS n_shared_shingles
+      |FROM sh s JOIN bench b ON s.sh = b.sh
+      |WHERE s.doc_id >= 20
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** End-to-end curation decision: quality gate + canonical-copy-only
+    * (fingerprint dedup keep-first) + token budget, with machine-readable
+    * drop reasons — the shape of a production training-data filter pass.
+    * Single scan + one window over the fingerprint; every signal is a
+    * codegen'd expression.
+    */
+  private val docsCuration: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val nWords = size(w)
+    val stopRatio = size(filter(w, x => x.isin(stopwords: _*))).cast("double") / nWords
+    val win = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    load(s, dir, "documents")
+      .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .withColumn("n_words", nWords)
+      .withColumn("is_quality", nWords >= 20 && stopRatio > 0.02)
+      .withColumn("is_canonical", row_number().over(win) === 1)
+      .withColumn("in_budget", nWords <= 400)
+      .withColumn("keep", col("is_quality") && col("is_canonical") && col("in_budget"))
+      .withColumn("drop_reasons", array_join(filter(array(
+          when(not(col("is_quality")), lit("low_quality")),
+          when(not(col("is_canonical")), lit("duplicate")),
+          when(not(col("in_budget")), lit("too_long"))), x => x.isNotNull), ","))
+      .select(col("doc_id"), col("n_words"), col("is_quality"), col("is_canonical"),
+        col("in_budget"), col("keep"), col("drop_reasons"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docsCurationSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+      |    (len(ws) >= 20 AND
+      |     CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','to','is','in'))) AS DOUBLE)
+      |       / len(ws) > 0.02) AS is_quality,
+      |    (ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1) AS is_canonical,
+      |    len(ws) <= 400 AS in_budget
+      |  FROM d)
+      |SELECT doc_id, n_words, is_quality, is_canonical, in_budget,
+      |  (is_quality AND is_canonical AND in_budget) AS keep,
+      |  COALESCE(array_to_string(list_filter([
+      |    CASE WHEN NOT is_quality THEN 'low_quality' END,
+      |    CASE WHEN NOT is_canonical THEN 'duplicate' END,
+      |    CASE WHEN NOT in_budget THEN 'too_long' END], x -> x IS NOT NULL), ','), '') AS drop_reasons
+      |FROM e ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_decontaminate" -> textDecontaminate,
+    "docs_curation" -> docsCuration,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
@@ -130,6 +221,8 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "text_decontaminate" -> textDecontaminateSql,
+    "docs_curation" -> docsCurationSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
