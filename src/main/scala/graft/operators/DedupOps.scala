@@ -76,6 +76,9 @@ object DedupOps {
     val nBands = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshBands)
     val rowsPerBand = math.max(1, perms / nBands)
     val threshold = graft.GraftConf.getDouble(s, graft.GraftConf.DedupJaccardThreshold)
+    // NOTE: no repartition before tokenizing — at real scale the corpus
+    // arrives as many file splits (scan already parallel) and a
+    // round-robin repartition here would shuffle the full text payload
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), sort_array(array_distinct(split(col("text"), " "))).as("words"))
     // one row per distinct word-set; cached (it feeds 4 downstream stages

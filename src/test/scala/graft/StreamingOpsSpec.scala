@@ -105,6 +105,31 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet sink with checkpoint: dedup state survives a query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val in = MemoryStream[Ev]
+    def run(): Unit = {
+      val q = StreamingOps.dedupStream(in.toDF())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    in.addData(Ev(1, ts(1), 1, "click", 1.0, "{}"), Ev(2, ts(2), 1, "view", 2.0, "{}"))
+    run()
+    // second run from the same checkpoint re-sends event 2 (duplicate
+    // across restarts) plus a new event — state recovery must drop the dup
+    in.addData(Ev(2, ts(2), 1, "view", 2.0, "{}"), Ev(3, ts(3), 2, "click", 3.0, "{}"))
+    run()
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"exactly-once sink expected, got $ids")
+  }
+
   test("stream-static enrichment joins without shuffling the stream side") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
