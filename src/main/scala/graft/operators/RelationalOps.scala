@@ -624,6 +624,52 @@ object RelationalOps {
       |  ON p.user_id = c.c_user AND p.ts >= c.c_ts
       |ORDER BY p.event_id""".stripMargin
 
+  // forward as-of through the custom operator: the NEXT click at-or-after
+  // each purchase; oracle is DuckDB ASOF with the comparison flipped
+  private val evAsofForward: Q = (s, dir) => {
+    val events = load(s, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoinApi.asofJoin(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts", "c_ts", direction = "forward")
+      .select(col("event_id"), unix_micros(col("c_ts")).as("next_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val evAsofForwardSql =
+    """SELECT p.event_id, CAST(epoch_us(c.c_ts) AS BIGINT) AS next_click_us
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.c_user AND p.ts <= c.c_ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // backward as-of with a 10-minute tolerance: as-of-with-tolerance is
+  // exactly "latest match, nulled when the gap exceeds the bound", so the
+  // oracle post-filters DuckDB's native ASOF result
+  private val evAsofTolerance: Q = (s, dir) => {
+    val events = load(s, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoinApi.asofJoin(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts", "c_ts",
+        toleranceUnits = Some(10L * 60 * 1000 * 1000)) // 10 min in micros
+      .select(col("event_id"), unix_micros(col("c_ts")).as("prev_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val evAsofToleranceSql =
+    """SELECT p.event_id,
+      |  CAST(CASE WHEN c.c_ts IS NOT NULL AND p.ts - c.c_ts <= INTERVAL 10 MINUTE
+      |       THEN epoch_us(c.c_ts) END AS BIGINT) AS prev_click_us
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.c_user AND p.ts >= c.c_ts
+      |ORDER BY p.event_id""".stripMargin
+
   private val evPivot: Q = (s, dir) =>
     load(s, dir, "events")
       .groupBy(to_date(date_trunc("DAY", col("ts"))).cast("string").as("day"))
@@ -927,6 +973,8 @@ object RelationalOps {
     ("ev_sessionize" -> evSessionize, evSessionizeSql),
     ("ev_asof_join" -> evAsof, evAsofSql),
     ("ev_asof_join_custom" -> evAsofCustom, evAsofCustomSql),
+    ("ev_asof_join_forward" -> evAsofForward, evAsofForwardSql),
+    ("ev_asof_join_tolerance" -> evAsofTolerance, evAsofToleranceSql),
     ("ev_pivot" -> evPivot, evPivotSql),
     ("ev_range_join_bucketed" -> evRangeJoin, evRangeJoinSql),
     ("ev_daily_active_users" -> evDau, evDauSql),

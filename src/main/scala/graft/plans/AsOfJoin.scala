@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
 
 /** AS-OF JOIN — a whole-operator custom node (LogicalPlan + Strategy +
   * SparkPlan registered through SparkSessionExtensions), the mechanism
@@ -18,8 +19,13 @@ import org.apache.spark.sql.graft.ColumnBridge
   * beyond-reference capability for time-series/event pipelines.
   *
   * Semantics: for every left row, the single right row with the same
-  * partition key and the greatest right-time <= left-time (backward
-  * as-of); unmatched left rows keep nulls on the right.
+  * partition key and
+  *  - direction = backward: the greatest right-time <= left-time;
+  *  - direction = forward: the smallest right-time >= left-time;
+  * optionally rejected when the time gap exceeds `toleranceUnits`
+  * (expressed in the time column's native units — microseconds for
+  * timestamps, days for dates, raw values for integral columns).
+  * Unmatched left rows keep nulls on the right; null times never match.
   *
   * Scale design: requires ClusteredDistribution on the keys for both
   * children (one co-partitioning shuffle each, exactly like a sort-merge
@@ -34,7 +40,9 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    forward: Boolean = false,
+    toleranceUnits: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoin =
@@ -43,8 +51,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -55,7 +63,14 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    forward: Boolean,
+    toleranceUnits: Option[Long]) extends BinaryExecNode {
+
+  if (toleranceUnits.isDefined) {
+    require(Seq(TimestampType, DateType, LongType, IntegerType).contains(leftTime.dataType),
+      s"as-of tolerance requires an integral-backed time type, got ${leftTime.dataType}")
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -83,6 +98,8 @@ case class AsOfJoinExec(
     val rtEval = rightTime
     val nRight = right.output.size
     val outAttrs = output // right side already marked nullable
+    val isForward = forward
+    val tol = toleranceUnits
 
     left.execute().zipPartitions(right.execute()) { (lIterRaw, rIterRaw) =>
       val lProj = UnsafeProjection.create(lKeyExprs, lOutput)
@@ -91,6 +108,11 @@ case class AsOfJoinExec(
         RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrdering = TypeUtils.getInterpretedOrdering(timeType)
         .asInstanceOf[Ordering[Any]]
+      def units(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case other => sys.error(s"unsupported time value for tolerance: $other")
+      }
       val ltBound = org.apache.spark.sql.catalyst.expressions.BindReferences
         .bindReference(ltEval, lOutput)
       val rtBound = org.apache.spark.sql.catalyst.expressions.BindReferences
@@ -116,15 +138,40 @@ case class AsOfJoinExec(
             lastRight = null
           }
           val lt = ltBound.eval(l)
-          // consume right rows in-group with time <= left time
-          while (rIter.hasNext && keyOrdering.compare(rProj(rIter.head), curKey) == 0 &&
-              (lt != null && {
+          var candidate: InternalRow = null
+          if (lt != null) {
+            if (!isForward) {
+              // consume in-group rows with time <= left time; null times
+              // sort first and are skipped without becoming candidates
+              var advancing = true
+              while (advancing && rIter.hasNext &&
+                  keyOrdering.compare(rProj(rIter.head), curKey) == 0) {
                 val rt = rtBound.eval(rIter.head)
-                rt != null && timeOrdering.compare(rt, lt) <= 0
-              })) {
-            lastRight = rIter.next().copy()
+                if (rt == null) rIter.next()
+                else if (timeOrdering.compare(rt, lt) <= 0) lastRight = rIter.next().copy()
+                else advancing = false
+              }
+              candidate = lastRight
+            } else {
+              // drop in-group rows strictly before left time; the head —
+              // if still in-group — is the forward match (peeked, not
+              // consumed: later left rows may share it)
+              var advancing = true
+              while (advancing && rIter.hasNext &&
+                  keyOrdering.compare(rProj(rIter.head), curKey) == 0) {
+                val rt = rtBound.eval(rIter.head)
+                if (rt == null || timeOrdering.compare(rt, lt) < 0) rIter.next()
+                else advancing = false
+              }
+              if (rIter.hasNext && keyOrdering.compare(rProj(rIter.head), curKey) == 0)
+                candidate = rIter.head
+            }
+            if (candidate != null && tol.isDefined) {
+              val rt = rtBound.eval(candidate)
+              if (math.abs(units(lt) - units(rt)) > tol.get) candidate = null
+            }
           }
-          outProj(joined(l, if (lastRight == null) nullRight else lastRight))
+          outProj(joined(l, if (candidate == null) nullRight else candidate))
         }
       }
     }
@@ -135,16 +182,24 @@ case class AsOfJoinExec(
 }
 
 object AsOfJoinApi {
-  /** backward as-of join: every left row picks the latest right row with
-    * matching keys and rightTime <= leftTime; unmatched left rows get
-    * nulls. Key lists must be non-empty and positionally aligned. Output
-    * carries left columns then right columns (rename collisions on the
-    * right beforehand if you need to select them by name). */
+  /** as-of join: every left row picks the latest right row with matching
+    * keys and rightTime <= leftTime (direction "backward", the default)
+    * or the earliest right row with rightTime >= leftTime (direction
+    * "forward"); matches farther than `toleranceUnits` (time-column
+    * native units: micros for timestamps, days for dates) are rejected.
+    * Unmatched left rows get nulls. Key lists must be non-empty and
+    * positionally aligned. Output carries left columns then right columns
+    * (rename collisions on the right beforehand if you need to select
+    * them by name). */
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
       leftKeyCols: Seq[String], rightKeyCols: Seq[String],
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String,
+      direction: String = "backward",
+      toleranceUnits: Option[Long] = None): DataFrame = {
     require(leftKeyCols.nonEmpty && leftKeyCols.size == rightKeyCols.size,
       "as-of join needs aligned non-empty key lists")
+    require(Seq("backward", "forward").contains(direction),
+      s"direction must be backward|forward, got $direction")
     val spark = leftDf.sparkSession
     // robust in sessions built without GraftExtensions: register the
     // planner strategy on demand
@@ -160,6 +215,8 @@ object AsOfJoinApi {
     ColumnBridge.dataFrame(spark, AsOfJoin(
       lPlan, rPlan,
       leftKeyCols.map(attr(lPlan, _)), rightKeyCols.map(attr(rPlan, _)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
+      forward = direction == "forward",
+      toleranceUnits = toleranceUnits))
   }
 }

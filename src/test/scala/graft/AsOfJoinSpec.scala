@@ -26,6 +26,37 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("d", None)))     // key 3 has no quotes
   }
 
+  test("forward as-of join: earliest right at-or-after left time") {
+    import spark.implicits._
+    val trades = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d"))
+      .toDF("key", "t", "trade")
+    val quotes = Seq((1L, 8L, 1.0), (1L, 15L, 2.0), (1L, 20L, 3.0), (2L, 9L, 9.0))
+      .toDF("qkey", "qt", "px")
+    val out = asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt",
+        direction = "forward")
+      .select($"trade", $"px")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSet
+    assert(out == Set(
+      ("a", Some(2.0)), // next quote at 15
+      ("b", Some(3.0)), // equal timestamp is inclusive
+      ("c", Some(9.0)), // quote@9 >= 5
+      ("d", None)))     // key 3 has no quotes
+  }
+
+  test("tolerance rejects matches beyond the gap in native units") {
+    import spark.implicits._
+    val trades = Seq((1L, 10L, "a"), (1L, 100L, "b")).toDF("key", "t", "trade")
+    val quotes = Seq((1L, 8L, 1.0), (1L, 50L, 2.0)).toDF("qkey", "qt", "px")
+    val out = asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt",
+        toleranceUnits = Some(5L))
+      .select($"trade", $"px")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSet
+    // a: latest quote@8, gap 2 <= 5 -> match; b: latest quote@50, gap 50 -> null
+    assert(out == Set(("a", Some(1.0)), ("b", None)))
+  }
+
   test("as-of plan shape: custom exec with co-partitioning exchanges and sorts") {
     import spark.implicits._
     val l = (1 to 1000).map(i => (i % 7L, i.toLong)).toDF("k", "t")
