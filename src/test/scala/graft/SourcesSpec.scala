@@ -69,6 +69,18 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_nation")
   }
 
+  test("insertInto appends by position into an existing table") {
+    // (the default session catalog serves V1 tables, so the V2
+    // `writeTo(...).append()` path requires an external TableCatalog —
+    // DSv2 READ is exercised by EventsV2SourceSpec instead)
+    spark.sql("DROP TABLE IF EXISTS graft_nation_ins")
+    nation.write.saveAsTable("graft_nation_ins")
+    try {
+      nation.limit(2).write.insertInto("graft_nation_ins")
+      assert(spark.table("graft_nation_ins").count() == nation.count() + 2)
+    } finally spark.sql("DROP TABLE graft_nation_ins")
+  }
+
   test("persist() plans InMemoryTableScan and survives source reuse") {
     val cached = nation.select(col("n_nationkey"), col("n_name")).persist()
     try {
