@@ -921,6 +921,90 @@ object RelationalOps {
        |QUALIFY o_year BETWEEN 1996 AND 1999
        |ORDER BY n_name, o_year""".stripMargin
 
+  // ---- ClickBench-style web-analytics shapes (reference benchmark set:
+  // tools/gluten-it/.../clickbench-queries, 43 SQL files) ---------------
+
+  // distinct-user counts per (type, day) — the uniques workhorse
+  private val evUniqUsers: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .agg(countDistinct(col("user_id")).as("uniq_users"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("day"))
+
+  private val evUniqUsersSql =
+    """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
+  // exact value percentiles per event type
+  private val evP90: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
+  private val evP90Sql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // events-per-user histogram: double aggregation (user grain → bucket)
+  private val evUserHistogram: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("per_user"))
+      .groupBy(col("per_user")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("per_user"))
+
+  private val evUserHistogramSql =
+    """SELECT per_user, COUNT(*) AS n_users
+      |FROM (SELECT user_id, COUNT(*) AS per_user FROM events GROUP BY user_id) t
+      |GROUP BY per_user ORDER BY per_user""".stripMargin
+
+  // weekly purchase revenue with a cumulative running total (window
+  // over an aggregated grain)
+  private val evWeeklyTrend: Q = (s, dir) => {
+    val w = Window.orderBy(col("week")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "events").filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("WEEK", col("ts")).cast("date").cast("string").as("week"))
+      .agg(dbl(sum(dec(col("value")))).as("revenue"))
+      .select(col("week"), col("revenue"),
+        dbl(sum(dec(col("revenue"))).over(w)).as("cum_revenue"))
+      .orderBy(col("week"))
+  }
+
+  private val evWeeklyTrendSql =
+    """WITH r AS (
+      |  SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT week, revenue,
+      |  CAST(SUM(CAST(revenue AS DECIMAL(12,2)))
+      |    OVER (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+      |FROM r ORDER BY week""".stripMargin
+
+  // per-day share of each event type (window sum ratio over an agg)
+  private val evTypeShare: Q = (s, dir) => {
+    val w = Window.partitionBy(col("day"))
+    load(s, dir, "events")
+      .groupBy(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("day"), col("event_type"),
+        round(col("n").cast("double") / sum(col("n")).over(w), 6).as("share"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val evTypeShareSql =
+    """WITH c AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type,
+      |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY day), 6) AS share
+      |FROM c ORDER BY day, event_type""".stripMargin
+
   // ------------------------------------------------------------ assembly
 
   private val built: (Map[String, Q], Map[String, String]) = q(
@@ -980,7 +1064,12 @@ object RelationalOps {
     ("ev_daily_active_users" -> evDau, evDauSql),
     ("ev_value_buckets" -> evValueBuckets, evValueBucketsSql),
     ("ev_hourly_load" -> evHourly, evHourlySql),
-    ("ev_top_users" -> evTopUsers, evTopUsersSql))
+    ("ev_top_users" -> evTopUsers, evTopUsersSql),
+    ("ev_uniq_users_by_type_day" -> evUniqUsers, evUniqUsersSql),
+    ("ev_value_percentiles" -> evP90, evP90Sql),
+    ("ev_user_histogram" -> evUserHistogram, evUserHistogramSql),
+    ("ev_weekly_revenue_trend" -> evWeeklyTrend, evWeeklyTrendSql),
+    ("ev_type_share_by_day" -> evTypeShare, evTypeShareSql))
 
   val queries: Map[String, Q] = built._1 ++ Map[String, Q](
     "agg_approx_sketch" -> aggApprox,
