@@ -921,6 +921,57 @@ object RelationalOps {
        |QUALIFY o_year BETWEEN 1996 AND 1999
        |ORDER BY n_name, o_year""".stripMargin
 
+  // TPC-DS q11 shape: customers whose spend grew year-over-year —
+  // self-join of two aggregated years with a ratio predicate
+  private val tpcdsGrowth: Q = (s, dir) => {
+    def spend(yr: Int) = load(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_custkey"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as(s"spend_$yr"))
+    spend(1996).join(spend(1997), Seq("o_custkey"))
+      .filter(col("spend_1997") > col("spend_1996") * 1.5)
+      .select(col("o_custkey"), col("spend_1996"), col("spend_1997"),
+        round(col("spend_1997") / col("spend_1996"), 6).as("growth"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val tpcdsGrowthSql =
+    """WITH y96 AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend_1996
+      |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 GROUP BY o_custkey),
+      |y97 AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend_1997
+      |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 GROUP BY o_custkey)
+      |SELECT y96.o_custkey AS o_custkey, spend_1996, spend_1997,
+      |  round(spend_1997 / spend_1996, 6) AS growth
+      |FROM y96 JOIN y97 ON y96.o_custkey = y97.o_custkey
+      |WHERE spend_1997 > spend_1996 * 1.5
+      |ORDER BY y96.o_custkey""".stripMargin
+
+  // TPC-DS q5/q77 report shape: rollup over two dims with grouping_id
+  // labeling and a HAVING-style floor on the aggregate
+  private val tpcdsChannelRollup: Q = (s, dir) =>
+    load(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as("revenue"), count(lit(1)).as("n"),
+        grouping_id().cast("int").as("gid"))
+      .filter(col("n") > 50)
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("revenue"), col("n"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
+  private val tpcdsChannelRollupSql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |HAVING COUNT(*) > 50
+      |ORDER BY gid, status, priority""".stripMargin
+
   // ---- ClickBench-style web-analytics shapes (reference benchmark set:
   // tools/gluten-it/.../clickbench-queries, 43 SQL files) ---------------
 
@@ -1069,7 +1120,9 @@ object RelationalOps {
     ("ev_value_percentiles" -> evP90, evP90Sql),
     ("ev_user_histogram" -> evUserHistogram, evUserHistogramSql),
     ("ev_weekly_revenue_trend" -> evWeeklyTrend, evWeeklyTrendSql),
-    ("ev_type_share_by_day" -> evTypeShare, evTypeShareSql))
+    ("ev_type_share_by_day" -> evTypeShare, evTypeShareSql),
+    ("tpcds_style_growth" -> tpcdsGrowth, tpcdsGrowthSql),
+    ("tpcds_style_channel_rollup" -> tpcdsChannelRollup, tpcdsChannelRollupSql))
 
   val queries: Map[String, Q] = built._1 ++ Map[String, Q](
     "agg_approx_sketch" -> aggApprox,
