@@ -11,13 +11,15 @@ object Bench {
   // headline set: the three biggest operator families (scan/agg, joins,
   // window) + the data-pipeline ops; bounded at any SF.
   val headline: Seq[String] = Seq(
-    "tpch_q01_pricing_summary", "tpch_q03_topk_revenue", "tpch_q05_local_supplier",
-    "tpch_q06_forecast_revenue", "tpch_q09_nation_profit", "tpch_q13_order_counts",
-    "tpch_q18_large_orders", "tpch_q22_dormant_customers",
+    "tpch_q01_pricing_summary", "tpch_q03_topk_revenue", "tpch_q04_priority_check",
+    "tpch_q05_local_supplier", "tpch_q06_forecast_revenue", "tpch_q09_nation_profit",
+    "tpch_q12_ship_priority", "tpch_q13_order_counts", "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
     "window_group_limit", "ev_sessionize", "ev_asof_join_custom",
+    "ev_uniq_users_by_type_day",
     "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
     "sim_ann_brute_topk", "sim_ann_lsh",
-    "text_quality", "text_fingerprint")
+    "text_quality", "text_fingerprint", "text_decontaminate", "docs_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
