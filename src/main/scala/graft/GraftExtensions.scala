@@ -34,6 +34,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bitmap_jaccard"),
       new ExpressionInfo(classOf[GraftExpressions.BitmapJaccard].getName, "bitmap_jaccard"),
       (exprs: Seq[Expression]) => GraftExpressions.BitmapJaccard(exprs(0), exprs(1))))
+    // explicit bloom-filter SQL surface (the reference exposes these as
+    // VeloxBloomFilterAggregate/MightContain, SURVEY §2.3/§7 step 5) —
+    // Spark ships the expressions for its runtime join pruning but does
+    // not register SQL names; we do.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[Expression]) => {
+        val agg = exprs match {
+          case Seq(c) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+          case Seq(c, n) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+          case Seq(c, n, b) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+          case _ => throw new IllegalArgumentException("bloom_filter_agg(child[, items[, bits]])")
+        }
+        agg.toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => EliminateRedundantToDate)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectQueryStagePrepRule(graft.plans.MergeTwoPhaseAggregate.apply)
