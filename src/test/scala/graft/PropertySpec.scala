@@ -1,0 +1,118 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized property checks for the custom code paths (beyond the
+  * reference's test strategy — SURVEY §5 notes it uses no
+  * property-based testing). Fixed seeds keep every run deterministic.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = GraftSparkSession.spark
+  import spark.implicits._
+
+  test("bitmap_jaccard equals set jaccard on random bitmaps") {
+    val rnd = new Random(7)
+    val cases = Seq.fill(200) {
+      val n = 1 + rnd.nextInt(4) // chunks
+      val a = Array.fill(n)(rnd.nextLong())
+      val b = Array.fill(n)(rnd.nextLong())
+      (a.toSeq, b.toSeq)
+    }
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.GraftExpressions.bitmap_jaccard(col("a"), col("b")))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b), j) =>
+      val inter = a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x & y) }.sum
+      val uni = a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x | y) }.sum
+      val expect = if (uni == 0) 0.0 else inter.toDouble / uni
+      assert(j == expect)
+    }
+  }
+
+  test("cosine_similarity matches sequential double-precision reference") {
+    val rnd = new Random(11)
+    val cases = Seq.fill(100) {
+      val d = 1 + rnd.nextInt(96)
+      (Array.fill(d)(rnd.nextFloat() * 2 - 1).toSeq, Array.fill(d)(rnd.nextFloat() * 2 - 1).toSeq)
+    }
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.GraftExpressions.cosine_sim(col("a"), col("b")))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b), c) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.zip(b).foreach { case (x, y) =>
+        dot += x.toDouble * y.toDouble; na += x.toDouble * x.toDouble; nb += y.toDouble * y.toDouble
+      }
+      val expect = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(c == expect, s"got $c expect $expect")
+    }
+  }
+
+  test("minhash signature is token-order invariant and deterministic") {
+    val rnd = new Random(13)
+    val vocab = (0 until 50).map(i => s"w$i")
+    val sets = Seq.fill(50)(rnd.shuffle(vocab).take(1 + rnd.nextInt(20)))
+    val sig = (c: Seq[Seq[String]]) => c.toDF("toks")
+      .select(graft.functions.GraftExpressions.minhash_signature(col("toks"), 16))
+      .as[Seq[Long]].collect().toSeq
+    val a = sig(sets)
+    val b = sig(sets.map(s => rnd.shuffle(s)))
+    assert(a == b, "permuting tokens must not change the signature")
+  }
+
+  test("simhash: identical token sets collide, disjoint sets differ") {
+    val toks = (0 until 30).map(i => s"tok$i")
+    val df = Seq(toks, toks.reverse, toks.map(_ + "X")).toDF("t")
+      .select(graft.functions.GraftExpressions.simhash64(col("t"))).as[Long].collect()
+    assert(df(0) == df(1), "order must not matter")
+    assert(df(0) != df(2), "disjoint vocab should (overwhelmingly) differ")
+  }
+
+  test("custom as-of join agrees with a driver-side reference on random data") {
+    val rnd = new Random(17)
+    val left = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val right = Seq.fill(200)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+    val lDf = left.toDF("k", "t")
+    val rDf = right.toDF("rk", "rt", "v")
+    for (fwd <- Seq(false, true)) {
+      val dirn = if (fwd) "forward" else "backward"
+      val got = graft.plans.AsOfJoinApi.asofJoin(lDf, rDf, Seq("k"), Seq("rk"), "t", "rt",
+          direction = dirn)
+        .select(col("k"), col("t"), col("rt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).toSet).toMap
+      val expect = left.map { case (k, t) =>
+        val candidates = right.filter(_._1 == k)
+        val m = if (fwd) {
+          val after = candidates.filter(_._2 >= t)
+          if (after.isEmpty) None else Some(after.map(_._2).min)
+        } else {
+          val before = candidates.filter(_._2 <= t)
+          if (before.isEmpty) None else Some(before.map(_._2).max)
+        }
+        ((k, t), m)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(got == expect, s"direction=$dirn mismatch")
+    }
+  }
+
+  test("merged complete-mode aggregate equals two-phase on random groupings") {
+    val rnd = new Random(19)
+    val data = Seq.fill(2000)((rnd.nextInt(40).toLong, rnd.nextInt(1000), rnd.nextDouble()))
+    spark.sql("DROP TABLE IF EXISTS prop_bucketed")
+    data.toDF("k", "a", "b").write.bucketBy(4, "k").saveAsTable("prop_bucketed")
+    try {
+      def run() = spark.table("prop_bucketed").groupBy("k")
+        .agg(count(lit(1)), sum("a"), avg("b"), max("a"), min("b"))
+        .orderBy("k").collect().toSeq
+      val fused = run()
+      spark.conf.set("spark.graft.mergeTwoPhaseAgg.enabled", "false")
+      val plain = try run() finally spark.conf.unset("spark.graft.mergeTwoPhaseAgg.enabled")
+      assert(fused == plain)
+    } finally spark.sql("DROP TABLE prop_bucketed")
+  }
+}
