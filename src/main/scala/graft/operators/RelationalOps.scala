@@ -921,6 +921,48 @@ object RelationalOps {
        |QUALIFY o_year BETWEEN 1996 AND 1999
        |ORDER BY n_name, o_year""".stripMargin
 
+  // ordered string aggregation (Spark 4 listagg WITHIN GROUP)
+  private val aggListagg: Q = (s, dir) => {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT n_regionkey,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
+  private val aggListaggSql =
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // the built-in session_window operator in batch mode (the native
+  // counterpart of the custom flatMapGroupsWithState sessionization and
+  // the lag/cumsum ev_sessionize); oracle = island detection
+  private val evSessionWindowNative: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("w.start").cast("string").as("session_start"),
+        col("w.end").cast("string").as("session_end"), col("n"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val evSessionWindowNativeSql =
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m)
+      |SELECT user_id, CAST(MIN(ts) AS VARCHAR) AS session_start,
+      |  CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+      |  COUNT(*) AS n
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   // TPC-DS q11 shape: customers whose spend grew year-over-year —
   // self-join of two aggregated years with a ratio predicate
   private val tpcdsGrowth: Q = (s, dir) => {
@@ -1121,6 +1163,8 @@ object RelationalOps {
     ("ev_user_histogram" -> evUserHistogram, evUserHistogramSql),
     ("ev_weekly_revenue_trend" -> evWeeklyTrend, evWeeklyTrendSql),
     ("ev_type_share_by_day" -> evTypeShare, evTypeShareSql),
+    ("agg_listagg" -> aggListagg, aggListaggSql),
+    ("ev_session_window_native" -> evSessionWindowNative, evSessionWindowNativeSql),
     ("tpcds_style_growth" -> tpcdsGrowth, tpcdsGrowthSql),
     ("tpcds_style_channel_rollup" -> tpcdsChannelRollup, tpcdsChannelRollupSql))
 
