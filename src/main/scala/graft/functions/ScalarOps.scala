@@ -412,6 +412,34 @@ object ScalarOps {
       |  CAST(TRY_CAST(CASE WHEN event_id % 2 = 0 THEN '2020-01-02 03:04:05' ELSE 'nope' END AS TIMESTAMP) AS VARCHAR) AS tts
       |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
 
+  // data masking + alias forms (SURVEY §2.10: mask, char_length,
+  // position/locate, left/right covered elsewhere). DuckDB emulates mask
+  // with regexp_replace chains — exact for the default X/x/n policy.
+  private val fnString4: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("mask(concat(upper(substring(lang, 1, 1)), lang, CAST(doc_id AS STRING), '!'))").as("masked"),
+        expr("mask(source, 'U', 'l', '#', '*')").as("masked_custom"),
+        expr("char_length(text)").as("clen"),
+        expr("character_length(lang)").as("clen2"),
+        expr("position('data' IN text)").as("pos_kw"),
+        locate("a", col("source"), 2).as("loc2"))
+      .orderBy(col("doc_id"))
+
+  private val fnString4Sql =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    upper(substr(lang, 1, 1)) || lang || CAST(doc_id AS VARCHAR) || '!',
+      |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    source, '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g') AS masked_custom,
+      |  CAST(length(text) AS INTEGER) AS clen,
+      |  CAST(length(lang) AS INTEGER) AS clen2,
+      |  CAST(position('data' IN text) AS INTEGER) AS pos_kw,
+      |  CAST(CASE WHEN strpos(substr(source, 2), 'a') = 0 THEN 0
+      |       ELSE strpos(substr(source, 2), 'a') + 1 END AS INTEGER) AS loc2
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // width_bucket / NaN handling / banker's rounding / expm1-log1p /
   // cot-sec-csc (SURVEY §2.10 stragglers). width_bucket bounds are
   // powers of two so both evaluation orders of the bucket formula are
@@ -597,6 +625,7 @@ object ScalarOps {
     "fn_string3" -> fnString3,
     "fn_try" -> fnTry,
     "fn_math3" -> fnMath3,
+    "fn_string4" -> fnString4,
     "sql_surface" -> sqlSurface,
     "fn_string2" -> fnString2,
     "fn_time" -> fnTime,
@@ -618,6 +647,7 @@ object ScalarOps {
     "fn_string3" -> fnString3Sql,
     "fn_try" -> fnTrySql,
     "fn_math3" -> fnMath3Sql,
+    "fn_string4" -> fnString4Sql,
     "sql_surface" -> sqlSurfaceSql,
     "fn_string2" -> fnString2Sql,
     "fn_time" -> fnTimeSql,

@@ -40,6 +40,25 @@ class MiscFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("url_encode/url_decode round-trip and match known encodings") {
+    val got = Seq("a b&c=d", "plain").toDF("s")
+      .select(expr("url_encode(s)").as("enc"), expr("url_decode(url_encode(s))").as("rt"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("a+b%26c%3Dd", "a b&c=d"), ("plain", "plain")))
+  }
+
+  test("luhn_check validates card-number checksums") {
+    val got = Seq("79927398713", "79927398710", "4111111111111111").toDF("s")
+      .select(expr("luhn_check(s)")).as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, true))
+  }
+
+  test("sentences tokenizes into sentence/word nesting") {
+    val got = spark.sql("SELECT sentences('Hi there. Bye now.')")
+      .first().getSeq[Seq[String]](0)
+    assert(got == Seq(Seq("Hi", "there"), Seq("Bye", "now")))
+  }
+
   test("raise_error raises and assert_true passes on true") {
     val ok = spark.range(1).select(expr("assert_true(id >= 0)")).collect()
     assert(ok.length == 1)
