@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExpressions.SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => GraftExpressions.SimHash64(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[GraftExpressions.DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => GraftExpressions.DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
       new FunctionIdentifier("bitmap_jaccard"),
       new ExpressionInfo(classOf[GraftExpressions.BitmapJaccard].getName, "bitmap_jaccard"),
       (exprs: Seq[Expression]) => GraftExpressions.BitmapJaccard(exprs(0), exprs(1))))

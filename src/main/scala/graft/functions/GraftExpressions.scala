@@ -122,6 +122,49 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /** Dot product of two float vectors in double precision — the inner
+    * loop of similarity search over PRE-NORMALIZED vectors, where
+    * cosine degenerates to a dot product (a third of the FLOPs of the
+    * full cosine). Codegen'd like [[CosineSimilarity]].
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dot_product"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $dot;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** 64-bit SimHash over an array of string tokens: each token is
     * xxhash64'd; per bit position the signed vote of all token hashes
     * decides the output bit. Near-duplicate docs differ in few bits →
@@ -176,6 +219,9 @@ object GraftExpressions {
 
   def bitmap_jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(BitmapJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** MinHash signature of a token array as `array<bigint>` of length k.
     * Composed purely from codegen'd built-ins: k independent hash
