@@ -119,25 +119,37 @@ object DedupOps {
     // single probe job: an over-limit fetch decides the path AND yields
     // the inline vocabulary when it fits
     val probe = vocabWords.orderBy(col("w")).limit(inlineMax + 1).as[String].collect()
-    val wordRows = groups.select(col("gid"), explode(col("words")).as("w"))
-    val (indexed, nVocab) =
+    val masks =
       if (probe.length <= inlineMax) {
-        (wordRows.withColumn("idx",
-          element_at(typedlit(probe.zipWithIndex.toMap), col("w")).cast("long")),
-          probe.length.toLong)
+        // inline path: the whole bitmap is a per-row expression over the
+        // cached groups — zero shuffles, zero extra jobs (the word→bit
+        // map is a codegen literal, chunks folded via aggregate())
+        val nChunks = (probe.length + 63) / 64
+        val idxMap = typedlit(probe.zipWithIndex.toMap)
+        groups.select(col("gid"),
+          transform(sequence(lit(0), lit(nChunks - 1)),
+            c => aggregate(col("words"), lit(0L), (m, w) => {
+              val idx = element_at(idxMap, w)
+              when((idx / 64).cast("int") === c,
+                m.bitwiseOR(call_function("shiftleft", lit(1L), (idx % 64).cast("int"))))
+                .otherwise(m)
+            })).as("mask"))
       } else {
+        // distributed path: contiguous ids from sortBy+zipWithIndex (no
+        // single-partition window at any vocabulary size), then a
+        // two-level chunk aggregation
         val vocab = vocabWords.as[String].rdd.sortBy(identity).zipWithIndex().toDF("w", "idx")
-        (wordRows.join(broadcast(vocab), Seq("w")), vocabWords.count())
+        val nChunks = (vocabWords.count().toInt + 63) / 64
+        groups.select(col("gid"), explode(col("words")).as("w"))
+          .join(broadcast(vocab), Seq("w"))
+          .groupBy(col("gid"), (col("idx") / 64).cast("int").as("chunk"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT)))").as("m"))
+          .groupBy(col("gid"))
+          .agg(map_from_entries(collect_list(struct(col("chunk"), col("m")))).as("mm"))
+          .select(col("gid"),
+            transform(sequence(lit(0), lit(nChunks - 1)),
+              c => coalesce(element_at(col("mm"), c), lit(0L))).as("mask"))
       }
-    val nChunks = ((nVocab + 63) / 64).toInt
-    val masks = indexed
-      .groupBy(col("gid"), (col("idx") / 64).cast("int").as("chunk"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT)))").as("m"))
-      .groupBy(col("gid"))
-      .agg(map_from_entries(collect_list(struct(col("chunk"), col("m")))).as("mm"))
-      .select(col("gid"),
-        transform(sequence(lit(0), lit(nChunks - 1)),
-          c => coalesce(element_at(col("mm"), c), lit(0L))).as("mask"))
     val crossGroup = cand
       .join(broadcast(masks.select(col("gid").as("gid_a"), col("mask").as("mask_a"))), Seq("gid_a"))
       .join(broadcast(masks.select(col("gid").as("gid_b"), col("mask").as("mask_b"))), Seq("gid_b"))
