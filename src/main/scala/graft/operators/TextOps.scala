@@ -211,9 +211,100 @@ object TextOps {
       |    CASE WHEN NOT in_budget THEN 'too_long' END], x -> x IS NOT NULL), ','), '') AS drop_reasons
       |FROM e ORDER BY doc_id""".stripMargin
 
+  /** Token-budget batch packing: assign docs to training batches so each
+    * batch holds ~8192 whitespace tokens, greedily in doc_id order
+    * within a language shard. Scale shape: one window per shard
+    * (partitionBy lang) — no global single-partition ordering; shards
+    * pack independently exactly as a distributed pipeline would.
+    */
+  private val docsPackBatches: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      // batch = budget bucket of the tokens BEFORE this doc, so a doc
+      // never splits and batches fill to the first overflow
+      .withColumn("batch_id", ((col("cum") - col("n_tok")) / 8192).cast("int"))
+      .select(col("lang"), col("doc_id"), col("n_tok"), col("batch_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  private val docsPackBatchesSql =
+    """SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+      |  CAST(floor((SUM(len(string_split(text, ' ')))
+      |      OVER (PARTITION BY lang ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    - len(string_split(text, ' '))) / 8192) AS INTEGER) AS batch_id
+      |FROM documents ORDER BY lang, doc_id""".stripMargin
+
+  /** PII-style redaction pass: emails, long digit runs and URLs are
+    * replaced with typed placeholders (regex chains — each rule is one
+    * codegen'd regexp_replace; the synthetic corpus is clean text, so
+    * rules are exercised on constructed columns too). */
+  private val textRedact: Q = (s, dir) => {
+    val synthetic = concat(col("text"), lit(" contact bob@mail.example or +1 555 0100 123"),
+      lit(" see https://ex.example/p?id="), col("doc_id"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(synthetic, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+        "https?://[^ ]+", "<URL>"),
+      "[0-9]{3,}", "<NUM>")
+    load(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), redacted.as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textRedactSql =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        text || ' contact bob@mail.example or +1 555 0100 123'
+      |             || ' see https://ex.example/p?id=' || doc_id,
+      |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+      |      'https?://[^ ]+', '<URL>', 'g'),
+      |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  /** corpus composition report: per language — doc share, token mass,
+    * quality rate (the summary a curation run reports before/after) */
+  private val docsCorpusStats: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    val stopCount = size(filter(words, w => w.isin(stopwords: _*)))
+    val isQ = nWords >= 20 && (stopCount.cast("double") / nWords) > 0.02
+    val perLang = load(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nWords.cast("bigint")).as("total_tokens"),
+        round(avg(isQ.cast("double")), 6).as("quality_rate"))
+    val total = perLang.agg(sum(col("n_docs")).as("corpus_docs"))
+    perLang.join(broadcast(total))
+      .withColumn("doc_share", round(col("n_docs").cast("double") / col("corpus_docs"), 6))
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("quality_rate"), col("doc_share"))
+      .orderBy(col("lang"))
+  }
+
+  private val docsCorpusStatsSql =
+    """WITH per AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+      |    round(avg(CAST(len(string_split(text, ' ')) >= 20 AND
+      |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','to','is','in'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) > 0.02 AS DOUBLE)), 6) AS quality_rate
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, n_docs, total_tokens, quality_rate,
+      |  round(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM per), 6) AS doc_share
+      |FROM per ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_decontaminate" -> textDecontaminate,
     "docs_curation" -> docsCuration,
+    "docs_pack_batches" -> docsPackBatches,
+    "text_redact" -> textRedact,
+    "docs_corpus_stats" -> docsCorpusStats,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
@@ -223,6 +314,9 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_decontaminate" -> textDecontaminateSql,
     "docs_curation" -> docsCurationSql,
+    "docs_pack_batches" -> docsPackBatchesSql,
+    "text_redact" -> textRedactSql,
+    "docs_corpus_stats" -> docsCorpusStatsSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
