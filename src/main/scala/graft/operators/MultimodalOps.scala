@@ -105,14 +105,36 @@ object MultimodalOps {
       |  decode(from_base64(to_base64(encode(substr(text, 1, 30))))) AS rt
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** payload chunking: split each document's payload into fixed 64-byte
+    * tiles with positions — the storage layout for range-fetching large
+    * media objects (chunks compared as hex; ASCII corpus keeps byte and
+    * char offsets aligned so the VARCHAR-sliced oracle is exact). */
+  private val mmChunk: Q = (s, dir) =>
+    load(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), floor((length(col("text")) - 1) / 64).cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        upper(hex(encode(col("text").substr(col("chunk_idx") * 64 + 1, lit(64)), "UTF-8"))).as("chunk_hex"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val mmChunkSql =
+    """SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+      |  upper(hex(encode(substr(text, ci * 64 + 1, 64)))) AS chunk_hex
+      |FROM (SELECT doc_id, text,
+      |        unnest(generate_series(0, CAST(floor((length(text) - 1) / 64) AS BIGINT))) AS ci
+      |      FROM documents WHERE doc_id < 200)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_decode_stub" -> mmDecodeStub,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_chunk_payload" -> mmChunk,
     "mm_base64" -> mmBase64)
 
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_chunk_payload" -> mmChunkSql,
     "mm_base64" -> mmBase64Sql)
 }

@@ -921,6 +921,24 @@ object RelationalOps {
        |QUALIFY o_year BETWEEN 1996 AND 1999
        |ORDER BY n_name, o_year""".stripMargin
 
+  // SQL FILTER clause on aggregates (identical dialect in both engines)
+  private val aggFilterClause: Q = (s, dir) => {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS DOUBLE) AS hi_rev
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val aggFilterClauseSql =
+    """SELECT o_orderstatus,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS DOUBLE) AS hi_rev
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ordered string aggregation (Spark 4 listagg WITHIN GROUP)
   private val aggListagg: Q = (s, dir) => {
     graft.Tables.registerAll(s, dir)
@@ -1163,6 +1181,7 @@ object RelationalOps {
     ("ev_user_histogram" -> evUserHistogram, evUserHistogramSql),
     ("ev_weekly_revenue_trend" -> evWeeklyTrend, evWeeklyTrendSql),
     ("ev_type_share_by_day" -> evTypeShare, evTypeShareSql),
+    ("agg_filter_clause" -> aggFilterClause, aggFilterClauseSql),
     ("agg_listagg" -> aggListagg, aggListaggSql),
     ("ev_session_window_native" -> evSessionWindowNative, evSessionWindowNativeSql),
     ("tpcds_style_growth" -> tpcdsGrowth, tpcdsGrowthSql),
