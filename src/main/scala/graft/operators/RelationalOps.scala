@@ -921,6 +921,32 @@ object RelationalOps {
        |QUALIFY o_year BETWEEN 1996 AND 1999
        |ORDER BY n_name, o_year""".stripMargin
 
+  // salted skew join, oracled: the fact side carries a deterministic
+  // salt, the dim side explodes all salt values, and the join runs on
+  // (key, salt) — splitting any hot key across `salts` tasks. The DuckDB
+  // oracle is the UNSALTED join: the hash gate proves salting is
+  // semantics-preserving, not just a spec-level trick.
+  private val joinSalted: Q = (s, dir) => {
+    val salts = 8
+    val fact = load(s, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_linenumber"), col("l_partkey")), lit(salts)))
+    val dim = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    fact.join(dim, fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val joinSaltedSql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // SQL FILTER clause on aggregates (identical dialect in both engines)
   private val aggFilterClause: Q = (s, dir) => {
     graft.Tables.registerAll(s, dir)
@@ -1181,6 +1207,7 @@ object RelationalOps {
     ("ev_user_histogram" -> evUserHistogram, evUserHistogramSql),
     ("ev_weekly_revenue_trend" -> evWeeklyTrend, evWeeklyTrendSql),
     ("ev_type_share_by_day" -> evTypeShare, evTypeShareSql),
+    ("join_salted_skew" -> joinSalted, joinSaltedSql),
     ("agg_filter_clause" -> aggFilterClause, aggFilterClauseSql),
     ("agg_listagg" -> aggListagg, aggListaggSql),
     ("ev_session_window_native" -> evSessionWindowNative, evSessionWindowNativeSql),
