@@ -209,6 +209,46 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** MinHash signature as a single native expression: k hash functions
+    * realized as XXH64(token bytes, seed = perm index), min per perm, in
+    * one O(k·d) allocation-free loop. Replaces the composed-builtins
+    * form (transform(sequence(k), i -> array_min(transform(tokens,
+    * xxhash64(t, i))))) which allocates k intermediate arrays per row
+    * and generates a large codegen body — on the dedup pipeline the
+    * signature is computed for every distinct document set, so both the
+    * compile-time and per-row costs matter.
+    */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = s"minhash_signature($k)"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = new Array[Long](k)
+      java.util.Arrays.fill(sig, Long.MaxValue)
+      var t = 0
+      while (t < n) {
+        if (!arr.isNullAt(t)) {
+          val s = arr.getUTF8String(t)
+          var j = 0
+          while (j < k) {
+            val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
+        }
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ------------------------------------------------------ column helpers
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -223,13 +263,14 @@ object GraftExpressions {
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** MinHash signature of a token array as `array<bigint>` of length k.
-    * Composed purely from codegen'd built-ins: k independent hash
-    * functions realized as xxhash64 over (token, perm-index) — no
-    * wrapping arithmetic (ANSI-safe; Spark 4 defaults ANSI on) and no
-    * correlated linear permutations.
-    */
+  /** MinHash signature of a token array as `array<bigint>` of length k
+    * (native [[MinHashSignature]] expression). */
   def minhash_signature(tokens: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(tokens), k))
+
+  /** the composed-builtins formulation kept for cross-checking the
+    * native expression (k independent hashes as xxhash64(token, i)) */
+  def minhash_signature_composed(tokens: Column, k: Int): Column =
     transform(
       sequence(lit(0L), lit(k.toLong - 1)),
       i => array_min(transform(tokens, t => xxhash64(t, i))))

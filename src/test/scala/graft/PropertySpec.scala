@@ -63,6 +63,32 @@ class PropertySpec extends AnyFunSuite {
     assert(a == b, "permuting tokens must not change the signature")
   }
 
+  test("native minhash signature has the banding properties of the composed form") {
+    val rnd = new Random(23)
+    val vocab = (0 until 60).map(i => s"w$i")
+    val sets = Seq.fill(60)(rnd.shuffle(vocab).take(1 + rnd.nextInt(25)))
+    def sigs(f: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column) =
+      sets.toDF("toks").select(f(col("toks"), 16)).as[Seq[Long]].collect().toSeq
+    val native = sigs(graft.functions.GraftExpressions.minhash_signature)
+    // identical sets -> identical signatures regardless of token order
+    val shuffled = sets.map(s => rnd.shuffle(s))
+    val native2 = shuffled.toDF("toks")
+      .select(graft.functions.GraftExpressions.minhash_signature(col("toks"), 16))
+      .as[Seq[Long]].collect().toSeq
+    assert(native == native2)
+    // signature agreement rate approximates jaccard (the LSH contract):
+    // for each pair, |{j: sig_a(j)==sig_b(j)}|/k should be near jaccard
+    val pairs = for (i <- sets.indices; j <- sets.indices if i < j) yield (i, j)
+    val errs = pairs.map { case (i, j) =>
+      val ja = sets(i).toSet.intersect(sets(j).toSet).size.toDouble /
+        sets(i).toSet.union(sets(j).toSet).size
+      val agree = native(i).zip(native(j)).count { case (a, b) => a == b } / 16.0
+      math.abs(ja - agree)
+    }
+    // k=16 => stderr ~ sqrt(j(1-j)/16) <= 0.125; mean error well below
+    assert(errs.sum / errs.size < 0.15, f"mean |jaccard - agreement| = ${errs.sum / errs.size}%.3f")
+  }
+
   test("simhash: identical token sets collide, disjoint sets differ") {
     val toks = (0 until 30).map(i => s"tok$i")
     val df = Seq(toks, toks.reverse, toks.map(_ + "X")).toDF("t")
