@@ -22,6 +22,12 @@ object GraftConf {
     "vocabularies at or below this size are collected and inlined as a " +
       "codegen map literal for bitmap indexing (the small-dim broadcast " +
       "analog); larger vocabularies take the distributed sortBy+zipWithIndex path")
+  val DedupBroadcastMaxBytes: Entry[Long] = Entry("spark.graft.dedup.broadcastMaxBytes", 64L * 1024 * 1024,
+    "estimated size ceiling for broadcasting the set-level bitmap/member " +
+      "tables in the LSH verify/expand joins; corpora whose distinct-set " +
+      "tables exceed it use shuffle joins on gid instead (AQE may still " +
+      "convert at runtime from observed sizes — that conversion is " +
+      "stats-driven and safe, unlike an unconditional broadcast hint)")
   val SimTopK: Entry[Int] = Entry("spark.graft.similarity.topk", 5,
     "neighbors returned per query vector")
   val SimLshBits: Entry[Int] = Entry("spark.graft.similarity.lsh.bits", 8,
@@ -33,8 +39,11 @@ object GraftConf {
   def getDouble(spark: SparkSession, e: Entry[Double]): Double =
     spark.conf.getOption(e.key).map(_.toDouble).getOrElse(e.default)
 
+  def getLong(spark: SparkSession, e: Entry[Long]): Long =
+    spark.conf.getOption(e.key).map(_.toLong).getOrElse(e.default)
+
   /** all registered entries (for docs / introspection) */
   val entries: Seq[Entry[_]] =
     Seq(DedupLshPerms, DedupLshBands, DedupJaccardThreshold,
-      DedupVocabInlineMax, SimTopK, SimLshBits)
+      DedupVocabInlineMax, DedupBroadcastMaxBytes, SimTopK, SimLshBits)
 }

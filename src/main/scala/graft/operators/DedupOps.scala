@@ -69,7 +69,12 @@ object DedupOps {
     * the band stage w.p. (1-0.9³)^16 ≈ 8.5e-10 — zero expected misses
     * (empirically exact at sf0.01).
     */
-  private val dedupMinhashLsh: Q = (s, dir) => {
+  private val dedupMinhashLsh: Q = (s, dir) => minhashLshImpl(s, dir)._1
+
+  /** Implementation shared with [[dedupClusters]]; returns the pair
+    * DataFrame plus the cached set-level table so callers that
+    * materialize the pairs themselves can release the cache. */
+  private def minhashLshImpl(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     // tunables from the spark.graft.* namespace (defaults = oracled semantics)
     val perms = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshPerms)
@@ -119,14 +124,14 @@ object DedupOps {
     // single probe job: an over-limit fetch decides the path AND yields
     // the inline vocabulary when it fits
     val probe = vocabWords.orderBy(col("w")).limit(inlineMax + 1).as[String].collect()
-    val masks =
+    val (masks, nChunks) =
       if (probe.length <= inlineMax) {
         // inline path: the whole bitmap is a per-row expression over the
         // cached groups — zero shuffles, zero extra jobs (the word→bit
         // map is a codegen literal, chunks folded via aggregate())
         val nChunks = (probe.length + 63) / 64
         val idxMap = typedlit(probe.zipWithIndex.toMap)
-        groups.select(col("gid"),
+        val m = groups.select(col("gid"),
           transform(sequence(lit(0), lit(nChunks - 1)),
             c => aggregate(col("words"), lit(0L), (m, w) => {
               val idx = element_at(idxMap, w)
@@ -134,14 +139,19 @@ object DedupOps {
                 m.bitwiseOR(call_function("shiftleft", lit(1L), (idx % 64).cast("int"))))
                 .otherwise(m)
             })).as("mask"))
+        (m, nChunks)
       } else {
         // distributed path: contiguous ids from sortBy+zipWithIndex (no
         // single-partition window at any vocabulary size), then a
-        // two-level chunk aggregation
+        // two-level chunk aggregation. The word→id join is a plain
+        // shuffle join on w: this branch exists because the vocabulary
+        // outgrew the inline budget, and a web-scale vocabulary is
+        // unbounded, so it must never be broadcast unconditionally
+        // (AQE may still convert from observed runtime sizes).
         val vocab = vocabWords.as[String].rdd.sortBy(identity).zipWithIndex().toDF("w", "idx")
         val nChunks = (vocabWords.count().toInt + 63) / 64
-        groups.select(col("gid"), explode(col("words")).as("w"))
-          .join(broadcast(vocab), Seq("w"))
+        val m = groups.select(col("gid"), explode(col("words")).as("w"))
+          .join(vocab, Seq("w"))
           .groupBy(col("gid"), (col("idx") / 64).cast("int").as("chunk"))
           .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT)))").as("m"))
           .groupBy(col("gid"))
@@ -149,23 +159,54 @@ object DedupOps {
           .select(col("gid"),
             transform(sequence(lit(0), lit(nChunks - 1)),
               c => coalesce(element_at(col("mm"), c), lit(0L))).as("mask"))
+        (m, nChunks)
       }
-    val crossGroup = cand
-      .join(broadcast(masks.select(col("gid").as("gid_a"), col("mask").as("mask_a"))), Seq("gid_a"))
-      .join(broadcast(masks.select(col("gid").as("gid_b"), col("mask").as("mask_b"))), Seq("gid_b"))
-      .withColumn("jaccard", GraftExpressions.bitmap_jaccard(col("mask_a"), col("mask_b")))
-      .filter(col("jaccard") >= threshold)
-      // multi-band hits collapse here — at the *set-pair* level the
-      // surviving list is tiny, so the distinct shuffle is negligible
-      .select(col("gid_a"), col("gid_b"), col("jaccard"))
-      .distinct()
+    // Both the verify (bitmap) and expand (member-list) joins pair the
+    // candidate list against set-level tables with one row per distinct
+    // word-set — O(corpus) rows, so an unconditional broadcast would OOM
+    // the driver first at 100 TB. Broadcast only when the estimated
+    // bitmap bytes fit the configured budget, probed with an
+    // early-stopping limit+count over the cached groups (no full pass);
+    // otherwise plan shuffle joins on gid and let AQE downgrade to
+    // broadcast only where runtime stats prove a side small.
+    val budget = graft.GraftConf.getLong(s, graft.GraftConf.DedupBroadcastMaxBytes)
+    val rowBytes = nChunks * 8L + 32L
+    val maxSets = math.min(Int.MaxValue - 1L, budget / rowBytes).toInt
+    val smallSets = maxSets > 0 && groups.limit(maxSets + 1).count() <= maxSets
+    val maskA = masks.select(col("gid").as("gid_a"), col("mask").as("mask_a"))
+    val maskB = masks.select(col("gid").as("gid_b"), col("mask").as("mask_b"))
+    val crossGroup =
+      if (smallSets) {
+        cand
+          .join(broadcast(maskA), Seq("gid_a"))
+          .join(broadcast(maskB), Seq("gid_b"))
+          .withColumn("jaccard", GraftExpressions.bitmap_jaccard(col("mask_a"), col("mask_b")))
+          .filter(col("jaccard") >= threshold)
+          // multi-band hits collapse here — at the *set-pair* level the
+          // surviving list is tiny, so the distinct shuffle is negligible
+          .select(col("gid_a"), col("gid_b"), col("jaccard"))
+          .distinct()
+      } else {
+        // shuffle-join path: collapse multi-band hits BEFORE the mask
+        // joins (one verification per unique set pair instead of one per
+        // band hit), then join by gid — masks never leave the executors
+        cand.distinct()
+          .join(maskA, Seq("gid_a"))
+          .join(maskB, Seq("gid_b"))
+          .withColumn("jaccard", GraftExpressions.bitmap_jaccard(col("mask_a"), col("mask_b")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("gid_a"), col("gid_b"), col("jaccard"))
+      }
     // identical word-sets are near-dups at exactly j = 1.0
     val selfGroup = groups.filter(size(col("members")) > 1)
       .select(col("gid").as("gid_a"), col("gid").as("gid_b"), lit(1.0).as("jaccard"))
-    val mem = groups.select(col("gid"), col("members"))
-    crossGroup.union(selfGroup)
-      .join(broadcast(mem.select(col("gid").as("gid_a"), col("members").as("ma"))), Seq("gid_a"))
-      .join(broadcast(mem.select(col("gid").as("gid_b"), col("members").as("mb"))), Seq("gid_b"))
+    val memA = groups.select(col("gid").as("gid_a"), col("members").as("ma"))
+    val memB = groups.select(col("gid").as("gid_b"), col("members").as("mb"))
+    val paired = crossGroup.union(selfGroup)
+    val expanded =
+      if (smallSets) paired.join(broadcast(memA), Seq("gid_a")).join(broadcast(memB), Seq("gid_b"))
+      else paired.join(memA, Seq("gid_a")).join(memB, Seq("gid_b"))
+    val out = expanded
       .select(col("gid_a"), col("gid_b"), col("jaccard"), explode(col("ma")).as("da"), col("mb"))
       .select(col("gid_a"), col("gid_b"), col("jaccard"), col("da"), explode(col("mb")).as("db"))
       .filter(col("gid_a") =!= col("gid_b") || col("da") < col("db"))
@@ -173,6 +214,7 @@ object DedupOps {
         greatest(col("da"), col("db")).as("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+    (out, groups)
   }
 
   private val dedupMinhashLshSql =
@@ -288,37 +330,51 @@ object DedupOps {
     * dedup primitive. Oracle: DuckDB recursive-CTE transitive closure.
     */
   private val dedupClusters: Q = (s, dir) => {
-    // materialize the pair list once: every propagation round re-reads
-    // edges, and caching here turns each round's plan leaf into an
-    // InMemoryTableScan instead of the whole LSH DAG (both the repeated
-    // compute and the per-round plan size would otherwise grow with the
-    // upstream pipeline)
-    val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b")).cache()
+    // materialize the pair list once and cut its lineage: every
+    // propagation round re-reads edges, and an eager localCheckpoint
+    // turns each round's plan leaf into an RDD scan instead of the whole
+    // LSH DAG — after which the LSH stage's set-level cache is dead and
+    // released immediately (the long-lived Verify/Bench session would
+    // otherwise accumulate executor storage across queries)
+    val (lsh, groupsCache) = minhashLshImpl(s, dir)
+    val pairs = lsh.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    groupsCache.unpersist()
+    val docs = load(s, dir, "documents").select(col("doc_id"))
+    val labels = propagateMinLabels(pairs, docs)
+    labels.groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_member"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  /** Min-label propagation to fixpoint over an undirected pair graph.
+    * Each round is one shuffle on doc_id; every round ends in an EAGER
+    * `localCheckpoint()` so the next round's plan references a
+    * materialized RDD leaf, not the previous round's plan. Without the
+    * checkpoint the logical plan references `labels` twice per round and
+    * doubles every iteration — round 20 would be a ~2^20-node tree (a
+    * 1.9 GB plan string was observed in practice); with it the plan is
+    * constant-size per round at any iteration count. `pairs` must be
+    * materialized (checkpointed/cached) by the caller. */
+  private[graft] def propagateMinLabels(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-    val docs = load(s, dir, "documents").select(col("doc_id"))
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-    var prev: Option[org.apache.spark.sql.DataFrame] = None
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
       val neighborMin = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
+      // eager: materializes this round and truncates lineage in one pass
       val updated = labels.join(neighborMin, col("doc_id") === col("src"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"),
           (col("nb_label").isNotNull && col("nb_label") < col("label")).as("chg"))
-      updated.cache()
+        .localCheckpoint()
       changed = updated.filter(col("chg")).count()
-      // the new round is materialized; the previous round's cache is dead
-      prev.foreach(_.unpersist())
-      prev = Some(updated)
       labels = updated.select(col("doc_id"), col("label"))
       rounds += 1
     }
-    labels.groupBy(col("label").as("cluster_rep"))
-      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_member"))
-      .orderBy(col("cluster_rep"))
+    labels
   }
 
   private val dedupClustersSql =

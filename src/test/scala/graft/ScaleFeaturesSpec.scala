@@ -68,6 +68,53 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     assert(plan.contains("AQEShuffleRead") || plan.contains("coalesced"), plan.take(2000))
   }
 
+  test("LSH verify/expand stages plan shuffle joins when the broadcast budget is exceeded") {
+    // With the set-level broadcast budget forced to ~zero and the
+    // stats-driven auto-broadcast disabled, the verify (bitmap) and
+    // expand (member-list) joins must carry NO unconditional broadcast
+    // hint — the initial physical plan is pure shuffle joins, which is
+    // the only shape that survives an O(corpus) distinct-set table at
+    // 100 TB (AQE may still downgrade from observed runtime sizes, but
+    // that conversion is stats-driven, not a hint).
+    withConf(
+      GraftConf.DedupBroadcastMaxBytes.key -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val pairs = operators.DedupOps.queries("dedup_minhash_lsh")(spark, dir)
+      // sparkPlan = the planner's join choices before EnsureRequirements
+      // inserts exchanges — broadcast-ness shows as the join operator type
+      val initial = pairs.queryExecution.sparkPlan.toString
+      assert(!initial.contains("BroadcastHashJoin"),
+        "guarded LSH must not hint broadcasts over set-level tables:\n" + initial.take(3000))
+      assert(pairs.limit(1).collect().nonEmpty)
+    }
+    // and with an ample budget the small-corpus fast path still hints
+    // the broadcasts (threshold=-1 ⇒ only explicit hints can produce one)
+    withConf(
+      GraftConf.DedupBroadcastMaxBytes.key -> (64L * 1024 * 1024).toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val pairs = operators.DedupOps.queries("dedup_minhash_lsh")(spark, dir)
+      assert(pairs.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+    }
+  }
+
+  test("label propagation keeps a constant-size plan across rounds") {
+    import spark.implicits._
+    // a 16-node path graph forces ~15 propagation rounds — without
+    // per-round lineage truncation the logical plan doubles each round
+    // (2^15 nodes; a 1.9 GB plan string was observed in practice) and
+    // this assertion could not hold
+    val n = 16
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L))
+      .toDF("doc_a", "doc_b").localCheckpoint()
+    val docs = (0 until n).map(_.toLong).toDF("doc_id")
+    val labels = operators.DedupOps.propagateMinLabels(pairs, docs)
+    val planLen = labels.queryExecution.optimizedPlan.toString.length
+    assert(planLen < 10000, s"plan string grew to $planLen chars — lineage not truncated")
+    val out = labels.collect()
+    assert(out.length == n && out.forall(_.getLong(1) == 0L),
+      "every node in the path must adopt label 0")
+  }
+
   test("scala UDF registry surface (the .so-registry analog)") {
     val qualityScore = udf((nWords: Int, stopRatio: Double) =>
       if (nWords >= 20 && stopRatio > 0.02) 1.0 else 0.0)
