@@ -268,8 +268,12 @@ object GraftExpressions {
   def minhash_signature(tokens: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(tokens), k))
 
-  /** the composed-builtins formulation kept for cross-checking the
-    * native expression (k independent hashes as xxhash64(token, i)) */
+  /** Composed-builtins formulation kept ONLY for statistical/banding
+    * cross-checks (PropertySpec): a different hash family from the native
+    * expression — xxhash64(token, i) hashes the (token, i) pair with
+    * Spark's fixed seed 42, while [[MinHashSignature]] runs XXH64 over
+    * the token bytes with seed = permutation index — so the two are
+    * never value-equal, only statistically comparable. */
   def minhash_signature_composed(tokens: Column, k: Int): Column =
     transform(
       sequence(lit(0L), lit(k.toLong - 1)),

@@ -67,6 +67,11 @@ case class AsOfJoinExec(
     forward: Boolean,
     toleranceUnits: Option[Long]) extends BinaryExecNode {
 
+  // mixed time types (e.g. DateType vs TimestampType) would compare days
+  // against microseconds in the tolerance arithmetic and feed mixed boxed
+  // types to the interpreted ordering — reject at plan time
+  require(rightTime.dataType == leftTime.dataType,
+    s"as-of join requires matching time types, got ${leftTime.dataType} vs ${rightTime.dataType}")
   if (toleranceUnits.isDefined) {
     require(Seq(TimestampType, DateType, LongType, IntegerType).contains(leftTime.dataType),
       s"as-of tolerance requires an integral-backed time type, got ${leftTime.dataType}")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,9 +53,22 @@ class EventsV2Table(rows: Long, partitions: Int, rowsPerBatch: Long)
     new EventsV2ScanBuilder(rows, partitions, rowsPerBatch)
 }
 
-/** id-offset for the micro-batch stream: rows [0, id) have been planned */
-case class EventsV2Offset(id: Long) extends Offset {
-  override def json(): String = id.toString
+/** Per-source-partition offset vector for the micro-batch stream — the
+  * Kafka offset model (partition → next position), serialized as a JSON
+  * array indexed by partition. positions(i) means partition i has
+  * planned all its rows below that id. */
+case class EventsV2StreamOffset(positions: IndexedSeq[Long]) extends Offset {
+  override def json(): String = positions.mkString("[", ",", "]")
+}
+
+object EventsV2StreamOffset {
+  def fromJson(json: String): EventsV2StreamOffset = {
+    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
+    // a legacy single-long offset ("300") parses as a 1-element vector
+    val xs = if (body.isEmpty) IndexedSeq.empty[Long]
+      else body.split(",").toIndexedSeq.map(_.trim.toLong)
+    EventsV2StreamOffset(xs)
+  }
 }
 
 class EventsV2ScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 100L)
@@ -107,32 +120,12 @@ class EventsV2Scan(lo: Long, hi: Long, partitions: Int,
       s"ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
 
-  /** micro-batch stream over the same generator: each batch advances the
-    * id-offset by rowsPerBatch until the configured row count is
-    * exhausted — the MicroBatchStream/Offset protocol table-format
-    * streaming sources (Kafka module analog, gluten-kafka) plug into. */
+  /** micro-batch stream over the same generator — the MicroBatchStream/
+    * Offset protocol table-format streaming sources (the Kafka module
+    * analog, gluten-kafka) plug into. Kafka-shaped: multiple source
+    * partitions with independent per-partition offset cursors. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MicroBatchStream {
-      // rate limit lives in offset PACING: each latestOffset() call
-      // advances at most rowsPerBatch; planInputPartitions always serves
-      // exactly [start, end) so no offset range can skip rows
-      private var cursor = lo
-      override def initialOffset(): Offset = EventsV2Offset(lo)
-      override def latestOffset(): Offset = {
-        cursor = math.min(hi, cursor + rowsPerBatch)
-        EventsV2Offset(cursor)
-      }
-      override def deserializeOffset(json: String): Offset = EventsV2Offset(json.toLong)
-      override def commit(end: Offset): Unit = ()
-      override def stop(): Unit = ()
-      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-        val s0 = start.asInstanceOf[EventsV2Offset].id
-        val e0 = end.asInstanceOf[EventsV2Offset].id
-        if (e0 <= s0) Array.empty
-        else Array(EventsV2Partition(s0, e0, required.fieldNames))
-      }
-      override def createReaderFactory(): PartitionReaderFactory = new EventsV2ReaderFactory
-    }
+    new EventsV2MicroBatchStream(lo, hi, partitions, rowsPerBatch, required)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = hi - lo
@@ -147,6 +140,93 @@ class EventsV2Scan(lo: Long, hi: Long, partitions: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EventsV2ReaderFactory
+}
+
+/** Kafka-shaped micro-batch stream: the id range [lo, hi) is split into
+  * `partitions` contiguous source partitions, each with its own monotone
+  * cursor; the stream offset is the vector of per-partition positions
+  * (the Kafka partition→offset model). Rate limiting lives in offset
+  * PACING — each latestOffset() advances every partition by at most
+  * ceil(rowsPerBatch/partitions); planInputPartitions always serves
+  * exactly [start_i, end_i) per partition, so no offset range can skip
+  * rows.
+  *
+  * Restart contract ([[SupportsAdmissionControl]]): a fresh stream
+  * instance's pacing cursors start at the range floor, so Spark's
+  * restored start offset must win — `latestOffset(start, limit)`
+  * reconciles the cursors FORWARD from the checkpointed offset before
+  * advancing (deserializeOffset and planInputPartitions clamp too, for
+  * the replay-uncommitted-batch path). The offset log therefore stays
+  * monotone across restarts and previously-committed ranges are never
+  * re-planned — exactly-once into an append sink. Without admission
+  * control the no-arg latestOffset() is called before the source ever
+  * sees the restored offset and a restarted query would regress the log.
+  */
+class EventsV2MicroBatchStream(lo: Long, hi: Long, partitions: Int,
+    rowsPerBatch: Long, required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl {
+  private val p = math.max(1L, math.min(partitions.toLong, math.max(hi - lo, 1L))).toInt
+  /** partition i owns ids [bound(i), bound(i+1)) */
+  private def bound(i: Int): Long = lo + (hi - lo) * i / p
+  private val perBatch = math.max(1L, (rowsPerBatch + p - 1) / p)
+  private val cursors: Array[Long] = Array.tabulate(p)(bound)
+
+  private def clampForward(o: EventsV2StreamOffset): Unit = {
+    var i = 0
+    while (i < p && i < o.positions.length) {
+      cursors(i) = math.max(cursors(i), o.positions(i)); i += 1
+    }
+  }
+
+  override def initialOffset(): Offset =
+    EventsV2StreamOffset(IndexedSeq.tabulate(p)(bound))
+
+  private def advance(): Offset = {
+    var i = 0
+    while (i < p) {
+      cursors(i) = math.min(bound(i + 1), cursors(i) + perBatch); i += 1
+    }
+    EventsV2StreamOffset(cursors.toIndexedSeq)
+  }
+
+  /** Admission-control pacing: Spark passes the restored/committed start
+    * offset — reconcile forward, then advance one paced step. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    clampForward(start.asInstanceOf[EventsV2StreamOffset])
+    advance()
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset =
+    EventsV2StreamOffset(IndexedSeq.tabulate(p)(i => bound(i + 1)))
+
+  // Spark only calls this variant when the source does NOT implement
+  // SupportsAdmissionControl; kept as a safe fallback
+  override def latestOffset(): Offset = advance()
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = EventsV2StreamOffset.fromJson(json)
+    clampForward(o) // restart: never pace below a checkpointed offset
+    o
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EventsV2StreamOffset]
+    val e = end.asInstanceOf[EventsV2StreamOffset]
+    clampForward(e) // restart path: first call may precede any latestOffset()
+    (0 until p).flatMap { i =>
+      val s0 = if (i < s.positions.length) s.positions(i) else bound(i)
+      val e0 = if (i < e.positions.length) e.positions(i) else bound(i)
+      if (e0 > s0) Some(EventsV2Partition(s0, e0, required.fieldNames): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new EventsV2ReaderFactory
 }
 
 case class EventsV2Partition(start: Long, end: Long, fields: Array[String])

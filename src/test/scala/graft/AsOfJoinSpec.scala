@@ -26,6 +26,19 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("d", None)))     // key 3 has no quotes
   }
 
+  test("mixed time types are rejected at planning") {
+    import spark.implicits._
+    val l = Seq((1L, java.sql.Date.valueOf("2024-01-02"))).toDF("k", "t")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("rk", "rt")
+    val e = intercept[Exception] {
+      asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt").collect()
+    }
+    // DateType days vs TimestampType micros must never be merged silently
+    assert(e.getMessage != null && e.toString.contains("matching time types")
+      || Option(e.getCause).exists(_.getMessage.contains("matching time types")),
+      s"unexpected error: $e")
+  }
+
   test("forward as-of join: earliest right at-or-after left time") {
     import spark.implicits._
     val trades = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d"))

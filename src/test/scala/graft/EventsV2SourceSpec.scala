@@ -61,6 +61,29 @@ class EventsV2SourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multi-partition stream offsets recover exactly-once across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("v2_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("v2_out").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.format("graft.sources.EventsV2Source")
+        .option("rows", "300").option("rowsPerBatch", "80").option("partitions", "3").load()
+      val q = stream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    // 300 rows at ≤81/batch over 3 source partitions (Kafka-shaped
+    // per-partition cursors) needs ≥4 single-batch runs; every run is a
+    // FRESH stream instance whose pacing cursors must be reconciled
+    // forward from the checkpointed offset vector — without the clamp
+    // the second run would regress the offset log and re-plan batch 1's
+    // ranges, duplicating rows in the append sink
+    (1 to 6).foreach(_ => runOnce())
+    val ids = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 300L), s"got ${ids.length} rows (dups or gaps)")
+  }
+
   test("generated content is deterministic and joinable with relational ops") {
     val agg = src.groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1)))
