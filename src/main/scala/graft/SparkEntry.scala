@@ -18,6 +18,7 @@ object SparkEntry {
   private def groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (TpchLike.queries, TpchLike.oracles),
+      (TpcdsPatterns.queries, TpcdsPatterns.oracles),
       (RelationalOps.queries, RelationalOps.oracles),
       (ScalarOps.queries, ScalarOps.oracles),
       (DedupOps.queries, DedupOps.oracles),

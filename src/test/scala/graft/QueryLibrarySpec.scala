@@ -50,6 +50,16 @@ class QueryLibrarySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("tpcds-style date-dim star join broadcasts the derived dimension") {
+    // the derived date_dim is one row per distinct day — it must plan as
+    // a broadcast side (the real-date_dim behavior at any fact scale)
+    val plan = SparkEntry.queries("tpcds_style_q3_brand")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ordered LIMIT must not global-sort:\n" + plan.take(2000))
+  }
+
   test("semi/anti joins plan as join operators, not subquery re-scans") {
     val semi = SparkEntry.queries("join_left_semi")(spark, dir)
       .queryExecution.executedPlan.toString
