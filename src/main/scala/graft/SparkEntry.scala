@@ -19,6 +19,7 @@ object SparkEntry {
     Seq(
       (TpchLike.queries, TpchLike.oracles),
       (TpcdsPatterns.queries, TpcdsPatterns.oracles),
+      (ClickbenchPatterns.queries, ClickbenchPatterns.oracles),
       (RelationalOps.queries, RelationalOps.oracles),
       (ScalarOps.queries, ScalarOps.oracles),
       (DedupOps.queries, DedupOps.oracles),
