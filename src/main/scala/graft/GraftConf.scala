@@ -28,6 +28,11 @@ object GraftConf {
       "tables exceed it use shuffle joins on gid instead (AQE may still " +
       "convert at runtime from observed sizes — that conversion is " +
       "stats-driven and safe, unlike an unconditional broadcast hint)")
+  val ForceShuffledHashJoin: Entry[Boolean] = Entry("spark.graft.forceShuffledHashJoin", false,
+    "rewrite planner-chosen sort-merge joins to shuffled hash joins with " +
+      "a stats-chosen build side (RewriteJoinBuildSide); off by default " +
+      "because a large-large SHJ must fit its build side in executor " +
+      "memory where SMJ spills gracefully")
   val SimTopK: Entry[Int] = Entry("spark.graft.similarity.topk", 5,
     "neighbors returned per query vector")
   val SimLshBits: Entry[Int] = Entry("spark.graft.similarity.lsh.bits", 8,
@@ -42,8 +47,12 @@ object GraftConf {
   def getLong(spark: SparkSession, e: Entry[Long]): Long =
     spark.conf.getOption(e.key).map(_.toLong).getOrElse(e.default)
 
+  def getBoolean(spark: SparkSession, e: Entry[Boolean]): Boolean =
+    spark.conf.getOption(e.key).map(_.toBoolean).getOrElse(e.default)
+
   /** all registered entries (for docs / introspection) */
   val entries: Seq[Entry[_]] =
     Seq(DedupLshPerms, DedupLshBands, DedupJaccardThreshold,
-      DedupVocabInlineMax, DedupBroadcastMaxBytes, SimTopK, SimLshBits)
+      DedupVocabInlineMax, DedupBroadcastMaxBytes, ForceShuffledHashJoin,
+      SimTopK, SimLshBits)
 }
