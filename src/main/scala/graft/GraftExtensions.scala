@@ -105,6 +105,9 @@ object GraftSession {
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // engine-owned cache encoding (static conf, set before the session
+      // exists): dense row batches, see GraftCachedBatchSerializer
+      .config("spark.sql.cache.serializer", classOf[sources.GraftCachedBatchSerializer].getName)
       // Plan/explain strings are O(plan size) driver heap; iterative
       // pipelines (label propagation, stream batches) grow plans every
       // round, and an unbounded toString is a driver-OOM vector long
