@@ -371,6 +371,10 @@ object RelationalOps {
       |  COUNT(*) OVER (PARTITION BY p_brand ORDER BY p_size RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS cnt5
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // NOTE: an empty-partition global window is a single task sorting the
+  // whole table — report-grain only; the scale path is
+  // `window_ntile_scalable` below (distributed sort + per-partition
+  // offset ranks, no single-partition stage).
   private val windowNtile: Q = (s, dir) => {
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
     load(s, dir, "orders")
@@ -385,6 +389,40 @@ object RelationalOps {
       |  round(cume_dist() OVER w, 9) AS cd, round(percent_rank() OVER w, 9) AS pr
       |FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey LIMIT 1000""".stripMargin
+
+  /** Scale-safe global NTILE: a distributed range-partitioned sort plus
+    * `zipWithIndex` (per-partition counts → cumulative offsets in one
+    * extra job) yields exact global ranks with NO single-partition
+    * WindowExec at any size; the bucket is then pure arithmetic on the
+    * rank, reproducing SQL NTILE semantics exactly (the first N mod b
+    * buckets get one extra row). Oracle: DuckDB's native NTILE over the
+    * same total order. */
+  private val windowNtileScalable: Q = (s, dir) => {
+    val b = 4L
+    val base = load(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val n = base.count()
+    val sorted = base.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType))
+    val ranked = s.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
+    val sz = n / b
+    val rem = n % b
+    ranked.select(col("o_orderkey"),
+        when(lit(rem) > 0 && col("rnk") <= rem * (sz + 1),
+          expr(s"CAST((rnk - 1) DIV ${sz + 1} AS INT) + 1"))
+          .otherwise(expr(s"CAST($rem + (rnk - 1 - $rem * (${sz + 1})) DIV $sz AS INT) + 1"))
+          .as("bucket"))
+      .orderBy(col("o_orderkey"))
+      .limit(1000)
+  }
+
+  private val windowNtileScalableSql =
+    """SELECT o_orderkey, CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS bucket
+      |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin
 
   // top-1-per-group: Spark ≥3.5 plans this as WindowGroupLimit (rank pushdown)
   private val windowGroupLimit: Q = (s, dir) => {
@@ -1177,6 +1215,7 @@ object RelationalOps {
     ("window_running" -> windowRunning, windowRunningSql),
     ("window_range_frame" -> windowRangeFrame, windowRangeFrameSql),
     ("window_ntile" -> windowNtile, windowNtileSql),
+    ("window_ntile_scalable" -> windowNtileScalable, windowNtileScalableSql),
     ("window_group_limit" -> windowGroupLimit, windowGroupLimitSql),
     ("sort_nulls" -> sortNulls, sortNullsSql),
     ("limit_offset" -> limitOffset, limitOffsetSql),

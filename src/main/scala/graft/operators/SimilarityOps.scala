@@ -103,20 +103,33 @@ object SimilarityOps {
   private def planeWeight(i: org.apache.spark.sql.Column, j: Int) =
     pmod(xxhash64(i * 64 + lit(j)), lit(1000L)).cast("double") / 1000.0 - 0.5
 
-  /** 8-bit random-hyperplane LSH signature as a bucketing column. */
-  private def lshBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 8).map { j =>
+  /** random-hyperplane LSH signature as a bucketing column;
+    * `bits` (spark.graft.similarity.lsh.bits) sets the recall/selectivity
+    * trade — fewer planes = bigger buckets = higher recall. */
+  private def lshBucket(emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { j =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0L), lit(63L)), (x, i) => x.cast("double") * planeWeight(i, j)),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** approximate top-3: probe only the query's LSH bucket (rows-only) */
+  /** approximate top-3 with MULTI-PROBE: each query probes its own LSH
+    * bucket plus every bucket at hamming distance 1 (9 of 256) — the
+    * standard recall lever that multiplies only the (tiny, broadcast)
+    * query side, never re-shuffling the corpus. A true neighbor is
+    * found iff it disagrees on ≤1 of the 8 hyperplanes (rows-only:
+    * recall < 1 by design, gated quantitatively in AnnRecallSpec). */
   private val annLsh: Q = (s, dir) => {
-    val e = load(s, dir, "embeddings").withColumn("bucket", lshBucket(col("embedding")))
+    val bits = graft.GraftConf.getInt(s, graft.GraftConf.SimLshBits)
+    val e = load(s, dir, "embeddings").withColumn("bucket", lshBucket(col("embedding"), bits))
+    val probeMasks = array((lit(0) +: (0 until bits).map(i => lit(1 << i))): _*)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("bucket"))
+      .withColumn("mask", explode(probeMasks))
+      // each (qid, probed bucket) is unique, so no candidate-pair dups
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("mask")))
+      .drop("mask")
     val corpus = e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))

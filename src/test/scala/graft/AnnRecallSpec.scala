@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quantitative recall gates for the approximate ANN paths (rows-only in
+  * the oracle gate because recall < 1 by design): LSH-bucketed and IVF
+  * coarse-quantized top-k are measured against the exact brute-force
+  * ranking. Everything is deterministic (hash-derived hyperplanes,
+  * label centroids), so the recall is a fixed number per dataset — the
+  * floors pinned here fail on any regression in bucketing or probing.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = GraftSparkSession.spark
+  private val dir = GraftSparkSession.sfDir
+
+  private def topSets(df: DataFrame, k: Int): Map[Long, Set[Long]] =
+    df.filter(col("rnk") <= k).select(col("qid"), col("cid")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  private def recallAt3(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).count(ex.contains).toDouble / ex.size
+    }
+    per.sum / per.size
+  }
+
+  private lazy val exact3 = topSets(
+    SparkEntry.queries("sim_ann_brute_topk")(spark, dir), 3)
+
+  test("LSH-bucketed ANN meets its pinned recall@3 floor") {
+    // this corpus has weak angular structure (true top-3 at cos ≈
+    // 0.3-0.4), so measure at the 4-bit operating point where buckets
+    // are coarse enough to be meaningful; hamming-1 multi-probe covers
+    // one disagreeing plane
+    val old = spark.conf.getOption(GraftConf.SimLshBits.key)
+    spark.conf.set(GraftConf.SimLshBits.key, "4")
+    try {
+      val lsh = topSets(SparkEntry.queries("sim_ann_lsh")(spark, dir), 3)
+      val r = recallAt3(lsh, exact3)
+      info(f"sim_ann_lsh recall@3 (4 bits, multi-probe) = $r%.3f over ${exact3.size} queries")
+      assert(r >= 0.30, f"LSH recall@3 regressed: $r%.3f")
+    } finally old match {
+      case Some(v) => spark.conf.set(GraftConf.SimLshBits.key, v)
+      case None => spark.conf.unset(GraftConf.SimLshBits.key)
+    }
+  }
+
+  test("IVF coarse-quantized ANN meets its pinned recall@3 floor") {
+    val ivf = topSets(SparkEntry.queries("sim_ann_ivf")(spark, dir), 3)
+    val r = recallAt3(ivf, exact3)
+    info(f"sim_ann_ivf recall@3 = $r%.3f over ${exact3.size} queries")
+    // 2-of-|labels| probed partitions
+    assert(r >= 0.25, f"IVF recall@3 regressed: $r%.3f")
+  }
+}
