@@ -33,6 +33,12 @@ object GraftConf {
       "a stats-chosen build side (RewriteJoinBuildSide); off by default " +
       "because a large-large SHJ must fit its build side in executor " +
       "memory where SMJ spills gracefully")
+  val SkipPartialAggregate: Entry[Boolean] = Entry("spark.graft.skipPartialAggregate.enabled", false,
+    "skip the map-side partial aggregation phase (Final<-Exchange<-Partial " +
+      "becomes Complete<-Exchange): for near-unique grouping keys the " +
+      "partial hash table combines nothing and is pure memory/spill " +
+      "pressure; off by default because low-cardinality keys lose their " +
+      "map-side combine")
   val SimTopK: Entry[Int] = Entry("spark.graft.similarity.topk", 5,
     "neighbors returned per query vector")
   val SimLshBits: Entry[Int] = Entry("spark.graft.similarity.lsh.bits", 8,
@@ -54,5 +60,5 @@ object GraftConf {
   val entries: Seq[Entry[_]] =
     Seq(DedupLshPerms, DedupLshBands, DedupJaccardThreshold,
       DedupVocabInlineMax, DedupBroadcastMaxBytes, ForceShuffledHashJoin,
-      SimTopK, SimLshBits)
+      SkipPartialAggregate, SimTopK, SimLshBits)
 }

@@ -69,6 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => EliminateRedundantToDate)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectQueryStagePrepRule(graft.plans.MergeTwoPhaseAggregate.apply)
+    ext.injectQueryStagePrepRule(graft.plans.SkipPartialAggregate.apply)
     // before EnsureRequirements: SMJ→SHJ rewrite leaves no orphaned sorts
     ext.injectQueryPostPlannerStrategyRule(graft.plans.RewriteJoinBuildSide.apply)
   }
