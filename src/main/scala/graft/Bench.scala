@@ -15,8 +15,10 @@ object Bench {
     "tpch_q05_local_supplier", "tpch_q06_forecast_revenue", "tpch_q09_nation_profit",
     "tpch_q12_ship_priority", "tpch_q13_order_counts", "tpch_q18_large_orders",
     "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
-    "window_group_limit", "ev_sessionize", "ev_asof_join_custom",
-    "ev_uniq_users_by_type_day",
+    "tpcds_style_q19_cross_nation", "tpcds_style_q53_ratio_window",
+    "cb_regex_extract_group",
+    "window_group_limit", "window_ntile_scalable", "ev_sessionize",
+    "ev_asof_join_custom", "ev_uniq_users_by_type_day",
     "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
     "sim_ann_brute_topk", "sim_ann_lsh",
     "text_quality", "text_fingerprint", "text_decontaminate", "docs_curation")
