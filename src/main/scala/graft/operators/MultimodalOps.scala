@@ -5,11 +5,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque binary payloads with typed
-  * metadata, partition-wise "decode" (STUBBED deterministic fake — the
-  * container has no image/audio codecs; the Spark-side schema,
-  * partitioning, typed-Dataset batch shape and metadata flow are real),
-  * frame sampling, and base64 transport encoding.
-  * Beyond-reference surface (SURVEY.md §7 step 5).
+  * metadata, partition-wise decode, frame sampling, and base64
+  * transport encoding. Beyond-reference surface (SURVEY.md §7 step 5).
+  *
+  * The decode surface has two tiers:
+  *  - `mm_decode_png` is a REAL codec round-trip: executors render
+  *    per-document grayscale images, encode them to genuine PNG bytes
+  *    (JDK `javax.imageio` — no external libs), then a second
+  *    partition-wise stage parses those PNG payloads back and emits
+  *    decoded dimensions + exact pixel sums, oracled against DuckDB's
+  *    closed-form recomputation of the same pixel function (a wrong or
+  *    fake decode cannot reproduce the per-pixel sum);
+  *  - `mm_decode_stub` keeps the clearly-marked deterministic fake as
+  *    the drop-in shape for codecs the JVM lacks (video/audio).
   */
 object MultimodalOps {
 
@@ -21,6 +29,10 @@ object MultimodalOps {
   /** typed "decoded" metadata record */
   final case class MediaMeta(doc_id: Long, width: Int, height: Int,
       channels: Int, mean_byte: Double)
+
+  /** typed decoded-PNG record: exact integer pixel sum (no float drift) */
+  final case class PngMeta(doc_id: Long, width: Int, height: Int,
+      channels: Int, sum_px: Long)
 
   // metadata projection over binary payloads — pure expressions
   private val mmMeta: Q = (s, dir) =>
@@ -73,6 +85,78 @@ object MultimodalOps {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  /** deterministic per-doc grayscale image, encoded as REAL PNG bytes
+    * through the JDK codec (runs on executors) */
+  private def encodePng(id: Long): Array[Byte] = {
+    val w = (16 + id % 16).toInt
+    val h = (8 + id % 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        r.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 251).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** real PNG parse: dimensions, bands and the exact pixel sum */
+  private def decodePng(m: MediaBytes): PngMeta = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+    val r = img.getRaster
+    val bands = r.getNumBands
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        var b = 0
+        while (b < bands) { sum += r.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    PngMeta(m.doc_id, img.getWidth, img.getHeight, bands, sum)
+  }
+
+  /** Real image decode over binary columns: stage 1 encodes genuine PNG
+    * payloads per document (executor-side, JDK codec), stage 2 is the
+    * partition-wise decoder over those binary payloads. PNG is lossless,
+    * so the decoded pixel sum must equal the closed form of the pixel
+    * generator — which is exactly what the DuckDB oracle computes from
+    * scratch. Scale shape: both stages are narrow per-row map
+    * partitions; payload bytes never shuffle. */
+  private val mmDecodePng: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    load(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBytes(id, encodePng(id))))
+      .mapPartitions(_.map(decodePng))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodePngSql =
+    """WITH d AS (
+      |  SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      |  FROM documents WHERE doc_id < 100),
+      |px AS (
+      |  SELECT doc_id, w, h, (doc_id * 31 + tx.x * 7 + ty.y * 13) % 251 AS v
+      |  FROM d,
+      |    LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) tx,
+      |    LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ty)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  1 AS channels, CAST(SUM(v) AS BIGINT) AS sum_px
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
   // deterministic frame sampling from a fake video payload
   private val mmFrameSample: Q = (s, dir) =>
@@ -127,6 +211,7 @@ object MultimodalOps {
 
   val queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
+    "mm_decode_png" -> mmDecodePng,
     "mm_decode_stub" -> mmDecodeStub,
     "mm_frame_sample" -> mmFrameSample,
     "mm_chunk_payload" -> mmChunk,
@@ -134,6 +219,7 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
+    "mm_decode_png" -> mmDecodePngSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_chunk_payload" -> mmChunkSql,
     "mm_base64" -> mmBase64Sql)
