@@ -321,6 +321,176 @@ object TpcdsPatterns {
       |ORDER BY total_sales DESC, p_brand
       |LIMIT 100""".stripMargin
 
+  // DS q88 shape: one result row assembled from N disjoint filter-slice
+  // counts (scalar subqueries cross-joined — each slice an independent
+  // scan the planner may reuse or parallelize)
+  private val q88MultiSlice: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    def slice(name: String, lo: Double, hi: Double, flag: String): DataFrame =
+      li.filter(col("l_quantity") >= lo && col("l_quantity") < hi &&
+          col("l_returnflag") === flag)
+        .agg(count(lit(1)).as(name))
+    slice("c1", 0, 10, "A").crossJoin(slice("c2", 10, 20, "A"))
+      .crossJoin(slice("c3", 20, 30, "A")).crossJoin(slice("c4", 30, 60, "A"))
+      .crossJoin(slice("c5", 0, 10, "R")).crossJoin(slice("c6", 10, 20, "R"))
+      .crossJoin(slice("c7", 20, 30, "R")).crossJoin(slice("c8", 30, 60, "R"))
+  }
+
+  private val q88MultiSliceSql =
+    """SELECT
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity >= 0 AND l_quantity < 10 AND l_returnflag = 'A') AS c1,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20 AND l_returnflag = 'A') AS c2,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity >= 20 AND l_quantity < 30 AND l_returnflag = 'A') AS c3,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity >= 30 AND l_quantity < 60 AND l_returnflag = 'A') AS c4,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity >= 0 AND l_quantity < 10 AND l_returnflag = 'R') AS c5,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20 AND l_returnflag = 'R') AS c6,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity >= 20 AND l_quantity < 30 AND l_returnflag = 'R') AS c7,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity >= 30 AND l_quantity < 60 AND l_returnflag = 'R') AS c8""".stripMargin
+
+  // DS q5/q77 shape: per-channel sales and returns aggregated
+  // independently, stitched with an OUTER join per key, then totaled —
+  // the report union where one side can have no rows for a key
+  private val q77ChannelReturns: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    val sales = li.groupBy(col("o_orderpriority").as("p"))
+      .agg(sum(dec(col("l_extendedprice"))).as("sales"))
+    val returns = li.filter(col("l_returnflag") === "R")
+      .groupBy(col("o_orderpriority").as("p"))
+      .agg(sum(dec(col("l_extendedprice"))).as("returns"))
+    sales.join(returns, Seq("p"), "left_outer")
+      .select(col("p").as("channel"),
+        dbl(col("sales")).as("sales"),
+        dbl(coalesce(col("returns"), lit(0))).as("returns"),
+        dbl(col("sales") - coalesce(col("returns"), lit(0))).as("net"))
+      .orderBy(col("channel"))
+  }
+
+  private val q77ChannelReturnsSql =
+    """WITH j AS (
+      |  SELECT o_orderpriority AS p, l_extendedprice, l_returnflag
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |s AS (SELECT p, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sales FROM j GROUP BY p),
+      |r AS (SELECT p, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS returns
+      |      FROM j WHERE l_returnflag = 'R' GROUP BY p)
+      |SELECT s.p AS channel, CAST(sales AS DOUBLE) AS sales,
+      |  CAST(COALESCE(returns, 0) AS DOUBLE) AS returns,
+      |  CAST(sales - COALESCE(returns, 0) AS DOUBLE) AS net
+      |FROM s LEFT JOIN r ON s.p = r.p
+      |ORDER BY channel""".stripMargin
+
+  // DS q98 shape: revenue share of each item inside its class — the
+  // ratio-of-total window report (DECIMAL window sums stay exact)
+  private val q98RevenueShare: Q = (s, dir) => {
+    val rev = load(s, dir, "lineitem")
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(sum(dec(col("l_extendedprice"))).as("rev_dec"))
+    val w = Window.partitionBy(col("p_type"))
+    rev.select(col("p_type"), col("p_brand"),
+        dbl(col("rev_dec")).as("revenue"),
+        round(dbl(col("rev_dec")) * 100.0 /
+          sum(col("rev_dec")).over(w).cast("double"), 6).as("revshare"))
+      .orderBy(col("p_type"), col("revshare").desc, col("p_brand"))
+  }
+
+  private val q98RevenueShareSql =
+    """SELECT p_type, p_brand, CAST(rev_dec AS DOUBLE) AS revenue,
+      |  round(CAST(rev_dec AS DOUBLE) * 100.0 /
+      |    CAST(SUM(rev_dec) OVER (PARTITION BY p_type) AS DOUBLE), 6) AS revshare
+      |FROM (
+      |  SELECT p_type, p_brand, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_type, p_brand) t
+      |ORDER BY p_type, revshare DESC, p_brand""".stripMargin
+
+  // DS q35 shape: customers passing an EXISTS gate, profiled per
+  // (nation, segment) with count + min/max/avg of a numeric attribute
+  private val q35DemoProfile: Q = (s, dir) => {
+    val active = load(s, dir, "customer")
+      .join(load(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+    active.join(load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        dbl(min(dec(col("c_acctbal")))).as("min_bal"),
+        dbl(max(dec(col("c_acctbal")))).as("max_bal"),
+        (dbl(sum(dec(col("c_acctbal")))) / count(lit(1))).as("avg_bal"))
+      .orderBy(col("n_name"), col("c_mktsegment"))
+  }
+
+  private val q35DemoProfileSql =
+    """SELECT n_name, c_mktsegment, COUNT(*) AS cnt,
+      |  CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal,
+      |  CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND EXTRACT(YEAR FROM o_orderdate) = 1996)
+      |GROUP BY n_name, c_mktsegment
+      |ORDER BY n_name, c_mktsegment""".stripMargin
+
+  // DS q93 shape: returns-adjusted actual sales — a per-row CASE folds
+  // the return channel into the measure before the aggregation
+  private val q93ReturnAdjusted: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"),
+        // exact decimal×decimal product — a double product cast to
+        // DECIMAL would hit half-cent rounding-rule differences
+        when(col("l_returnflag") === "R",
+          dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+          .otherwise(dec(col("l_extendedprice"))).as("act"))
+      .groupBy(col("o_custkey"))
+      .agg(dbl(sum(col("act"))).as("act_sales"))
+      .orderBy(col("act_sales"), col("o_custkey"))
+      .limit(100)
+
+  private val q93ReturnAdjustedSql =
+    """SELECT o_custkey,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R'
+      |       THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))
+      |       ELSE CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS act_sales
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_custkey
+      |ORDER BY act_sales, o_custkey
+      |LIMIT 100""".stripMargin
+
+  // DS q30 shape: entities above a multiple of their group's average —
+  // aggregate at two grains, join the finer onto the coarser
+  private val q30AboveAvg: Q = (s, dir) => {
+    val spend = load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend_dec"))
+    val natAvg = spend.groupBy(col("c_nationkey").as("nk"))
+      .agg((sum(col("spend_dec")).cast("double") / count(lit(1))).as("nat_avg"))
+    spend.join(natAvg, col("c_nationkey") === col("nk"))
+      .filter(dbl(col("spend_dec")) > col("nat_avg") * 1.2)
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("nation"),
+        dbl(col("spend_dec")).as("spend"), round(col("nat_avg"), 6).as("nat_avg"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q30AboveAvgSql =
+    """WITH spend AS (
+      |  SELECT c_custkey, c_nationkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY c_custkey, c_nationkey),
+      |na AS (
+      |  SELECT c_nationkey AS nk, CAST(SUM(spend_dec) AS DOUBLE) / COUNT(*) AS nat_avg
+      |  FROM spend GROUP BY c_nationkey)
+      |SELECT c_custkey, CAST(c_nationkey AS INTEGER) AS nation,
+      |  CAST(spend_dec AS DOUBLE) AS spend, round(nat_avg, 6) AS nat_avg
+      |FROM spend JOIN na ON c_nationkey = nk
+      |WHERE CAST(spend_dec AS DOUBLE) > nat_avg * 1.2
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tpcds_style_q3_brand" -> q3Brand,
     "tpcds_style_q42_category" -> q42Category,
@@ -329,7 +499,13 @@ object TpcdsPatterns {
     "tpcds_style_q34_ticket_buckets" -> q34TicketBuckets,
     "tpcds_style_q68_bought_nation" -> q68BoughtNation,
     "tpcds_style_q53_ratio_window" -> q53RatioWindow,
-    "tpcds_style_q33_channel_union" -> q33ChannelUnion)
+    "tpcds_style_q33_channel_union" -> q33ChannelUnion,
+    "tpcds_style_q88_multi_slice" -> q88MultiSlice,
+    "tpcds_style_q77_channel_returns" -> q77ChannelReturns,
+    "tpcds_style_q98_revenue_share" -> q98RevenueShare,
+    "tpcds_style_q35_demo_profile" -> q35DemoProfile,
+    "tpcds_style_q93_return_adjusted" -> q93ReturnAdjusted,
+    "tpcds_style_q30_above_avg" -> q30AboveAvg)
 
   val oracles: Map[String, String] = Map(
     "tpcds_style_q3_brand" -> q3BrandSql,
@@ -339,5 +515,11 @@ object TpcdsPatterns {
     "tpcds_style_q34_ticket_buckets" -> q34TicketBucketsSql,
     "tpcds_style_q68_bought_nation" -> q68BoughtNationSql,
     "tpcds_style_q53_ratio_window" -> q53RatioWindowSql,
-    "tpcds_style_q33_channel_union" -> q33ChannelUnionSql)
+    "tpcds_style_q33_channel_union" -> q33ChannelUnionSql,
+    "tpcds_style_q88_multi_slice" -> q88MultiSliceSql,
+    "tpcds_style_q77_channel_returns" -> q77ChannelReturnsSql,
+    "tpcds_style_q98_revenue_share" -> q98RevenueShareSql,
+    "tpcds_style_q35_demo_profile" -> q35DemoProfileSql,
+    "tpcds_style_q93_return_adjusted" -> q93ReturnAdjustedSql,
+    "tpcds_style_q30_above_avg" -> q30AboveAvgSql)
 }
