@@ -161,6 +161,18 @@ class LakeTableState(val tableName: String, val schema: StructType,
     val ts = math.max(System.currentTimeMillis(), current.timestampMs + 1)
     snaps = snaps :+ LakeSnapshot(current.version + 1, ts, base ++ newFiles)
   }
+
+  /** streaming epoch commit, idempotent per (query, epoch): a replayed
+    * epoch after a driver restart must not double-append */
+  private val committedEpochs = scala.collection.mutable.HashSet[String]()
+  def commitEpoch(queryId: String, epochId: Long, newFiles: Seq[LakeDataFile]): Unit =
+    synchronized {
+      val key = s"$queryId:$epochId"
+      if (!committedEpochs.contains(key)) {
+        committedEpochs += key
+        commit(newFiles, truncate = false)
+      }
+    }
 }
 
 class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot])
@@ -178,7 +190,7 @@ class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot])
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(state, pinned.getOrElse(state.current))
@@ -196,6 +208,21 @@ class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot])
             state.commit(messages.flatMap { case LakeCommit(files) => files }.toSeq, doTruncate)
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
+
+        /** streaming ingest: every micro-batch epoch commits one
+          * snapshot (idempotent on epoch replay) — the lakehouse
+          * streaming-sink shape */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+            private val queryId = info.queryId()
+            override def createStreamingWriterFactory(pi: PhysicalWriteInfo)
+                : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+              new LakeStreamingWriterFactory(info.schema(), state.partFields)
+            override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+              state.commitEpoch(queryId, epochId,
+                messages.flatMap { case LakeCommit(files) => files }.toSeq)
+            override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+          }
       }
     }
 }
@@ -290,6 +317,15 @@ case class LakeFilePartition(rows: Array[InternalRow], ordinals: Array[Int])
   extends InputPartition
 
 case class LakeCommit(files: Array[LakeDataFile]) extends WriterCommitMessage
+
+/** streaming variant of the writer factory: same task-side buffering,
+  * keyed additionally by epoch through the streaming SPI */
+class LakeStreamingWriterFactory(schema: StructType, partFields: IndexedSeq[LakePartField])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  private val batch = new LakeWriterFactory(schema, partFields)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] = batch.createWriter(partitionId, taskId)
+}
 
 /** task-side writer: routes each row to its partition-addressed buffer;
   * one data file per (task, partition value) — the manifest-entry shape */

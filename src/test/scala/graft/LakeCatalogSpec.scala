@@ -96,6 +96,36 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(df.distinct().count() == 10)
   }
 
+  test("streaming ingest commits one snapshot per epoch into a lake table") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("""CREATE TABLE lake.st (id BIGINT, region STRING, v DOUBLE)
+                 PARTITIONED BY (region)""")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[graft.sources.GraftLakeCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "st")
+    val input = MemoryStream[(Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("lake_st_ckpt").toString
+    val q = input.toDF().toDF("id", "region", "v")
+      .writeStream.option("checkpointLocation", ckpt).toTable("lake.st")
+    try {
+      input.addData((1L, "emea", 1.0), (2L, "amer", 2.0))
+      q.processAllAvailable()
+      input.addData((3L, "apac", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("lake.st").count() == 3)
+      val versions = cat.snapshots(ident)
+      // v0 empty + one snapshot per committed epoch
+      assert(versions.length >= 3, s"expected >=3 snapshots, got $versions")
+      assert(versions.map(_._3).max == 3, s"latest snapshot must hold 3 rows: $versions")
+      // the pre-batch-2 snapshot is still readable (time travel over ingest)
+      val v = versions.find(_._3 == 2).map(_._1)
+      assert(v.isDefined, s"no 2-row snapshot in $versions")
+      assert(spark.sql(s"SELECT * FROM lake.st VERSION AS OF ${v.get}").count() == 2)
+    } finally q.stop()
+  }
+
   test("lake tables join with file-sourced data") {
     val region = Tables.load(spark, dir, "region")
     val n = spark.table("lake.pt")
