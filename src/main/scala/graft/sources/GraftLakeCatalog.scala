@@ -8,12 +8,14 @@ import scala.collection.mutable
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
-import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
+import org.apache.spark.sql.catalyst.expressions.{Literal => CatalystLiteral}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, MetadataColumn, SupportsDeleteV2, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -162,6 +164,19 @@ class LakeTableState(val tableName: String, val schema: StructType,
     snaps = snaps :+ LakeSnapshot(current.version + 1, ts, base ++ newFiles)
   }
 
+  /** copy-on-write commit: atomically swap a set of rewritten data files
+    * for their replacements (the Iceberg/Delta rewrite-commit shape).
+    * Files are immutable, so identity comparison is exact; files added by
+    * concurrent appends between scan and commit survive untouched. */
+  def replace(removed: Seq[LakeDataFile], added: Seq[LakeDataFile]): Unit = synchronized {
+    val gone = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LakeDataFile, java.lang.Boolean]())
+    removed.foreach(gone.add)
+    val kept = current.files.filterNot(gone.contains)
+    val ts = math.max(System.currentTimeMillis(), current.timestampMs + 1)
+    snaps = snaps :+ LakeSnapshot(current.version + 1, ts, kept ++ added)
+  }
+
   /** streaming epoch commit, idempotent per (query, epoch): a replayed
     * epoch after a driver restart must not double-append */
   private val committedEpochs = scala.collection.mutable.HashSet[String]()
@@ -176,9 +191,22 @@ class LakeTableState(val tableName: String, val schema: StructType,
 }
 
 class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsDeleteV2 with SupportsMetadataColumns {
 
   override def name(): String = state.tableName
+
+  /** `_partition` metadata column (the Iceberg `_partition` analog):
+    * queryable in SELECT, and — critically — the group identity the
+    * row-level rewrite carries, which routes Spark's ReplaceData write
+    * through the metadata-projection path so the DataWriter receives
+    * clean table-schema rows (op-code and metadata stripped). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(new MetadataColumn {
+    override def name(): String = "_partition"
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = true
+    override def comment(): String = "partition tuple of the data file holding the row"
+  })
   override def schema(): StructType = state.schema
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
@@ -194,6 +222,29 @@ class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(state, pinned.getOrElse(state.current))
+
+  /** DELETE/UPDATE/MERGE entry — the copy-on-write row-level surface
+    * Iceberg/Delta implement (group granularity = data file). Spark's
+    * RewriteDeleteFromTable/RewriteUpdateTable/RewriteMergeIntoTable
+    * rules drive it; we only supply the group scan + replacement write. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new LakeRowLevelOperation(state, info.command())
+
+  /** metadata-only DELETE fast path: legal exactly when every conjunct is
+    * an identity-partition equality/IN — then each data file either fully
+    * matches or fully misses, so deletion = dropping whole files with no
+    * rewrite (the OptimizeMetadataOnlyDeleteFromTable contract). */
+  override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
+    predicates.forall(p => LakeMetadataDelete.fileMatcher(state, p).isDefined)
+
+  override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    val matchers = predicates.flatMap(p => LakeMetadataDelete.fileMatcher(state, p))
+    require(matchers.length == predicates.length,
+      "deleteWhere called with untranslatable predicates; canDeleteWhere must gate this")
+    val doomed = state.current.files.filter(f => matchers.forall(m => m(f)))
+    state.replace(doomed, Nil)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -227,7 +278,8 @@ class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot])
     }
 }
 
-class LakeScanBuilder(state: LakeTableState, snapshot: LakeSnapshot)
+class LakeScanBuilder(state: LakeTableState, snapshot: LakeSnapshot,
+    onBuild: Vector[LakeDataFile] => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var accepted: Array[Filter] = Array.empty
@@ -272,6 +324,7 @@ class LakeScanBuilder(state: LakeTableState, snapshot: LakeSnapshot)
     val kept = snapshot.files.filter { f =>
       pruneSets.forall { case (i, allowed) => allowed.contains(f.partition(i)) }
     }
+    onBuild(kept)
     new LakeScan(state, snapshot, kept, required)
   }
 }
@@ -286,19 +339,25 @@ class LakeScan(state: LakeTableState, snapshot: LakeSnapshot,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => LakeFilePartition(f.rows, requiredOrdinals): InputPartition).toArray
+    files.map(f => LakeFilePartition(f.rows, requiredOrdinals,
+      f.partition.mkString("/")): InputPartition).toArray
 
+  /** stored-schema ordinal per required column; -1 = the `_partition`
+    * metadata column (synthesized per file, not stored in rows) */
   private def requiredOrdinals: Array[Int] =
-    required.fields.map(f => state.schema.fieldIndex(f.name))
+    required.fields.map(f =>
+      if (f.name == "_partition") -1 else state.schema.fieldIndex(f.name))
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fullSchema = state.schema
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val fp = p.asInstanceOf[LakeFilePartition]
-        // column pruning: bind the projection to the stored full schema
+        // column pruning: bind the projection to the stored full schema;
+        // `_partition` binds to this file's constant partition label
         val proj = UnsafeProjection.create(fp.ordinals.toIndexedSeq.map(i =>
-          BoundReference(i, fullSchema(i).dataType, fullSchema(i).nullable)))
+          if (i >= 0) BoundReference(i, fullSchema(i).dataType, fullSchema(i).nullable)
+          else CatalystLiteral(UTF8String.fromString(fp.partLabel), StringType)))
         new PartitionReader[InternalRow] {
           private val it = fp.rows.iterator
           private var cur: InternalRow = _
@@ -313,8 +372,8 @@ class LakeScan(state: LakeTableState, snapshot: LakeSnapshot,
   }
 }
 
-case class LakeFilePartition(rows: Array[InternalRow], ordinals: Array[Int])
-  extends InputPartition
+case class LakeFilePartition(rows: Array[InternalRow], ordinals: Array[Int],
+    partLabel: String) extends InputPartition
 
 case class LakeCommit(files: Array[LakeDataFile]) extends WriterCommitMessage
 
@@ -325,6 +384,98 @@ class LakeStreamingWriterFactory(schema: StructType, partFields: IndexedSeq[Lake
   private val batch = new LakeWriterFactory(schema, partFields)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] = batch.createWriter(partitionId, taskId)
+}
+
+/** Copy-on-write row-level operation (group granularity = data file).
+  *
+  * Contract (the one Iceberg's SparkCopyOnWriteOperation follows):
+  *  - the scan returned by [[newScanBuilder]] may use pushed filters ONLY
+  *    to prune whole groups (files) — never to drop individual rows; the
+  *    rewritten condition is re-evaluated row-by-row inside Spark's
+  *    ReplaceData plan, so identity-partition prunes are the sole
+  *    file-complete filters applied (bucket prunes keep the whole bucket);
+  *  - the write receives every surviving row of the scanned groups and
+  *    the commit atomically swaps exactly those groups for the new files
+  *    ([[LakeTableState.replace]]); files outside the scan are untouched,
+  *    so concurrent appends to other partitions are never clobbered.
+  *
+  * The scan and write share this instance, which is how the committed
+  * "remove set" is always the set the rewrite actually read. */
+class LakeRowLevelOperation(state: LakeTableState,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  @volatile private var scannedFiles: Vector[LakeDataFile] = Vector.empty
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(state, state.current, kept => scannedFiles = kept)
+
+  /** carrying `_partition` through the rewrite keeps write routing
+    * partition-stable AND makes Spark plan the metadata-projection write
+    * (DataWriter.write(metadata, row)) — the same contract Iceberg's
+    * copy-on-write operation uses */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_partition"))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+            new LakeWriterFactory(info.schema(), state.partFields)
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            state.replace(scannedFiles,
+              messages.flatMap { case LakeCommit(files) => files }.toSeq)
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+
+  override def description(): String = s"graft-lake copy-on-write $cmd"
+}
+
+/** V2 Predicate → file-complete matcher for the metadata DELETE path. */
+object LakeMetadataDelete {
+  /** Some(matcher) iff `p` is decidable per-file with NO row inspection:
+    * ALWAYS_TRUE, or =/IN on an identity partition column. */
+  def fileMatcher(state: LakeTableState,
+      p: V2Predicate): Option[LakeDataFile => Boolean] = {
+    val identIdx: Map[String, Int] = state.partFields.zipWithIndex.collect {
+      case (pf, i) if pf.bucket == 0 => state.schema(pf.ordinal).name -> i
+    }.toMap
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          identIdx.get(r.fieldNames().head)
+        case _ => None
+      }
+    def litOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: V2Literal[_] => Some(LakePartField.normalize(l.value()))
+        case _ => None
+      }
+    p.name() match {
+      case "ALWAYS_TRUE" => Some(_ => true)
+      case "=" => p.children() match {
+        case Array(a, b) =>
+          (for { i <- colOf(a); v <- litOf(b) } yield (i, Set(v)))
+            .orElse(for { i <- colOf(b); v <- litOf(a) } yield (i, Set(v)))
+            .map { case (i, vs) => (f: LakeDataFile) => vs.contains(f.partition(i)) }
+        case _ => None
+      }
+      case "IN" => p.children().toSeq match {
+        case c +: rest if rest.nonEmpty =>
+          for { i <- colOf(c); vs <- traverse(rest.map(litOf)) }
+            yield (f: LakeDataFile) => vs.toSet.contains(f.partition(i))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 }
 
 /** task-side writer: routes each row to its partition-addressed buffer;
@@ -340,6 +491,11 @@ class LakeWriterFactory(schema: StructType, partFields: IndexedSeq[LakePartField
         val key: IndexedSeq[Any] = partFields.map(_.eval(record))
         buffers.getOrElseUpdate(key, mutable.ArrayBuffer[InternalRow]()) += proj(record).copy()
       }
+      /** metadata-projection write path (row-level rewrites): the data
+        * row is already table-schema shaped; re-route by its own
+        * partition values and drop the metadata row */
+      override def write(metadata: InternalRow, record: InternalRow): Unit =
+        write(record)
       override def commit(): WriterCommitMessage =
         LakeCommit(buffers.map { case (k, rows) => LakeDataFile(k, rows.toArray) }.toArray)
       override def abort(): Unit = buffers.clear()

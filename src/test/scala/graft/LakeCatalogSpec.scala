@@ -134,4 +134,86 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(n == 50, s"5 matching regions x 10 rows each, got $n")
   }
 
+  // ---- row-level operations (DELETE / UPDATE / MERGE) ----
+
+  private def catState(name: String) = {
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[graft.sources.GraftLakeCatalog]
+    (cat, org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, name))
+  }
+
+  test("DELETE on an identity-partition predicate is metadata-only") {
+    spark.sql("""CREATE TABLE lake.rl (id BIGINT, region STRING, v DOUBLE)
+                 PARTITIONED BY (region)""")
+    import spark.implicits._
+    Seq((1L, "emea", 1.0), (2L, "amer", 2.0), (3L, "emea", 3.0),
+        (4L, "apac", 4.0), (5L, "amer", 5.0)).toDF("id", "region", "v")
+      .writeTo("lake.rl").append() // v1
+    spark.sql("DELETE FROM lake.rl WHERE region = 'emea'") // v2, whole-file drop
+    assert(spark.table("lake.rl").count() == 3)
+    assert(spark.table("lake.rl").filter(col("region") === "emea").count() == 0)
+    // deletion is a snapshot: the pre-delete version remains readable
+    assert(spark.sql("SELECT * FROM lake.rl VERSION AS OF 1").count() == 5)
+    val (cat, ident) = catState("rl")
+    assert(cat.snapshots(ident).map(_._1).max == 2L)
+  }
+
+  test("DELETE with a row predicate takes the copy-on-write rewrite path") {
+    // v > 4.0 is not partition-decidable → canDeleteWhere=false → Spark's
+    // group-based ReplaceData rewrites the affected files
+    spark.sql("DELETE FROM lake.rl WHERE v > 4.0") // drops (5,'amer',5.0) → v3
+    val left = spark.table("lake.rl").orderBy("id").collect()
+    assert(left.map(_.getLong(0)).toSeq == Seq(2L, 4L), left.mkString(","))
+    // pre-delete snapshot intact
+    assert(spark.sql("SELECT * FROM lake.rl VERSION AS OF 2").count() == 3)
+  }
+
+  test("UPDATE rewrites matching rows and keeps non-matching rows") {
+    import spark.implicits._
+    spark.sql("UPDATE lake.rl SET v = v * 10 WHERE region = 'amer'")
+    val rows = spark.table("lake.rl").orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((2L, 20.0), (4L, 4.0)), rows.toString)
+  }
+
+  test("MERGE INTO upserts: matched update + not-matched insert") {
+    import spark.implicits._
+    Seq((2L, "amer", 200.0), (9L, "apac", 9.0)).toDF("id", "region", "v")
+      .createOrReplaceTempView("rl_src")
+    spark.sql("""MERGE INTO lake.rl t USING rl_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT (id, region, v) VALUES (s.id, s.region, s.v)""")
+    val rows = spark.table("lake.rl").orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((2L, 200.0), (4L, 4.0), (9L, 9.0)), rows.toString)
+  }
+
+  test("MERGE with a delete clause removes matched rows") {
+    import spark.implicits._
+    Seq(4L).toDF("id").createOrReplaceTempView("rl_del")
+    spark.sql("""MERGE INTO lake.rl t USING rl_del s ON t.id = s.id
+                 WHEN MATCHED THEN DELETE""")
+    assert(spark.table("lake.rl").select("id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 9L))
+  }
+
+  test("_partition metadata column is selectable (Iceberg _partition analog)") {
+    val parts = spark.table("lake.pt").select(col("_partition"), col("region"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(parts.size == 10 && parts("r3") == "r3", parts.toString)
+  }
+
+  test("copy-on-write rewrite leaves files outside the scanned partitions untouched") {
+    spark.sql("""CREATE TABLE lake.cw (id BIGINT, region STRING, v DOUBLE)
+                 PARTITIONED BY (region)""")
+    import spark.implicits._
+    (1 to 40).map(i => (i.toLong, s"r${i % 4}", i * 1.0)).toDF("id", "region", "v")
+      .writeTo("lake.cw").append()
+    // partition-pruned scan + row predicate: only the r1 files are rewritten
+    spark.sql("DELETE FROM lake.cw WHERE region = 'r1' AND v > 20")
+    assert(spark.table("lake.cw").count() == 40 - 5) // ids 21,25,29,33,37
+    assert(spark.table("lake.cw").filter(col("region") === "r1").count() == 5)
+    assert(spark.table("lake.cw").filter(col("region") =!= "r1").count() == 30)
+  }
+
 }
