@@ -491,6 +491,304 @@ object TpcdsPatterns {
       |WHERE CAST(spend_dec AS DOUBLE) > nat_avg * 1.2
       |ORDER BY c_custkey""".stripMargin
 
+  // DS q36 shape: gross-margin ratio over ROLLUP(type, brand) with a
+  // RANK *within each hierarchy level* — the report-grammar stress test
+  // (grouping() feeding both the window partition and the final order)
+  private val q36MarginRank: Q = (s, dir) => {
+    val margin = load(s, dir, "lineitem")
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .rollup(col("p_type"), col("p_brand"))
+      .agg(
+        (sum(dec(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+          .cast("double") /
+          sum(dec(col("l_extendedprice"))).cast("double")).as("margin"),
+        (grouping(col("p_type")) + grouping(col("p_brand"))).cast("int").as("lochierarchy"),
+        grouping(col("p_brand")).cast("int").as("gb"))
+    val w = Window
+      .partitionBy(col("lochierarchy"),
+        when(col("gb") === 0, col("p_type")))
+      .orderBy(col("margin"))
+    margin
+      .select(col("p_type"), col("p_brand"), round(col("margin"), 6).as("margin"),
+        col("lochierarchy"), rank().over(w).as("rank_within_parent"))
+      .orderBy(col("lochierarchy").desc, col("p_type"), col("p_brand"))
+      .limit(100)
+  }
+
+  private val q36MarginRankSql =
+    """SELECT p_type, p_brand, round(margin, 6) AS margin,
+      |  lochierarchy,
+      |  CAST(RANK() OVER (PARTITION BY lochierarchy,
+      |      CASE WHEN gb = 0 THEN p_type END
+      |    ORDER BY margin) AS INTEGER) AS rank_within_parent
+      |FROM (
+      |  SELECT p_type, p_brand,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) /
+      |      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS margin,
+      |    CAST(GROUPING(p_type) + GROUPING(p_brand) AS INTEGER) AS lochierarchy,
+      |    CAST(GROUPING(p_brand) AS INTEGER) AS gb
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY ROLLUP(p_type, p_brand)) t
+      |ORDER BY lochierarchy DESC, p_type, p_brand
+      |LIMIT 100""".stripMargin
+
+  // DS q48 shape: one total over three disjunctive (segment × quantity
+  // band × discount band) slices — the multi-band OR predicate that
+  // stresses CNF conversion and scan-level filter pushdown
+  private val q48QtyBands: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("c_mktsegment") === "BUILDING" &&
+          col("l_quantity").between(0, 20) && col("l_discount").between(0.00, 0.05)) ||
+        (col("c_mktsegment") === "MACHINERY" &&
+          col("l_quantity").between(10, 30) && col("l_discount").between(0.02, 0.07)) ||
+        (col("c_mktsegment") === "AUTOMOBILE" &&
+          col("l_quantity").between(20, 40) && col("l_discount").between(0.04, 0.09)))
+      .agg(count(lit(1)).as("cnt"),
+        dbl(sum(dec(col("l_quantity")))).as("total_qty"))
+
+  private val q48QtyBandsSql =
+    """SELECT COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE (c_mktsegment = 'BUILDING' AND l_quantity BETWEEN 0 AND 20
+      |        AND l_discount BETWEEN 0.00 AND 0.05)
+      |   OR (c_mktsegment = 'MACHINERY' AND l_quantity BETWEEN 10 AND 30
+      |        AND l_discount BETWEEN 0.02 AND 0.07)
+      |   OR (c_mktsegment = 'AUTOMOBILE' AND l_quantity BETWEEN 20 AND 40
+      |        AND l_discount BETWEEN 0.04 AND 0.09)""".stripMargin
+
+  // DS q59 shape: week-over-week revenue ratio, this-year vs last-year
+  // self-join on (nation, week). Weeks via ISO weekofyear, constrained
+  // to Feb–Nov so the ISO-year boundary never splits a week.
+  private val q59WeekOverWeek: Q = (s, dir) => {
+    def weekly(yr: Int) = load(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === yr &&
+        month(col("l_shipdate")).between(2, 11))
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as(s"nation_$yr"), weekofyear(col("l_shipdate")).as(s"wk_$yr"))
+      .agg(sum(dec(col("l_extendedprice"))).as(s"rev_$yr"))
+    weekly(1996)
+      .join(weekly(1995),
+        col("nation_1996") === col("nation_1995") && col("wk_1996") === col("wk_1995"))
+      .select(col("nation_1996").as("nation"), col("wk_1996").as("wk"),
+        dbl(col("rev_1996")).as("rev_cur"), dbl(col("rev_1995")).as("rev_prev"),
+        round(dbl(col("rev_1996")) / dbl(col("rev_1995")), 6).as("wow_ratio"))
+      .orderBy(col("nation"), col("wk"))
+  }
+
+  private val q59WeekOverWeekSql =
+    """WITH weekly AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS yr, n_name,
+      |    CAST(EXTRACT(WEEK FROM l_shipdate) AS INTEGER) AS wk,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE EXTRACT(MONTH FROM l_shipdate) BETWEEN 2 AND 11
+      |  GROUP BY 1, 2, 3)
+      |SELECT cur.n_name AS nation, cur.wk AS wk,
+      |  CAST(cur.rev AS DOUBLE) AS rev_cur, CAST(prev.rev AS DOUBLE) AS rev_prev,
+      |  round(CAST(cur.rev AS DOUBLE) / CAST(prev.rev AS DOUBLE), 6) AS wow_ratio
+      |FROM weekly cur JOIN weekly prev
+      |  ON cur.n_name = prev.n_name AND cur.wk = prev.wk
+      |WHERE cur.yr = 1996 AND prev.yr = 1995
+      |ORDER BY nation, wk""".stripMargin
+
+  // DS q65 shape: below-average entities — per-supplier revenue joined
+  // onto its nation's average, keeping suppliers under 90% of the mean
+  private val q65BelowAvg: Q = (s, dir) => {
+    val rev = load(s, dir, "lineitem")
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey").as("sk"), col("s_name"), col("s_nationkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("rev_dec"))
+    val natAvg = rev.groupBy(col("s_nationkey").as("nk"))
+      .agg((sum(col("rev_dec")).cast("double") / count(lit(1))).as("nat_avg"))
+    rev.join(natAvg, col("s_nationkey") === col("nk"))
+      .filter(dbl(col("rev_dec")) <= col("nat_avg") * 0.9)
+      .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), dbl(col("rev_dec")).as("revenue"),
+        round(col("nat_avg"), 6).as("nat_avg"))
+      .orderBy(col("s_name"))
+  }
+
+  private val q65BelowAvgSql =
+    """WITH rev AS (
+      |  SELECT s_suppkey, s_name, s_nationkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2, 3),
+      |na AS (
+      |  SELECT s_nationkey AS nk, CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*) AS nat_avg
+      |  FROM rev GROUP BY 1)
+      |SELECT s_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+      |  round(nat_avg, 6) AS nat_avg
+      |FROM rev
+      |JOIN na ON s_nationkey = nk
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE CAST(rev_dec AS DOUBLE) <= nat_avg * 0.9
+      |ORDER BY s_name""".stripMargin
+
+  // DS q75 shape: year-over-year *decline* report — channel slices
+  // UNION ALL'd at (year, brand) grain, re-aggregated, then the two
+  // years self-joined keeping brands whose quantity shrank
+  private val q75YoyDecline: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+    def chan(cond: Column): DataFrame =
+      li.filter(cond)
+        .groupBy(year(col("l_shipdate")).as("yr"), col("p_brand"))
+        .agg(sum(dec(col("l_quantity"))).as("qty"),
+          sum(dec(col("l_extendedprice"))).as("amt"))
+    val all = chan(col("l_returnflag") === "N")
+      .union(chan(col("l_returnflag") === "A"))
+      .union(chan(col("l_returnflag") === "R"))
+      .groupBy(col("yr"), col("p_brand"))
+      .agg(sum(col("qty")).as("qty"), sum(col("amt")).as("amt"))
+    val cur = all.filter(col("yr") === 1996)
+      .select(col("p_brand"), col("qty").as("q_cur"), col("amt").as("a_cur"))
+    val prev = all.filter(col("yr") === 1995)
+      .select(col("p_brand").as("pb"), col("qty").as("q_prev"), col("amt").as("a_prev"))
+    cur.join(prev, col("p_brand") === col("pb"))
+      .filter(col("q_cur") < col("q_prev"))
+      .select(col("p_brand"), dbl(col("q_prev")).as("q_prev"), dbl(col("q_cur")).as("q_cur"),
+        dbl(col("q_cur") - col("q_prev")).as("qty_delta"),
+        dbl(col("a_cur") - col("a_prev")).as("amt_delta"))
+      .orderBy(col("qty_delta"), col("p_brand"))
+      .limit(100)
+  }
+
+  private val q75YoyDeclineSql =
+    """WITH chan AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS yr, p_brand,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS amt
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'N' GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER), p_brand,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))),
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'A' GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER), p_brand,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))),
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'R' GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT yr, p_brand, SUM(qty) AS qty, SUM(amt) AS amt
+      |  FROM chan GROUP BY 1, 2)
+      |SELECT cur.p_brand AS p_brand,
+      |  CAST(prev.qty AS DOUBLE) AS q_prev, CAST(cur.qty AS DOUBLE) AS q_cur,
+      |  CAST(cur.qty - prev.qty AS DOUBLE) AS qty_delta,
+      |  CAST(cur.amt - prev.amt AS DOUBLE) AS amt_delta
+      |FROM agg cur JOIN agg prev ON cur.p_brand = prev.p_brand
+      |WHERE cur.yr = 1996 AND prev.yr = 1995 AND cur.qty < prev.qty
+      |ORDER BY qty_delta, p_brand
+      |LIMIT 100""".stripMargin
+
+  // DS q89 shape: monthly sales vs the (type, brand, year) rolling mean,
+  // keeping months that deviate >10% from their group's average
+  private val q89RollingDeviation: Q = (s, dir) => {
+    val monthly = load(s, dir, "lineitem")
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("p_brand"), year(col("l_shipdate")).as("d_year"),
+        month(col("l_shipdate")).as("d_moy"))
+      .agg(sum(dec(col("l_extendedprice"))).as("sales_dec"))
+    val w = Window.partitionBy(col("p_type"), col("p_brand"), col("d_year"))
+    monthly.select(col("p_type"), col("p_brand"), col("d_year"), col("d_moy"),
+        dbl(col("sales_dec")).as("sum_sales"),
+        (sum(col("sales_dec")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("avg_monthly_sales"))
+      .filter(abs(col("sum_sales") - col("avg_monthly_sales")) /
+        col("avg_monthly_sales") > 0.1)
+      .withColumn("dev", col("sum_sales") - col("avg_monthly_sales"))
+      .orderBy(col("dev").asc, col("p_type"), col("p_brand"),
+        col("d_year"), col("d_moy"))
+      .limit(100)
+      .select(col("p_type"), col("p_brand"), col("d_year"), col("d_moy"),
+        col("sum_sales"), round(col("avg_monthly_sales"), 6).as("avg_monthly_sales"))
+  }
+
+  private val q89RollingDeviationSql =
+    """SELECT p_type, p_brand, d_year, d_moy, sum_sales,
+      |  round(avg_monthly_sales, 6) AS avg_monthly_sales
+      |FROM (
+      |  SELECT *, sum_sales - avg_monthly_sales AS dev
+      |  FROM (
+      |    SELECT p_type, p_brand, d_year, d_moy,
+      |      CAST(sales_dec AS DOUBLE) AS sum_sales,
+      |      CAST(SUM(sales_dec) OVER (PARTITION BY p_type, p_brand, d_year) AS DOUBLE) /
+      |        COUNT(*) OVER (PARTITION BY p_type, p_brand, d_year) AS avg_monthly_sales
+      |    FROM (
+      |      SELECT p_type, p_brand,
+      |        CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS d_year,
+      |        CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS d_moy,
+      |        SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sales_dec
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey
+      |      GROUP BY 1, 2, 3, 4) m) w
+      |  WHERE abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+      |  ORDER BY dev ASC, p_type, p_brand, d_year, d_moy
+      |  LIMIT 100) t""".stripMargin
+
+  // DS q97 shape: channel-overlap counts — FULL OUTER join of two
+  // distinct-customer sets, one output row of only-A / only-B / both
+  private val q97ChannelOverlap: Q = (s, dir) => {
+    val a = load(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey").as("ka")).distinct()
+    val b = load(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey").as("kb")).distinct()
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .agg(
+        count(when(col("ka").isNotNull && col("kb").isNull, 1)).as("only_1995"),
+        count(when(col("ka").isNull && col("kb").isNotNull, 1)).as("only_1996"),
+        count(when(col("ka").isNotNull && col("kb").isNotNull, 1)).as("both_years"))
+  }
+
+  private val q97ChannelOverlapSql =
+    """WITH a AS (SELECT DISTINCT o_custkey AS ka FROM orders
+      |           WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+      |b AS (SELECT DISTINCT o_custkey AS kb FROM orders
+      |      WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+      |SELECT
+      |  COUNT(CASE WHEN ka IS NOT NULL AND kb IS NULL THEN 1 END) AS only_1995,
+      |  COUNT(CASE WHEN ka IS NULL AND kb IS NOT NULL THEN 1 END) AS only_1996,
+      |  COUNT(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 1 END) AS both_years
+      |FROM a FULL OUTER JOIN b ON ka = kb""".stripMargin
+
+  // DS q90 shape: am/pm activity ratio — two disjoint hour-band counts
+  // over the events stream collapsed to a single ratio row
+  private val q90AmPmRatio: Q = (s, dir) => {
+    val ev = load(s, dir, "events")
+    val am = ev.filter(hour(col("ts")).between(6, 11) && col("value") > 10)
+      .agg(count(lit(1)).as("amc"))
+    val pm = ev.filter(hour(col("ts")).between(18, 23) && col("value") > 10)
+      .agg(count(lit(1)).as("pmc"))
+    am.crossJoin(pm)
+      .select(col("amc").as("am_count"), col("pmc").as("pm_count"),
+        round(col("amc").cast("double") / col("pmc").cast("double"), 6).as("am_pm_ratio"))
+  }
+
+  private val q90AmPmRatioSql =
+    """SELECT
+      |  (SELECT COUNT(*) FROM events
+      |   WHERE EXTRACT(HOUR FROM ts) BETWEEN 6 AND 11 AND value > 10) AS am_count,
+      |  (SELECT COUNT(*) FROM events
+      |   WHERE EXTRACT(HOUR FROM ts) BETWEEN 18 AND 23 AND value > 10) AS pm_count,
+      |  round(CAST((SELECT COUNT(*) FROM events
+      |   WHERE EXTRACT(HOUR FROM ts) BETWEEN 6 AND 11 AND value > 10) AS DOUBLE) /
+      |        CAST((SELECT COUNT(*) FROM events
+      |   WHERE EXTRACT(HOUR FROM ts) BETWEEN 18 AND 23 AND value > 10) AS DOUBLE), 6)
+      |    AS am_pm_ratio""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tpcds_style_q3_brand" -> q3Brand,
     "tpcds_style_q42_category" -> q42Category,
@@ -505,7 +803,15 @@ object TpcdsPatterns {
     "tpcds_style_q98_revenue_share" -> q98RevenueShare,
     "tpcds_style_q35_demo_profile" -> q35DemoProfile,
     "tpcds_style_q93_return_adjusted" -> q93ReturnAdjusted,
-    "tpcds_style_q30_above_avg" -> q30AboveAvg)
+    "tpcds_style_q30_above_avg" -> q30AboveAvg,
+    "tpcds_style_q36_margin_rank" -> q36MarginRank,
+    "tpcds_style_q48_qty_bands" -> q48QtyBands,
+    "tpcds_style_q59_week_over_week" -> q59WeekOverWeek,
+    "tpcds_style_q65_below_avg" -> q65BelowAvg,
+    "tpcds_style_q75_yoy_decline" -> q75YoyDecline,
+    "tpcds_style_q89_rolling_deviation" -> q89RollingDeviation,
+    "tpcds_style_q97_channel_overlap" -> q97ChannelOverlap,
+    "tpcds_style_q90_ampm_ratio" -> q90AmPmRatio)
 
   val oracles: Map[String, String] = Map(
     "tpcds_style_q3_brand" -> q3BrandSql,
@@ -521,5 +827,13 @@ object TpcdsPatterns {
     "tpcds_style_q98_revenue_share" -> q98RevenueShareSql,
     "tpcds_style_q35_demo_profile" -> q35DemoProfileSql,
     "tpcds_style_q93_return_adjusted" -> q93ReturnAdjustedSql,
-    "tpcds_style_q30_above_avg" -> q30AboveAvgSql)
+    "tpcds_style_q30_above_avg" -> q30AboveAvgSql,
+    "tpcds_style_q36_margin_rank" -> q36MarginRankSql,
+    "tpcds_style_q48_qty_bands" -> q48QtyBandsSql,
+    "tpcds_style_q59_week_over_week" -> q59WeekOverWeekSql,
+    "tpcds_style_q65_below_avg" -> q65BelowAvgSql,
+    "tpcds_style_q75_yoy_decline" -> q75YoyDeclineSql,
+    "tpcds_style_q89_rolling_deviation" -> q89RollingDeviationSql,
+    "tpcds_style_q97_channel_overlap" -> q97ChannelOverlapSql,
+    "tpcds_style_q90_ampm_ratio" -> q90AmPmRatioSql)
 }
