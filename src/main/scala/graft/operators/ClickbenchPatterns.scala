@@ -169,7 +169,142 @@ object ClickbenchPatterns {
       |GROUP BY lang HAVING COUNT(*) > 20
       |ORDER BY l DESC, lang LIMIT 25""".stripMargin
 
+  // CB q28 shape: regexp_replace-derived domain key (the referer→domain
+  // extraction), grouped with a HAVING floor and an avg-length profile
+  private val domainReplace: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .groupBy(regexp_replace(col("source"), "[0-9]+", "").as("domain"),
+        col("lang"))
+      .agg(count(lit(1)).as("c"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .filter(col("c") > 10)
+      .orderBy(col("c").desc, col("domain"), col("lang"))
+      .limit(25)
+
+  private val domainReplaceSql =
+    """SELECT regexp_replace(source, '[0-9]+', '', 'g') AS domain, lang,
+      |  COUNT(*) AS c, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      |FROM documents
+      |GROUP BY 1, 2 HAVING COUNT(*) > 10
+      |ORDER BY c DESC, domain, lang LIMIT 25""".stripMargin
+
+  // CB q41-43 shape: minute-grain time series over a bounded window —
+  // the drill-down cadence (hour grain lives in ev_hourly_load)
+  private val minuteSeries: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(col("ts") >= "2024-01-03 00:00:00" && col("ts") < "2024-01-03 04:00:00")
+      .groupBy(date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("hits"), dbl(sum(dec(col("value")))).as("val_sum"))
+      .select(unix_micros(col("m")).as("minute_us"), col("hits"), col("val_sum"))
+      .orderBy(col("minute_us"))
+
+  private val minuteSeriesSql =
+    """SELECT epoch_us(date_trunc('minute', ts)) AS minute_us,
+      |  COUNT(*) AS hits,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS val_sum
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-03 04:00:00'
+      |GROUP BY 1 ORDER BY minute_us""".stripMargin
+
+  // CB q30 shape: one pass computing a battery of arithmetic sums —
+  // the wide-aggregate stress (ClickBench sums 89 shifted columns; the
+  // point is N independent aggregates in one scan, not N scans)
+  private val wideSums: Q = (s, dir) => {
+    // per-row double arithmetic is deterministic; the DECIMAL(18,4)
+    // conversion makes the parallel SUM order-independent
+    def d4(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    load(s, dir, "events")
+      .agg(
+        dbl(sum(d4(col("value") + 1))).as("s1"),
+        dbl(sum(d4(col("value") + 2))).as("s2"),
+        dbl(sum(d4(col("value") + 3))).as("s3"),
+        dbl(sum(d4(col("value") * 2))).as("s4"),
+        dbl(sum(d4(col("value") / 2))).as("s5"),
+        dbl(sum(d4(col("value") - 1))).as("s6"),
+        dbl(sum(d4(col("value") * col("value")))).as("s7"),
+        sum(col("user_id") % 97).as("s8"),
+        count(lit(1)).as("n"))
+  }
+
+  private val wideSumsSql =
+    """SELECT
+      |  CAST(SUM(CAST(value + 1 AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+      |  CAST(SUM(CAST(value + 2 AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+      |  CAST(SUM(CAST(value + 3 AS DECIMAL(18,4))) AS DOUBLE) AS s3,
+      |  CAST(SUM(CAST(value * 2 AS DECIMAL(18,4))) AS DOUBLE) AS s4,
+      |  CAST(SUM(CAST(value / 2 AS DECIMAL(18,4))) AS DOUBLE) AS s5,
+      |  CAST(SUM(CAST(value - 1 AS DECIMAL(18,4))) AS DOUBLE) AS s6,
+      |  CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS s7,
+      |  CAST(SUM(user_id % 97) AS BIGINT) AS s8, COUNT(*) AS n
+      |FROM events""".stripMargin
+
+  // CB q23/q24 shape: full-projection row fetch, newest-first — must
+  // plan TakeOrderedAndProject over every column, never a global sort
+  private val recentRows: Q = (s, dir) =>
+    load(s, dir, "events")
+      .orderBy(col("ts").desc, col("event_id"))
+      .limit(10)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), round(col("value"), 6).as("value"),
+        col("props"))
+
+  private val recentRowsSql =
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+      |  round(value, 6) AS value, props
+      |FROM events ORDER BY ts DESC, event_id LIMIT 10""".stripMargin
+
+  // CB q13-q17 shape: grouped multi-DISTINCT in one pass (distinct
+  // users AND distinct types per day — the Expand two-phase plan)
+  private val multiDistinctDay: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(dayofmonth(col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("uniq_users"),
+        countDistinct(col("event_type")).as("uniq_types"),
+        count(lit(1)).as("hits"))
+      .orderBy(col("d"))
+
+  private val multiDistinctDaySql =
+    """SELECT CAST(EXTRACT(DAY FROM ts) AS INTEGER) AS d,
+      |  COUNT(DISTINCT user_id) AS uniq_users,
+      |  COUNT(DISTINCT event_type) AS uniq_types, COUNT(*) AS hits
+      |FROM events GROUP BY 1 ORDER BY d""".stripMargin
+
+  // CB q16 shape: high-cardinality composite group key, top-N by count
+  // (UserID × SearchPhrase) — partial aggregation must not collapse
+  private val pairTopk: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"), dbl(sum(dec(col("value")))).as("v"))
+      .orderBy(col("c").desc, col("user_id"), col("event_type"))
+      .limit(20)
+
+  private val pairTopkSql =
+    """SELECT user_id, event_type, COUNT(*) AS c,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY c DESC, user_id, event_type LIMIT 20""".stripMargin
+
+  // CB q26/q37 shape: global ORDER BY on a long string column with a
+  // small LIMIT — top-k by binary string order, not a full sort
+  private val stringSortLimit: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .orderBy(col("text"), col("doc_id"))
+      .limit(5)
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("prefix"))
+
+  private val stringSortLimitSql =
+    """SELECT doc_id, substring(text, 1, 30) AS prefix
+      |FROM documents ORDER BY text, doc_id LIMIT 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cb_domain_replace" -> domainReplace,
+    "cb_minute_series" -> minuteSeries,
+    "cb_wide_sums" -> wideSums,
+    "cb_recent_rows" -> recentRows,
+    "cb_multi_distinct_day" -> multiDistinctDay,
+    "cb_pair_topk" -> pairTopk,
+    "cb_string_sort_limit" -> stringSortLimit,
     "cb_regex_extract_group" -> regexExtractGroup,
     "cb_like_filter_top" -> likeFilterTop,
     "cb_not_like_distinct" -> notLikeDistinct,
@@ -181,6 +316,13 @@ object ClickbenchPatterns {
     "cb_length_profile" -> lengthProfile)
 
   val oracles: Map[String, String] = Map(
+    "cb_domain_replace" -> domainReplaceSql,
+    "cb_minute_series" -> minuteSeriesSql,
+    "cb_wide_sums" -> wideSumsSql,
+    "cb_recent_rows" -> recentRowsSql,
+    "cb_multi_distinct_day" -> multiDistinctDaySql,
+    "cb_pair_topk" -> pairTopkSql,
+    "cb_string_sort_limit" -> stringSortLimitSql,
     "cb_regex_extract_group" -> regexExtractGroupSql,
     "cb_like_filter_top" -> likeFilterTopSql,
     "cb_not_like_distinct" -> notLikeDistinctSql,
