@@ -1182,7 +1182,59 @@ object RelationalOps {
 
   // ------------------------------------------------------------ assembly
 
+  // UNPIVOT / melt (wide→long reshape): three measures per line item
+  // fold into (measure, val) rows — the inverse of ev_pivot. Pure
+  // per-row Expand, no shuffle; scales linearly at any width.
+  private val unpivotMeasures: Q = (s, dir) =>
+    load(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dbl(col("l_quantity")).as("l_quantity"),
+        dbl(col("l_extendedprice")).as("l_extendedprice"),
+        dbl(col("l_discount")).as("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  private val unpivotMeasuresSql =
+    """WITH src AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS DOUBLE) AS l_quantity,
+      |    CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+      |    CAST(l_discount AS DOUBLE) AS l_discount
+      |  FROM lineitem WHERE l_orderkey < 1000)
+      |SELECT l_orderkey, l_linenumber, measure, val
+      |FROM (UNPIVOT src ON l_quantity, l_extendedprice, l_discount
+      |      INTO NAME measure VALUE val)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
+  // LATERAL correlated subquery join (FROM t, LATERAL (...)): per-nation
+  // correlated aggregate — Spark decorrelates to a plain aggregate+join,
+  // which is exactly the 100TB-safe plan
+  private val lateralJoin: Q = (s, dir) => {
+    load(s, dir, "nation").createOrReplaceTempView("nation_lat")
+    load(s, dir, "customer").createOrReplaceTempView("customer_lat")
+    s.sql(
+      """SELECT n_name, t.cnt, t.max_bal
+        |FROM nation_lat,
+        |  LATERAL (SELECT COUNT(*) AS cnt,
+        |             CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
+        |           FROM customer_lat WHERE c_nationkey = n_nationkey) t
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  private val lateralJoinSql =
+    """SELECT n_name, t.cnt, t.max_bal
+      |FROM nation,
+      |  LATERAL (SELECT COUNT(*) AS cnt,
+      |             CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
+      |           FROM customer WHERE c_nationkey = n_nationkey) t
+      |ORDER BY n_name""".stripMargin
+
   private val built: (Map[String, Q], Map[String, String]) = q(
+    ("reshape_unpivot" -> unpivotMeasures, unpivotMeasuresSql),
+    ("join_lateral_agg" -> lateralJoin, lateralJoinSql),
     ("join_inner" -> joinInner, joinInnerSql),
     ("join_left_outer" -> joinLeftOuter, joinLeftOuterSql),
     ("join_right_outer" -> joinRightOuter, joinRightOuterSql),
