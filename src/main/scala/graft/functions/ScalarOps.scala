@@ -185,6 +185,35 @@ object ScalarOps {
       |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
       |FROM events ORDER BY event_id LIMIT 2000""".stripMargin
 
+  // VARIANT semi-structured type (Spark 4): parse_json → typed
+  // variant_get extraction, try_ variant on a missing path, and a
+  // struct→variant→typed round trip. Engine-specific surfaces
+  // (schema_of_variant, to_json canonicalization, malformed-input
+  // try_parse_json) are pinned in VariantXmlFunctionsSpec. The variant
+  // binary encoding keeps shredded access O(field) at scale — the
+  // semi-structured analog of column pruning.
+  private val fnVariant: Q = (s, dir) =>
+    load(s, dir, "events").filter(col("event_id") < 500)
+      .select(col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k_int"),
+        variant_get(parse_json(col("props")), "$.k", "string").as("k_str"),
+        variant_get(parse_json(col("props")), "$.k", "double").as("k_dbl"),
+        try_variant_get(parse_json(col("props")), "$.missing", "int").as("k_missing"),
+        variant_get(to_variant_object(struct(col("event_type"), col("user_id"))),
+          "$.user_id", "bigint").as("uid_back"),
+        is_variant_null(parse_json(lit("null"))).as("null_variant"))
+      .orderBy(col("event_id"))
+
+  private val fnVariantSql =
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
+      |  CAST(NULL AS INTEGER) AS k_missing,
+      |  user_id AS uid_back,
+      |  true AS null_variant
+      |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
+
   private val fnHash: Q = (s, dir) =>
     load(s, dir, "documents")
       .select(col("doc_id"), md5(col("text")).as("h_md5"), sha2(col("text"), 256).as("h_sha256"))
@@ -634,6 +663,7 @@ object ScalarOps {
     "fn_math" -> fnMath,
     "fn_date" -> fnDate,
     "fn_json" -> fnJson,
+    "fn_variant" -> fnVariant,
     "fn_hash" -> fnHash,
     "fn_hash_native" -> fnHashNative,
     "fn_conditional" -> fnConditional,
@@ -656,6 +686,7 @@ object ScalarOps {
     "fn_math" -> fnMathSql,
     "fn_date" -> fnDateSql,
     "fn_json" -> fnJsonSql,
+    "fn_variant" -> fnVariantSql,
     "fn_hash" -> fnHashSql,
     "fn_conditional" -> fnConditionalSql,
     "fn_array" -> fnArraySql,
