@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming extension — beyond-reference surface: the
   * reference offloads no Spark streaming operators at all (SURVEY.md
@@ -42,6 +42,13 @@ object StreamingOps {
   /** drop duplicate event_ids arriving within the watermark horizon */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
+
+  /** watermark-bounded dedup on the key ALONE (no event-time column in
+    * the key): duplicates may carry different timestamps — the state
+    * entry expires one watermark-delay after first sight, so state stays
+    * bounded while late re-sends inside the horizon are suppressed */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
 
   /** enrich a stream against a static dimension (broadcast join) */
   def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
@@ -89,5 +96,43 @@ object StreamingOps {
             closed.reverseIterator
           }
       }
+  }
+
+  // ---- transformWithState (the arbitrary-state v2 operator) -----------
+
+  final case class ValueIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class RunningOut(user_id: Long, value: Double,
+    running_max: Double, n_seen: Long)
+
+  /** per-key running max + count through the Spark-4 StatefulProcessor
+    * API (typed ValueState handles, RocksDB-backed): the v2 replacement
+    * for mapGroupsWithState. State is two scalars per key — bounded. */
+  class RunningMaxProcessor extends StatefulProcessor[Long, ValueIn, RunningOut] {
+    @transient private var maxState: ValueState[Double] = _
+    @transient private var seenState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      maxState = getHandle.getValueState[Double]("max", Encoders.scalaDouble, TTLConfig.NONE)
+      seenState = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ValueIn],
+        timers: TimerValues): Iterator[RunningOut] = {
+      var mx = if (maxState.exists()) maxState.get() else Double.NegativeInfinity
+      var n = if (seenState.exists()) seenState.get() else 0L
+      val out = rows.toSeq.sortBy(_.ts.getTime).map { r =>
+        mx = math.max(mx, r.value); n += 1
+        RunningOut(key, r.value, mx, n)
+      }
+      maxState.update(mx)
+      seenState.update(n)
+      out.iterator
+    }
+  }
+
+  def runningMax(events: Dataset[ValueIn]): Dataset[RunningOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Append())
   }
 }

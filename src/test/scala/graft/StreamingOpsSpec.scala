@@ -146,4 +146,61 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(rows == Set((1L, Some("gold")), (2L, None)))
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark suppresses same-key rows with differing timestamps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // same event_id re-sent 5 minutes later with a different ts — plain
+    // dropDuplicates(key, ts) would keep both; within-watermark dedup must not
+    in.addData(
+      Ev(1, ts(1), 1, "click", 1.0, "{}"),
+      Ev(1, ts(6), 1, "click", 1.0, "{}"),
+      Ev(2, ts(7), 1, "view", 2.0, "{}"))
+    val q = StreamingOps.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L), ids.toString)
+    } finally q.stop()
+  }
+
+  test("transformWithState keeps typed per-key state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the v2 stateful operator requires the RocksDB state store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamingOps.ValueIn]
+      val q = StreamingOps.runningMax(in.toDS())
+        .writeStream.format("memory").queryName("running_max")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(
+          StreamingOps.ValueIn(1, ts(1), 5.0),
+          StreamingOps.ValueIn(1, ts(2), 3.0),
+          StreamingOps.ValueIn(2, ts(3), 1.0))
+        q.processAllAvailable()
+        in.addData( // state must survive into the next micro-batch
+          StreamingOps.ValueIn(1, ts(4), 9.0),
+          StreamingOps.ValueIn(2, ts(5), 0.5))
+        q.processAllAvailable()
+        val rows = spark.table("running_max")
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+        assert(rows == Set(
+          (1L, 5.0, 5.0, 1L), (1L, 3.0, 5.0, 2L), (1L, 9.0, 9.0, 3L),
+          (2L, 1.0, 1.0, 1L), (2L, 0.5, 1.0, 2L)), rows.toString)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
