@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 170+ codegen'd queries in one JVM overflow the default 240M JIT code
+  // cache; once full, compilation stops and whatever query runs next
+  // executes interpreted (observed as random 10-40s stalls in Bench)
+  "-XX:ReservedCodeCacheSize=1024m",
 )

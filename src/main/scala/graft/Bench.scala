@@ -40,7 +40,12 @@ object Bench {
       val t0 = System.nanoTime()
       try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release intra-query caches OUTSIDE the timer: a query's persist()
+      // is its own cost (timed above), but leaked storage blocks from
+      // one query must not squeeze executor memory for the next
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qj = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

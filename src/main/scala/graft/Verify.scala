@@ -26,6 +26,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         if (sys.env.contains("GRAFT_VERIFY_TRACE")) e.printStackTrace()
       }
+      // drop any caches a query left behind so 170+ queries in one
+      // session don't squeeze each other's executor memory
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -165,14 +165,17 @@ object DedupOps {
     // candidate list against set-level tables with one row per distinct
     // word-set — O(corpus) rows, so an unconditional broadcast would OOM
     // the driver first at 100 TB. Broadcast only when the estimated
-    // bitmap bytes fit the configured budget, probed with an
-    // early-stopping limit+count over the cached groups (no full pass);
-    // otherwise plan shuffle joins on gid and let AQE downgrade to
-    // broadcast only where runtime stats prove a side small.
+    // bitmap bytes fit the configured budget. The probe is the DOCUMENT
+    // count from parquet footer metadata (a free upper bound on distinct
+    // word-sets — never touches the expensive group pipeline; an earlier
+    // limit+count probe planned a single-partition GlobalLimit that
+    // serially materialized every wide group row). Over budget → plan
+    // shuffle joins on gid and let AQE downgrade to broadcast only where
+    // runtime stats prove a side small.
     val budget = graft.GraftConf.getLong(s, graft.GraftConf.DedupBroadcastMaxBytes)
     val rowBytes = nChunks * 8L + 32L
-    val maxSets = math.min(Int.MaxValue - 1L, budget / rowBytes).toInt
-    val smallSets = maxSets > 0 && groups.limit(maxSets + 1).count() <= maxSets
+    val maxSets = math.min(Int.MaxValue - 1L, budget / rowBytes)
+    val smallSets = maxSets > 0 && load(s, dir, "documents").count() <= maxSets
     val maskA = masks.select(col("gid").as("gid_a"), col("mask").as("mask_a"))
     val maskB = masks.select(col("gid").as("gid_b"), col("mask").as("mask_b"))
     val crossGroup =
