@@ -1232,9 +1232,117 @@ object RelationalOps {
       |           FROM customer WHERE c_nationkey = n_nationkey) t
       |ORDER BY n_name""".stripMargin
 
+  // WITH RECURSIVE (Spark 4 UnionLoop operator): transitive closure over
+  // a derived binary-tree edge table — anchor ∪ recursive-step until
+  // fixpoint. The per-iteration frontier is a distributed join; depth is
+  // bounded by the tree height (log n), not the row count.
+  private val recursiveCte: Q = (s, dir) => {
+    val part = load(s, dir, "part")
+    part.createOrReplaceTempView("part_rc")
+    // bound inlined as a literal: scalar subqueries inside the recursive
+    // step are restricted; the oracle computes the same bound via SQL
+    val maxKey = part.agg(max(col("p_partkey"))).head.getLong(0)
+    s.sql(
+      s"""WITH RECURSIVE reach(node, depth) AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.child, r.depth + 1
+        |  FROM reach r
+        |  JOIN (SELECT p_partkey AS parent, p_partkey * 2 AS child FROM part_rc
+        |        UNION ALL
+        |        SELECT p_partkey, p_partkey * 2 + 1 FROM part_rc) e
+        |    ON e.parent = r.node
+        |  WHERE e.child <= $maxKey)
+        |SELECT node, depth FROM reach ORDER BY node""".stripMargin)
+  }
+
+  private val recursiveCteSql =
+    """WITH RECURSIVE reach(node, depth) AS (
+      |  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      |  UNION ALL
+      |  SELECT e.child, r.depth + 1
+      |  FROM reach r
+      |  JOIN (SELECT p_partkey AS parent, p_partkey * 2 AS child FROM part
+      |        UNION ALL
+      |        SELECT p_partkey, p_partkey * 2 + 1 FROM part) e
+      |    ON e.parent = r.node
+      |  WHERE e.child <= (SELECT MAX(p_partkey) FROM part))
+      |SELECT node, depth FROM reach ORDER BY node""".stripMargin
+
+  // GROUP BY ALL / ORDER BY ALL (the modern-SQL sugar both engines
+  // support): every non-aggregate select item becomes a group key
+  private val groupByAll: Q = (s, dir) => {
+    load(s, dir, "orders").createOrReplaceTempView("orders_gba")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders_gba
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  private val groupByAllSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
+  // SQL pipe syntax (|> operators, Spark 4): same semantics as the
+  // nested form — the oracle IS the standard-SQL spelling, proving the
+  // pipe chain plans identically
+  private val pipeSyntax: Q = (s, dir) => {
+    load(s, dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    s.sql(
+      """FROM lineitem_pipe
+        ||> WHERE l_quantity > 45
+        ||> AGGREGATE COUNT(*) AS n,
+        |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+        |   GROUP BY l_returnflag
+        ||> WHERE n > 10
+        ||> ORDER BY l_returnflag""".stripMargin)
+  }
+
+  private val pipeSyntaxSql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      |FROM lineitem
+      |WHERE l_quantity > 45
+      |GROUP BY l_returnflag
+      |HAVING COUNT(*) > 10
+      |ORDER BY l_returnflag""".stripMargin
+
+  // try_-prefixed ANSI-safe aggregates: NULL instead of error on
+  // overflow (ANSI mode is on engine-wide)
+  private val tryAggs: Q = (s, dir) => {
+    load(s, dir, "lineitem").createOrReplaceTempView("lineitem_try")
+    s.sql(
+      """SELECT l_returnflag,
+        |  try_sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum,
+        |  CAST(try_avg(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_avg,
+        |  try_sum(try_multiply(CAST(l_extendedprice AS BIGINT), CAST(9e17 AS BIGINT))) AS overflow_null
+        |FROM lineitem_try
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .withColumn("qty_sum", dbl(col("qty_sum")))
+  }
+
+  private val tryAggsSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum,
+      |  round(AVG(CAST(l_quantity AS DECIMAL(12,2))), 6) AS qty_avg,
+      |  CAST(NULL AS BIGINT) AS overflow_null
+      |FROM lineitem
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   private val built: (Map[String, Q], Map[String, String]) = q(
     ("reshape_unpivot" -> unpivotMeasures, unpivotMeasuresSql),
     ("join_lateral_agg" -> lateralJoin, lateralJoinSql),
+    ("sql_recursive_cte" -> recursiveCte, recursiveCteSql),
+    ("sql_group_by_all" -> groupByAll, groupByAllSql),
+    ("sql_pipe_syntax" -> pipeSyntax, pipeSyntaxSql),
+    ("agg_try" -> tryAggs, tryAggsSql),
     ("join_inner" -> joinInner, joinInnerSql),
     ("join_left_outer" -> joinLeftOuter, joinLeftOuterSql),
     ("join_right_outer" -> joinRightOuter, joinRightOuterSql),

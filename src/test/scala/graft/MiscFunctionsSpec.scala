@@ -67,4 +67,22 @@ class MiscFunctionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("boom"))
   }
+
+  test("parameterized SQL binds named and positional parameters") {
+    spark.range(10).createOrReplaceTempView("param_t")
+    val named = spark.sql("SELECT count(*) FROM param_t WHERE id < :lim",
+      Map("lim" -> 4)).head().getLong(0)
+    assert(named == 4L)
+    val positional = spark.sql("SELECT count(*) FROM param_t WHERE id < ? OR id > ?",
+      Array(2, 7)).head().getLong(0)
+    assert(positional == 4L)
+  }
+
+  test("IDENTIFIER clause resolves table and column names from parameters") {
+    spark.range(5).selectExpr("id", "id * 2 AS dbl").createOrReplaceTempView("ident_t")
+    val n = spark.sql(
+      "SELECT sum(IDENTIFIER(:col)) FROM IDENTIFIER(:tab) ",
+      Map("col" -> "dbl", "tab" -> "ident_t")).head().getLong(0)
+    assert(n == 20L)
+  }
 }
