@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -299,7 +300,81 @@ object TextOps {
       |  round(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM per), 6) AS doc_share
       |FROM per ORDER BY lang""".stripMargin
 
+  // ---- sampling / mixing operators (epoch pipelines) -------------------
+
+  // Deterministic epoch shuffle: a seeded hash order assigns every doc a
+  // shard and an in-shard position. Shard-partitioned windows keep the
+  // sort distributed (never a global single-partition ordering); a new
+  // seed string re-deals the whole corpus — exactly how epoch N vs N+1
+  // re-shuffles training data reproducibly.
+  private val docsEpochShuffle: Q = (s, dir) => {
+    val hashed = load(s, dir, "documents")
+      .select(col("doc_id"), md5(concat(lit("epoch1:"), col("doc_id"))).as("hp"))
+      .withColumn("shard", (ascii(substring(col("hp"), 1, 1)) % 8).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("hp"), col("doc_id"))
+    hashed.select(col("doc_id"), col("shard"),
+        row_number().over(w).as("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private val docsEpochShuffleSql =
+    """SELECT doc_id, shard, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY shard ORDER BY hp, doc_id) AS INTEGER) AS pos
+      |FROM (
+      |  SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS hp,
+      |    CAST(ascii(substring(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 1)) % 8 AS INTEGER) AS shard
+      |  FROM documents)
+      |ORDER BY shard, pos""".stripMargin
+
+  // Mixture quota: cap each source's contribution at K docs chosen by a
+  // deterministic hash priority — the data-mixing step that rebalances
+  // over-represented sources. Per-source windows; no global sort.
+  private val docsMixtureQuota: Q = (s, dir) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("mix:"), col("doc_id"))), col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 15)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val docsMixtureQuotaSql =
+    """SELECT doc_id, source, lang, CAST(rk AS INTEGER) AS rk
+      |FROM (
+      |  SELECT doc_id, source, lang, ROW_NUMBER() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 15
+      |ORDER BY source, rk""".stripMargin
+
+  // Stratified head: per-language quotas (majority language capped
+  // harder than the tail) by a quality-proxy order — proportional
+  // stratified sampling with deterministic tie-breaks.
+  private val docsStratifiedHead: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= when(col("lang") === "en", 10).otherwise(25))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val docsStratifiedHeadSql =
+    """SELECT doc_id, lang, n_chars, CAST(rk AS INTEGER) AS rk
+      |FROM (
+      |  SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER (
+      |    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= CASE WHEN lang = 'en' THEN 10 ELSE 25 END
+      |ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "docs_epoch_shuffle" -> docsEpochShuffle,
+    "docs_mixture_quota" -> docsMixtureQuota,
+    "docs_stratified_head" -> docsStratifiedHead,
     "text_decontaminate" -> textDecontaminate,
     "docs_curation" -> docsCuration,
     "docs_pack_batches" -> docsPackBatches,
@@ -312,6 +387,9 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "docs_epoch_shuffle" -> docsEpochShuffleSql,
+    "docs_mixture_quota" -> docsMixtureQuotaSql,
+    "docs_stratified_head" -> docsStratifiedHeadSql,
     "text_decontaminate" -> textDecontaminateSql,
     "docs_curation" -> docsCurationSql,
     "docs_pack_batches" -> docsPackBatchesSql,
