@@ -91,14 +91,15 @@ class GraftLakeCatalog extends TableCatalog {
     val schema = new StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
     val specs = partitions.map { t =>
+      // initial field ids are the creation-schema ordinals
       val idx = schema.fieldIndex(t.references().head.fieldNames().head)
       t.name() match {
-        case "identity" => LakePartField(idx, schema(idx).dataType, bucket = 0)
+        case "identity" => LakePartSpec(idx, bucket = 0)
         case "bucket" =>
           val n = t.arguments().collectFirst {
             case l: V2Literal[_] => l.value().asInstanceOf[Number].intValue()
           }.getOrElse(throw new IllegalArgumentException(s"bucket without count: $t"))
-          LakePartField(idx, schema(idx).dataType, bucket = n)
+          LakePartSpec(idx, bucket = n)
         case other =>
           throw new UnsupportedOperationException(s"unsupported transform: $other")
       }
@@ -113,14 +114,20 @@ class GraftLakeCatalog extends TableCatalog {
   def snapshots(ident: Identifier): Seq[(Long, Long, Long)] =
     state(ident).history.map(s => (s.version, s.timestampMs, s.rowCount))
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("alterTable not supported")
+  /** schema evolution: ALTER TABLE ADD/RENAME/DROP COLUMN (field-id
+    * tracked, snapshot-versioned — old snapshots keep their shape) */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val st = state(ident)
+    st.alter(changes)
+    new GraftLakeTable(st, pinned = None)
+  }
   override def dropTable(ident: Identifier): Boolean = tables.remove(ident).isDefined
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("renameTable not supported")
 }
 
-/** one partition-spec field: source ordinal + (bucket==0 → identity) */
+/** one partition-spec field resolved against a concrete write schema:
+  * source ordinal + (bucket==0 → identity) */
 case class LakePartField(ordinal: Int, dataType: DataType, bucket: Int) {
   /** partition value of a row: identity value (normalized) or bucket id */
   def eval(row: InternalRow): Any = {
@@ -140,28 +147,60 @@ object LakePartField {
     if (v == null) 0 else ((v.hashCode % n) + n) % n
 }
 
-/** immutable data file: partition tuple + full-schema UnsafeRow payloads */
-case class LakeDataFile(partition: IndexedSeq[Any], rows: Array[InternalRow])
+/** schema-stable partition spec entry: tracks its source column by
+  * FIELD ID (the Iceberg model), so renames never detach the spec */
+case class LakePartSpec(fieldId: Int, bucket: Int)
 
-case class LakeSnapshot(version: Long, timestampMs: Long, files: Vector[LakeDataFile]) {
+/** immutable data file: partition tuple + UnsafeRow payloads laid out in
+  * the WRITE-TIME schema, identified by per-column field ids (schema
+  * evolution: readers map the current schema onto each file by id) */
+case class LakeDataFile(partition: IndexedSeq[Any], rows: Array[InternalRow],
+    fieldIds: IndexedSeq[Int], types: IndexedSeq[DataType])
+
+case class LakeSnapshot(version: Long, timestampMs: Long, files: Vector[LakeDataFile],
+    schema: StructType, fieldIds: IndexedSeq[Int]) {
   def rowCount: Long = files.map(_.rows.length.toLong).sum
 }
 
-/** all mutation = one synchronized snapshot append (commit protocol) */
-class LakeTableState(val tableName: String, val schema: StructType,
-    val partFields: IndexedSeq[LakePartField]) {
+/** all mutation = one synchronized snapshot append (commit protocol);
+  * ALTER TABLE commits a snapshot with a new (schema, fieldIds) pair
+  * over the same files — time travel restores the old shape */
+class LakeTableState(val tableName: String, initialSchema: StructType,
+    val partSpecs: IndexedSeq[LakePartSpec]) {
   @volatile private var snaps: Vector[LakeSnapshot] =
-    Vector(LakeSnapshot(0L, System.currentTimeMillis(), Vector.empty))
+    Vector(LakeSnapshot(0L, System.currentTimeMillis(), Vector.empty,
+      initialSchema, initialSchema.indices))
+  private var nextFieldId: Int = initialSchema.length
   def current: LakeSnapshot = snaps.last
+  def schema: StructType = current.schema
+  def fieldIds: IndexedSeq[Int] = current.fieldIds
   def history: Vector[LakeSnapshot] = snaps
   def byVersion(v: Long): Option[LakeSnapshot] = snaps.find(_.version == v)
   def byTimestampMs(ms: Long): Option[LakeSnapshot] =
     snaps.filter(_.timestampMs <= ms).lastOption
-  def commit(newFiles: Seq[LakeDataFile], truncate: Boolean): Unit = synchronized {
-    val base = if (truncate) Vector.empty else current.files
+
+  /** partition spec resolved against a concrete (schema, ids) pair */
+  def resolvePartFields(sch: StructType, ids: IndexedSeq[Int]): IndexedSeq[LakePartField] =
+    partSpecs.map { ps =>
+      val ord = ids.indexOf(ps.fieldId)
+      require(ord >= 0, s"partition source field ${ps.fieldId} missing from $sch")
+      LakePartField(ord, sch(ord).dataType, ps.bucket)
+    }
+
+  /** current column name of a partition-spec entry */
+  def partColumnName(i: Int): String =
+    schema(fieldIds.indexOf(partSpecs(i).fieldId)).name
+
+  private def push(files: Vector[LakeDataFile]): Unit = {
     // monotone timestamps even when commits land within one millisecond
     val ts = math.max(System.currentTimeMillis(), current.timestampMs + 1)
-    snaps = snaps :+ LakeSnapshot(current.version + 1, ts, base ++ newFiles)
+    snaps = snaps :+ LakeSnapshot(current.version + 1, ts, files,
+      current.schema, current.fieldIds)
+  }
+
+  def commit(newFiles: Seq[LakeDataFile], truncate: Boolean): Unit = synchronized {
+    val base = if (truncate) Vector.empty else current.files
+    push(base ++ newFiles)
   }
 
   /** copy-on-write commit: atomically swap a set of rewritten data files
@@ -172,9 +211,39 @@ class LakeTableState(val tableName: String, val schema: StructType,
     val gone = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LakeDataFile, java.lang.Boolean]())
     removed.foreach(gone.add)
-    val kept = current.files.filterNot(gone.contains)
+    push(current.files.filterNot(gone.contains) ++ added)
+  }
+
+  /** schema evolution: ADD / RENAME / DROP COLUMN, committed as a new
+    * snapshot over the unchanged files. Field ids keep old files
+    * readable (added columns null-pad; renames re-label in place). */
+  def alter(changes: Seq[TableChange]): Unit = synchronized {
+    var sch = current.schema
+    var ids = current.fieldIds
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1, "nested columns not supported")
+        require(add.position() == null, "column positioning not supported")
+        sch = sch.add(add.fieldNames().head, add.dataType(), nullable = true)
+        ids = ids :+ nextFieldId
+        nextFieldId += 1
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1, "nested columns not supported")
+        val ord = sch.fieldIndex(ren.fieldNames().head)
+        sch = StructType(sch.fields.updated(ord,
+          sch.fields(ord).copy(name = ren.newName())))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1, "nested columns not supported")
+        val ord = sch.fieldIndex(del.fieldNames().head)
+        require(!partSpecs.exists(_.fieldId == ids(ord)),
+          s"cannot drop partition source column ${del.fieldNames().head}")
+        sch = StructType(sch.fields.patch(ord, Nil, 1))
+        ids = ids.patch(ord, Nil, 1)
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported table change: $other")
+    }
     val ts = math.max(System.currentTimeMillis(), current.timestampMs + 1)
-    snaps = snaps :+ LakeSnapshot(current.version + 1, ts, kept ++ added)
+    snaps = snaps :+ LakeSnapshot(current.version + 1, ts, current.files, sch, ids)
   }
 
   /** streaming epoch commit, idempotent per (query, epoch): a replayed
@@ -207,13 +276,13 @@ class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot])
     override def isNullable: Boolean = true
     override def comment(): String = "partition tuple of the data file holding the row"
   })
-  override def schema(): StructType = state.schema
+  override def schema(): StructType = pinned.map(_.schema).getOrElse(state.schema)
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    state.partFields.map { pf =>
-      val colName = state.schema(pf.ordinal).name
-      if (pf.bucket == 0) Expressions.identity(colName)
-      else Expressions.bucket(pf.bucket, colName)
+    state.partSpecs.indices.map { i =>
+      val colName = state.partColumnName(i)
+      if (state.partSpecs(i).bucket == 0) Expressions.identity(colName)
+      else Expressions.bucket(state.partSpecs(i).bucket, colName)
     }.toArray
   }
   override def capabilities(): util.Set[TableCapability] =
@@ -254,7 +323,8 @@ class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot])
         override def toBatch: BatchWrite = new BatchWrite {
           private val doTruncate = truncateRequested
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-            new LakeWriterFactory(info.schema(), state.partFields)
+            new LakeWriterFactory(info.schema(), state.fieldIds,
+              state.resolvePartFields(state.schema, state.fieldIds))
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             state.commit(messages.flatMap { case LakeCommit(files) => files }.toSeq, doTruncate)
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -268,7 +338,8 @@ class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot])
             private val queryId = info.queryId()
             override def createStreamingWriterFactory(pi: PhysicalWriteInfo)
                 : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-              new LakeStreamingWriterFactory(info.schema(), state.partFields)
+              new LakeStreamingWriterFactory(info.schema(), state.fieldIds,
+                state.resolvePartFields(state.schema, state.fieldIds))
             override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
               state.commitEpoch(queryId, epochId,
                 messages.flatMap { case LakeCommit(files) => files }.toSeq)
@@ -283,27 +354,30 @@ class LakeScanBuilder(state: LakeTableState, snapshot: LakeSnapshot,
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var accepted: Array[Filter] = Array.empty
-  private var required: StructType = state.schema
+  private var required: StructType = snapshot.schema
 
   /** (partition-spec index, allowed partition values) per usable filter */
   private var pruneSets: Seq[(Int, Set[Any])] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val fieldByName = state.partFields.zipWithIndex.map { case (pf, i) =>
-      state.schema(pf.ordinal).name -> ((pf, i))
+    // partition columns addressed by their name IN THIS SNAPSHOT's schema
+    // (field-id indirection keeps pruning correct across renames)
+    val fieldByName = state.partSpecs.zipWithIndex.flatMap { case (ps, i) =>
+      val ord = snapshot.fieldIds.indexOf(ps.fieldId)
+      if (ord < 0) None else Some(snapshot.schema(ord).name -> ((ps, i)))
     }.toMap
     val acc = mutable.ArrayBuffer[Filter]()
     val residual = mutable.ArrayBuffer[Filter]()
     val prunes = mutable.ArrayBuffer[(Int, Set[Any])]()
     filters.foreach {
       case f @ EqualTo(col, value) if fieldByName.contains(col) =>
-        val (pf, i) = fieldByName(col)
+        val (ps, i) = fieldByName(col)
         val v = LakePartField.normalize(value)
-        if (pf.bucket == 0) { prunes += ((i, Set(v))); acc += f }
+        if (ps.bucket == 0) { prunes += ((i, Set(v))); acc += f }
         else {
           // bucket pruning keeps only the value's bucket; the equality
           // itself must still run on the rows → residual
-          prunes += ((i, Set(LakePartField.bucketOf(v, pf.bucket)))); residual += f
+          prunes += ((i, Set(LakePartField.bucketOf(v, ps.bucket)))); residual += f
         }
       case f @ In(col, values) if fieldByName.contains(col) &&
           fieldByName(col)._1.bucket == 0 =>
@@ -338,26 +412,37 @@ class LakeScan(state: LakeTableState, snapshot: LakeSnapshot,
       s"ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
 
+  /** per-file ordinal map, resolved by FIELD ID (schema evolution):
+    * required column → its position in the file's write-time layout;
+    * -1 = `_partition` metadata; -2 = column added after this file was
+    * written (reads as typed null) */
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => LakeFilePartition(f.rows, requiredOrdinals,
-      f.partition.mkString("/")): InputPartition).toArray
-
-  /** stored-schema ordinal per required column; -1 = the `_partition`
-    * metadata column (synthesized per file, not stored in rows) */
-  private def requiredOrdinals: Array[Int] =
-    required.fields.map(f =>
-      if (f.name == "_partition") -1 else state.schema.fieldIndex(f.name))
+    files.map { f =>
+      val ordinals = required.fields.map { rf =>
+        if (rf.name == "_partition") -1
+        else {
+          val id = snapshot.fieldIds(snapshot.schema.fieldIndex(rf.name))
+          f.fieldIds.indexOf(id) match { case -1 => -2; case ord => ord }
+        }
+      }
+      LakeFilePartition(f.rows, ordinals, f.types.toArray,
+        f.partition.mkString("/")): InputPartition
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val fullSchema = state.schema
+    val requiredTypes = required.fields.map(_.dataType)
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val fp = p.asInstanceOf[LakeFilePartition]
-        // column pruning: bind the projection to the stored full schema;
-        // `_partition` binds to this file's constant partition label
-        val proj = UnsafeProjection.create(fp.ordinals.toIndexedSeq.map(i =>
-          if (i >= 0) BoundReference(i, fullSchema(i).dataType, fullSchema(i).nullable)
-          else CatalystLiteral(UTF8String.fromString(fp.partLabel), StringType)))
+        // column pruning: bind the projection to the file's stored
+        // layout; `_partition` binds to the file's constant label and
+        // post-file columns bind to typed nulls
+        val proj = UnsafeProjection.create(fp.ordinals.toIndexedSeq.zipWithIndex.map {
+          case (ord, ri) =>
+            if (ord >= 0) BoundReference(ord, fp.types(ord), nullable = true)
+            else if (ord == -1) CatalystLiteral(UTF8String.fromString(fp.partLabel), StringType)
+            else CatalystLiteral(null, requiredTypes(ri))
+        })
         new PartitionReader[InternalRow] {
           private val it = fp.rows.iterator
           private var cur: InternalRow = _
@@ -373,15 +458,16 @@ class LakeScan(state: LakeTableState, snapshot: LakeSnapshot,
 }
 
 case class LakeFilePartition(rows: Array[InternalRow], ordinals: Array[Int],
-    partLabel: String) extends InputPartition
+    types: Array[DataType], partLabel: String) extends InputPartition
 
 case class LakeCommit(files: Array[LakeDataFile]) extends WriterCommitMessage
 
 /** streaming variant of the writer factory: same task-side buffering,
   * keyed additionally by epoch through the streaming SPI */
-class LakeStreamingWriterFactory(schema: StructType, partFields: IndexedSeq[LakePartField])
+class LakeStreamingWriterFactory(schema: StructType, fieldIds: IndexedSeq[Int],
+    partFields: IndexedSeq[LakePartField])
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
-  private val batch = new LakeWriterFactory(schema, partFields)
+  private val batch = new LakeWriterFactory(schema, fieldIds, partFields)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] = batch.createWriter(partitionId, taskId)
 }
@@ -423,7 +509,8 @@ class LakeRowLevelOperation(state: LakeTableState,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-            new LakeWriterFactory(info.schema(), state.partFields)
+            new LakeWriterFactory(info.schema(), state.fieldIds,
+              state.resolvePartFields(state.schema, state.fieldIds))
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             state.replace(scannedFiles,
               messages.flatMap { case LakeCommit(files) => files }.toSeq)
@@ -441,8 +528,8 @@ object LakeMetadataDelete {
     * ALWAYS_TRUE, or =/IN on an identity partition column. */
   def fileMatcher(state: LakeTableState,
       p: V2Predicate): Option[LakeDataFile => Boolean] = {
-    val identIdx: Map[String, Int] = state.partFields.zipWithIndex.collect {
-      case (pf, i) if pf.bucket == 0 => state.schema(pf.ordinal).name -> i
+    val identIdx: Map[String, Int] = state.partSpecs.zipWithIndex.collect {
+      case (ps, i) if ps.bucket == 0 => state.partColumnName(i) -> i
     }.toMap
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
       e match {
@@ -480,11 +567,12 @@ object LakeMetadataDelete {
 
 /** task-side writer: routes each row to its partition-addressed buffer;
   * one data file per (task, partition value) — the manifest-entry shape */
-class LakeWriterFactory(schema: StructType, partFields: IndexedSeq[LakePartField])
-    extends DataWriterFactory {
+class LakeWriterFactory(schema: StructType, fieldIds: IndexedSeq[Int],
+    partFields: IndexedSeq[LakePartField]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val proj = UnsafeProjection.create(schema)
+      private val types: IndexedSeq[DataType] = schema.fields.map(_.dataType).toIndexedSeq
       private val buffers =
         mutable.LinkedHashMap[IndexedSeq[Any], mutable.ArrayBuffer[InternalRow]]()
       override def write(record: InternalRow): Unit = {
@@ -497,7 +585,8 @@ class LakeWriterFactory(schema: StructType, partFields: IndexedSeq[LakePartField
       override def write(metadata: InternalRow, record: InternalRow): Unit =
         write(record)
       override def commit(): WriterCommitMessage =
-        LakeCommit(buffers.map { case (k, rows) => LakeDataFile(k, rows.toArray) }.toArray)
+        LakeCommit(buffers.map { case (k, rows) =>
+          LakeDataFile(k, rows.toArray, fieldIds, types) }.toArray)
       override def abort(): Unit = buffers.clear()
       override def close(): Unit = ()
     }

@@ -203,6 +203,52 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(parts.size == 10 && parts("r3") == "r3", parts.toString)
   }
 
+  test("ALTER TABLE ADD COLUMN: old files null-pad, new writes carry the column") {
+    spark.sql("""CREATE TABLE lake.ev (id BIGINT, region STRING, v DOUBLE)
+                 PARTITIONED BY (region)""")
+    import spark.implicits._
+    Seq((1L, "emea", 1.0), (2L, "amer", 2.0)).toDF("id", "region", "v")
+      .writeTo("lake.ev").append() // v1, two-column files
+    spark.sql("ALTER TABLE lake.ev ADD COLUMN score INT") // v2 schema change
+    spark.sql("INSERT INTO lake.ev VALUES (3L, 'emea', 3.0, 30)") // v3
+    val rows = spark.table("lake.ev").orderBy("id")
+      .select("id", "score").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSeq
+    assert(rows == Seq((1L, None), (2L, None), (3L, Some(30))), rows.toString)
+    // pre-evolution snapshot still reads with the OLD schema
+    val v1 = spark.sql("SELECT * FROM lake.ev VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq == Seq("id", "region", "v"))
+    assert(v1.count() == 2)
+  }
+
+  test("ALTER TABLE RENAME COLUMN: field ids keep old files readable") {
+    spark.sql("ALTER TABLE lake.ev RENAME COLUMN v TO amount")
+    import spark.implicits._
+    val amounts = spark.table("lake.ev").orderBy("id")
+      .select("amount").as[Double].collect().toSeq
+    assert(amounts == Seq(1.0, 2.0, 3.0), amounts.toString)
+    // partition pruning still works when filtering the renamed table
+    assert(spark.table("lake.ev").filter(col("region") === "emea").count() == 2)
+  }
+
+  test("ALTER TABLE DROP COLUMN removes it; dropping a partition column is rejected") {
+    spark.sql("ALTER TABLE lake.ev DROP COLUMN score")
+    assert(spark.table("lake.ev").schema.fieldNames.toSeq == Seq("id", "region", "amount"))
+    assert(spark.table("lake.ev").count() == 3)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE lake.ev DROP COLUMN region")
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+  }
+
+  test("DML on an evolved schema rewrites correctly") {
+    spark.sql("UPDATE lake.ev SET amount = amount + 100 WHERE region = 'emea'")
+    import spark.implicits._
+    val rows = spark.table("lake.ev").orderBy("id")
+      .select("id", "amount").as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 101.0), (2L, 2.0), (3L, 103.0)), rows.toString)
+  }
+
   test("copy-on-write rewrite leaves files outside the scanned partitions untouched") {
     spark.sql("""CREATE TABLE lake.cw (id BIGINT, region STRING, v DOUBLE)
                  PARTITIONED BY (region)""")
