@@ -140,6 +140,32 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("ANALYZE TABLE feeds CBO: catalog stats drive row counts and join reorder") {
+    withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      Tables.load(spark, dir, "customer").write.mode("overwrite").saveAsTable("cust_cbo")
+      Tables.load(spark, dir, "nation").write.mode("overwrite").saveAsTable("nat_cbo")
+      spark.sql("ANALYZE TABLE cust_cbo COMPUTE STATISTICS FOR ALL COLUMNS")
+      spark.sql("ANALYZE TABLE nat_cbo COMPUTE STATISTICS FOR ALL COLUMNS")
+      // row-count stats reach the optimizer
+      val expected = spark.table("cust_cbo").count()
+      val stats = spark.table("cust_cbo").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(expected)), stats.toString)
+      // column-level stats (ndv) recorded in the catalog
+      val desc = spark.sql("DESCRIBE EXTENDED cust_cbo c_nationkey")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc.get("distinct_count").exists(_ != "NULL"), desc.toString)
+      // a stats-backed join still answers correctly with reorder enabled
+      val n = spark.table("cust_cbo")
+        .join(spark.table("nat_cbo"), col("c_nationkey") === col("n_nationkey"))
+        .count()
+      assert(n == expected)
+      spark.sql("DROP TABLE cust_cbo")
+      spark.sql("DROP TABLE nat_cbo")
+    }
+  }
+
   private def withConf[A](entries: (String, String)*)(f: => A): A = {
     val old = entries.map { case (k, _) => k -> spark.conf.getOption(k) }
     entries.foreach { case (k, v) => spark.conf.set(k, v) }

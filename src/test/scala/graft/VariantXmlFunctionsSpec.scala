@@ -79,6 +79,36 @@ class VariantXmlFunctionsSpec extends AnyFunSuite {
     assert(row.getString(4) == "graft" && row.getBoolean(5))
   }
 
+  test("XML data source round-trips rows through files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xml_src").toString + "/out"
+    Seq((1L, "emea", 1.5), (2L, "apac", 2.5)).toDF("id", "region", "v")
+      .write.format("xml").option("rootTag", "rows").option("rowTag", "row").save(dir)
+    val back = spark.read.format("xml").option("rowTag", "row").load(dir)
+      .select(col("id").cast("long"), col("region"), col("v").cast("double"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(back == Seq((1L, "emea", 1.5), (2L, "apac", 2.5)), back.toString)
+  }
+
+  test("COLLATE UTF8_LCASE compares, groups, and joins case-insensitively") {
+    import spark.implicits._
+    // comparison semantics
+    assert(spark.sql("SELECT 'GRAFT' COLLATE UTF8_LCASE = 'graft'").head.getBoolean(0))
+    assert(!spark.sql("SELECT 'GRAFT' = 'graft'").head.getBoolean(0))
+    // grouping under a case-insensitive collation merges case variants
+    val counts = Seq("Spark", "SPARK", "spark", "flink")
+      .toDF("s")
+      .selectExpr("s COLLATE UTF8_LCASE AS sc")
+      .groupBy("sc").count()
+      .collect().map(r => (r.getString(0).toLowerCase, r.getLong(1))).toMap
+    assert(counts == Map("spark" -> 3L, "flink" -> 1L), counts.toString)
+    // ORDER BY under the collation is case-insensitive
+    val sorted = Seq("b", "A", "a", "B").toDF("s")
+      .selectExpr("s COLLATE UTF8_LCASE AS sc").orderBy("sc")
+      .collect().map(_.getString(0).toLowerCase).toSeq
+    assert(sorted == Seq("a", "a", "b", "b"), sorted.toString)
+  }
+
   test("to_xml renders a struct row; schema_of_xml infers") {
     val out = Seq((5, "emea")).toDF("id", "region")
       .select(to_xml(struct(col("id"), col("region")))).as[String].head()
