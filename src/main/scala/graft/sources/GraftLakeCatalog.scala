@@ -114,6 +114,36 @@ class GraftLakeCatalog extends TableCatalog {
   def snapshots(ident: Identifier): Seq[(Long, Long, Long)] =
     state(ident).history.map(s => (s.version, s.timestampMs, s.rowCount))
 
+  /** current data-file count (small-file health metric) */
+  def fileCount(ident: Identifier): Int = state(ident).current.files.length
+
+  /** OPTIMIZE-style compaction: rewrite the table so each partition value
+    * holds one data file in the CURRENT schema layout (stats recomputed),
+    * committed as a snapshot — history stays readable. In this in-memory
+    * stand-in the merge runs on the driver; the production shape is a
+    * distributed rewrite job feeding the same replace-commit. */
+  def compact(ident: Identifier): Unit = {
+    val st = state(ident)
+    val snap = st.current
+    val sch = snap.schema
+    val ids = snap.fieldIds
+    val types: IndexedSeq[DataType] = sch.fields.map(_.dataType).toIndexedSeq
+    val merged = snap.files.groupBy(_.partition).map { case (part, fs) =>
+      val rows = fs.flatMap { f =>
+        // re-layout each file's rows into the current schema by field id
+        val proj = UnsafeProjection.create(ids.indices.map { i =>
+          f.fieldIds.indexOf(ids(i)) match {
+            case -1 => CatalystLiteral(null, types(i))
+            case ord => BoundReference(ord, f.types(ord), nullable = true)
+          }
+        })
+        f.rows.map(r => proj(r).copy(): InternalRow)
+      }.toArray
+      LakeDataFile(part, rows, ids, types, LakeStats.collect(rows, types))
+    }.toSeq
+    st.replace(snap.files, merged)
+  }
+
   /** schema evolution: ALTER TABLE ADD/RENAME/DROP COLUMN (field-id
     * tracked, snapshot-versioned — old snapshots keep their shape) */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -153,9 +183,60 @@ case class LakePartSpec(fieldId: Int, bucket: Int)
 
 /** immutable data file: partition tuple + UnsafeRow payloads laid out in
   * the WRITE-TIME schema, identified by per-column field ids (schema
-  * evolution: readers map the current schema onto each file by id) */
+  * evolution: readers map the current schema onto each file by id).
+  * `stats(i)` = (min, max) of column i over the file's non-null values —
+  * the manifest-level pruning stats Iceberg/Delta keep per data file. */
 case class LakeDataFile(partition: IndexedSeq[Any], rows: Array[InternalRow],
-    fieldIds: IndexedSeq[Int], types: IndexedSeq[DataType])
+    fieldIds: IndexedSeq[Int], types: IndexedSeq[DataType],
+    stats: IndexedSeq[Option[(Any, Any)]] = IndexedSeq.empty)
+
+object LakeStats {
+  /** total order over the stat-supported runtime types (normalized
+    * externals: String, boxed numerics, Boolean) */
+  def compare(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.lang.Number, y: java.lang.Number)
+        if isIntegral(x) && isIntegral(y) =>
+      Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+  private def isIntegral(n: java.lang.Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+  def supported(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.BooleanType => true
+    case _ => false
+  }
+
+  /** one pass over a file's rows → per-column (min, max) of non-null
+    * values; None for unsupported types or all-null columns (both are
+    * "never skip") */
+  def collect(rows: Iterable[InternalRow],
+      types: IndexedSeq[DataType]): IndexedSeq[Option[(Any, Any)]] =
+    types.zipWithIndex.map { case (dt, i) =>
+      if (!supported(dt)) None
+      else {
+        var mn: Any = null
+        var mx: Any = null
+        rows.foreach { r =>
+          if (!r.isNullAt(i)) {
+            val v = LakePartField.normalize(r.get(i, dt))
+            if (mn == null || compare(v, mn).exists(_ < 0)) mn = v
+            if (mx == null || compare(v, mx).exists(_ > 0)) mx = v
+          }
+        }
+        if (mn == null) None else Some((mn, mx))
+      }
+    }
+}
 
 case class LakeSnapshot(version: Long, timestampMs: Long, files: Vector[LakeDataFile],
     schema: StructType, fieldIds: IndexedSeq[Int]) {
@@ -359,6 +440,32 @@ class LakeScanBuilder(state: LakeTableState, snapshot: LakeSnapshot,
   /** (partition-spec index, allowed partition values) per usable filter */
   private var pruneSets: Seq[(Int, Set[Any])] = Nil
 
+  /** per-file stat matchers from range/equality predicates: a file is
+    * kept only if its (min, max) could contain a matching row — the
+    * Iceberg/Delta manifest data-skipping contract. Always safe for the
+    * row-level scan too: a skipped file provably holds no matching row,
+    * so excluding it from a rewrite group is exact. */
+  private var statMatchers: Seq[LakeDataFile => Boolean] = Nil
+
+  private def statMatcher(colName: String,
+      test: ((Any, Any)) => Option[Boolean]): Option[LakeDataFile => Boolean] = {
+    val ordSnap =
+      if (snapshot.schema.fieldNames.contains(colName))
+        snapshot.schema.fieldIndex(colName)
+      else return None
+    val id = snapshot.fieldIds(ordSnap)
+    Some { f =>
+      val ord = f.fieldIds.indexOf(id)
+      // column absent from this file → every value null → no match for
+      // a non-null-comparing predicate → skip the whole file
+      if (ord < 0) false
+      else f.stats.lift(ord).flatten match {
+        case Some(mm) => test(mm).getOrElse(true)
+        case None => true // unsupported type or all-null: never skip
+      }
+    }
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // partition columns addressed by their name IN THIS SNAPSHOT's schema
     // (field-id indirection keeps pruning correct across renames)
@@ -385,6 +492,24 @@ class LakeScanBuilder(state: LakeTableState, snapshot: LakeSnapshot,
         prunes += ((i, values.map(LakePartField.normalize).toSet)); acc += f
       case other => residual += other
     }
+    // second pass: min/max data-skipping matchers (predicates stay where
+    // the pass above put them — skipping only prunes whole files)
+    import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    def n(v: Any): Any = LakePartField.normalize(v)
+    statMatchers = filters.toSeq.flatMap {
+      case EqualTo(c, v) if v != null => statMatcher(c, { case (mn, mx) =>
+        for { a <- LakeStats.compare(mn, n(v)); b <- LakeStats.compare(mx, n(v)) }
+          yield a <= 0 && b >= 0 })
+      case GreaterThan(c, v) if v != null =>
+        statMatcher(c, { case (_, mx) => LakeStats.compare(mx, n(v)).map(_ > 0) })
+      case GreaterThanOrEqual(c, v) if v != null =>
+        statMatcher(c, { case (_, mx) => LakeStats.compare(mx, n(v)).map(_ >= 0) })
+      case LessThan(c, v) if v != null =>
+        statMatcher(c, { case (mn, _) => LakeStats.compare(mn, n(v)).map(_ < 0) })
+      case LessThanOrEqual(c, v) if v != null =>
+        statMatcher(c, { case (mn, _) => LakeStats.compare(mn, n(v)).map(_ <= 0) })
+      case _ => None
+    }
     accepted = acc.toArray
     pruneSets = prunes.toSeq
     residual.toArray
@@ -396,7 +521,8 @@ class LakeScanBuilder(state: LakeTableState, snapshot: LakeSnapshot,
 
   override def build(): Scan = {
     val kept = snapshot.files.filter { f =>
-      pruneSets.forall { case (i, allowed) => allowed.contains(f.partition(i)) }
+      pruneSets.forall { case (i, allowed) => allowed.contains(f.partition(i)) } &&
+        statMatchers.forall(m => m(f))
     }
     onBuild(kept)
     new LakeScan(state, snapshot, kept, required)
@@ -586,7 +712,8 @@ class LakeWriterFactory(schema: StructType, fieldIds: IndexedSeq[Int],
         write(record)
       override def commit(): WriterCommitMessage =
         LakeCommit(buffers.map { case (k, rows) =>
-          LakeDataFile(k, rows.toArray, fieldIds, types) }.toArray)
+          LakeDataFile(k, rows.toArray, fieldIds, types,
+            LakeStats.collect(rows, types)) }.toArray)
       override def abort(): Unit = buffers.clear()
       override def close(): Unit = ()
     }

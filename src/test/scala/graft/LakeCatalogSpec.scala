@@ -249,6 +249,68 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 101.0), (2L, 2.0), (3L, 103.0)), rows.toString)
   }
 
+  test("min/max file stats skip files for range and equality predicates") {
+    spark.sql("CREATE TABLE lake.sk (id BIGINT, v DOUBLE, tag STRING)")
+    import spark.implicits._
+    // three appends with disjoint id ranges → >=3 files with disjoint stats
+    (1 to 100).map(i => (i.toLong, i * 1.0, s"t$i")).toDF("id", "v", "tag")
+      .coalesce(1).writeTo("lake.sk").append()
+    (101 to 200).map(i => (i.toLong, i * 1.0, s"t$i")).toDF("id", "v", "tag")
+      .coalesce(1).writeTo("lake.sk").append()
+    (201 to 300).map(i => (i.toLong, i * 1.0, s"t$i")).toDF("id", "v", "tag")
+      .coalesce(1).writeTo("lake.sk").append()
+    def keptOf(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      df.collect()
+      val m = """files=(\d+)/(\d+)""".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val range = spark.table("lake.sk").filter(col("id") <= 50L)
+    assert(range.count() == 50)
+    val (k1, t1) = keptOf(range)
+    assert(k1 == 1 && t1 == 3, s"range skip expected 1/3, got $k1/$t1")
+    val eq = spark.table("lake.sk").filter(col("id") === 150L)
+    val (k2, _) = keptOf(eq)
+    assert(k2 == 1, s"equality skip expected 1 file, got $k2")
+    val none = spark.table("lake.sk").filter(col("v") > 1000.0)
+    assert(none.count() == 0)
+    val (k3, _) = keptOf(none)
+    assert(k3 == 0, s"out-of-range predicate must skip every file, got $k3")
+  }
+
+  test("files written before ADD COLUMN are skipped for predicates on the new column") {
+    spark.sql("ALTER TABLE lake.sk ADD COLUMN score INT")
+    import spark.implicits._
+    spark.sql("INSERT INTO lake.sk VALUES (301L, 301.0, 't301', 7)")
+    val hit = spark.table("lake.sk").filter(col("score") === 7)
+    assert(hit.count() == 1)
+    val m = """files=(\d+)/(\d+)""".r
+      .findFirstMatchIn(hit.queryExecution.executedPlan.toString).get
+    // old files hold only nulls for score → provably no match → skipped
+    assert(m.group(1).toInt == 1 && m.group(2).toInt == 4, m.matched)
+  }
+
+  test("compaction merges small files per partition; data and history survive") {
+    val (cat, ident) = catState("sk")
+    val before = cat.fileCount(ident)
+    assert(before >= 4, s"expected multiple small files, got $before")
+    val sumBefore = spark.table("lake.sk").agg(sum(col("v"))).head.getDouble(0)
+    cat.compact(ident)
+    assert(cat.fileCount(ident) == 1, "unpartitioned table compacts to one file")
+    assert(spark.table("lake.sk").count() == 301)
+    assert(spark.table("lake.sk").agg(sum(col("v"))).head.getDouble(0) == sumBefore)
+    // stats survive compaction: a range predicate still skips (0/1 here)
+    val none = spark.table("lake.sk").filter(col("id") > 9999L)
+    none.collect()
+    val m = """files=(\d+)/(\d+)""".r
+      .findFirstMatchIn(none.queryExecution.executedPlan.toString).get
+    assert(m.group(1).toInt == 0, m.matched)
+    // pre-compaction snapshot still readable
+    val hist = cat.snapshots(ident).map(_._1)
+    assert(spark.sql(s"SELECT count(*) FROM lake.sk VERSION AS OF ${hist.max - 1}")
+      .head.getLong(0) == 301)
+  }
+
   test("copy-on-write rewrite leaves files outside the scanned partitions untouched") {
     spark.sql("""CREATE TABLE lake.cw (id BIGINT, region STRING, v DOUBLE)
                  PARTITIONED BY (region)""")
