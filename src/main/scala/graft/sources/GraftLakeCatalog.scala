@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.{Literal => CatalystLiteral}
-import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, MetadataColumn, SupportsDeleteV2, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, MetadataColumn, ProcedureCatalog, SupportsDeleteV2, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
@@ -52,7 +53,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Enable: `spark.sql.catalog.lake=graft.sources.GraftLakeCatalog`.
   */
-class GraftLakeCatalog extends TableCatalog {
+class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private val tables = new TrieMap[Identifier, LakeTableState]()
 
@@ -151,6 +152,35 @@ class GraftLakeCatalog extends TableCatalog {
     st.alter(changes)
     new GraftLakeTable(st, pinned = None)
   }
+
+  /** maintenance procedures — `CALL lake.system.compact('t')`, the
+    * Iceberg `CALL catalog.system.rewrite_data_files` shape on Spark's
+    * native ProcedureCatalog SPI */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array("system"), "compact"))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    ident.name() match {
+      case "compact" => new UnboundProcedure {
+        override def name(): String = "compact"
+        override def description(): String =
+          "merge each partition's data files into one (OPTIMIZE analog)"
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "compact"
+          override def description(): String =
+            "merge each partition's data files into one (OPTIMIZE analog)"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(ProcedureParameter.in("table", StringType).build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            compact(Identifier.of(Array.empty, input.getUTF8String(0).toString))
+            util.Collections.emptyIterator()
+          }
+        }
+      }
+      case other =>
+        throw new UnsupportedOperationException(s"unknown procedure: $other")
+    }
   override def dropTable(ident: Identifier): Boolean = tables.remove(ident).isDefined
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("renameTable not supported")

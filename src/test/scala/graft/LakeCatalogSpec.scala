@@ -311,6 +311,15 @@ class LakeCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 301)
   }
 
+  test("CALL lake.system.compact runs compaction through the procedure SPI") {
+    val (cat, ident) = catState("pt")
+    assert(cat.fileCount(ident) > 10, s"pt should be fragmented, got ${cat.fileCount(ident)}")
+    spark.sql("CALL lake.system.compact('pt')")
+    assert(cat.fileCount(ident) == 10, // one file per region partition
+      s"expected 10 files post-compaction, got ${cat.fileCount(ident)}")
+    assert(spark.table("lake.pt").count() == 100)
+  }
+
   test("copy-on-write rewrite leaves files outside the scanned partitions untouched") {
     spark.sql("""CREATE TABLE lake.cw (id BIGINT, region STRING, v DOUBLE)
                  PARTITIONED BY (region)""")
