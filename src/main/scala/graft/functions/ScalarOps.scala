@@ -164,6 +164,43 @@ object ScalarOps {
       |  strftime(o_orderdate, '%Y-%m') AS ym
       |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin
 
+  // INTERVAL arithmetic (year-month + day-time families): literal
+  // intervals, constructor-built intervals (make_ym/dt_interval,
+  // timestampadd), month-end clamping — every result rendered as a
+  // string so both engines compare the same calendar answer
+  private val fnInterval: Q = (s, dir) =>
+    load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (to_date(col("o_orderdate")) + expr("INTERVAL 1 MONTH"))
+          .cast("string").as("plus_1mo"),
+        (to_date(col("o_orderdate")) - expr("INTERVAL 1 YEAR"))
+          .cast("string").as("minus_1yr"),
+        (col("o_orderdate") + expr("INTERVAL 90 MINUTE"))
+          .cast("string").as("plus_90min"),
+        (to_date(col("o_orderdate")) +
+          make_ym_interval(lit(0), (col("o_orderkey") % 12).cast("int")))
+          .cast("string").as("plus_k_months"),
+        (col("o_orderdate") + make_dt_interval(
+          (col("o_orderkey") % 30).cast("int"), lit(0), lit(0), lit(0)))
+          .cast("string").as("plus_k_days"),
+        expr("timestampadd(HOUR, CAST(o_orderkey % 48 AS INT), o_orderdate)")
+          .cast("string").as("plus_k_hours"),
+        make_timestamp(lit(2024), lit(2), lit(29), lit(23), lit(59),
+          (col("o_orderkey") % 60).cast("int")).cast("string").as("made_ts"))
+      .orderBy(col("o_orderkey"))
+      .limit(2000)
+
+  private val fnIntervalSql =
+    """SELECT o_orderkey,
+      |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS plus_1mo,
+      |  CAST(CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 YEAR AS DATE) AS VARCHAR) AS minus_1yr,
+      |  CAST(o_orderdate + INTERVAL 90 MINUTE AS VARCHAR) AS plus_90min,
+      |  CAST(CAST(CAST(o_orderdate AS DATE) + to_months(CAST(o_orderkey % 12 AS INTEGER)) AS DATE) AS VARCHAR) AS plus_k_months,
+      |  CAST(o_orderdate + to_days(CAST(o_orderkey % 30 AS INTEGER)) AS VARCHAR) AS plus_k_days,
+      |  CAST(o_orderdate + to_hours(o_orderkey % 48) AS VARCHAR) AS plus_k_hours,
+      |  CAST(make_timestamp(2024, 2, 29, 23, 59, CAST(o_orderkey % 60 AS DOUBLE)) AS VARCHAR) AS made_ts
+      |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin
+
   private val fnJson: Q = (s, dir) =>
     load(s, dir, "events")
       .select(col("event_id"),
@@ -664,6 +701,7 @@ object ScalarOps {
     "fn_date" -> fnDate,
     "fn_json" -> fnJson,
     "fn_variant" -> fnVariant,
+    "fn_interval" -> fnInterval,
     "fn_hash" -> fnHash,
     "fn_hash_native" -> fnHashNative,
     "fn_conditional" -> fnConditional,
@@ -687,6 +725,7 @@ object ScalarOps {
     "fn_date" -> fnDateSql,
     "fn_json" -> fnJsonSql,
     "fn_variant" -> fnVariantSql,
+    "fn_interval" -> fnIntervalSql,
     "fn_hash" -> fnHashSql,
     "fn_conditional" -> fnConditionalSql,
     "fn_array" -> fnArraySql,

@@ -100,4 +100,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(limitPlan.contains("TakeOrderedAndProject") || limitPlan.contains("CollectLimit"),
       limitPlan.take(800))
   }
+
+  test("dynamic partition overwrite replaces only the partitions present in the write") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dyn_overwrite").toString + "/t"
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("v", "p")
+      .write.partitionBy("p").parquet(dir)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // overwrite touches only partition p=b; a and c must survive
+      Seq((20, "b")).toDF("v", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(dir)
+      val rows = spark.read.parquet(dir).orderBy("p")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows == Seq((1, "a"), (20, "b"), (3, "c")), rows.toString)
+      // static mode (the default) would have dropped a and c entirely
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  test("observe() attaches metrics to a query without a second pass") {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("src_metrics")
+    val df = Tables.load(spark, dir, "orders")
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+      .filter(col("o_orderstatus") === "F")
+    val filtered = df.count()
+    val metrics = obs.get
+    // metrics reflect ALL observed rows (pre-filter), collected inline
+    assert(metrics("rows").asInstanceOf[Long] > filtered)
+    assert(metrics("total").asInstanceOf[Double] > 0)
+  }
 }
