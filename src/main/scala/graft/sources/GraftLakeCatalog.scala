@@ -67,8 +67,17 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
   private def state(ident: Identifier): LakeTableState =
     tables.getOrElse(ident, throw new NoSuchTableException(ident))
 
-  override def loadTable(ident: Identifier): Table =
-    new GraftLakeTable(state(ident), pinned = None)
+  override def loadTable(ident: Identifier): Table = ident.name() match {
+    // Iceberg-style metadata tables: SELECT * FROM lake.`t$history` /
+    // lake.`t$files` expose the snapshot log and the live manifest
+    case n if n.endsWith("$history") =>
+      val st = state(Identifier.of(ident.namespace(), n.stripSuffix("$history")))
+      LakeMetaTable.history(st)
+    case n if n.endsWith("$files") =>
+      val st = state(Identifier.of(ident.namespace(), n.stripSuffix("$files")))
+      LakeMetaTable.files(st)
+    case _ => new GraftLakeTable(state(ident), pinned = None)
+  }
 
   /** VERSION AS OF — pin the scan to a named snapshot. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -626,6 +635,66 @@ class LakeStreamingWriterFactory(schema: StructType, fieldIds: IndexedSeq[Int],
   private val batch = new LakeWriterFactory(schema, fieldIds, partFields)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] = batch.createWriter(partitionId, taskId)
+}
+
+/** read-only metadata tables (`t$history`, `t$files`) — the lakehouse
+  * observability surface (Iceberg's metadata-table family) */
+object LakeMetaTable {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  def history(st: LakeTableState): Table = {
+    val schema = new StructType()
+      .add("version", LongType).add("timestamp_ms", LongType)
+      .add("row_count", LongType).add("file_count", IntegerType)
+      .add("schema_ddl", StringType)
+    make(s"${st.tableName}$$history", schema, st.history.map(s => Array[Any](
+      s.version, s.timestampMs, s.rowCount, s.files.length,
+      UTF8String.fromString(s.schema.toDDL))))
+  }
+
+  def files(st: LakeTableState): Table = {
+    val schema = new StructType()
+      .add("partition", StringType).add("row_count", LongType)
+      .add("columns", IntegerType)
+    make(s"${st.tableName}$$files", schema, st.current.files.map(f => Array[Any](
+      UTF8String.fromString(f.partition.mkString("/")),
+      f.rows.length.toLong, f.fieldIds.length)))
+  }
+
+  private def make(tableName: String, tableSchema: StructType,
+      data: Seq[Array[Any]]): Table = {
+    val proj = UnsafeProjection.create(tableSchema)
+    val rows: Array[InternalRow] = data.map(vals =>
+      proj(InternalRow.fromSeq(vals.toIndexedSeq)).copy(): InternalRow).toArray
+    new Table with SupportsRead {
+      override def name(): String = tableName
+      override def schema(): StructType = tableSchema
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        () => new Scan with Batch {
+          override def readSchema(): StructType = tableSchema
+          override def toBatch: Batch = this
+          override def planInputPartitions(): Array[InputPartition] =
+            Array(LakeFilePartition(rows, tableSchema.indices.toArray,
+              tableSchema.fields.map(_.dataType), ""))
+          override def createReaderFactory(): PartitionReaderFactory =
+            new PartitionReaderFactory {
+              override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+                val it = p.asInstanceOf[LakeFilePartition].rows.iterator
+                new PartitionReader[InternalRow] {
+                  private var cur: InternalRow = _
+                  override def next(): Boolean = {
+                    val h = it.hasNext; if (h) cur = it.next(); h
+                  }
+                  override def get(): InternalRow = cur
+                  override def close(): Unit = ()
+                }
+              }
+            }
+        }
+    }
+  }
 }
 
 /** Copy-on-write row-level operation (group granularity = data file).

@@ -320,6 +320,18 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.pt").count() == 100)
   }
 
+  test("metadata tables: t$history exposes the snapshot log, t$files the manifest") {
+    val hist = spark.sql("SELECT * FROM lake.`pt$history` ORDER BY version")
+    val versions = hist.collect()
+    assert(versions.length >= 3, s"expected create+append+compact history, got ${versions.length}")
+    assert(versions.head.getLong(2) == 0L) // v0 empty
+    assert(versions.last.getLong(2) == 100L)
+    assert(versions.last.getString(4).contains("region"), versions.last.getString(4))
+    val files = spark.sql("SELECT * FROM lake.`pt$files` ORDER BY partition")
+    val fr = files.collect()
+    assert(fr.length == 10 && fr.map(_.getLong(1)).sum == 100L, fr.mkString(","))
+  }
+
   test("copy-on-write rewrite leaves files outside the scanned partitions untouched") {
     spark.sql("""CREATE TABLE lake.cw (id BIGINT, region STRING, v DOUBLE)
                  PARTITIONED BY (region)""")
