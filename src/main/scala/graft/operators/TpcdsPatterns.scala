@@ -789,7 +789,237 @@ object TpcdsPatterns {
       |   WHERE EXTRACT(HOUR FROM ts) BETWEEN 18 AND 23 AND value > 10) AS DOUBLE), 6)
       |    AS am_pm_ratio""".stripMargin
 
+  // DS q1 shape: entities above 1.2× their group's average on a RETURNS
+  // metric, via a correlated scalar subquery over an aggregated CTE
+  private val q1ReturnsAboveAvg: Q = (s, dir) => {
+    val ret = load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(dec(col("l_extendedprice"))).as("ret_dec"))
+    val avgPerYr = ret.groupBy(col("yr").as("ayr"))
+      .agg((sum(col("ret_dec")).cast("double") / count(lit(1))).as("yr_avg"))
+    ret.join(avgPerYr, col("yr") === col("ayr"))
+      .filter(dbl(col("ret_dec")) > col("yr_avg") * 1.2)
+      .select(col("o_custkey"), col("yr"), dbl(col("ret_dec")).as("returned"),
+        round(col("yr_avg"), 6).as("yr_avg"))
+      .orderBy(col("yr"), col("o_custkey"))
+      .limit(100)
+  }
+
+  private val q1ReturnsAboveAvgSql =
+    """WITH ret AS (
+      |  SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS ret_dec
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R' GROUP BY 1, 2),
+      |ya AS (SELECT yr AS ayr, CAST(SUM(ret_dec) AS DOUBLE) / COUNT(*) AS yr_avg
+      |       FROM ret GROUP BY yr)
+      |SELECT o_custkey, yr, CAST(ret_dec AS DOUBLE) AS returned,
+      |  round(yr_avg, 6) AS yr_avg
+      |FROM ret JOIN ya ON yr = ayr
+      |WHERE CAST(ret_dec AS DOUBLE) > yr_avg * 1.2
+      |ORDER BY yr, o_custkey
+      |LIMIT 100""".stripMargin
+
+  // DS q39 shape: mean and coefficient-of-variation per (part, month),
+  // keeping only high-variance series — the stddev-filter grammar
+  private val q39VarianceFilter: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), month(col("l_shipdate")).as("moy"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(dbl(dec(col("l_quantity")))), 6).as("mean_qty"),
+        round(stddev_samp(dbl(dec(col("l_quantity")))), 6).as("sd_qty"))
+      .filter(col("n") >= 5 && col("sd_qty") / col("mean_qty") > 1.0)
+      .orderBy(col("l_partkey"), col("moy"))
+      .limit(100)
+
+  private val q39VarianceFilterSql =
+    """SELECT l_partkey, CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS moy,
+      |  COUNT(*) AS n,
+      |  round(AVG(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE)), 6) AS mean_qty,
+      |  round(STDDEV_SAMP(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE)), 6) AS sd_qty
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 5
+      |   AND round(STDDEV_SAMP(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE)), 6) /
+      |       round(AVG(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE)), 6) > 1.0
+      |ORDER BY l_partkey, moy
+      |LIMIT 100""".stripMargin
+
+  // DS q47 shape: the lag/lead sandwich — monthly sales with BOTH
+  // neighbors in one window pass, filtered on deviation from the yearly
+  // average (two window specs over one aggregate)
+  private val q47LagLeadSandwich: Q = (s, dir) => {
+    val monthly = load(s, dir, "lineitem")
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("moy"))
+      .agg(sum(dec(col("l_extendedprice"))).as("sales_dec"))
+    val wSeq = Window.partitionBy(col("p_brand")).orderBy(col("yr"), col("moy"))
+    val wYear = Window.partitionBy(col("p_brand"), col("yr"))
+    monthly.select(col("p_brand"), col("yr"), col("moy"),
+        dbl(col("sales_dec")).as("sum_sales"),
+        (sum(col("sales_dec")).over(wYear).cast("double") /
+          count(lit(1)).over(wYear)).as("avg_monthly"),
+        lag(dbl(col("sales_dec")), 1).over(wSeq).as("psum"),
+        lead(dbl(col("sales_dec")), 1).over(wSeq).as("nsum"))
+      .filter(col("yr") === 1997 && col("psum").isNotNull && col("nsum").isNotNull &&
+        abs(col("sum_sales") - col("avg_monthly")) / col("avg_monthly") > 0.1)
+      .select(col("p_brand"), col("yr"), col("moy"), col("sum_sales"),
+        round(col("avg_monthly"), 6).as("avg_monthly"), col("psum"), col("nsum"))
+      .orderBy(col("p_brand"), col("moy"))
+      .limit(100)
+  }
+
+  private val q47LagLeadSandwichSql =
+    """SELECT p_brand, yr, moy, sum_sales, round(avg_monthly, 6) AS avg_monthly,
+      |  psum, nsum
+      |FROM (
+      |  SELECT p_brand, yr, moy,
+      |    CAST(sales_dec AS DOUBLE) AS sum_sales,
+      |    CAST(SUM(sales_dec) OVER (PARTITION BY p_brand, yr) AS DOUBLE) /
+      |      COUNT(*) OVER (PARTITION BY p_brand, yr) AS avg_monthly,
+      |    LAG(CAST(sales_dec AS DOUBLE), 1) OVER w AS psum,
+      |    LEAD(CAST(sales_dec AS DOUBLE), 1) OVER w AS nsum
+      |  FROM (
+      |    SELECT p_brand, CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS yr,
+      |      CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS moy,
+      |      SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sales_dec
+      |    FROM lineitem JOIN part ON l_partkey = p_partkey
+      |    GROUP BY 1, 2, 3) m
+      |  WINDOW w AS (PARTITION BY p_brand ORDER BY yr, moy)) t
+      |WHERE yr = 1997 AND psum IS NOT NULL AND nsum IS NOT NULL
+      |  AND abs(sum_sales - avg_monthly) / avg_monthly > 0.1
+      |ORDER BY p_brand, moy
+      |LIMIT 100""".stripMargin
+
+  // DS q51 shape: two cumulative series compared row-by-row — per-brand
+  // running revenue in two channels FULL OUTER joined on (brand, month),
+  // keeping rows where one running total overtakes the other
+  private val q51CumulativeCompare: Q = (s, dir) => {
+    def cum(flag: String, rev: String, cum: String) = {
+      val m = load(s, dir, "lineitem").filter(col("l_returnflag") === flag)
+        .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as(s"brand_$flag"), month(col("l_shipdate")).as(s"moy_$flag"))
+        .agg(sum(dec(col("l_extendedprice"))).as(rev))
+      val w = Window.partitionBy(col(s"brand_$flag")).orderBy(col(s"moy_$flag"))
+      m.select(col(s"brand_$flag"), col(s"moy_$flag"),
+        sum(col(rev)).over(w).as(cum))
+    }
+    val a = cum("N", "rev_n", "cum_n")
+    val r = cum("R", "rev_r", "cum_r")
+    a.join(r, col("brand_N") === col("brand_R") && col("moy_N") === col("moy_R"), "full_outer")
+      .select(coalesce(col("brand_N"), col("brand_R")).as("brand"),
+        coalesce(col("moy_N"), col("moy_R")).as("moy"),
+        dbl(col("cum_n")).as("cum_n"), dbl(col("cum_r")).as("cum_r"))
+      .filter(col("cum_r").isNull || (col("cum_n").isNotNull && col("cum_n") > col("cum_r")))
+      .orderBy(col("brand"), col("moy"))
+      .limit(100)
+  }
+
+  private val q51CumulativeCompareSql =
+    """WITH a AS (
+      |  SELECT p_brand AS brand_n, CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS moy_n,
+      |    SUM(SUM(CAST(l_extendedprice AS DECIMAL(12,2))))
+      |      OVER (PARTITION BY p_brand ORDER BY CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER)) AS cum_n
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'N' GROUP BY 1, 2),
+      |r AS (
+      |  SELECT p_brand AS brand_r, CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS moy_r,
+      |    SUM(SUM(CAST(l_extendedprice AS DECIMAL(12,2))))
+      |      OVER (PARTITION BY p_brand ORDER BY CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER)) AS cum_r
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_returnflag = 'R' GROUP BY 1, 2)
+      |SELECT COALESCE(brand_n, brand_r) AS brand, COALESCE(moy_n, moy_r) AS moy,
+      |  CAST(cum_n AS DOUBLE) AS cum_n, CAST(cum_r AS DOUBLE) AS cum_r
+      |FROM a FULL OUTER JOIN r ON brand_n = brand_r AND moy_n = moy_r
+      |WHERE cum_r IS NULL OR (cum_n IS NOT NULL AND cum_n > cum_r)
+      |ORDER BY brand, moy
+      |LIMIT 100""".stripMargin
+
+  // DS q99 shape: the duration-bucket matrix — shipping delay folded
+  // into CASE buckets, one row per (priority), one count per bucket
+  private val q99DurationBuckets: Q = (s, dir) => {
+    val delay = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(delay <= 30, 1)).as("d30"),
+        count(when(delay > 30 && delay <= 60, 1)).as("d60"),
+        count(when(delay > 60 && delay <= 90, 1)).as("d90"),
+        count(when(delay > 90 && delay <= 120, 1)).as("d120"),
+        count(when(delay > 120, 1)).as("dmore"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q99DurationBucketsSql =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN dd <= 30 THEN 1 END) AS d30,
+      |  COUNT(CASE WHEN dd > 30 AND dd <= 60 THEN 1 END) AS d60,
+      |  COUNT(CASE WHEN dd > 60 AND dd <= 90 THEN 1 END) AS d90,
+      |  COUNT(CASE WHEN dd > 90 AND dd <= 120 THEN 1 END) AS d120,
+      |  COUNT(CASE WHEN dd > 120 THEN 1 END) AS dmore
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS dd
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // DS q31 shape: quarter-over-quarter share growth — two consecutive
+  // quarters' revenue per nation, joined, comparing growth ratios
+  // against the all-nation ratio of the same quarters
+  private val q31ShareGrowth: Q = (s, dir) => {
+    val base = load(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1997)
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), quarter(col("l_shipdate")).as("qtr"))
+      .agg(sum(dec(col("l_extendedprice"))).as("rev_dec"))
+    val q1 = base.filter(col("qtr") === 1)
+      .select(col("n_name").as("n1"), col("rev_dec").as("rev_q1"))
+    val q2 = base.filter(col("qtr") === 2)
+      .select(col("n_name").as("n2"), col("rev_dec").as("rev_q2"))
+    val joined = q1.join(q2, col("n1") === col("n2"))
+    val tot = joined.agg(
+      sum(col("rev_q1")).as("t1"), sum(col("rev_q2")).as("t2"))
+    joined.crossJoin(tot)
+      .filter((dbl(col("rev_q2")) / dbl(col("rev_q1"))) >
+        (dbl(col("t2")) / dbl(col("t1"))))
+      .select(col("n1").as("nation"),
+        dbl(col("rev_q1")).as("rev_q1"), dbl(col("rev_q2")).as("rev_q2"),
+        round(dbl(col("rev_q2")) / dbl(col("rev_q1")), 6).as("growth"))
+      .orderBy(col("nation"))
+  }
+
+  private val q31ShareGrowthSql =
+    """WITH base AS (
+      |  SELECT n_name, CAST(EXTRACT(QUARTER FROM l_shipdate) AS INTEGER) AS qtr,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT q1.n_name AS nation, q1.rev_dec AS rev_q1, q2.rev_dec AS rev_q2
+      |  FROM base q1 JOIN base q2 ON q1.n_name = q2.n_name
+      |  WHERE q1.qtr = 1 AND q2.qtr = 2),
+      |tot AS (SELECT SUM(rev_q1) AS t1, SUM(rev_q2) AS t2 FROM j)
+      |SELECT nation, CAST(rev_q1 AS DOUBLE) AS rev_q1, CAST(rev_q2 AS DOUBLE) AS rev_q2,
+      |  round(CAST(rev_q2 AS DOUBLE) / CAST(rev_q1 AS DOUBLE), 6) AS growth
+      |FROM j, tot
+      |WHERE CAST(rev_q2 AS DOUBLE) / CAST(rev_q1 AS DOUBLE) >
+      |      CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE)
+      |ORDER BY nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpcds_style_q1_returns_above_avg" -> q1ReturnsAboveAvg,
+    "tpcds_style_q39_variance_filter" -> q39VarianceFilter,
+    "tpcds_style_q47_lag_lead" -> q47LagLeadSandwich,
+    "tpcds_style_q51_cumulative_compare" -> q51CumulativeCompare,
+    "tpcds_style_q99_duration_buckets" -> q99DurationBuckets,
+    "tpcds_style_q31_share_growth" -> q31ShareGrowth,
     "tpcds_style_q3_brand" -> q3Brand,
     "tpcds_style_q42_category" -> q42Category,
     "tpcds_style_q7_demo_avg" -> q7DemoAvg,
@@ -814,6 +1044,12 @@ object TpcdsPatterns {
     "tpcds_style_q90_ampm_ratio" -> q90AmPmRatio)
 
   val oracles: Map[String, String] = Map(
+    "tpcds_style_q1_returns_above_avg" -> q1ReturnsAboveAvgSql,
+    "tpcds_style_q39_variance_filter" -> q39VarianceFilterSql,
+    "tpcds_style_q47_lag_lead" -> q47LagLeadSandwichSql,
+    "tpcds_style_q51_cumulative_compare" -> q51CumulativeCompareSql,
+    "tpcds_style_q99_duration_buckets" -> q99DurationBucketsSql,
+    "tpcds_style_q31_share_growth" -> q31ShareGrowthSql,
     "tpcds_style_q3_brand" -> q3BrandSql,
     "tpcds_style_q42_category" -> q42CategorySql,
     "tpcds_style_q7_demo_avg" -> q7DemoAvgSql,
