@@ -1336,7 +1336,33 @@ object RelationalOps {
       |FROM lineitem
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // RDD → DataFrame entry (the RDDScanExec path): imperative
+  // per-partition generation handed to Catalyst through
+  // createDataFrame(rdd, schema) — the §2.1 "RDDScan" row, oracled
+  private val rddScan: Q = (s, dir) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val rdd = s.sparkContext.parallelize(1 to 1000, 8)
+      .map(i => Row(i.toLong, (i % 7).toLong, i * 0.5))
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("grp", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false)))
+    s.createDataFrame(rdd, schema)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("v")))).as("sv"),
+        max(col("id")).as("mx"))
+      .orderBy(col("grp"))
+  }
+
+  private val rddScanSql =
+    """SELECT i % 7 AS grp, COUNT(*) AS n,
+      |  CAST(SUM(CAST(i * 0.5 AS DECIMAL(12,2))) AS DOUBLE) AS sv,
+      |  MAX(i) AS mx
+      |FROM (SELECT unnest(generate_series(1, 1000)) AS i)
+      |GROUP BY 1 ORDER BY grp""".stripMargin
+
   private val built: (Map[String, Q], Map[String, String]) = q(
+    ("scan_rdd" -> rddScan, rddScanSql),
     ("reshape_unpivot" -> unpivotMeasures, unpivotMeasuresSql),
     ("join_lateral_agg" -> lateralJoin, lateralJoinSql),
     ("sql_recursive_cte" -> recursiveCte, recursiveCteSql),

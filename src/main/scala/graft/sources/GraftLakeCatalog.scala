@@ -439,7 +439,31 @@ class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot])
     new WriteBuilder with SupportsTruncate {
       private var truncateRequested = false
       override def truncate(): WriteBuilder = { truncateRequested = true; this }
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        /** hash-cluster incoming rows by the partition transforms (the
+          * Iceberg write.distribution-mode=hash default): all rows of a
+          * partition value land in ONE task, so a write produces one
+          * data file per partition value instead of tasks×values small
+          * files — the at-scale small-files defence. Non-strict: Spark
+          * may skip the shuffle when the input is already clustered. */
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution = {
+          import org.apache.spark.sql.connector.distributions.Distributions
+          import org.apache.spark.sql.connector.expressions.Expressions
+          if (state.partSpecs.isEmpty) Distributions.unspecified()
+          else Distributions.clustered(state.partSpecs.indices.map { i =>
+            // cluster by the SOURCE column even for bucket transforms
+            // (same source value → same bucket; stricter is still
+            // correct, and a plain column reference converts without a
+            // FunctionCatalog-registered bucket function)
+            Expressions.identity(state.partColumnName(i))
+              : org.apache.spark.sql.connector.expressions.Expression
+          }.toArray)
+        }
+        override def distributionStrictlyRequired(): Boolean = false
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
         override def toBatch: BatchWrite = new BatchWrite {
           private val doTruncate = truncateRequested
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =

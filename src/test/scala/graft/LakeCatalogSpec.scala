@@ -311,19 +311,36 @@ class LakeCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 301)
   }
 
-  test("CALL lake.system.compact runs compaction through the procedure SPI") {
+  test("writes hash-cluster by partition value: one data file per partition per append") {
+    // RequiresDistributionAndOrdering: Spark shuffles incoming rows by
+    // the partition transforms, so a parallel append cannot spray
+    // tasks×values small files (the Iceberg hash distribution mode)
     val (cat, ident) = catState("pt")
-    assert(cat.fileCount(ident) > 10, s"pt should be fragmented, got ${cat.fileCount(ident)}")
-    spark.sql("CALL lake.system.compact('pt')")
-    assert(cat.fileCount(ident) == 10, // one file per region partition
-      s"expected 10 files post-compaction, got ${cat.fileCount(ident)}")
-    assert(spark.table("lake.pt").count() == 100)
+    assert(cat.fileCount(ident) == 10,
+      s"one file per region expected, got ${cat.fileCount(ident)}")
+  }
+
+  test("CALL lake.system.compact runs compaction through the procedure SPI") {
+    spark.sql("""CREATE TABLE lake.cp (id BIGINT, region STRING)
+                 PARTITIONED BY (region)""")
+    import spark.implicits._
+    // two appends → two files per partition value
+    (1 to 20).map(i => (i.toLong, s"r${i % 2}")).toDF("id", "region")
+      .writeTo("lake.cp").append()
+    (21 to 40).map(i => (i.toLong, s"r${i % 2}")).toDF("id", "region")
+      .writeTo("lake.cp").append()
+    val (cat, ident) = catState("cp")
+    assert(cat.fileCount(ident) == 4, s"expected 2 files x 2 regions, got ${cat.fileCount(ident)}")
+    spark.sql("CALL lake.system.compact('cp')")
+    assert(cat.fileCount(ident) == 2, // one file per region partition
+      s"expected 2 files post-compaction, got ${cat.fileCount(ident)}")
+    assert(spark.table("lake.cp").count() == 40)
   }
 
   test("metadata tables: t$history exposes the snapshot log, t$files the manifest") {
     val hist = spark.sql("SELECT * FROM lake.`pt$history` ORDER BY version")
     val versions = hist.collect()
-    assert(versions.length >= 3, s"expected create+append+compact history, got ${versions.length}")
+    assert(versions.length >= 2, s"expected create+append history, got ${versions.length}")
     assert(versions.head.getLong(2) == 0L) // v0 empty
     assert(versions.last.getLong(2) == 100L)
     assert(versions.last.getString(4).contains("region"), versions.last.getString(4))
