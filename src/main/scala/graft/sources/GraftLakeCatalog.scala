@@ -166,7 +166,8 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
     * Iceberg `CALL catalog.system.rewrite_data_files` shape on Spark's
     * native ProcedureCatalog SPI */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array("system"), "compact"))
+    Array(Identifier.of(Array("system"), "compact"),
+      Identifier.of(Array("system"), "changes"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name() match {
@@ -184,6 +185,73 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
           override def call(input: InternalRow): util.Iterator[Scan] = {
             compact(Identifier.of(Array.empty, input.getUTF8String(0).toString))
             util.Collections.emptyIterator()
+          }
+        }
+      }
+      case "changes" => new UnboundProcedure {
+        override def name(): String = "changes"
+        override def description(): String =
+          "row-level change feed between two snapshots (CDF analog)"
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "changes"
+          override def description(): String =
+            "row-level change feed between two snapshots (CDF analog)"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("from_version", org.apache.spark.sql.types.LongType).build(),
+            ProcedureParameter.in("to_version", org.apache.spark.sql.types.LongType).build())
+          override def isDeterministic: Boolean = false
+
+          /** rows added/removed per commit in (from, to], projected into
+            * the CURRENT schema by field id, tagged with
+            * (_change_type, _commit_version) — the Delta change-data-feed
+            * shape derived purely from the immutable snapshot log */
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            val st = state(Identifier.of(Array.empty, input.getUTF8String(0).toString))
+            val fromV = input.getLong(1)
+            val toV = input.getLong(2)
+            val sch = st.schema
+            val ids = st.fieldIds
+            val types: IndexedSeq[DataType] = sch.fields.map(_.dataType).toIndexedSeq
+            val outSchema = sch.add("_change_type", StringType).add("_commit_version",
+              org.apache.spark.sql.types.LongType)
+            val out = mutable.ArrayBuffer[Array[Any]]()
+            def emit(f: LakeDataFile, tag: String, v: Long): Unit = {
+              val proj = UnsafeProjection.create(ids.indices.map { i =>
+                f.fieldIds.indexOf(ids(i)) match {
+                  case -1 => CatalystLiteral(null, types(i))
+                  case ord => BoundReference(ord, f.types(ord), nullable = true)
+                }
+              })
+              f.rows.foreach { r =>
+                val p = proj(r).copy() // own buffer: string getters stay valid
+                out += (types.indices.map(i => p.get(i, types(i))) ++
+                  Seq(UTF8String.fromString(tag), v)).toArray
+              }
+            }
+            (fromV + 1).to(toV).foreach { v =>
+              (st.byVersion(v - 1), st.byVersion(v)) match {
+                case (Some(prev), Some(cur)) =>
+                  val prevSet = java.util.Collections.newSetFromMap(
+                    new java.util.IdentityHashMap[LakeDataFile, java.lang.Boolean]())
+                  prev.files.foreach(prevSet.add)
+                  val curSet = java.util.Collections.newSetFromMap(
+                    new java.util.IdentityHashMap[LakeDataFile, java.lang.Boolean]())
+                  cur.files.foreach(curSet.add)
+                  cur.files.filterNot(prevSet.contains).foreach(emit(_, "insert", v))
+                  prev.files.filterNot(curSet.contains).foreach(emit(_, "delete", v))
+                case _ => ()
+              }
+            }
+            // procedure output must be a LocalScan (driver-local rows)
+            val proj2 = UnsafeProjection.create(outSchema)
+            val localRows: Array[InternalRow] = out.toSeq.map(vals =>
+              proj2(InternalRow.fromSeq(vals.toIndexedSeq)).copy(): InternalRow).toArray
+            util.Collections.singletonList(
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = localRows
+                override def readSchema(): StructType = outSchema
+              }: Scan).iterator()
           }
         }
       }
@@ -685,40 +753,44 @@ object LakeMetaTable {
       f.rows.length.toLong, f.fieldIds.length)))
   }
 
-  private def make(tableName: String, tableSchema: StructType,
-      data: Seq[Array[Any]]): Table = {
+  /** fixed row set → Scan (shared by metadata tables + procedures) */
+  def scanOf(tableSchema: StructType, data: Seq[Array[Any]]): Scan with Batch = {
     val proj = UnsafeProjection.create(tableSchema)
     val rows: Array[InternalRow] = data.map(vals =>
       proj(InternalRow.fromSeq(vals.toIndexedSeq)).copy(): InternalRow).toArray
+    new Scan with Batch {
+      override def readSchema(): StructType = tableSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(LakeFilePartition(rows, tableSchema.indices.toArray,
+          tableSchema.fields.map(_.dataType), ""))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+            val it = p.asInstanceOf[LakeFilePartition].rows.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: InternalRow = _
+              override def next(): Boolean = {
+                val h = it.hasNext; if (h) cur = it.next(); h
+              }
+              override def get(): InternalRow = cur
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+  }
+
+  private def make(tableName: String, tableSchema: StructType,
+      data: Seq[Array[Any]]): Table =
     new Table with SupportsRead {
       override def name(): String = tableName
       override def schema(): StructType = tableSchema
       override def capabilities(): util.Set[TableCapability] =
         util.EnumSet.of(TableCapability.BATCH_READ)
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        () => new Scan with Batch {
-          override def readSchema(): StructType = tableSchema
-          override def toBatch: Batch = this
-          override def planInputPartitions(): Array[InputPartition] =
-            Array(LakeFilePartition(rows, tableSchema.indices.toArray,
-              tableSchema.fields.map(_.dataType), ""))
-          override def createReaderFactory(): PartitionReaderFactory =
-            new PartitionReaderFactory {
-              override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-                val it = p.asInstanceOf[LakeFilePartition].rows.iterator
-                new PartitionReader[InternalRow] {
-                  private var cur: InternalRow = _
-                  override def next(): Boolean = {
-                    val h = it.hasNext; if (h) cur = it.next(); h
-                  }
-                  override def get(): InternalRow = cur
-                  override def close(): Unit = ()
-                }
-              }
-            }
-        }
+        () => scanOf(tableSchema, data)
     }
-  }
 }
 
 /** Copy-on-write row-level operation (group granularity = data file).

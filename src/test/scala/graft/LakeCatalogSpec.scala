@@ -349,6 +349,28 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(fr.length == 10 && fr.map(_.getLong(1)).sum == 100L, fr.mkString(","))
   }
 
+  test("CALL lake.system.changes returns the row-level diff between snapshots") {
+    spark.sql("""CREATE TABLE lake.cdf (id BIGINT, region STRING, v DOUBLE)
+                 PARTITIONED BY (region)""")
+    import spark.implicits._
+    Seq((1L, "emea", 1.0), (2L, "amer", 2.0)).toDF("id", "region", "v")
+      .writeTo("lake.cdf").append() // v1: +2 rows
+    spark.sql("DELETE FROM lake.cdf WHERE region = 'emea'") // v2: -1 row
+    spark.sql("INSERT INTO lake.cdf VALUES (3L, 'apac', 3.0)") // v3: +1 row
+    val changes = spark.sql("CALL lake.system.changes('cdf', 0L, 3L)")
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(changes == Set(
+      (1L, "insert", 1L), (2L, "insert", 1L),
+      (1L, "delete", 2L),
+      (3L, "insert", 3L)), changes.toString)
+    // a narrower window sees only its own commits
+    val tail = spark.sql("CALL lake.system.changes('cdf', 2L, 3L)")
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tail == Set((3L, "insert")), tail.toString)
+  }
+
   test("copy-on-write rewrite leaves files outside the scanned partitions untouched") {
     spark.sql("""CREATE TABLE lake.cw (id BIGINT, region STRING, v DOUBLE)
                  PARTITIONED BY (region)""")
