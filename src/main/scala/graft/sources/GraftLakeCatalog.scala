@@ -55,7 +55,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
-  private val tables = new TrieMap[Identifier, LakeTableState]()
+
+  /** table state is keyed by catalog NAME, shared across catalog
+    * instances: cloned sessions (foreachBatch, thread pools) construct
+    * their own plugin instance but must see the same lakehouse — the
+    * in-memory analog of shared object storage */
+  private def tables: TrieMap[Identifier, LakeTableState] =
+    GraftLakeCatalog.registry(catalogName)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
@@ -261,6 +267,13 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
   override def dropTable(ident: Identifier): Boolean = tables.remove(ident).isDefined
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("renameTable not supported")
+}
+
+object GraftLakeCatalog {
+  private val registries =
+    new TrieMap[String, TrieMap[Identifier, LakeTableState]]()
+  private[sources] def registry(name: String): TrieMap[Identifier, LakeTableState] =
+    registries.getOrElseUpdate(name, new TrieMap[Identifier, LakeTableState]())
 }
 
 /** one partition-spec field resolved against a concrete write schema:

@@ -371,6 +371,36 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(tail == Set((3L, "insert")), tail.toString)
   }
 
+  test("streaming upsert into a lake table via foreachBatch MERGE (CDC write pattern)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("""CREATE TABLE lake.ups (id BIGINT, region STRING, v DOUBLE)
+                 PARTITIONED BY (region)""")
+    spark.sql("INSERT INTO lake.ups VALUES (1L, 'emea', 1.0), (2L, 'amer', 2.0)")
+    val in = MemoryStream[(Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("lake_ups_ckpt").toString
+    val q = in.toDF().toDF("id", "region", "v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.createOrReplaceTempView("ups_src")
+        batch.sparkSession.sql(
+          """MERGE INTO lake.ups t USING ups_src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED THEN INSERT (id, region, v) VALUES (s.id, s.region, s.v)
+            |""".stripMargin)
+        ()
+      }
+      .start()
+    try {
+      in.addData((2L, "amer", 20.0), (3L, "apac", 3.0)) // update + insert
+      q.processAllAvailable()
+      val rows = spark.table("lake.ups").orderBy("id")
+        .select("id", "v").as[(Long, Double)].collect().toSeq
+      assert(rows == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)), rows.toString)
+    } finally q.stop()
+  }
+
   test("copy-on-write rewrite leaves files outside the scanned partitions untouched") {
     spark.sql("""CREATE TABLE lake.cw (id BIGINT, region STRING, v DOUBLE)
                  PARTITIONED BY (region)""")
