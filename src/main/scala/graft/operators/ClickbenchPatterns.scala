@@ -297,7 +297,66 @@ object ClickbenchPatterns {
     """SELECT doc_id, substring(text, 1, 30) AS prefix
       |FROM documents ORDER BY text, doc_id LIMIT 5""".stripMargin
 
+  // CB q21 shape: multi-pattern LIKE mix (AND of a positive and a
+  // negative pattern, OR'd with another) over the raw text scan
+  private val likeDisjunction: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .filter((col("text").like("%spark%") && !col("text").like("%window%")) ||
+        col("text").like("%stream%merge%"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("c").desc, col("lang"))
+
+  private val likeDisjunctionSql =
+    """SELECT lang, COUNT(*) AS c, MIN(doc_id) AS first_doc
+      |FROM documents
+      |WHERE (text LIKE '%spark%' AND text NOT LIKE '%window%')
+      |   OR text LIKE '%stream%merge%'
+      |GROUP BY lang ORDER BY c DESC, lang""".stripMargin
+
+  // regexp_like conjunction folded to one row of slice counts — the
+  // regex-heavy scan the reference's corpus stresses
+  private val regexFilterCount: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .agg(
+        count(when(col("text").rlike("\\bspark\\b"), 1)).as("has_spark"),
+        count(when(col("text").rlike("\\bspark\\b") &&
+          !col("text").rlike("\\bflink\\b"), 1)).as("spark_not_flink"),
+        count(when(col("text").rlike("(scan|merge) (row|batch)"), 1)).as("phrase"))
+
+  private val regexFilterCountSql =
+    """SELECT
+      |  COUNT(CASE WHEN regexp_matches(text, '\b(spark)\b') THEN 1 END) AS has_spark,
+      |  COUNT(CASE WHEN regexp_matches(text, '\bspark\b')
+      |         AND NOT regexp_matches(text, '\bflink\b') THEN 1 END) AS spark_not_flink,
+      |  COUNT(CASE WHEN regexp_matches(text, '(scan|merge) (row|batch)') THEN 1 END) AS phrase
+      |FROM documents""".stripMargin
+
+  // grouped COUNT(DISTINCT) + FILTER combo: total uniques AND
+  // conditional uniques in one Expand pass per group
+  private val distinctFilter: Q = (s, dir) => {
+    load(s, dir, "events").createOrReplaceTempView("ev_df")
+    s.sql(
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS uniq_users,
+        |  COUNT(DISTINCT user_id) FILTER (WHERE value > 100) AS uniq_big_spenders,
+        |  COUNT(*) FILTER (WHERE value > 100) AS big_events
+        |FROM ev_df
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private val distinctFilterSql =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS uniq_users,
+      |  COUNT(DISTINCT user_id) FILTER (WHERE value > 100) AS uniq_big_spenders,
+      |  COUNT(*) FILTER (WHERE value > 100) AS big_events
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cb_like_disjunction" -> likeDisjunction,
+    "cb_regex_filter_count" -> regexFilterCount,
+    "cb_distinct_filter" -> distinctFilter,
     "cb_domain_replace" -> domainReplace,
     "cb_minute_series" -> minuteSeries,
     "cb_wide_sums" -> wideSums,
@@ -316,6 +375,9 @@ object ClickbenchPatterns {
     "cb_length_profile" -> lengthProfile)
 
   val oracles: Map[String, String] = Map(
+    "cb_like_disjunction" -> likeDisjunctionSql,
+    "cb_regex_filter_count" -> regexFilterCountSql,
+    "cb_distinct_filter" -> distinctFilterSql,
     "cb_domain_replace" -> domainReplaceSql,
     "cb_minute_series" -> minuteSeriesSql,
     "cb_wide_sums" -> wideSumsSql,
