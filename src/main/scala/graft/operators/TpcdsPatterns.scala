@@ -1013,7 +1013,269 @@ object TpcdsPatterns {
       |      CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE)
       |ORDER BY nation""".stripMargin
 
+  private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  // DS q9 shape: scalar subqueries inside CASE branches in the SELECT
+  // list — bucketed stats where the reported metric per bucket depends
+  // on a count threshold over the same bucket. Exercises Spark's
+  // uncorrelated ScalarSubquery planning (each subquery becomes a
+  // broadcast-able single-row plan; the three buckets share one scan
+  // per subquery, 9 subqueries total, all subsecond at any SF because
+  // each is a pushdown-filtered aggregate).
+  private def q9CaseText(table: String): String = {
+    def bucket(lo: Int, hi: Int, floor: Int, alias: String) =
+      s"""  CASE WHEN (SELECT count(*) FROM $table WHERE l_quantity BETWEEN $lo AND $hi) > $floor
+         |       THEN (SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6)
+         |             FROM $table WHERE l_quantity BETWEEN $lo AND $hi)
+         |       ELSE (SELECT round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 6)
+         |             FROM $table WHERE l_quantity BETWEEN $lo AND $hi)
+         |  END AS $alias""".stripMargin
+    Seq(bucket(1, 20, 20000, "bucket1"), bucket(21, 30, 20000, "bucket2"),
+      bucket(31, 50, 20000, "bucket3")).mkString("SELECT\n", ",\n", "")
+  }
+
+  private val q9CaseBuckets: Q = (s, dir) => {
+    load(s, dir, "lineitem").createOrReplaceTempView("li_q9")
+    s.sql(q9CaseText("li_q9"))
+  }
+
+  private val q9CaseBucketsSql = q9CaseText("lineitem")
+
+  // DS q23 shape: "frequent items bought by best customers" — a
+  // HAVING-floored frequent-item set, a best-customer set defined
+  // against a scalar MAX subquery, and a final fact aggregation
+  // semi-joined to both. Both semi joins broadcast (the derived sets
+  // are aggregates, far smaller than the fact), so the final pass is
+  // one scan + one shuffle-free reduce at any SF.
+  private val q23FrequentBest: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    val ord = load(s, dir, "orders")
+    val freq = li
+      .join(ord.filter(year(col("o_orderdate")) === 1996), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 4).select(col("l_partkey"))
+    val spend = ord.groupBy(col("o_custkey"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as("spend"))
+    val best = spend
+      .crossJoin(broadcast(spend.agg(max(col("spend")).as("mx"))))
+      .filter(col("spend") > col("mx") * 0.5)
+      .select(col("o_custkey"))
+    li.join(ord.filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(freq, Seq("l_partkey"), "left_semi")
+      .join(best, Seq("o_custkey"), "left_semi")
+      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("total_rev"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q23FrequentBestSql =
+    s"""WITH freq AS (
+      |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      |  GROUP BY l_partkey HAVING count(*) > 4),
+      |spend AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |best AS (
+      |  SELECT o_custkey FROM spend WHERE spend > 0.5 * (SELECT max(spend) FROM spend))
+      |SELECT CAST(SUM($rev) AS DOUBLE) AS total_rev, count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  AND l_partkey IN (SELECT l_partkey FROM freq)
+      |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin
+
+  // DS q38 shape: INTERSECT of per-channel customer sets (customers
+  // active in ALL of three consecutive years), counted. Spark plans
+  // INTERSECT as a left-semi chain over distinct sets — each leg is one
+  // hash shuffle on the (already aggregated, small) key set.
+  private def custOfYear(s: SparkSession, dir: String, y: Int): DataFrame =
+    load(s, dir, "orders").filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+
+  private val q38IntersectCustomers: Q = (s, dir) =>
+    custOfYear(s, dir, 1996)
+      .intersect(custOfYear(s, dir, 1997))
+      .intersect(custOfYear(s, dir, 1998))
+      .agg(count(lit(1)).as("hh_count"))
+
+  private val q38IntersectCustomersSql =
+    """SELECT count(*) AS hh_count FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      |  INTERSECT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  INTERSECT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998)""".stripMargin
+
+  // DS q87 shape: the EXCEPT twin of q38 — customers active in the
+  // first year but in NEITHER later year (left-anti chain).
+  private val q87ExceptCustomers: Q = (s, dir) =>
+    custOfYear(s, dir, 1996)
+      .except(custOfYear(s, dir, 1997))
+      .except(custOfYear(s, dir, 1998))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val q87ExceptCustomersSql =
+    """SELECT count(*) AS cnt FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998)""".stripMargin
+
+  // DS q41 shape: correlated COUNT subquery with an OR-heavy
+  // multi-attribute predicate — "products whose brand also carries a
+  // part matching any of several attribute combinations". Catalyst
+  // decorrelates the count into an aggregate-join on the equality key.
+  private def q41Text(table: String): String =
+    s"""SELECT DISTINCT p_name FROM $table p1
+      |WHERE p1.p_size BETWEEN 1 AND 15
+      |  AND (SELECT count(*) FROM $table p2 WHERE p2.p_brand = p1.p_brand
+      |       AND ((p2.p_type = 'PROMO'    AND p2.p_size BETWEEN 5 AND 10)
+      |         OR (p2.p_type = 'STANDARD' AND p2.p_size BETWEEN 20 AND 30))) > 0
+      |ORDER BY p_name LIMIT 100""".stripMargin
+
+  private val q41ExistsOr: Q = (s, dir) => {
+    load(s, dir, "part").createOrReplaceTempView("part_q41")
+    s.sql(q41Text("part_q41"))
+  }
+
+  private val q41ExistsOrSql = q41Text("part")
+
+  // DS q44 shape: best and worst performers joined by rank — two
+  // opposite-direction rankings over the same per-item aggregate,
+  // equi-joined on the rank position. The ranked input is one row per
+  // part (already aggregated), so the single-partition window is over
+  // |parts| rows, not the fact table; row_number with a key tiebreak
+  // keeps both engines' rankings identical.
+  private val q44BestWorst: Q = (s, dir) => {
+    val perf = load(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg((dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))) / count(lit(1))).as("avg_rev"))
+    val part = load(s, dir, "part")
+    val best = perf.select(
+      row_number().over(Window.orderBy(col("avg_rev").desc, col("l_partkey"))).as("rnk"),
+      col("l_partkey").as("best_key")).filter(col("rnk") <= 10)
+    val worst = perf.select(
+      row_number().over(Window.orderBy(col("avg_rev").asc, col("l_partkey"))).as("rnk"),
+      col("l_partkey").as("worst_key")).filter(col("rnk") <= 10)
+    best.join(worst, "rnk")
+      .join(part.select(col("p_partkey").as("best_key"), col("p_name").as("best_name")), "best_key")
+      .join(part.select(col("p_partkey").as("worst_key"), col("p_name").as("worst_name")), "worst_key")
+      .select(col("rnk"), col("best_name"), col("worst_name"))
+      .orderBy(col("rnk"))
+  }
+
+  private val q44BestWorstSql =
+    s"""WITH perf AS (
+      |  SELECT l_partkey, CAST(SUM($rev) AS DOUBLE) / count(*) AS avg_rev
+      |  FROM lineitem GROUP BY l_partkey),
+      |best AS (
+      |  SELECT * FROM (SELECT CAST(row_number() OVER (ORDER BY avg_rev DESC, l_partkey) AS INTEGER) AS rnk,
+      |    l_partkey AS best_key FROM perf) WHERE rnk <= 10),
+      |worst AS (
+      |  SELECT * FROM (SELECT CAST(row_number() OVER (ORDER BY avg_rev ASC, l_partkey) AS INTEGER) AS rnk,
+      |    l_partkey AS worst_key FROM perf) WHERE rnk <= 10)
+      |SELECT rnk, pb.p_name AS best_name, pw.p_name AS worst_name
+      |FROM best JOIN worst USING (rnk)
+      |JOIN part pb ON best_key = pb.p_partkey
+      |JOIN part pw ON worst_key = pw.p_partkey
+      |ORDER BY rnk""".stripMargin
+
+  // DS q49 shape: per-channel return-ratio top-10, UNION ALL'd with a
+  // channel tag — ratio ranked per channel partition; returns coalesced
+  // to exact zero so rank order is engine-independent. The window
+  // partitions by channel over per-part aggregates (small), and each
+  // channel leg shares the one fact scan shape.
+  private val q49ReturnRatioUnion: Q = (s, dir) => {
+    val zero = lit(new java.math.BigDecimal("0.00")).cast(org.apache.spark.sql.types.DecimalType(12, 2))
+    val base = load(s, dir, "lineitem")
+      .join(load(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("channel"), col("l_partkey"))
+      .agg(
+        dbl(sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))).otherwise(zero))).as("ret_qty"),
+        dbl(sum(dec(col("l_quantity")))).as("tot_qty"))
+      .withColumn("ratio", round(col("ret_qty") / col("tot_qty"), 6))
+    base.select(col("channel"), col("l_partkey").as("item"), col("ratio"),
+        row_number().over(Window.partitionBy(col("channel"))
+          .orderBy(col("ratio").desc, col("l_partkey"))).as("rnk"))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("channel"), col("rnk"))
+  }
+
+  private val q49ReturnRatioUnionSql =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS channel, l_partkey AS item,
+      |    round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2))
+      |                        ELSE CAST('0.00' AS DECIMAL(12,2)) END) AS DOUBLE) /
+      |          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS ratio
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      |  GROUP BY 1, 2)
+      |SELECT channel, item, ratio, rnk FROM (
+      |  SELECT channel, item, ratio,
+      |    CAST(row_number() OVER (PARTITION BY channel ORDER BY ratio DESC, item) AS INTEGER) AS rnk
+      |  FROM base)
+      |WHERE rnk <= 10 ORDER BY channel, rnk""".stripMargin
+
+  // DS q58 shape: three per-channel revenue CTEs equi-joined on the
+  // item key, keeping items whose revenue is balanced (each channel
+  // within ±10% of the three-channel mean). Each leg is a broadcast
+  // star join + hash agg; the final three-way join runs over per-brand
+  // aggregates (tiny), so the balance filter costs nothing at scale.
+  private val q58ChannelBalance: Q = (s, dir) => {
+    def chanRev(p: String, alias: String): DataFrame =
+      load(s, dir, "lineitem")
+        .join(load(s, dir, "orders").filter(col("o_orderpriority") === p),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as(alias))
+    val joined = chanRev("1-URGENT", "rev1")
+      .join(chanRev("2-HIGH", "rev2"), "p_brand")
+      .join(chanRev("3-MEDIUM", "rev3"), "p_brand")
+      .withColumn("avg_rev", (col("rev1") + col("rev2") + col("rev3")) / 3)
+    joined
+      .filter(col("rev1").between(col("avg_rev") * 0.9, col("avg_rev") * 1.1) &&
+        col("rev2").between(col("avg_rev") * 0.9, col("avg_rev") * 1.1) &&
+        col("rev3").between(col("avg_rev") * 0.9, col("avg_rev") * 1.1))
+      .select(col("p_brand"), round(col("rev1"), 2).as("rev1"),
+        round(col("rev2"), 2).as("rev2"), round(col("rev3"), 2).as("rev3"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q58ChannelBalanceSql =
+    s"""WITH chan AS (
+      |  SELECT o_orderpriority AS pri, p_brand, CAST(SUM($rev) AS DOUBLE) AS r
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT c1.p_brand, c1.r AS rev1, c2.r AS rev2, c3.r AS rev3,
+      |    (c1.r + c2.r + c3.r) / 3 AS avg_rev
+      |  FROM chan c1 JOIN chan c2 ON c1.p_brand = c2.p_brand
+      |  JOIN chan c3 ON c1.p_brand = c3.p_brand
+      |  WHERE c1.pri = '1-URGENT' AND c2.pri = '2-HIGH' AND c3.pri = '3-MEDIUM')
+      |SELECT p_brand, round(rev1, 2) AS rev1, round(rev2, 2) AS rev2, round(rev3, 2) AS rev3
+      |FROM j
+      |WHERE rev1 BETWEEN avg_rev * 0.9 AND avg_rev * 1.1
+      |  AND rev2 BETWEEN avg_rev * 0.9 AND avg_rev * 1.1
+      |  AND rev3 BETWEEN avg_rev * 0.9 AND avg_rev * 1.1
+      |ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpcds_style_q9_case_buckets" -> q9CaseBuckets,
+    "tpcds_style_q23_frequent_best" -> q23FrequentBest,
+    "tpcds_style_q38_intersect_customers" -> q38IntersectCustomers,
+    "tpcds_style_q87_except_customers" -> q87ExceptCustomers,
+    "tpcds_style_q41_exists_or" -> q41ExistsOr,
+    "tpcds_style_q44_best_worst" -> q44BestWorst,
+    "tpcds_style_q49_return_ratio_union" -> q49ReturnRatioUnion,
+    "tpcds_style_q58_channel_balance" -> q58ChannelBalance,
     "tpcds_style_q1_returns_above_avg" -> q1ReturnsAboveAvg,
     "tpcds_style_q39_variance_filter" -> q39VarianceFilter,
     "tpcds_style_q47_lag_lead" -> q47LagLeadSandwich,
@@ -1044,6 +1306,14 @@ object TpcdsPatterns {
     "tpcds_style_q90_ampm_ratio" -> q90AmPmRatio)
 
   val oracles: Map[String, String] = Map(
+    "tpcds_style_q9_case_buckets" -> q9CaseBucketsSql,
+    "tpcds_style_q23_frequent_best" -> q23FrequentBestSql,
+    "tpcds_style_q38_intersect_customers" -> q38IntersectCustomersSql,
+    "tpcds_style_q87_except_customers" -> q87ExceptCustomersSql,
+    "tpcds_style_q41_exists_or" -> q41ExistsOrSql,
+    "tpcds_style_q44_best_worst" -> q44BestWorstSql,
+    "tpcds_style_q49_return_ratio_union" -> q49ReturnRatioUnionSql,
+    "tpcds_style_q58_channel_balance" -> q58ChannelBalanceSql,
     "tpcds_style_q1_returns_above_avg" -> q1ReturnsAboveAvgSql,
     "tpcds_style_q39_variance_filter" -> q39VarianceFilterSql,
     "tpcds_style_q47_lag_lead" -> q47LagLeadSandwichSql,
