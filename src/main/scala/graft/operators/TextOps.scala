@@ -371,7 +371,101 @@ object TextOps {
       |WHERE rk <= CASE WHEN lang = 'en' THEN 10 ELSE 25 END
       |ORDER BY lang, rk""".stripMargin
 
+  /** per-(doc, word-n-gram) occurrence counts — the shared first stage
+    * of the repetition/scrub operators. The gram array is built with
+    * codegen'd higher-order functions (no UDF), then exploded once;
+    * the count is a single hash shuffle keyed (doc_id, gram), which
+    * scales: keys are per-document so no global hot key exists. */
+  private def gramCounts(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val mk = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
+    load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $mk))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+  }
+
+  // Gopher-style intra-document repetition gates: the fraction of
+  // bigram mass taken by the single most frequent bigram, and the
+  // fraction of bigram occurrences that are repeats. High values mark
+  // boilerplate/looping text. Per-doc aggregation over the gram counts
+  // — two shuffles total, both keyed by doc_id (never global).
+  private val textRepetition: Q = (s, dir) =>
+    gramCounts(s, dir, 2)
+      .groupBy(col("doc_id"))
+      .agg(
+        round(dbl(max(col("c"))) / sum(col("c")), 6).as("top_bigram_frac"),
+        round(lit(1.0) - dbl(count(lit(1))) / sum(col("c")), 6).as("dup_bigram_frac"),
+        sum(col("c")).as("n_bigrams"))
+      .withColumn("flagged",
+        col("top_bigram_frac") > 0.05 || col("dup_bigram_frac") > 0.1)
+      .orderBy(col("doc_id"))
+
+  private val textRepetitionSql =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g
+      |  FROM words),
+      |cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+      |SELECT doc_id,
+      |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
+      |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_bigram_frac,
+      |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  (round(CAST(max(c) AS DOUBLE) / sum(c), 6) > 0.05 OR
+      |   round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) > 0.1) AS flagged
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // C4-style corpus-frequent n-gram scrub: trigrams appearing in >= 3
+  // distinct documents are "boilerplate"; each document reports how
+  // much of its trigram mass is boilerplate and is flagged above 20%.
+  // The frequent-gram set is unbounded at corpus scale, so it is
+  // joined back by a SHUFFLE join on the gram key (never broadcast by
+  // construction; AQE may still downgrade when the set is provably
+  // small — the safe direction).
+  private val docsNgramScrub: Q = (s, dir) => {
+    val cnt = gramCounts(s, dir, 3)
+    val freq = cnt.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 3).select(col("g"))
+    val tot = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n_grams"))
+    val hit = cnt.join(freq, "g")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_freq"))
+    val nFreq = coalesce(col("n_freq"), lit(0L))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), nFreq.as("n_freq"),
+        round(dbl(nFreq) / col("n_grams"), 6).as("freq_frac"),
+        (dbl(nFreq) / col("n_grams") > 0.2).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docsNgramScrubSql =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+      |  FROM words),
+      |cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+      |freq AS (
+      |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM cnt GROUP BY g)
+      |  WHERE df >= 3),
+      |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams FROM cnt GROUP BY doc_id),
+      |hit AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_freq
+      |  FROM cnt JOIN freq USING (g) GROUP BY doc_id)
+      |SELECT t.doc_id AS doc_id, t.n_grams AS n_grams,
+      |  COALESCE(h.n_freq, 0) AS n_freq,
+      |  round(CAST(COALESCE(h.n_freq, 0) AS DOUBLE) / t.n_grams, 6) AS freq_frac,
+      |  CAST(COALESCE(h.n_freq, 0) AS DOUBLE) / t.n_grams > 0.2 AS flagged
+      |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_repetition" -> textRepetition,
+    "docs_ngram_scrub" -> docsNgramScrub,
     "docs_epoch_shuffle" -> docsEpochShuffle,
     "docs_mixture_quota" -> docsMixtureQuota,
     "docs_stratified_head" -> docsStratifiedHead,
@@ -387,6 +481,8 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
+    "docs_ngram_scrub" -> docsNgramScrubSql,
     "docs_epoch_shuffle" -> docsEpochShuffleSql,
     "docs_mixture_quota" -> docsMixtureQuotaSql,
     "docs_stratified_head" -> docsStratifiedHeadSql,
