@@ -353,7 +353,105 @@ object ClickbenchPatterns {
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // CB q1–q7 battery: whole-table scalar profile in ONE pass — row
+  // count, distinct users, distinct types, exact value total, and the
+  // event-date span. One scan, one (tiny) final aggregate.
+  private val globalAggs: Q = (s, dir) =>
+    load(s, dir, "events")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"),
+        countDistinct(col("event_type")).as("types"),
+        dbl(sum(dec(col("value")))).as("total_value"),
+        date_format(min(col("ts")), "yyyy-MM-dd").as("first_day"),
+        date_format(max(col("ts")), "yyyy-MM-dd").as("last_day"))
+
+  private val globalAggsSql =
+    """SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+      |  COUNT(DISTINCT event_type) AS types,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  strftime(MIN(ts), '%Y-%m-%d') AS first_day,
+      |  strftime(MAX(ts), '%Y-%m-%d') AS last_day
+      |FROM events""".stripMargin
+
+  // CB q10 shape: per-key profile mixing plain aggs with a distinct
+  // count (SUM, COUNT, AVG, COUNT DISTINCT in one grouping)
+  private val regionProfile: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(dbl(sum(dec(col("value")))).as("sum_value"),
+        count(lit(1)).as("c"),
+        (sum(length(col("props"))).cast("double") / count(lit(1))).as("avg_props_len"),
+        countDistinct(col("user_id")).as("u"))
+      .orderBy(col("c").desc, col("event_type"))
+      .limit(10)
+
+  private val regionProfileSql =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS c,
+      |  CAST(SUM(length(props)) AS DOUBLE) / COUNT(*) AS avg_props_len,
+      |  COUNT(DISTINCT user_id) AS u
+      |FROM events
+      |GROUP BY event_type ORDER BY c DESC, event_type LIMIT 10""".stripMargin
+
+  // CB q14 shape: non-empty phrase key, distinct-entity count top-N
+  private val phraseUsers: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .filter(col("lang") =!= "")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("source")).as("u"), count(lit(1)).as("c"))
+      .orderBy(col("u").desc, col("lang"))
+      .limit(10)
+
+  private val phraseUsersSql =
+    """SELECT lang, COUNT(DISTINCT source) AS u, COUNT(*) AS c
+      |FROM documents WHERE lang <> ''
+      |GROUP BY lang ORDER BY u DESC, lang LIMIT 10""".stripMargin
+
+  // CB q37 shape: page-view count under a stack of pushdown-able
+  // predicates (type equality + date window + non-empty + positive)
+  private val pageviewWindow: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(col("event_type") === "view" &&
+        col("ts") >= lit("2024-01-08") && col("ts") < lit("2024-01-15") &&
+        col("props") =!= "" && col("value") > 1.0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("page_views"))
+      .orderBy(col("page_views").desc, col("user_id"))
+      .limit(10)
+
+  private val pageviewWindowSql =
+    """SELECT user_id, COUNT(*) AS page_views
+      |FROM events
+      |WHERE event_type = 'view' AND ts >= TIMESTAMP '2024-01-08'
+      |  AND ts < TIMESTAMP '2024-01-15' AND props <> '' AND value > 1.0
+      |GROUP BY user_id ORDER BY page_views DESC, user_id LIMIT 10""".stripMargin
+
+  // CB q41 shape: IN-list + range predicates, modulo-bucketed group key
+  private val inListFilter: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-25") &&
+        col("value") >= 0.0)
+      .groupBy((col("user_id") % 100).as("bucket"))
+      .agg(count(lit(1)).as("c"), dbl(sum(dec(col("value")))).as("sum_value"))
+      .orderBy(col("c").desc, col("bucket"))
+      .limit(10)
+
+  private val inListFilterSql =
+    """SELECT user_id % 100 AS bucket, COUNT(*) AS c,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_type IN ('click', 'purchase') AND ts >= TIMESTAMP '2024-01-05'
+      |  AND ts < TIMESTAMP '2024-01-25' AND value >= 0.0
+      |GROUP BY 1 ORDER BY c DESC, bucket LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cb_global_aggs" -> globalAggs,
+    "cb_region_profile" -> regionProfile,
+    "cb_phrase_users" -> phraseUsers,
+    "cb_pageview_window" -> pageviewWindow,
+    "cb_in_list_filter" -> inListFilter,
     "cb_like_disjunction" -> likeDisjunction,
     "cb_regex_filter_count" -> regexFilterCount,
     "cb_distinct_filter" -> distinctFilter,
@@ -375,6 +473,11 @@ object ClickbenchPatterns {
     "cb_length_profile" -> lengthProfile)
 
   val oracles: Map[String, String] = Map(
+    "cb_global_aggs" -> globalAggsSql,
+    "cb_region_profile" -> regionProfileSql,
+    "cb_phrase_users" -> phraseUsersSql,
+    "cb_pageview_window" -> pageviewWindowSql,
+    "cb_in_list_filter" -> inListFilterSql,
     "cb_like_disjunction" -> likeDisjunctionSql,
     "cb_regex_filter_count" -> regexFilterCountSql,
     "cb_distinct_filter" -> distinctFilterSql,

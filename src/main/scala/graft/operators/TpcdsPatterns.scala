@@ -1267,6 +1267,428 @@ object TpcdsPatterns {
       |  AND rev3 BETWEEN avg_rev * 0.9 AND avg_rev * 1.1
       |ORDER BY p_brand""".stripMargin
 
+  // DS q4/q11/q74 shape: per-customer year totals in two "channels"
+  // (order headers vs lineitem net revenue), keeping customers whose
+  // lineitem-channel growth outpaces the header-channel growth — the
+  // four-way year_total self-join grammar (tpcds-queries/q4.sql)
+  private val q4YearlyGrowth: Q = (s, dir) => {
+    val orders = load(s, dir, "orders")
+    def headTotal(yr: Int) = orders.filter(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_custkey").as(s"hc_$yr"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as(s"head_$yr"))
+    def lineTotal(yr: Int) = load(s, dir, "lineitem")
+      .join(orders.filter(year(col("o_orderdate")) === yr),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as(s"lc_$yr"))
+      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as(s"line_$yr"))
+    headTotal(1995).join(headTotal(1996), col("hc_1995") === col("hc_1996"))
+      .join(lineTotal(1995), col("hc_1995") === col("lc_1995"))
+      .join(lineTotal(1996), col("hc_1995") === col("lc_1996"))
+      .filter(col("head_1995") > 0 && col("line_1995") > 0 &&
+        col("line_1996") / col("line_1995") > col("head_1996") / col("head_1995"))
+      .join(load(s, dir, "customer"), col("hc_1995") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("line_1996") / col("line_1995"), 6).as("line_growth"),
+        round(col("head_1996") / col("head_1995"), 6).as("head_growth"))
+      .orderBy(col("c_custkey"))
+      .limit(100)
+  }
+
+  private val q4YearlyGrowthSql =
+    """WITH head AS (
+      |  SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 1, 2),
+      |line AS (
+      |  SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2)
+      |SELECT c_custkey, c_name,
+      |  round(l96.total / l95.total, 6) AS line_growth,
+      |  round(h96.total / h95.total, 6) AS head_growth
+      |FROM head h95
+      |JOIN head h96 ON h95.o_custkey = h96.o_custkey
+      |JOIN line l95 ON h95.o_custkey = l95.o_custkey
+      |JOIN line l96 ON h95.o_custkey = l96.o_custkey
+      |JOIN customer ON h95.o_custkey = c_custkey
+      |WHERE h95.yr = 1995 AND h96.yr = 1996 AND l95.yr = 1995 AND l96.yr = 1996
+      |  AND h95.total > 0 AND l95.total > 0
+      |  AND l96.total / l95.total > h96.total / h95.total
+      |ORDER BY c_custkey
+      |LIMIT 100""".stripMargin
+
+  // DS q6 shape: nations of customers who bought parts priced above
+  // 1.02× the average for their type — correlated category-average
+  // scalar subquery feeding a HAVING-count report
+  private val q6AboveAvgType: Q = (s, dir) => {
+    val typeAvg = load(s, dir, "part").groupBy(col("p_type").as("at_type"))
+      .agg((dbl(sum(dec(col("p_retailprice")))) / count(lit(1))).as("type_avg"))
+    val expensive = load(s, dir, "part")
+      .join(broadcast(typeAvg), col("p_type") === col("at_type"))
+      .filter(dbl(col("p_retailprice")) > col("type_avg") * 1.02)
+      .select(col("p_partkey"))
+    load(s, dir, "lineitem")
+      .join(expensive, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(load(s, dir, "orders").filter(year(col("o_orderdate")) === 1996),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 10)
+      .orderBy(col("cnt"), col("n_name"))
+  }
+
+  private val q6AboveAvgTypeSql =
+    """WITH type_avg AS (
+      |  SELECT p_type AS at_type,
+      |    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS type_avg
+      |  FROM part GROUP BY 1)
+      |SELECT n_name, COUNT(*) AS cnt
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      |  AND l_partkey IN (
+      |    SELECT p_partkey FROM part JOIN type_avg ON p_type = at_type
+      |    WHERE CAST(p_retailprice AS DOUBLE) > type_avg * 1.02)
+      |GROUP BY n_name
+      |HAVING COUNT(*) >= 10
+      |ORDER BY cnt, n_name""".stripMargin
+
+  // DS q17 shape: quantity moments (count / mean / stdev / coefficient
+  // of variation) per brand, split by returned-vs-accepted slices via
+  // FILTERed aggregates over one quarter
+  private val q17StatMoments: Q = (s, dir) => {
+    def slice(flag: String, p: String) = Seq(
+      count(when(col("l_returnflag") === flag, col("l_quantity"))).as(s"${p}_cnt"),
+      round(avg(when(col("l_returnflag") === flag, dbl(col("l_quantity")))), 4).as(s"${p}_avg"),
+      round(stddev_samp(when(col("l_returnflag") === flag, dbl(col("l_quantity")))), 4).as(s"${p}_stdev"),
+      round(stddev_samp(when(col("l_returnflag") === flag, dbl(col("l_quantity")))) /
+        avg(when(col("l_returnflag") === flag, dbl(col("l_quantity")))), 4).as(s"${p}_cov"))
+    val aggs = slice("R", "ret") ++ slice("A", "acc")
+    load(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1996 && quarter(col("l_shipdate")) === 1)
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("p_brand"))
+  }
+
+  private val q17StatMomentsSql =
+    """SELECT p_brand,
+      |  COUNT(l_quantity) FILTER (WHERE l_returnflag = 'R') AS ret_cnt,
+      |  round(AVG(CAST(l_quantity AS DOUBLE)) FILTER (WHERE l_returnflag = 'R'), 4) AS ret_avg,
+      |  round(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)) FILTER (WHERE l_returnflag = 'R'), 4) AS ret_stdev,
+      |  round(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)) FILTER (WHERE l_returnflag = 'R') /
+      |        AVG(CAST(l_quantity AS DOUBLE)) FILTER (WHERE l_returnflag = 'R'), 4) AS ret_cov,
+      |  COUNT(l_quantity) FILTER (WHERE l_returnflag = 'A') AS acc_cnt,
+      |  round(AVG(CAST(l_quantity AS DOUBLE)) FILTER (WHERE l_returnflag = 'A'), 4) AS acc_avg,
+      |  round(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)) FILTER (WHERE l_returnflag = 'A'), 4) AS acc_stdev,
+      |  round(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)) FILTER (WHERE l_returnflag = 'A') /
+      |        AVG(CAST(l_quantity AS DOUBLE)) FILTER (WHERE l_returnflag = 'A'), 4) AS acc_cov
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE EXTRACT(YEAR FROM l_shipdate) = 1996 AND EXTRACT(QUARTER FROM l_shipdate) = 1
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // DS q21/q40 shape: per-supplier shipped quantity split before/after a
+  // pivot date inside a ±60-day window, kept when the ratio stays within
+  // [2/3, 3/2] — the conditional-sum + HAVING-ratio grammar
+  private val q21BeforeAfterRatio: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-04-02") && col("l_shipdate") <= lit("1996-07-31"))
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(
+        sum(when(col("l_shipdate") < lit("1996-06-01"), col("l_quantity").cast("bigint"))
+          .otherwise(lit(0L))).as("qty_before"),
+        sum(when(col("l_shipdate") >= lit("1996-06-01"), col("l_quantity").cast("bigint"))
+          .otherwise(lit(0L))).as("qty_after"))
+      .filter(col("qty_before") > 0 &&
+        col("qty_after").cast("double") / col("qty_before") >= 2.0 / 3.0 &&
+        col("qty_after").cast("double") / col("qty_before") <= 3.0 / 2.0)
+      .orderBy(col("s_suppkey"))
+      .limit(100)
+
+  private val q21BeforeAfterRatioSql =
+    """SELECT s_suppkey, s_name,
+      |  CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-06-01' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_before,
+      |  CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-06-01' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_after
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-04-02' AND l_shipdate <= TIMESTAMP '1996-07-31'
+      |GROUP BY s_suppkey, s_name
+      |HAVING SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-06-01' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) > 0
+      |  AND CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-06-01' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE) /
+      |      SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-06-01' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) >= 2.0 / 3.0
+      |  AND CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-06-01' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE) /
+      |      SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-06-01' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) <= 3.0 / 2.0
+      |ORDER BY s_suppkey
+      |LIMIT 100""".stripMargin
+
+  // DS q22 shape: average on-hand quantity over the full product
+  // hierarchy rollup (type → brand → size), smallest averages first
+  private val q22QtyRollup: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .rollup(col("p_type"), col("p_brand"), col("p_size"))
+      .agg((dbl(sum(dec(col("l_quantity")))) / count(lit(1))).as("qoh"))
+      .orderBy(col("qoh"), col("p_type").asc_nulls_first,
+        col("p_brand").asc_nulls_first, col("p_size").asc_nulls_first)
+      .limit(100)
+
+  private val q22QtyRollupSql =
+    """SELECT p_type, p_brand, p_size,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS qoh
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY ROLLUP(p_type, p_brand, p_size)
+      |ORDER BY qoh, p_type NULLS FIRST, p_brand NULLS FIRST, p_size NULLS FIRST
+      |LIMIT 100""".stripMargin
+
+  // DS q28 shape: six-column scalar report built by cross-joining
+  // independent single-row aggregates over disjunctive band slices
+  // (avg / count / count-distinct of price per quantity band)
+  private val q28DistinctBuckets: Q = (s, dir) => {
+    def bucket(i: Int, qlo: Int, qhi: Int, plo: Double, phi: Double, dlo: Double, dhi: Double) =
+      load(s, dir, "lineitem")
+        .filter(col("l_quantity").between(qlo, qhi) &&
+          (dbl(col("l_extendedprice")).between(plo, phi) ||
+            col("l_discount").between(dlo, dhi)))
+        .agg(
+          round(dbl(sum(dec(col("l_extendedprice")))) / count(col("l_extendedprice")), 4)
+            .as(s"b${i}_avg"),
+          count(col("l_extendedprice")).as(s"b${i}_cnt"),
+          countDistinct(col("l_extendedprice")).as(s"b${i}_cntd"))
+    bucket(1, 1, 10, 5000.0, 10000.0, 0.00, 0.02)
+      .crossJoin(bucket(2, 11, 20, 10000.0, 20000.0, 0.03, 0.05))
+      .crossJoin(bucket(3, 21, 30, 20000.0, 30000.0, 0.06, 0.08))
+  }
+
+  private val q28DistinctBucketsSql =
+    """SELECT * FROM
+      |(SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS b1_avg,
+      |   COUNT(l_extendedprice) AS b1_cnt, COUNT(DISTINCT l_extendedprice) AS b1_cntd
+      | FROM lineitem WHERE l_quantity BETWEEN 1 AND 10
+      |   AND (CAST(l_extendedprice AS DOUBLE) BETWEEN 5000.0 AND 10000.0 OR l_discount BETWEEN 0.00 AND 0.02)) B1,
+      |(SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS b2_avg,
+      |   COUNT(l_extendedprice) AS b2_cnt, COUNT(DISTINCT l_extendedprice) AS b2_cntd
+      | FROM lineitem WHERE l_quantity BETWEEN 11 AND 20
+      |   AND (CAST(l_extendedprice AS DOUBLE) BETWEEN 10000.0 AND 20000.0 OR l_discount BETWEEN 0.03 AND 0.05)) B2,
+      |(SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS b3_avg,
+      |   COUNT(l_extendedprice) AS b3_cnt, COUNT(DISTINCT l_extendedprice) AS b3_cntd
+      | FROM lineitem WHERE l_quantity BETWEEN 21 AND 30
+      |   AND (CAST(l_extendedprice AS DOUBLE) BETWEEN 20000.0 AND 30000.0 OR l_discount BETWEEN 0.06 AND 0.08)) B3""".stripMargin
+
+  // DS q43 shape: revenue pivoted across the seven weekdays per selling
+  // nation — one row per nation, seven conditional-sum columns.
+  // Spark dayofweek() is 1=Sunday; DuckDB EXTRACT(DOW) is 0=Sunday.
+  private val q43DowPivot: Q = (s, dir) => {
+    val dowCols = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat").zipWithIndex.map {
+      case (d, i) => dbl(sum(when(dayofweek(col("l_shipdate")) === i + 1,
+        dec(col("l_extendedprice"))))).as(s"${d}_sales")
+    }
+    load(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dowCols.head, dowCols.tail: _*)
+      .orderBy(col("n_name"))
+  }
+
+  private val q43DowPivotSql =
+    """SELECT n_name,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 0 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sun_sales,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 1 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS mon_sales,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 2 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS tue_sales,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 3 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS wed_sales,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 4 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS thu_sales,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 5 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS fri_sales,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 6 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sat_sales
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE EXTRACT(YEAR FROM l_shipdate) = 1996
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // DS q54 shape: build a cohort (customers who bought PROMO-type parts
+  // in 1995 H1), measure their spend in the following quarter, histogram
+  // customers into fixed-width revenue segments
+  private val q54CohortRevenue: Q = (s, dir) => {
+    val cohort = load(s, dir, "lineitem")
+      .join(load(s, dir, "part").filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1995-07-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey")).distinct()
+    load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-07-01") && col("o_orderdate") < lit("1995-10-01"))
+      .join(cohort, Seq("o_custkey"), "left_semi")
+      .groupBy(col("o_custkey"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as("revenue"))
+      .select(floor(col("revenue") / 1000).cast("bigint").as("segment"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("num_customers"))
+      .orderBy(col("segment"))
+
+  }
+
+  private val q54CohortRevenueSql =
+    """WITH cohort AS (
+      |  SELECT DISTINCT o_custkey
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'),
+      |spend AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1995-10-01'
+      |    AND o_custkey IN (SELECT o_custkey FROM cohort)
+      |  GROUP BY o_custkey)
+      |SELECT CAST(FLOOR(revenue / 1000) AS BIGINT) AS segment, COUNT(*) AS num_customers
+      |FROM spend
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin
+
+  // DS q66 shape: twelve-month revenue pivot per selling nation for one
+  // year — the wide carrier/month matrix report
+  private val q66MonthlyPivot: Q = (s, dir) => {
+    val monthCols = (1 to 12).map { m =>
+      dbl(sum(when(month(col("l_shipdate")) === m,
+        revenue(col("l_extendedprice"), col("l_discount"))))).as(f"m$m%02d_rev")
+    }
+    load(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(monthCols.head, monthCols.tail: _*)
+      .orderBy(col("n_name"))
+  }
+
+  private val q66MonthlyPivotSql = {
+    val cols = (1 to 12).map { m =>
+      f"  CAST(SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) = $m THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS m$m%02d_rev"
+    }.mkString(",\n")
+    s"""SELECT n_name,
+      |$cols
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE EXTRACT(YEAR FROM l_shipdate) = 1996
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+  }
+
+  // DS q67 shape: sales over the product-hierarchy rollup, ranked within
+  // each hierarchy level, keeping the top 5 per level — a rank filter
+  // over Expand output (WindowGroupLimit-eligible)
+  private val q67RollupRank: Q = (s, dir) => {
+    val rolled = load(s, dir, "lineitem")
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .rollup(col("p_type"), col("p_brand"))
+      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("sumsales"),
+        (grouping(col("p_type")) + grouping(col("p_brand"))).cast("int").as("lochierarchy"))
+    val w = Window.partitionBy(col("lochierarchy")).orderBy(col("sumsales").desc)
+    rolled
+      .select(col("p_type"), col("p_brand"), round(col("sumsales"), 4).as("sumsales"),
+        col("lochierarchy"), rank().over(w).as("rk"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("lochierarchy").desc, col("rk"),
+        col("p_type").asc_nulls_first, col("p_brand").asc_nulls_first)
+  }
+
+  private val q67RollupRankSql =
+    """SELECT p_type, p_brand, round(sumsales, 4) AS sumsales, lochierarchy,
+      |  CAST(rk AS INTEGER) AS rk
+      |FROM (
+      |  SELECT p_type, p_brand, sumsales, lochierarchy,
+      |    RANK() OVER (PARTITION BY lochierarchy ORDER BY sumsales DESC) AS rk
+      |  FROM (
+      |    SELECT p_type, p_brand,
+      |      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |               (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sumsales,
+      |      CAST(GROUPING(p_type) + GROUPING(p_brand) AS INTEGER) AS lochierarchy
+      |    FROM lineitem JOIN part ON l_partkey = p_partkey
+      |    GROUP BY ROLLUP(p_type, p_brand)) t) r
+      |WHERE rk <= 5
+      |ORDER BY lochierarchy DESC, rk, p_type NULLS FIRST, p_brand NULLS FIRST""".stripMargin
+
+  // DS q78 shape: year-over-year per-customer spend growth computed over
+  // non-returned lineitems only (returnflag <> 'R' stands in for the
+  // not-exists-in-returns anti join), top growth first
+  private val q78NoReturnYoy: Q = (s, dir) => {
+    def yearly(yr: Int) = load(s, dir, "lineitem")
+      .filter(col("l_returnflag") =!= "R")
+      .join(load(s, dir, "orders").filter(year(col("o_orderdate")) === yr),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as(s"ck_$yr"))
+      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as(s"rev_$yr"))
+    yearly(1995).join(yearly(1996), col("ck_1995") === col("ck_1996"))
+      .filter(col("rev_1995") > 0)
+      .select(col("ck_1995").as("custkey"),
+        round(col("rev_1996") / col("rev_1995"), 6).as("growth"),
+        round(col("rev_1995"), 4).as("rev_prev"), round(col("rev_1996"), 4).as("rev_cur"))
+      .orderBy(col("growth").desc, col("custkey"))
+      .limit(100)
+  }
+
+  private val q78NoReturnYoySql =
+    """WITH yearly AS (
+      |  SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS rev
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag <> 'R'
+      |  GROUP BY 1, 2)
+      |SELECT cur.o_custkey AS custkey,
+      |  round(cur.rev / prev.rev, 6) AS growth,
+      |  round(prev.rev, 4) AS rev_prev, round(cur.rev, 4) AS rev_cur
+      |FROM yearly prev JOIN yearly cur ON prev.o_custkey = cur.o_custkey
+      |WHERE prev.yr = 1995 AND cur.yr = 1996 AND prev.rev > 0
+      |ORDER BY growth DESC, custkey
+      |LIMIT 100""".stripMargin
+
+  // DS q82 shape: parts whose surrogate on-hand stock (summed shipped
+  // quantity per part-supplier pair, the partsupp stand-in) sits in a
+  // band, price-banded, and actually sold in a 60-day window
+  private val q82StockRange: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    val stock = li.groupBy(col("l_partkey").as("st_part"), col("l_suppkey"))
+      .agg(dbl(sum(dec(col("l_quantity")))).as("availqty"))
+      .filter(col("availqty").between(25.0, 50.0))
+      .select(col("st_part")).distinct()
+    val sold = li.filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-03-01"))
+      .select(col("l_partkey")).distinct()
+    load(s, dir, "part")
+      .filter(dbl(col("p_retailprice")).between(920.0, 960.0))
+      .join(stock, col("p_partkey") === col("st_part"), "left_semi")
+      .join(sold, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_name"), col("p_brand"), dbl(col("p_retailprice")).as("price"))
+      .orderBy(col("p_name"), col("p_brand"))
+      .limit(100)
+  }
+
+  private val q82StockRangeSql =
+    """SELECT p_name, p_brand, CAST(p_retailprice AS DOUBLE) AS price
+      |FROM part
+      |WHERE CAST(p_retailprice AS DOUBLE) BETWEEN 920.0 AND 960.0
+      |  AND p_partkey IN (
+      |    SELECT l_partkey FROM lineitem
+      |    GROUP BY l_partkey, l_suppkey
+      |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) BETWEEN 25.0 AND 50.0)
+      |  AND p_partkey IN (
+      |    SELECT l_partkey FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01')
+      |ORDER BY p_name, p_brand
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tpcds_style_q9_case_buckets" -> q9CaseBuckets,
     "tpcds_style_q23_frequent_best" -> q23FrequentBest,
@@ -1303,7 +1725,19 @@ object TpcdsPatterns {
     "tpcds_style_q75_yoy_decline" -> q75YoyDecline,
     "tpcds_style_q89_rolling_deviation" -> q89RollingDeviation,
     "tpcds_style_q97_channel_overlap" -> q97ChannelOverlap,
-    "tpcds_style_q90_ampm_ratio" -> q90AmPmRatio)
+    "tpcds_style_q90_ampm_ratio" -> q90AmPmRatio,
+    "tpcds_style_q4_yearly_growth" -> q4YearlyGrowth,
+    "tpcds_style_q6_above_avg_type" -> q6AboveAvgType,
+    "tpcds_style_q17_stat_moments" -> q17StatMoments,
+    "tpcds_style_q21_before_after_ratio" -> q21BeforeAfterRatio,
+    "tpcds_style_q22_qty_rollup" -> q22QtyRollup,
+    "tpcds_style_q28_distinct_buckets" -> q28DistinctBuckets,
+    "tpcds_style_q43_dow_pivot" -> q43DowPivot,
+    "tpcds_style_q54_cohort_revenue" -> q54CohortRevenue,
+    "tpcds_style_q66_monthly_pivot" -> q66MonthlyPivot,
+    "tpcds_style_q67_rollup_rank" -> q67RollupRank,
+    "tpcds_style_q78_noreturn_yoy" -> q78NoReturnYoy,
+    "tpcds_style_q82_stock_range" -> q82StockRange)
 
   val oracles: Map[String, String] = Map(
     "tpcds_style_q9_case_buckets" -> q9CaseBucketsSql,
@@ -1341,5 +1775,17 @@ object TpcdsPatterns {
     "tpcds_style_q75_yoy_decline" -> q75YoyDeclineSql,
     "tpcds_style_q89_rolling_deviation" -> q89RollingDeviationSql,
     "tpcds_style_q97_channel_overlap" -> q97ChannelOverlapSql,
-    "tpcds_style_q90_ampm_ratio" -> q90AmPmRatioSql)
+    "tpcds_style_q90_ampm_ratio" -> q90AmPmRatioSql,
+    "tpcds_style_q4_yearly_growth" -> q4YearlyGrowthSql,
+    "tpcds_style_q6_above_avg_type" -> q6AboveAvgTypeSql,
+    "tpcds_style_q17_stat_moments" -> q17StatMomentsSql,
+    "tpcds_style_q21_before_after_ratio" -> q21BeforeAfterRatioSql,
+    "tpcds_style_q22_qty_rollup" -> q22QtyRollupSql,
+    "tpcds_style_q28_distinct_buckets" -> q28DistinctBucketsSql,
+    "tpcds_style_q43_dow_pivot" -> q43DowPivotSql,
+    "tpcds_style_q54_cohort_revenue" -> q54CohortRevenueSql,
+    "tpcds_style_q66_monthly_pivot" -> q66MonthlyPivotSql,
+    "tpcds_style_q67_rollup_rank" -> q67RollupRankSql,
+    "tpcds_style_q78_noreturn_yoy" -> q78NoReturnYoySql,
+    "tpcds_style_q82_stock_range" -> q82StockRangeSql)
 }
