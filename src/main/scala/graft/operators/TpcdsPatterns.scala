@@ -1689,7 +1689,408 @@ object TpcdsPatterns {
       |ORDER BY p_name, p_brand
       |LIMIT 100""".stripMargin
 
+  // DS q2 shape (tpcds-queries/q2.sql): two fact channels UNION ALL →
+  // weekly day-of-week pivot → self-join of year y vs y+1 on the week
+  // number, reporting per-day ratios. The weekly aggregate is tiny
+  // (one row per ISO week) so the YoY self-join broadcasts; the only
+  // big-data work is one scan + one partial agg per channel.
+  private val q2WeekPivot: Q = (s, dir) => {
+    val sales = load(s, dir, "lineitem")
+        .select(col("l_shipdate").as("sold_date"),
+          dec(col("l_extendedprice")).as("sales_price"))
+      .unionAll(load(s, dir, "orders")
+        .select(col("o_orderdate").as("sold_date"),
+          dec(col("o_totalprice")).as("sales_price")))
+    val weekly = sales
+      .select(expr("extract(YEAROFWEEK FROM sold_date)").as("wk_year"),
+        weekofyear(col("sold_date")).as("wk"),
+        dayofweek(col("sold_date")).as("dow"), col("sales_price"))
+      .groupBy(col("wk_year"), col("wk"))
+      .agg(
+        dbl(sum(when(col("dow") === 1, col("sales_price")))).as("sun_sales"),
+        dbl(sum(when(col("dow") === 2, col("sales_price")))).as("mon_sales"),
+        dbl(sum(when(col("dow") === 5, col("sales_price")))).as("thu_sales"),
+        dbl(sum(when(col("dow") === 7, col("sales_price")))).as("sat_sales"))
+    val y = weekly.filter(col("wk_year") === 1995)
+      .select(col("wk").as("wk1"), col("sun_sales").as("sun1"),
+        col("mon_sales").as("mon1"), col("thu_sales").as("thu1"),
+        col("sat_sales").as("sat1"))
+    val z = weekly.filter(col("wk_year") === 1996)
+      .select(col("wk").as("wk2"), col("sun_sales").as("sun2"),
+        col("mon_sales").as("mon2"), col("thu_sales").as("thu2"),
+        col("sat_sales").as("sat2"))
+    y.join(z, col("wk1") === col("wk2"))
+      .select(col("wk1").as("week_seq"),
+        round(col("sun1") / col("sun2"), 4).as("sun_ratio"),
+        round(col("mon1") / col("mon2"), 4).as("mon_ratio"),
+        round(col("thu1") / col("thu2"), 4).as("thu_ratio"),
+        round(col("sat1") / col("sat2"), 4).as("sat_ratio"))
+      .orderBy(col("week_seq"))
+  }
+
+  private val q2WeekPivotSql =
+    """WITH wscs AS (
+      |  SELECT l_shipdate AS sold_date, CAST(l_extendedprice AS DECIMAL(12,2)) AS sales_price FROM lineitem
+      |  UNION ALL
+      |  SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(12,2)) FROM orders),
+      |weekly AS (
+      |  SELECT EXTRACT(ISOYEAR FROM sold_date) AS wk_year,
+      |    CAST(EXTRACT(WEEK FROM sold_date) AS INTEGER) AS wk,
+      |    CAST(SUM(CASE WHEN EXTRACT(DOW FROM sold_date) = 0 THEN sales_price END) AS DOUBLE) AS sun_sales,
+      |    CAST(SUM(CASE WHEN EXTRACT(DOW FROM sold_date) = 1 THEN sales_price END) AS DOUBLE) AS mon_sales,
+      |    CAST(SUM(CASE WHEN EXTRACT(DOW FROM sold_date) = 4 THEN sales_price END) AS DOUBLE) AS thu_sales,
+      |    CAST(SUM(CASE WHEN EXTRACT(DOW FROM sold_date) = 6 THEN sales_price END) AS DOUBLE) AS sat_sales
+      |  FROM wscs GROUP BY 1, 2)
+      |SELECT y.wk AS week_seq,
+      |  round(y.sun_sales / z.sun_sales, 4) AS sun_ratio,
+      |  round(y.mon_sales / z.mon_sales, 4) AS mon_ratio,
+      |  round(y.thu_sales / z.thu_sales, 4) AS thu_ratio,
+      |  round(y.sat_sales / z.sat_sales, 4) AS sat_ratio
+      |FROM weekly y JOIN weekly z ON y.wk = z.wk
+      |WHERE y.wk_year = 1995 AND z.wk_year = 1996
+      |ORDER BY week_seq""".stripMargin
+
+  /** line-number band → channel class, the store/web/catalog analog
+    * shared by the q5/q14 shapes (the synthetic schema has no ship
+    * mode; line numbers 1-7 give three stable classes) */
+  private def channelClass: Column =
+    when(col("l_linenumber").isin(1, 2), lit("air"))
+      .when(col("l_linenumber").isin(3, 4), lit("sea"))
+      .otherwise(lit("land"))
+
+  private val channelClassSql =
+    """CASE WHEN l_linenumber IN (1,2) THEN 'air'
+      |     WHEN l_linenumber IN (3,4) THEN 'sea'
+      |     ELSE 'land' END""".stripMargin
+
+  // DS q5 shape (q5.sql): per-channel sales / returns / profit report
+  // over ROLLUP(channel, id). Sales vs returns split by the return flag
+  // (the store_returns analog); profit = revenue minus tax charge.
+  private val q5ChannelRollup: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1995-04-01"))
+      .select(channelClass.as("channel"), col("l_returnflag").as("id"),
+        col("l_returnflag"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
+      .rollup(col("channel"), col("id"))
+      .agg(
+        coalesce(dbl(sum(when(col("l_returnflag") =!= "R",
+          dec(col("l_extendedprice"))))), lit(0.0)).as("sales"),
+        coalesce(dbl(sum(when(col("l_returnflag") === "R",
+          dec(col("l_extendedprice"))))), lit(0.0)).as("returns"),
+        dbl(sum(revenue(col("l_extendedprice"), col("l_discount")) -
+          dec(col("l_extendedprice")) * rate(col("l_tax")))).as("profit"))
+      .orderBy(col("channel").asc_nulls_first, col("id").asc_nulls_first)
+      .limit(100)
+
+  private val q5ChannelRollupSql =
+    s"""SELECT $channelClassSql AS channel, l_returnflag AS id,
+      |  COALESCE(CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS sales,
+      |  COALESCE(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS returns,
+      |  CAST(SUM($rev - CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+      |GROUP BY ROLLUP(channel, id)
+      |ORDER BY channel NULLS FIRST, id NULLS FIRST
+      |LIMIT 100""".stripMargin
+
+  // DS q8 shape (q8.sql): revenue restricted to a literal zip-prefix
+  // list INTERSECTed with the prefixes that have >20 above-average
+  // ("preferred") account holders — the customer-name digit suffix is
+  // the zip analog. The prefix sets are tiny → both legs broadcast.
+  private val q8PreferredPrefix: Q = (s, dir) => {
+    val cust = load(s, dir, "customer")
+    val pref = substring(col("c_name"), -2, 2)
+    val inList = cust.filter(pref.isin("13", "31", "23", "29", "30", "18", "17"))
+      .select(pref.as("pref")).distinct()
+    val avgBal = cust.agg(
+      (dbl(sum(dec(col("c_acctbal")))) / count(lit(1))).as("ab"))
+    val preferred = cust.crossJoin(avgBal)
+      .filter(dbl(col("c_acctbal")) > col("ab"))
+      .groupBy(pref.as("pref")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 5).select(col("pref"))
+    val chosen = inList.intersect(preferred)
+    load(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1996 && quarter(col("o_orderdate")) === 1)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .withColumn("pref", pref)
+      .join(chosen, Seq("pref"), "left_semi")
+      .groupBy(col("pref"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as("net_sales"))
+      .orderBy(col("pref"))
+  }
+
+  private val q8PreferredPrefixSql =
+    """WITH preferred AS (
+      |  SELECT substr(c_name,-2,2) AS pref FROM customer
+      |  WHERE CAST(c_acctbal AS DOUBLE) >
+      |    (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM customer)
+      |  GROUP BY 1 HAVING COUNT(*) > 5),
+      |chosen AS (
+      |  SELECT DISTINCT substr(c_name,-2,2) AS pref FROM customer
+      |  WHERE substr(c_name,-2,2) IN ('13','31','23','29','30','18','17')
+      |  INTERSECT SELECT pref FROM preferred)
+      |SELECT substr(c_name,-2,2) AS pref,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS net_sales
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 AND EXTRACT(QUARTER FROM o_orderdate) = 1
+      |  AND substr(c_name,-2,2) IN (SELECT pref FROM chosen)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // DS q10 shape (q10.sql): demographic profile counts for customers
+  // who are active in a date window AND appear in at least one of two
+  // other behavioral sets (EXISTS ... OR EXISTS ...). Both EXISTS legs
+  // reduce to distinct key sets → semi joins on the customer key.
+  private val q10ActiveProfile: Q = (s, dir) => {
+    val orders = load(s, dir, "orders")
+    val active = orders
+      .filter(year(col("o_orderdate")) === 1995 && month(col("o_orderdate")).between(1, 4))
+      .select(col("o_custkey")).distinct()
+    val returned = load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey")).distinct()
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val either = returned.union(urgent).distinct()
+    load(s, dir, "customer")
+      .join(active, col("c_custkey") === active("o_custkey"), "left_semi")
+      .join(either, col("c_custkey") === either("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        dbl(min(dec(col("c_acctbal")))).as("min_bal"),
+        dbl(max(dec(col("c_acctbal")))).as("max_bal"),
+        (dbl(sum(dec(col("c_acctbal")))) / count(lit(1))).as("avg_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q10ActiveProfileSql =
+    """SELECT c_mktsegment, COUNT(*) AS cnt,
+      |  CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal,
+      |  CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      |FROM customer
+      |WHERE c_custkey IN (
+      |    SELECT o_custkey FROM orders
+      |    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 AND EXTRACT(MONTH FROM o_orderdate) BETWEEN 1 AND 4)
+      |  AND (c_custkey IN (
+      |      SELECT o_custkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |      WHERE l_returnflag = 'R')
+      |    OR c_custkey IN (
+      |      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // DS q13 shape (q13.sql): one-row average report under a three-way
+  // disjunction of paired (demographic band AND numeric band)
+  // predicates — the filter that defeats naive pushdown but stays a
+  // single codegen'd scan + partial agg here.
+  private val q13BandAverages: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("c_mktsegment") === "AUTOMOBILE" &&
+          dbl(col("o_totalprice")).between(50000.0, 150000.0) &&
+          dec(col("l_quantity")).between(1, 20)) ||
+        (col("c_mktsegment") === "BUILDING" &&
+          dbl(col("o_totalprice")).between(100000.0, 250000.0) &&
+          dec(col("l_quantity")).between(10, 35)) ||
+        (col("c_mktsegment") === "MACHINERY" &&
+          dbl(col("o_totalprice")).between(150000.0, 300000.0) &&
+          dec(col("l_quantity")).between(20, 50)))
+      .agg(
+        (dbl(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (dbl(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        (dbl(sum(rate(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+
+  private val q13BandAveragesSql =
+    """SELECT
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS cnt
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE (c_mktsegment = 'AUTOMOBILE' AND CAST(o_totalprice AS DOUBLE) BETWEEN 50000.0 AND 150000.0
+      |       AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 1 AND 20)
+      |   OR (c_mktsegment = 'BUILDING' AND CAST(o_totalprice AS DOUBLE) BETWEEN 100000.0 AND 250000.0
+      |       AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 10 AND 35)
+      |   OR (c_mktsegment = 'MACHINERY' AND CAST(o_totalprice AS DOUBLE) BETWEEN 150000.0 AND 300000.0
+      |       AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 20 AND 50)""".stripMargin
+
+  // DS q14 shape (q14a.sql): "cross items" = parts sold through ALL
+  // channels (the store∩catalog∩web item intersection), then a
+  // ROLLUP(channel, brand) revenue report restricted to those parts.
+  // The intersection is computed on (partkey, channel) pairs — one
+  // distinct-agg, no joins between full fact copies.
+  private val q14CrossChannel: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    val crossItems = li.select(col("l_partkey"), channelClass.as("channel"))
+      .distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("nch"))
+      .filter(col("nch") === 3).select(col("l_partkey").as("ci_part"))
+    li.join(crossItems, col("l_partkey") === col("ci_part"), "left_semi")
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .withColumn("channel", channelClass)
+      .rollup(col("channel"), col("p_brand"))
+      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("sales"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("channel").asc_nulls_first, col("p_brand").asc_nulls_first)
+      .limit(100)
+  }
+
+  private val q14CrossChannelSql =
+    s"""WITH cross_items AS (
+      |  SELECT l_partkey FROM (
+      |    SELECT DISTINCT l_partkey, $channelClassSql AS channel FROM lineitem)
+      |  GROUP BY l_partkey HAVING COUNT(*) = 3)
+      |SELECT $channelClassSql AS channel, p_brand,
+      |  CAST(SUM($rev) AS DOUBLE) AS sales, COUNT(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_partkey IN (SELECT l_partkey FROM cross_items)
+      |GROUP BY ROLLUP(channel, p_brand)
+      |ORDER BY channel NULLS FIRST, p_brand NULLS FIRST
+      |LIMIT 100""".stripMargin
+
+  // DS q15 shape (q15.sql): quarterly revenue by zip prefix where the
+  // row qualifies via prefix-list OR geography OR a high-value order —
+  // the disjunction spans dimension and fact columns so nothing prunes,
+  // but it's still one scan.
+  private val q15PrefixRevenue: Q = (s, dir) =>
+    load(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995 && quarter(col("o_orderdate")) === 1)
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(substring(col("c_name"), -2, 2).isin("13", "31", "23", "29", "30", "18", "17") ||
+        col("c_nationkey").isin(3, 9, 14) ||
+        dbl(col("o_totalprice")) > 350000.0)
+      .groupBy(substring(col("c_name"), -2, 2).as("pref"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("pref"))
+
+  private val q15PrefixRevenueSql =
+    """SELECT substr(c_name,-2,2) AS pref,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 AND EXTRACT(QUARTER FROM o_orderdate) = 1
+      |  AND (substr(c_name,-2,2) IN ('13','31','23','29','30','18','17')
+      |    OR c_nationkey IN (3,9,14)
+      |    OR CAST(o_totalprice AS DOUBLE) > 350000.0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // DS q16 shape (q16.sql): one-row order report combining a
+  // count-distinct with an EXISTS (order used ≥2 suppliers) and a NOT
+  // EXISTS (no returned line) — the semi+anti join sandwich over the
+  // same fact, aggregated order-grain.
+  private val q16MultiSupplierClean: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    val multi = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") > 1).select(col("l_orderkey").as("mk"))
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("rk")).distinct()
+    load(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1994)
+      .join(multi, col("o_orderkey") === col("mk"), "left_semi")
+      .join(returned, col("o_orderkey") === col("rk"), "left_anti")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        dbl(sum(dec(col("o_totalprice")))).as("total_price"))
+  }
+
+  private val q16MultiSupplierCleanSql =
+    """SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1994
+      |  AND o_orderkey IN (
+      |    SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      |    GROUP BY l_orderkey HAVING COUNT(*) > 1)
+      |  AND o_orderkey NOT IN (
+      |    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin
+
+  // DS q18 shape (q18.sql): ROLLUP(nation, segment) over four averages
+  // mixing fact measures and a dimension attribute (the
+  // catalog_sales × customer_demographics multi-average report).
+  private val q18RollupAverages: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders").filter(year(col("o_orderdate")) === 1996),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(
+        (dbl(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (dbl(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        (dbl(sum(rate(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        (dbl(sum(dec(col("c_acctbal")))) / count(lit(1))).as("avg_bal"))
+      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+      .limit(110)
+
+  private val q18RollupAveragesSql =
+    """SELECT n_name, c_mktsegment,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      |GROUP BY ROLLUP(n_name, c_mktsegment)
+      |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+      |LIMIT 110""".stripMargin
+
+  // DS q24 shape (q24a.sql): net-paid per (customer, supplier) pair
+  // restricted to same-nation pairs, kept only when the pair's total
+  // exceeds a multiple of the average pair total (HAVING vs scalar
+  // aggregate over the aggregate).
+  private val q24SameNationPairs: Q = (s, dir) => {
+    val paid = load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("c_custkey"), col("s_suppkey"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("netpaid_dec"))
+    val avgAll = paid.agg(
+      (dbl(sum(col("netpaid_dec"))) / count(lit(1))).as("avg_paid"))
+    paid.crossJoin(avgAll)
+      .filter(dbl(col("netpaid_dec")) > col("avg_paid") * 1.5)
+      .select(col("c_custkey"), col("s_suppkey"),
+        dbl(col("netpaid_dec")).as("netpaid"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  private val q24SameNationPairsSql =
+    s"""WITH paid AS (
+      |  SELECT c_custkey, s_suppkey, SUM($rev) AS netpaid_dec
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey = s_nationkey
+      |  GROUP BY c_custkey, s_suppkey)
+      |SELECT c_custkey, s_suppkey, CAST(netpaid_dec AS DOUBLE) AS netpaid
+      |FROM paid
+      |WHERE CAST(netpaid_dec AS DOUBLE) >
+      |  (SELECT CAST(SUM(netpaid_dec) AS DOUBLE) / COUNT(*) FROM paid) * 1.5
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpcds_style_q2_week_pivot" -> q2WeekPivot,
+    "tpcds_style_q5_channel_profit" -> q5ChannelRollup,
+    "tpcds_style_q8_preferred_prefix" -> q8PreferredPrefix,
+    "tpcds_style_q10_active_profile" -> q10ActiveProfile,
+    "tpcds_style_q13_band_averages" -> q13BandAverages,
+    "tpcds_style_q14_cross_channel" -> q14CrossChannel,
+    "tpcds_style_q15_prefix_revenue" -> q15PrefixRevenue,
+    "tpcds_style_q16_multi_supplier" -> q16MultiSupplierClean,
+    "tpcds_style_q18_rollup_averages" -> q18RollupAverages,
+    "tpcds_style_q24_same_nation_pairs" -> q24SameNationPairs,
     "tpcds_style_q9_case_buckets" -> q9CaseBuckets,
     "tpcds_style_q23_frequent_best" -> q23FrequentBest,
     "tpcds_style_q38_intersect_customers" -> q38IntersectCustomers,
@@ -1740,6 +2141,16 @@ object TpcdsPatterns {
     "tpcds_style_q82_stock_range" -> q82StockRange)
 
   val oracles: Map[String, String] = Map(
+    "tpcds_style_q2_week_pivot" -> q2WeekPivotSql,
+    "tpcds_style_q5_channel_profit" -> q5ChannelRollupSql,
+    "tpcds_style_q8_preferred_prefix" -> q8PreferredPrefixSql,
+    "tpcds_style_q10_active_profile" -> q10ActiveProfileSql,
+    "tpcds_style_q13_band_averages" -> q13BandAveragesSql,
+    "tpcds_style_q14_cross_channel" -> q14CrossChannelSql,
+    "tpcds_style_q15_prefix_revenue" -> q15PrefixRevenueSql,
+    "tpcds_style_q16_multi_supplier" -> q16MultiSupplierCleanSql,
+    "tpcds_style_q18_rollup_averages" -> q18RollupAveragesSql,
+    "tpcds_style_q24_same_nation_pairs" -> q24SameNationPairsSql,
     "tpcds_style_q9_case_buckets" -> q9CaseBucketsSql,
     "tpcds_style_q23_frequent_best" -> q23FrequentBestSql,
     "tpcds_style_q38_intersect_customers" -> q38IntersectCustomersSql,
