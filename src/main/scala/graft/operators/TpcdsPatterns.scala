@@ -2080,7 +2080,340 @@ object TpcdsPatterns {
       |  (SELECT CAST(SUM(netpaid_dec) AS DOUBLE) / COUNT(*) FROM paid) * 1.5
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  // DS q29 shape (q29.sql): the sell → return → repurchase quantity
+  // chain — three passes over the same fact at different time windows
+  // joined item-grain (each pass pre-aggregates before the join, so the
+  // three-way join is on part-cardinality, not fact-cardinality).
+  private val q29ReturnRepurchase: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    def qty(flag: String, yr: Int, alias: String) =
+      li.filter(col("l_returnflag") === flag && year(col("l_shipdate")) === yr)
+        .groupBy(col("l_partkey").as(alias + "_pk"))
+        .agg(dbl(sum(dec(col("l_quantity")))).as(alias))
+    qty("N", 1995, "sold_qty")
+      .join(qty("R", 1995, "ret_qty"), col("sold_qty_pk") === col("ret_qty_pk"))
+      .join(qty("N", 1996, "resold_qty"), col("sold_qty_pk") === col("resold_qty_pk"))
+      .join(load(s, dir, "part"), col("sold_qty_pk") === col("p_partkey"))
+      .select(col("p_partkey").as("part_id"), col("p_brand").as("brand"),
+        col("sold_qty"), col("ret_qty"), col("resold_qty"))
+      .orderBy(col("part_id"))
+      .limit(100)
+  }
+
+  private val q29ReturnRepurchaseSql =
+    """WITH sold AS (
+      |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sold_qty
+      |  FROM lineitem WHERE l_returnflag = 'N' AND EXTRACT(YEAR FROM l_shipdate) = 1995
+      |  GROUP BY 1),
+      |ret AS (
+      |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ret_qty
+      |  FROM lineitem WHERE l_returnflag = 'R' AND EXTRACT(YEAR FROM l_shipdate) = 1995
+      |  GROUP BY 1),
+      |resold AS (
+      |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS resold_qty
+      |  FROM lineitem WHERE l_returnflag = 'N' AND EXTRACT(YEAR FROM l_shipdate) = 1996
+      |  GROUP BY 1)
+      |SELECT p_partkey AS part_id, p_brand AS brand, sold_qty, ret_qty, resold_qty
+      |FROM sold JOIN ret ON sold.l_partkey = ret.l_partkey
+      |JOIN resold ON sold.l_partkey = resold.l_partkey
+      |JOIN part ON sold.l_partkey = p_partkey
+      |ORDER BY part_id
+      |LIMIT 100""".stripMargin
+
+  // DS q32 shape (q32.sql): "excess discount" — revenue from lines
+  // whose discount exceeds 1.3× the per-part average discount in the
+  // same window. The correlated scalar subquery decorrelates to a
+  // per-part aggregate joined back on the part key.
+  private val q32ExcessDiscount: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-07-01"))
+    val avgDisc = li.groupBy(col("l_partkey").as("ad_pk"))
+      .agg((dbl(sum(rate(col("l_discount")))) / count(lit(1))).as("avg_disc"))
+    li.join(avgDisc, col("l_partkey") === col("ad_pk"))
+      .filter(dbl(rate(col("l_discount"))) > col("avg_disc") * 1.3)
+      .agg(dbl(sum(dec(col("l_extendedprice")))).as("excess_rev"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q32ExcessDiscountSql =
+    """WITH win AS (
+      |  SELECT * FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'),
+      |ad AS (
+      |  SELECT l_partkey AS ad_pk,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+      |  FROM win GROUP BY 1)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS excess_rev,
+      |  COUNT(*) AS n_lines
+      |FROM win JOIN ad ON l_partkey = ad_pk
+      |WHERE CAST(CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) > avg_disc * 1.3""".stripMargin
+
+  // DS q45 shape (q45.sql): revenue by zip where the row qualifies by
+  // prefix-list OR item-subquery membership — the OR across a literal
+  // list and an IN-subquery, expressed as a left join + flag test so
+  // no driver-side collect is needed.
+  private val q45PrefixOrItems: Q = (s, dir) => {
+    val items = load(s, dir, "part").filter(col("p_size").isin(2, 5, 11))
+      .select(col("p_partkey").as("ip"))
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders").filter(year(col("o_orderdate")) === 1996),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(items, col("l_partkey") === col("ip"), "left_outer")
+      .filter(substring(col("c_name"), -2, 2).isin("13", "17", "23") ||
+        col("ip").isNotNull)
+      .groupBy(substring(col("c_name"), -2, 2).as("pref"))
+      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("rev"))
+      .orderBy(col("pref"))
+  }
+
+  private val q45PrefixOrItemsSql =
+    s"""SELECT substr(c_name,-2,2) AS pref, CAST(SUM($rev) AS DOUBLE) AS rev
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      |  AND (substr(c_name,-2,2) IN ('13','17','23')
+      |    OR l_partkey IN (SELECT p_partkey FROM part WHERE p_size IN (2,5,11)))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // DS q61 shape (q61.sql): promotional-vs-total revenue ratio — two
+  // independently-filtered one-row aggregates cross-joined into a
+  // single ratio report (each leg is a scan + broadcast dims + scalar
+  // agg; the cross join is 1×1).
+  private val q61PromoRatio: Q = (s, dir) => {
+    def leg(promoOnly: Boolean, alias: String) = {
+      val base = load(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1996 && month(col("l_shipdate")) === 11)
+        .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .join(load(s, dir, "supplier").filter(col("s_nationkey") === 7),
+          col("l_suppkey") === col("s_suppkey"))
+      val f = if (promoOnly) base.filter(col("p_type") === "PROMO") else base
+      f.agg(coalesce(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))),
+        lit(0.0)).as(alias))
+    }
+    leg(promoOnly = true, "promotions").crossJoin(leg(promoOnly = false, "total"))
+      .select(col("promotions"), col("total"),
+        round(col("promotions") / col("total") * 100, 4).as("promo_pct"))
+  }
+
+  private val q61PromoRatioSql =
+    s"""WITH promo AS (
+      |  SELECT COALESCE(CAST(SUM($rev) AS DOUBLE), 0.0) AS promotions
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1996 AND EXTRACT(MONTH FROM l_shipdate) = 11
+      |    AND s_nationkey = 7 AND p_type = 'PROMO'),
+      |tot AS (
+      |  SELECT COALESCE(CAST(SUM($rev) AS DOUBLE), 0.0) AS total
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1996 AND EXTRACT(MONTH FROM l_shipdate) = 11
+      |    AND s_nationkey = 7)
+      |SELECT promotions, total, round(promotions / total * 100, 4) AS promo_pct
+      |FROM promo, tot""".stripMargin
+
+  // DS q64 shape (q64.sql, reduced): repeat purchases — the same
+  // (customer, part) bought in consecutive years with the later year's
+  // spend at least double — a self-join of year-grain pre-aggregates on
+  // the composite key.
+  private val q64RepeatPurchase: Q = (s, dir) => {
+    val lo = load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    def yearSpend(y: Int, alias: String) =
+      lo.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as(alias + "_ck"), col("l_partkey").as(alias + "_pk"))
+        .agg(dbl(sum(dec(col("l_extendedprice")))).as(alias))
+    yearSpend(1995, "spend1")
+      .join(yearSpend(1996, "spend2"),
+        col("spend1_ck") === col("spend2_ck") && col("spend1_pk") === col("spend2_pk"))
+      .filter(col("spend2") > col("spend1") * 2.0)
+      .select(col("spend1_ck").as("custkey"), col("spend1_pk").as("partkey"),
+        col("spend1"), col("spend2"))
+      .orderBy(col("custkey"), col("partkey"))
+      .limit(100)
+  }
+
+  private val q64RepeatPurchaseSql =
+    """WITH s1 AS (
+      |  SELECT o_custkey AS ck, l_partkey AS pk,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spend1
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1, 2),
+      |s2 AS (
+      |  SELECT o_custkey AS ck, l_partkey AS pk,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spend2
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 GROUP BY 1, 2)
+      |SELECT s1.ck AS custkey, s1.pk AS partkey, spend1, spend2
+      |FROM s1 JOIN s2 ON s1.ck = s2.ck AND s1.pk = s2.pk
+      |WHERE spend2 > spend1 * 2.0
+      |ORDER BY custkey, partkey
+      |LIMIT 100""".stripMargin
+
+  // DS q70 shape (q70.sql): ROLLUP(nation, segment) revenue restricted
+  // to the top-5 nations chosen by a RANK window in a subquery, with a
+  // second rank within each hierarchy level. The rank-for-top-5 runs
+  // over the 25-row nation aggregate (single-partition window on
+  // pre-aggregated data — intentional and bounded).
+  private val q70TopNationRollup: Q = (s, dir) => {
+    val base = load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+    val top = base.groupBy(col("n_name").as("tn"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("r"))
+      .withColumn("rk", rank().over(
+        Window.orderBy(col("r").desc, col("tn"))))
+      .filter(col("rk") <= 5).select(col("tn"))
+    base.join(top, col("n_name") === col("tn"), "left_semi")
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("total_rev"),
+        (grouping(col("n_name")) + grouping(col("c_mktsegment"))).cast("int")
+          .as("lochierarchy"))
+      .withColumn("rank_in_level", rank().over(
+        Window.partitionBy(col("lochierarchy"))
+          .orderBy(col("total_rev").desc,
+            col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)))
+      .orderBy(col("lochierarchy").desc,
+        col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  private val q70TopNationRollupSql =
+    s"""WITH base AS (
+      |  SELECT n_name, c_mktsegment, $rev AS r
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |top AS (
+      |  SELECT tn FROM (
+      |    SELECT n_name AS tn, RANK() OVER (ORDER BY SUM(r) DESC, n_name) AS rk
+      |    FROM base GROUP BY n_name)
+      |  WHERE rk <= 5)
+      |SELECT n_name, c_mktsegment, CAST(SUM(r) AS DOUBLE) AS total_rev,
+      |  CAST(GROUPING(n_name) + GROUPING(c_mktsegment) AS INTEGER) AS lochierarchy,
+      |  CAST(RANK() OVER (
+      |    PARTITION BY GROUPING(n_name) + GROUPING(c_mktsegment)
+      |    ORDER BY CAST(SUM(r) AS DOUBLE) DESC, n_name NULLS FIRST, c_mktsegment NULLS FIRST)
+      |    AS INTEGER) AS rank_in_level
+      |FROM base
+      |WHERE n_name IN (SELECT tn FROM top)
+      |GROUP BY ROLLUP(n_name, c_mktsegment)
+      |ORDER BY lochierarchy DESC, n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
+
+  // DS q76 shape (q76.sql): UNION ALL of per-channel slices selected by
+  // an IS NULL test (here NULLIF-derived so the synthetic no-null
+  // schema still exercises the null-predicate grammar), counted and
+  // summed per (channel, flagged column, year).
+  private val q76NullChannels: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    def leg(channel: String, colName: String, nullWhen: String) =
+      li.filter(expr(s"nullif($colName, '$nullWhen') IS NULL"))
+        .select(lit(channel).as("channel"), lit(colName).as("col_name"),
+          year(col("l_shipdate")).as("yr"), col("l_extendedprice"))
+    leg("store", "l_returnflag", "R")
+      .unionAll(leg("web", "l_linestatus", "O"))
+      .unionAll(leg("catalog", "l_returnflag", "A"))
+      .groupBy(col("channel"), col("col_name"), col("yr"))
+      .agg(count(lit(1)).as("sales_cnt"),
+        dbl(sum(dec(col("l_extendedprice")))).as("sales_amt"))
+      .orderBy(col("channel"), col("col_name"), col("yr"))
+  }
+
+  private val q76NullChannelsSql =
+    """SELECT channel, col_name, yr, COUNT(*) AS sales_cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sales_amt
+      |FROM (
+      |  SELECT 'store' AS channel, 'l_returnflag' AS col_name,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS yr, l_extendedprice
+      |  FROM lineitem WHERE NULLIF(l_returnflag, 'R') IS NULL
+      |  UNION ALL
+      |  SELECT 'web', 'l_linestatus',
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER), l_extendedprice
+      |  FROM lineitem WHERE NULLIF(l_linestatus, 'O') IS NULL
+      |  UNION ALL
+      |  SELECT 'catalog', 'l_returnflag',
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER), l_extendedprice
+      |  FROM lineitem WHERE NULLIF(l_returnflag, 'A') IS NULL)
+      |GROUP BY channel, col_name, yr
+      |ORDER BY channel, col_name, yr""".stripMargin
+
+  // DS q84 shape (q84.sql): the pure dimension lookup chain — customer
+  // → nation → region with a numeric band filter and a concatenated
+  // display column, ordered and limited (no fact table at all).
+  private val q84CustomerLocation: Q = (s, dir) =>
+    load(s, dir, "customer")
+      .filter(dbl(col("c_acctbal")).between(500.0, 1500.0))
+      .join(load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("c_custkey").as("customer_id"),
+        concat(col("c_name"), lit(", "), col("n_name")).as("customer_name"))
+      .orderBy(col("customer_id"))
+      .limit(100)
+
+  private val q84CustomerLocationSql =
+    """SELECT c_custkey AS customer_id, c_name || ', ' || n_name AS customer_name
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE CAST(c_acctbal AS DOUBLE) BETWEEN 500.0 AND 1500.0
+      |  AND r_name = 'EUROPE'
+      |ORDER BY customer_id
+      |LIMIT 100""".stripMargin
+
+  // DS q85 shape (q85.sql): returned-line averages grouped by the
+  // reason analog under paired disjunctive bands (segment × order
+  // value), the returns-side variant of the q13 grammar.
+  private val q85ReturnReasons: Q = (s, dir) =>
+    load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("c_mktsegment") === "FURNITURE" &&
+          dbl(col("o_totalprice")).between(50000.0, 200000.0)) ||
+        (col("c_mktsegment") === "HOUSEHOLD" &&
+          dbl(col("o_totalprice")).between(100000.0, 300000.0)) ||
+        (col("c_mktsegment") === "AUTOMOBILE" &&
+          dbl(col("o_totalprice")).between(150000.0, 400000.0)))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        (dbl(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (dbl(sum(rate(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        (dbl(sum(rate(col("l_tax")))) / count(lit(1))).as("avg_tax"))
+      .orderBy(col("l_linestatus"))
+      .limit(100)
+
+  private val q85ReturnReasonsSql =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  CAST(SUM(CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_tax
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |  AND ((c_mktsegment = 'FURNITURE' AND CAST(o_totalprice AS DOUBLE) BETWEEN 50000.0 AND 200000.0)
+      |    OR (c_mktsegment = 'HOUSEHOLD' AND CAST(o_totalprice AS DOUBLE) BETWEEN 100000.0 AND 300000.0)
+      |    OR (c_mktsegment = 'AUTOMOBILE' AND CAST(o_totalprice AS DOUBLE) BETWEEN 150000.0 AND 400000.0))
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpcds_style_q29_return_repurchase" -> q29ReturnRepurchase,
+    "tpcds_style_q32_excess_discount" -> q32ExcessDiscount,
+    "tpcds_style_q45_prefix_or_items" -> q45PrefixOrItems,
+    "tpcds_style_q61_promo_ratio" -> q61PromoRatio,
+    "tpcds_style_q64_repeat_purchase" -> q64RepeatPurchase,
+    "tpcds_style_q70_top_nation_rollup" -> q70TopNationRollup,
+    "tpcds_style_q76_null_channels" -> q76NullChannels,
+    "tpcds_style_q84_customer_location" -> q84CustomerLocation,
+    "tpcds_style_q85_return_reasons" -> q85ReturnReasons,
     "tpcds_style_q2_week_pivot" -> q2WeekPivot,
     "tpcds_style_q5_channel_profit" -> q5ChannelRollup,
     "tpcds_style_q8_preferred_prefix" -> q8PreferredPrefix,
@@ -2141,6 +2474,15 @@ object TpcdsPatterns {
     "tpcds_style_q82_stock_range" -> q82StockRange)
 
   val oracles: Map[String, String] = Map(
+    "tpcds_style_q29_return_repurchase" -> q29ReturnRepurchaseSql,
+    "tpcds_style_q32_excess_discount" -> q32ExcessDiscountSql,
+    "tpcds_style_q45_prefix_or_items" -> q45PrefixOrItemsSql,
+    "tpcds_style_q61_promo_ratio" -> q61PromoRatioSql,
+    "tpcds_style_q64_repeat_purchase" -> q64RepeatPurchaseSql,
+    "tpcds_style_q70_top_nation_rollup" -> q70TopNationRollupSql,
+    "tpcds_style_q76_null_channels" -> q76NullChannelsSql,
+    "tpcds_style_q84_customer_location" -> q84CustomerLocationSql,
+    "tpcds_style_q85_return_reasons" -> q85ReturnReasonsSql,
     "tpcds_style_q2_week_pivot" -> q2WeekPivotSql,
     "tpcds_style_q5_channel_profit" -> q5ChannelRollupSql,
     "tpcds_style_q8_preferred_prefix" -> q8PreferredPrefixSql,
