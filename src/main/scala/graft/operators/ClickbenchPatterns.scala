@@ -446,7 +446,100 @@ object ClickbenchPatterns {
       |  AND ts < TIMESTAMP '2024-01-25' AND value >= 0.0
       |GROUP BY 1 ORDER BY c DESC, bucket LIMIT 10""".stripMargin
 
+  // CB q1/q2 shape: the bare COUNT(*) scan pair — full-table count and
+  // a filtered count in one report (both are metadata/pushdown-friendly
+  // scans, the floor of the ClickBench suite)
+  private val countStar: Q = (s, dir) => {
+    val ev = load(s, dir, "events")
+    ev.agg(count(lit(1)).as("n_all"))
+      .crossJoin(ev.filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n_clicks")))
+  }
+
+  private val countStarSql =
+    """SELECT (SELECT COUNT(*) FROM events) AS n_all,
+      |  (SELECT COUNT(*) FROM events WHERE event_type = 'click') AS n_clicks""".stripMargin
+
+  // CB q4/q5/q6 shape: global scalar aggregates — plain AVG plus two
+  // COUNT(DISTINCT) over columns of very different cardinality
+  private val globalDistincts: Q = (s, dir) =>
+    load(s, dir, "events")
+      .agg(round(sum(col("user_id")).cast("double") / count(lit(1)), 6).as("avg_user"),
+        countDistinct(col("user_id")).as("uniq_users"),
+        countDistinct(col("event_type")).as("uniq_types"))
+
+  private val globalDistinctsSql =
+    """SELECT round(CAST(SUM(user_id) AS DOUBLE) / COUNT(*), 6) AS avg_user,
+      |  COUNT(DISTINCT user_id) AS uniq_users,
+      |  COUNT(DISTINCT event_type) AS uniq_types
+      |FROM events""".stripMargin
+
+  // CB q7 shape: MIN/MAX over the event-time column (scan-level
+  // min/max, satisfiable from parquet footer stats at scale)
+  private val minmaxTime: Q = (s, dir) =>
+    load(s, dir, "events")
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+
+  private val minmaxTimeSql =
+    """SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+      |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+      |FROM events""".stripMargin
+
+  // CB q8 shape: GROUP BY ordered by the bare aggregate expression
+  // (no alias) — the order key is COUNT(*) itself, descending, no LIMIT
+  private val groupOrderByAgg: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(col("event_type") =!= "view")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+
+  private val groupOrderByAggSql =
+    """SELECT event_type, COUNT(*) AS cnt
+      |FROM events WHERE event_type <> 'view'
+      |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin
+
+  // CB q35 shape: a constant in the GROUP BY key list alongside a real
+  // column — the planner must not let the literal break hash grouping
+  private val constGroup: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(lit(1).as("one"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("event_type"))
+      .limit(10)
+
+  private val constGroupSql =
+    """SELECT 1 AS one, event_type, COUNT(*) AS c
+      |FROM events GROUP BY 1, event_type
+      |ORDER BY c DESC, event_type LIMIT 10""".stripMargin
+
+  // CB q39/q41 shape: deep pagination — ordered aggregate report read
+  // at LIMIT 10 OFFSET 100 (the "page 11" cut; Spark plans the offset
+  // into a single CollectLimit, not a global materialization)
+  private val deepOffsetPage: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("page_views"))
+      .orderBy(col("page_views").desc, col("user_id"), col("day"))
+      .offset(100)
+      .limit(10)
+
+  private val deepOffsetPageSql =
+    """SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS page_views
+      |FROM events WHERE event_type = 'view'
+      |GROUP BY 1, 2
+      |ORDER BY page_views DESC, user_id, day
+      |LIMIT 10 OFFSET 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cb_count_star" -> countStar,
+    "cb_global_distincts" -> globalDistincts,
+    "cb_minmax_time" -> minmaxTime,
+    "cb_group_order_by_agg" -> groupOrderByAgg,
+    "cb_const_group" -> constGroup,
+    "cb_deep_offset_page" -> deepOffsetPage,
     "cb_global_aggs" -> globalAggs,
     "cb_region_profile" -> regionProfile,
     "cb_phrase_users" -> phraseUsers,
@@ -473,6 +566,12 @@ object ClickbenchPatterns {
     "cb_length_profile" -> lengthProfile)
 
   val oracles: Map[String, String] = Map(
+    "cb_count_star" -> countStarSql,
+    "cb_global_distincts" -> globalDistinctsSql,
+    "cb_minmax_time" -> minmaxTimeSql,
+    "cb_group_order_by_agg" -> groupOrderByAggSql,
+    "cb_const_group" -> constGroupSql,
+    "cb_deep_offset_page" -> deepOffsetPageSql,
     "cb_global_aggs" -> globalAggsSql,
     "cb_region_profile" -> regionProfileSql,
     "cb_phrase_users" -> phraseUsersSql,
