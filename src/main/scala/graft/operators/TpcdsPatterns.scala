@@ -2404,7 +2404,120 @@ object TpcdsPatterns {
       |ORDER BY l_linestatus
       |LIMIT 100""".stripMargin
 
+  // DS q11/q74 shape (q11.sql): customers whose growth ratio in one
+  // channel beats their growth ratio in another — four year×channel
+  // pre-aggregates self-joined on the customer key, ratio-compared.
+  private val q11ChannelGrowthCompare: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    def spend(ch: String, yr: Int, alias: String) =
+      li.filter(channelClass === ch && year(col("o_orderdate")) === yr)
+        .groupBy(col("o_custkey").as(alias + "_ck"))
+        .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as(alias))
+    spend("air", 1995, "a1")
+      .join(spend("air", 1996, "a2"), col("a1_ck") === col("a2_ck"))
+      .join(spend("land", 1995, "l1"), col("a1_ck") === col("l1_ck"))
+      .join(spend("land", 1996, "l2"), col("a1_ck") === col("l2_ck"))
+      .filter(col("a1") > 0.0 && col("l1") > 0.0 &&
+        col("a2") / col("a1") > col("l2") / col("l1"))
+      .select(col("a1_ck").as("custkey"),
+        round(col("a2") / col("a1"), 6).as("air_growth"),
+        round(col("l2") / col("l1"), 6).as("land_growth"))
+      .orderBy(col("custkey"))
+      .limit(100)
+  }
+
+  private val q11ChannelGrowthCompareSql =
+    s"""WITH j AS (SELECT o_custkey, l_linenumber, l_extendedprice, l_discount,
+      |    EXTRACT(YEAR FROM o_orderdate) AS yr
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |a1 AS (SELECT o_custkey AS ck, CAST(SUM($rev) AS DOUBLE) AS a1 FROM j
+      |  WHERE $channelClassSql = 'air' AND yr = 1995 GROUP BY 1),
+      |a2 AS (SELECT o_custkey AS ck, CAST(SUM($rev) AS DOUBLE) AS a2 FROM j
+      |  WHERE $channelClassSql = 'air' AND yr = 1996 GROUP BY 1),
+      |l1 AS (SELECT o_custkey AS ck, CAST(SUM($rev) AS DOUBLE) AS l1 FROM j
+      |  WHERE $channelClassSql = 'land' AND yr = 1995 GROUP BY 1),
+      |l2 AS (SELECT o_custkey AS ck, CAST(SUM($rev) AS DOUBLE) AS l2 FROM j
+      |  WHERE $channelClassSql = 'land' AND yr = 1996 GROUP BY 1)
+      |SELECT a1.ck AS custkey, round(a2 / a1, 6) AS air_growth,
+      |  round(l2 / l1, 6) AS land_growth
+      |FROM a1 JOIN a2 ON a1.ck = a2.ck JOIN l1 ON a1.ck = l1.ck JOIN l2 ON a1.ck = l2.ck
+      |WHERE a1 > 0.0 AND l1 > 0.0 AND a2 / a1 > l2 / l1
+      |ORDER BY custkey
+      |LIMIT 100""".stripMargin
+
+  // DS q27 shape (q27.sql): averages over ROLLUP of the geography
+  // hierarchy (region, nation) under a demographic filter — the
+  // geo-level variant of the q18 report.
+  private val q27GeoRollup: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders").filter(year(col("o_orderdate")) === 1995),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .join(load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        (dbl(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (dbl(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        (dbl(sum(rate(col("l_discount")))) / count(lit(1))).as("avg_disc"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      .limit(110)
+
+  private val q27GeoRollupSql =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 AND c_mktsegment = 'BUILDING'
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+      |LIMIT 110""".stripMargin
+
+  // DS q69 shape (q69.sql): profile counts for customers active in one
+  // channel window with NO activity in another (EXISTS ∧ NOT EXISTS at
+  // the customer grain — semi then anti join on distinct key sets).
+  private val q69ActiveNoReturns: Q = (s, dir) => {
+    val orders = load(s, dir, "orders")
+    val active = orders.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey")).distinct()
+    val returned = load(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && year(col("l_shipdate")) === 1996)
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey")).distinct()
+    load(s, dir, "customer")
+      .join(active, col("c_custkey") === active("o_custkey"), "left_semi")
+      .join(returned, col("c_custkey") === returned("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        (dbl(sum(dec(col("c_acctbal")))) / count(lit(1))).as("avg_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q69ActiveNoReturnsSql =
+    """SELECT c_mktsegment, COUNT(*) AS cnt,
+      |  COUNT(DISTINCT c_nationkey) AS n_nations,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      |FROM customer
+      |WHERE c_custkey IN (
+      |    SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+      |  AND c_custkey NOT IN (
+      |    SELECT o_custkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |    WHERE l_returnflag = 'R' AND EXTRACT(YEAR FROM l_shipdate) = 1996)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpcds_style_q11_growth_compare" -> q11ChannelGrowthCompare,
+    "tpcds_style_q27_geo_rollup" -> q27GeoRollup,
+    "tpcds_style_q69_active_no_returns" -> q69ActiveNoReturns,
     "tpcds_style_q29_return_repurchase" -> q29ReturnRepurchase,
     "tpcds_style_q32_excess_discount" -> q32ExcessDiscount,
     "tpcds_style_q45_prefix_or_items" -> q45PrefixOrItems,
@@ -2474,6 +2587,9 @@ object TpcdsPatterns {
     "tpcds_style_q82_stock_range" -> q82StockRange)
 
   val oracles: Map[String, String] = Map(
+    "tpcds_style_q11_growth_compare" -> q11ChannelGrowthCompareSql,
+    "tpcds_style_q27_geo_rollup" -> q27GeoRollupSql,
+    "tpcds_style_q69_active_no_returns" -> q69ActiveNoReturnsSql,
     "tpcds_style_q29_return_repurchase" -> q29ReturnRepurchaseSql,
     "tpcds_style_q32_excess_discount" -> q32ExcessDiscountSql,
     "tpcds_style_q45_prefix_or_items" -> q45PrefixOrItemsSql,
