@@ -2195,7 +2195,8 @@ object TpcdsPatterns {
     }
     leg(promoOnly = true, "promotions").crossJoin(leg(promoOnly = false, "total"))
       .select(col("promotions"), col("total"),
-        round(col("promotions") / col("total") * 100, 4).as("promo_pct"))
+        when(col("total") =!= 0.0,
+          round(col("promotions") / col("total") * 100, 4)).as("promo_pct"))
   }
 
   private val q61PromoRatioSql =
@@ -2213,7 +2214,8 @@ object TpcdsPatterns {
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1996 AND EXTRACT(MONTH FROM l_shipdate) = 11
       |    AND s_nationkey = 7)
-      |SELECT promotions, total, round(promotions / total * 100, 4) AS promo_pct
+      |SELECT promotions, total,
+      |  CASE WHEN total <> 0.0 THEN round(promotions / total * 100, 4) END AS promo_pct
       |FROM promo, tot""".stripMargin
 
   // DS q64 shape (q64.sql, reduced): repeat purchases — the same
@@ -2514,7 +2516,242 @@ object TpcdsPatterns {
       |    WHERE l_returnflag = 'R' AND EXTRACT(YEAR FROM l_shipdate) = 1996)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // DS q25 shape (q25.sql): the q29 chain aggregated to the supplier
+  // nation grain with net-profit sums instead of quantities (sale →
+  // return → repurchase, profit-weighted).
+  private val q25ProfitChain: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+    def profit(flag: String, yr: Int, alias: String) =
+      li.filter(col("l_returnflag") === flag && year(col("l_shipdate")) === yr)
+        .groupBy(col("n_name").as(alias + "_n"))
+        .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as(alias))
+    profit("N", 1995, "sold_profit")
+      .join(profit("R", 1995, "ret_amount"), col("sold_profit_n") === col("ret_amount_n"))
+      .join(profit("N", 1996, "resold_profit"), col("sold_profit_n") === col("resold_profit_n"))
+      .select(col("sold_profit_n").as("nation"),
+        col("sold_profit"), col("ret_amount"), col("resold_profit"))
+      .orderBy(col("nation"))
+      .limit(100)
+  }
+
+  private val q25ProfitChainSql =
+    s"""WITH j AS (
+      |  SELECT n_name, l_returnflag, l_shipdate, l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey),
+      |sold AS (SELECT n_name, CAST(SUM($rev) AS DOUBLE) AS sold_profit FROM j
+      |  WHERE l_returnflag = 'N' AND EXTRACT(YEAR FROM l_shipdate) = 1995 GROUP BY 1),
+      |ret AS (SELECT n_name, CAST(SUM($rev) AS DOUBLE) AS ret_amount FROM j
+      |  WHERE l_returnflag = 'R' AND EXTRACT(YEAR FROM l_shipdate) = 1995 GROUP BY 1),
+      |resold AS (SELECT n_name, CAST(SUM($rev) AS DOUBLE) AS resold_profit FROM j
+      |  WHERE l_returnflag = 'N' AND EXTRACT(YEAR FROM l_shipdate) = 1996 GROUP BY 1)
+      |SELECT sold.n_name AS nation, sold_profit, ret_amount, resold_profit
+      |FROM sold JOIN ret ON sold.n_name = ret.n_name
+      |JOIN resold ON sold.n_name = resold.n_name
+      |ORDER BY nation
+      |LIMIT 100""".stripMargin
+
+  // DS q37 shape (q37.sql): item listing filtered by a price band AND
+  // an aggregate stock band AND recent-order membership — the
+  // inventory-window item report (price stats per qualifying item).
+  private val q37InventoryWindow: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    val stocked = li.groupBy(col("l_partkey").as("st_pk"))
+      .agg(dbl(sum(dec(col("l_quantity")))).as("stock"))
+      .filter(col("stock").between(100.0, 500.0))
+      .select(col("st_pk"))
+    val ordered = li.filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-03-01"))
+      .select(col("l_partkey")).distinct()
+    load(s, dir, "part")
+      .filter(dbl(col("p_retailprice")).between(800.0, 1100.0))
+      .join(stocked, col("p_partkey") === col("st_pk"), "left_semi")
+      .join(ordered, col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        (dbl(sum(dec(col("p_retailprice")))) / count(lit(1))).as("avg_price"))
+      .orderBy(col("p_brand"))
+      .limit(100)
+  }
+
+  private val q37InventoryWindowSql =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      |FROM part
+      |WHERE CAST(p_retailprice AS DOUBLE) BETWEEN 800.0 AND 1100.0
+      |  AND p_partkey IN (
+      |    SELECT l_partkey FROM lineitem GROUP BY l_partkey
+      |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) BETWEEN 100.0 AND 500.0)
+      |  AND p_partkey IN (
+      |    SELECT l_partkey FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01')
+      |GROUP BY p_brand
+      |ORDER BY p_brand
+      |LIMIT 100""".stripMargin
+
+  // DS q46 shape (q46.sql): order-grain trip report for customers
+  // served by out-of-nation suppliers — per-order revenue and item
+  // count, customer-ordered (the "bought in another city" trip).
+  private val q46CrossNationTrips: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders").filter(year(col("o_orderdate")) === 1996),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_custkey"), col("o_orderkey"))
+      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("trip_rev"),
+        count(lit(1)).as("n_items"))
+      .filter(col("trip_rev") > 300000.0)
+      .orderBy(col("c_custkey"), col("o_orderkey"))
+      .limit(100)
+
+  private val q46CrossNationTripsSql =
+    s"""SELECT c_custkey, o_orderkey, CAST(SUM($rev) AS DOUBLE) AS trip_rev,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 AND c_nationkey <> s_nationkey
+      |GROUP BY c_custkey, o_orderkey
+      |HAVING CAST(SUM($rev) AS DOUBLE) > 300000.0
+      |ORDER BY c_custkey, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // DS q50 shape (q50.sql): return-latency day-bucket pivot — days
+  // between order date and the returned line's ship date, counted into
+  // ≤30/31-60/61-90/91-120/>120 buckets per supplier nation.
+  private val q50ReturnLatency: Q = (s, dir) => {
+    val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+    load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(when(lag <= 30, 1).otherwise(0)).as("d30"),
+        sum(when(lag > 30 && lag <= 60, 1).otherwise(0)).as("d60"),
+        sum(when(lag > 60 && lag <= 90, 1).otherwise(0)).as("d90"),
+        sum(when(lag > 90 && lag <= 120, 1).otherwise(0)).as("d120"),
+        sum(when(lag > 120, 1).otherwise(0)).as("d_more"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q50ReturnLatencySql =
+    """SELECT n_name,
+      |  CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      |  CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+      |       AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+      |  CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+      |       AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+      |  CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+      |       AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+      |  CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d_more
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // DS q56 shape (q56.sql): three channel legs UNION ALL'd then
+  // re-aggregated per item, for an item list chosen by a literal
+  // attribute filter (the by-item cross-channel total).
+  private val q56ItemChannelUnion: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+      .join(load(s, dir, "part").filter(col("p_size").isin(1, 4, 7)),
+        col("l_partkey") === col("p_partkey"))
+    def chanLeg(ch: String) =
+      li.filter(channelClass === ch)
+        .groupBy(col("p_brand"))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("total_sales"))
+    chanLeg("air").unionAll(chanLeg("sea")).unionAll(chanLeg("land"))
+      .groupBy(col("p_brand"))
+      .agg(dbl(sum(col("total_sales"))).as("total_sales"))
+      .orderBy(col("total_sales").desc, col("p_brand"))
+      .limit(100)
+  }
+
+  private val q56ItemChannelUnionSql =
+    s"""WITH j AS (
+      |  SELECT p_brand, l_linenumber, l_extendedprice, l_discount FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey WHERE p_size IN (1, 4, 7)),
+      |legs AS (
+      |  SELECT p_brand, SUM($rev) AS total_sales FROM j WHERE $channelClassSql = 'air' GROUP BY 1
+      |  UNION ALL
+      |  SELECT p_brand, SUM($rev) FROM j WHERE $channelClassSql = 'sea' GROUP BY 1
+      |  UNION ALL
+      |  SELECT p_brand, SUM($rev) FROM j WHERE $channelClassSql = 'land' GROUP BY 1)
+      |SELECT p_brand, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+      |FROM legs GROUP BY p_brand
+      |ORDER BY total_sales DESC, p_brand
+      |LIMIT 100""".stripMargin
+
+  // DS q62 shape (q62.sql): shipping-latency buckets by channel — the
+  // q50 bucket grammar keyed by ship channel and order year instead of
+  // geography.
+  private val q62ShipLatency: Q = (s, dir) => {
+    val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("channel", channelClass)
+      .groupBy(col("channel"), year(col("o_orderdate")).as("yr"))
+      .agg(
+        sum(when(lag <= 45, 1).otherwise(0)).as("fast"),
+        sum(when(lag > 45 && lag <= 90, 1).otherwise(0)).as("mid"),
+        sum(when(lag > 90, 1).otherwise(0)).as("slow"))
+      .orderBy(col("channel"), col("yr"))
+  }
+
+  private val q62ShipLatencySql =
+    s"""SELECT $channelClassSql AS channel,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+      |  CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 45 THEN 1 ELSE 0 END) AS BIGINT) AS fast,
+      |  CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 45
+      |       AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS mid,
+      |  CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS slow
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY channel, yr""".stripMargin
+
+  // DS q91 shape (q91.sql): returned amount per calendar month under a
+  // demographic disjunction (segment pair OR balance band) — the
+  // call-center monthly returns report.
+  private val q91MonthlyReturns: Q = (s, dir) =>
+    load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("MACHINERY", "HOUSEHOLD") ||
+        dbl(col("c_acctbal")) < 0.0)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("moy"))
+      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("returns_amt"))
+      .orderBy(col("yr"), col("moy"))
+
+  private val q91MonthlyReturnsSql =
+    s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+      |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS moy,
+      |  CAST(SUM($rev) AS DOUBLE) AS returns_amt
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |  AND (c_mktsegment IN ('MACHINERY','HOUSEHOLD') OR CAST(c_acctbal AS DOUBLE) < 0.0)
+      |GROUP BY 1, 2
+      |ORDER BY yr, moy""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpcds_style_q25_profit_chain" -> q25ProfitChain,
+    "tpcds_style_q37_inventory_window" -> q37InventoryWindow,
+    "tpcds_style_q46_cross_nation_trips" -> q46CrossNationTrips,
+    "tpcds_style_q50_return_latency" -> q50ReturnLatency,
+    "tpcds_style_q56_item_channel_union" -> q56ItemChannelUnion,
+    "tpcds_style_q62_ship_latency" -> q62ShipLatency,
+    "tpcds_style_q91_monthly_returns" -> q91MonthlyReturns,
     "tpcds_style_q11_growth_compare" -> q11ChannelGrowthCompare,
     "tpcds_style_q27_geo_rollup" -> q27GeoRollup,
     "tpcds_style_q69_active_no_returns" -> q69ActiveNoReturns,
@@ -2587,6 +2824,13 @@ object TpcdsPatterns {
     "tpcds_style_q82_stock_range" -> q82StockRange)
 
   val oracles: Map[String, String] = Map(
+    "tpcds_style_q25_profit_chain" -> q25ProfitChainSql,
+    "tpcds_style_q37_inventory_window" -> q37InventoryWindowSql,
+    "tpcds_style_q46_cross_nation_trips" -> q46CrossNationTripsSql,
+    "tpcds_style_q50_return_latency" -> q50ReturnLatencySql,
+    "tpcds_style_q56_item_channel_union" -> q56ItemChannelUnionSql,
+    "tpcds_style_q62_ship_latency" -> q62ShipLatencySql,
+    "tpcds_style_q91_monthly_returns" -> q91MonthlyReturnsSql,
     "tpcds_style_q11_growth_compare" -> q11ChannelGrowthCompareSql,
     "tpcds_style_q27_geo_rollup" -> q27GeoRollupSql,
     "tpcds_style_q69_active_no_returns" -> q69ActiveNoReturnsSql,
