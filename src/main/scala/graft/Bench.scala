@@ -16,7 +16,8 @@ object Bench {
     "tpch_q12_ship_priority", "tpch_q13_order_counts", "tpch_q18_large_orders",
     "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
     "tpcds_style_q19_cross_nation", "tpcds_style_q53_ratio_window",
-    "tpcds_style_q36_margin_rank",
+    "tpcds_style_q36_margin_rank", "tpcds_style_q2_week_pivot",
+    "tpcds_style_q14_cross_channel",
     "cb_regex_extract_group", "cb_wide_sums",
     "sql_recursive_cte",
     "window_group_limit", "window_ntile_scalable", "ev_sessionize",

@@ -2744,7 +2744,127 @@ object TpcdsPatterns {
       |GROUP BY 1, 2
       |ORDER BY yr, moy""".stripMargin
 
+  // DS q40 shape (q40.sql): net-of-returns sales before vs after a
+  // pivot date (returned lines contribute negatively — the
+  // catalog_returns refund subtraction) per supplier nation.
+  private val q40NetBeforeAfter: Q = (s, dir) => {
+    val net = when(col("l_returnflag") === "R",
+      -revenue(col("l_extendedprice"), col("l_discount")))
+      .otherwise(revenue(col("l_extendedprice"), col("l_discount")))
+    load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-11-01") &&
+        col("l_shipdate") < lit("1996-03-01"))
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        coalesce(dbl(sum(when(col("l_shipdate") < lit("1996-01-01"), net))), lit(0.0))
+          .as("sales_before"),
+        coalesce(dbl(sum(when(col("l_shipdate") >= lit("1996-01-01"), net))), lit(0.0))
+          .as("sales_after"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q40NetBeforeAfterSql =
+    s"""SELECT n_name,
+      |  COALESCE(CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+      |    THEN (CASE WHEN l_returnflag = 'R' THEN -($rev) ELSE $rev END) END) AS DOUBLE), 0.0) AS sales_before,
+      |  COALESCE(CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+      |    THEN (CASE WHEN l_returnflag = 'R' THEN -($rev) ELSE $rev END) END) AS DOUBLE), 0.0) AS sales_after
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-11-01' AND l_shipdate < TIMESTAMP '1996-03-01'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // DS q71 shape (q71.sql): hour-of-day revenue breakdown across three
+  // UNION ALL'd source legs re-aggregated on the (type, hour) grain —
+  // the time-of-day union report, over the intraday events table.
+  private val q71HourUnion: Q = (s, dir) => {
+    val ev = load(s, dir, "events")
+    def srcLeg(m: Int) =
+      ev.filter(pmod(col("user_id"), lit(3)) === m)
+        .select(col("event_type"), hour(col("ts")).as("hr"),
+          dec(col("value")).as("v"))
+    srcLeg(0).unionAll(srcLeg(1)).unionAll(srcLeg(2))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(dbl(sum(col("v"))).as("amount"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  private val q71HourUnionSql =
+    """SELECT event_type, hr, CAST(SUM(v) AS DOUBLE) AS amount, COUNT(*) AS n
+      |FROM (
+      |  SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events WHERE user_id % 3 = 0
+      |  UNION ALL
+      |  SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INTEGER),
+      |    CAST(value AS DECIMAL(12,2))
+      |  FROM events WHERE user_id % 3 = 1
+      |  UNION ALL
+      |  SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INTEGER),
+      |    CAST(value AS DECIMAL(12,2))
+      |  FROM events WHERE user_id % 3 = 2)
+      |GROUP BY event_type, hr
+      |ORDER BY event_type, hr""".stripMargin
+
+  // DS q83 shape (q83.sql): returns counted only on the dates where
+  // ALL three channels saw returns — a double INTERSECT over date sets
+  // feeding a semi join, then an item-grain count.
+  private val q83CommonReturnDates: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    def dates(ch: String) =
+      li.filter(channelClass === ch).select(col("l_shipdate").as("d")).distinct()
+    val common = dates("air").intersect(dates("sea")).intersect(dates("land"))
+    li.join(common, col("l_shipdate") === col("d"), "left_semi")
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_returns"),
+        dbl(sum(dec(col("l_quantity")))).as("ret_qty"))
+      .orderBy(col("p_brand"))
+      .limit(100)
+  }
+
+  private val q83CommonReturnDatesSql =
+    s"""WITH r AS (SELECT * FROM lineitem WHERE l_returnflag = 'R'),
+      |common AS (
+      |  SELECT l_shipdate AS d FROM r WHERE $channelClassSql = 'air'
+      |  INTERSECT
+      |  SELECT l_shipdate FROM r WHERE $channelClassSql = 'sea'
+      |  INTERSECT
+      |  SELECT l_shipdate FROM r WHERE $channelClassSql = 'land')
+      |SELECT p_brand, COUNT(*) AS n_returns,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ret_qty
+      |FROM r JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate IN (SELECT d FROM common)
+      |GROUP BY p_brand
+      |ORDER BY p_brand
+      |LIMIT 100""".stripMargin
+
+  // DS q96 shape (q96.sql): the one-row slice count — a COUNT(*) under
+  // a three-dimension conjunction (channel band × priority × quantity
+  // band), the simplest star-join grammar in the corpus.
+  private val q96SliceCount: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .filter(channelClass === "air" && dec(col("l_quantity")).between(5, 25))
+      .join(load(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val q96SliceCountSql =
+    s"""SELECT COUNT(*) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE $channelClassSql = 'air'
+      |  AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 5 AND 25
+      |  AND o_orderpriority = '1-URGENT'""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpcds_style_q40_net_before_after" -> q40NetBeforeAfter,
+    "tpcds_style_q71_hour_union" -> q71HourUnion,
+    "tpcds_style_q83_common_return_dates" -> q83CommonReturnDates,
+    "tpcds_style_q96_slice_count" -> q96SliceCount,
     "tpcds_style_q25_profit_chain" -> q25ProfitChain,
     "tpcds_style_q37_inventory_window" -> q37InventoryWindow,
     "tpcds_style_q46_cross_nation_trips" -> q46CrossNationTrips,
@@ -2824,6 +2944,10 @@ object TpcdsPatterns {
     "tpcds_style_q82_stock_range" -> q82StockRange)
 
   val oracles: Map[String, String] = Map(
+    "tpcds_style_q40_net_before_after" -> q40NetBeforeAfterSql,
+    "tpcds_style_q71_hour_union" -> q71HourUnionSql,
+    "tpcds_style_q83_common_return_dates" -> q83CommonReturnDatesSql,
+    "tpcds_style_q96_slice_count" -> q96SliceCountSql,
     "tpcds_style_q25_profit_chain" -> q25ProfitChainSql,
     "tpcds_style_q37_inventory_window" -> q37InventoryWindowSql,
     "tpcds_style_q46_cross_nation_trips" -> q46CrossNationTripsSql,
