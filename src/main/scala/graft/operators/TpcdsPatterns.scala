@@ -2860,7 +2860,45 @@ object TpcdsPatterns {
       |  AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 5 AND 25
       |  AND o_orderpriority = '1-URGENT'""".stripMargin
 
+  // DS q72 shape (q72.sql): fact-to-fact join on a derived date key —
+  // each sold line probes the aggregated per-(part, day) stock exactly
+  // 7 days after its ship date and reports shortage candidates (the
+  // catalog_sales × inventory promise-date join). The join key is
+  // (partkey, date+7) — an equi join after the date arithmetic, so it
+  // shuffles once on the composite key at any scale.
+  private val q72PromiseDateStock: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    val inv = li.groupBy(col("l_partkey").as("inv_pk"), col("l_shipdate").as("inv_d"))
+      .agg(dbl(sum(dec(col("l_quantity")))).as("inv_qty"))
+    li.filter(year(col("l_shipdate")) === 1996)
+      .join(inv, col("l_partkey") === col("inv_pk") &&
+        date_add(col("l_shipdate"), 7) === col("inv_d"))
+      .filter(col("inv_qty") < dbl(dec(col("l_quantity"))) * 5.0)
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("shortage_events"))
+      .orderBy(col("p_brand"))
+      .limit(100)
+  }
+
+  private val q72PromiseDateStockSql =
+    """WITH inv AS (
+      |  SELECT l_partkey AS inv_pk, l_shipdate AS inv_d,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS inv_qty
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT p_brand, COUNT(*) AS shortage_events
+      |FROM lineitem
+      |JOIN inv ON l_partkey = inv_pk
+      |  AND CAST(l_shipdate AS DATE) + INTERVAL 7 DAY = CAST(inv_d AS DATE)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE EXTRACT(YEAR FROM l_shipdate) = 1996
+      |  AND inv_qty < CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) * 5.0
+      |GROUP BY p_brand
+      |ORDER BY p_brand
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpcds_style_q72_promise_date_stock" -> q72PromiseDateStock,
     "tpcds_style_q40_net_before_after" -> q40NetBeforeAfter,
     "tpcds_style_q71_hour_union" -> q71HourUnion,
     "tpcds_style_q83_common_return_dates" -> q83CommonReturnDates,
@@ -2944,6 +2982,7 @@ object TpcdsPatterns {
     "tpcds_style_q82_stock_range" -> q82StockRange)
 
   val oracles: Map[String, String] = Map(
+    "tpcds_style_q72_promise_date_stock" -> q72PromiseDateStockSql,
     "tpcds_style_q40_net_before_after" -> q40NetBeforeAfterSql,
     "tpcds_style_q71_hour_union" -> q71HourUnionSql,
     "tpcds_style_q83_common_return_dates" -> q83CommonReturnDatesSql,

@@ -26,6 +26,19 @@ class QueryLibrarySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no query's physical plan string exceeds 1 MB (driver-OOM guard)") {
+    // generalizes the round-2 lesson: an iterative pipeline once grew a
+    // 1.9 GB plan string; every library query must keep analysis- and
+    // explain-cost bounded no matter how many rounds/branches it builds
+    val oversize = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val len = fn(spark, dir).queryExecution.executedPlan.toString.length
+        if (len > 1024 * 1024) Some(s"$name: plan string $len bytes") else None
+      } catch { case _: Throwable => None } // runnability is covered above
+    }
+    assert(oversize.isEmpty, oversize.mkString("\n"))
+  }
+
   test("queries are deterministic across reruns") {
     for (name <- Seq("tpch_q01_pricing_summary", "dedup_minhash_lsh", "sim_ann_brute_topk")) {
       val fn = SparkEntry.queries(name)
