@@ -1928,9 +1928,12 @@ object TpcdsPatterns {
   // distinct-agg, no joins between full fact copies.
   private val q14CrossChannel: Q = (s, dir) => {
     val li = load(s, dir, "lineitem")
+    // one shuffle on l_partkey with a bounded (≤3 channels) set-union
+    // partial agg — vs distinct-pairs + re-aggregate, which costs two
+    // full-fact shuffles for the same answer
     val crossItems = li.select(col("l_partkey"), channelClass.as("channel"))
-      .distinct()
-      .groupBy(col("l_partkey")).agg(count(lit(1)).as("nch"))
+      .groupBy(col("l_partkey"))
+      .agg(size(collect_set(col("channel"))).as("nch"))
       .filter(col("nch") === 3).select(col("l_partkey").as("ci_part"))
     li.join(crossItems, col("l_partkey") === col("ci_part"), "left_semi")
       .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
