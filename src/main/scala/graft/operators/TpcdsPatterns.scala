@@ -2900,7 +2900,306 @@ object TpcdsPatterns {
       |ORDER BY p_brand
       |LIMIT 100""".stripMargin
 
+  // DS q12 shape (q12.sql): the q98 revenue-share grammar bound to a
+  // 30-day ship window (web binding) — share of brand within type over
+  // a short horizon.
+  private val q12WindowShare: Q = (s, dir) => {
+    val rev = load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-05-01") &&
+        col("l_shipdate") < lit("1996-05-31"))
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(sum(dec(col("l_extendedprice"))).as("rev_dec"))
+    val w = Window.partitionBy(col("p_type"))
+    rev.select(col("p_type"), col("p_brand"), dbl(col("rev_dec")).as("revenue"),
+        round(dbl(col("rev_dec")) * 100.0 /
+          sum(col("rev_dec")).over(w).cast("double"), 6).as("revshare"))
+      .orderBy(col("p_type"), col("p_brand"))
+  }
+
+  private val q12WindowShareSql =
+    """WITH rev AS (
+      |  SELECT p_type, p_brand, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-05-01' AND l_shipdate < TIMESTAMP '1996-05-31'
+      |  GROUP BY 1, 2)
+      |SELECT p_type, p_brand, CAST(rev_dec AS DOUBLE) AS revenue,
+      |  round(CAST(rev_dec AS DOUBLE) * 100.0 /
+      |    CAST(SUM(rev_dec) OVER (PARTITION BY p_type) AS DOUBLE), 6) AS revshare
+      |FROM rev
+      |ORDER BY p_type, p_brand""".stripMargin
+
+  // DS q20 shape (q20.sql): the catalog binding of the share grammar —
+  // quarterly share with an item count per group.
+  private val q20QuarterShare: Q = (s, dir) => {
+    val rev = load(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1995 && quarter(col("l_shipdate")) === 2)
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(sum(dec(col("l_extendedprice"))).as("rev_dec"),
+        countDistinct(col("p_partkey")).as("n_items"))
+    val w = Window.partitionBy(lit(1))
+    rev.select(col("p_type"), col("n_items"), dbl(col("rev_dec")).as("itemrevenue"),
+        round(dbl(col("rev_dec")) * 100.0 /
+          sum(col("rev_dec")).over(w).cast("double"), 6).as("revshare"))
+      .orderBy(col("p_type"))
+  }
+
+  private val q20QuarterShareSql =
+    """WITH rev AS (
+      |  SELECT p_type, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec,
+      |    COUNT(DISTINCT p_partkey) AS n_items
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1995 AND EXTRACT(QUARTER FROM l_shipdate) = 2
+      |  GROUP BY 1)
+      |SELECT p_type, n_items, CAST(rev_dec AS DOUBLE) AS itemrevenue,
+      |  round(CAST(rev_dec AS DOUBLE) * 100.0 /
+      |    CAST(SUM(rev_dec) OVER () AS DOUBLE), 6) AS revshare
+      |FROM rev
+      |ORDER BY p_type""".stripMargin
+
+  // DS q26 shape (q26.sql): the catalog binding of the q7 demographic
+  // averages — different filter bindings (open orders, FURNITURE
+  // segment, 1997) and a fourth dimension-side average.
+  private val q26CatalogDemoAvg: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders")
+          .filter(col("o_orderstatus") === "O" && year(col("o_orderdate")) === 1997),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer").filter(col("c_mktsegment") === "FURNITURE"),
+        col("o_custkey") === col("c_custkey"))
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg((dbl(sum(dec(col("l_quantity")))) / count(lit(1))).as("agg1"),
+        (dbl(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("agg2"),
+        (dbl(sum(rate(col("l_tax")))) / count(lit(1))).as("agg3"),
+        (dbl(sum(dec(col("c_acctbal")))) / count(lit(1))).as("agg4"))
+      .orderBy(col("p_brand"))
+      .limit(100)
+
+  private val q26CatalogDemoAvgSql =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg1,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg2,
+      |  CAST(SUM(CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS agg3,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg4
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE o_orderstatus = 'O' AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  AND c_mktsegment = 'FURNITURE'
+      |GROUP BY p_brand
+      |ORDER BY p_brand
+      |LIMIT 100""".stripMargin
+
+  // DS q52 shape (q52.sql): the q3 star join ordered by revenue within
+  // the year (brand report for one month).
+  private val q52BrandMonth: Q = (s, dir) => {
+    val dt = dateDim(s, dir).filter(col("d_moy") === 1 && col("d_year") === 1997)
+    load(s, dir, "lineitem")
+      .join(dt, col("l_shipdate") === col("d_date"))
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("d_year"), col("p_brand"))
+      .agg(dbl(sum(dec(col("l_extendedprice")))).as("ext_price"))
+      .orderBy(col("d_year"), col("ext_price").desc, col("p_brand"))
+      .limit(100)
+  }
+
+  private val q52BrandMonthSql =
+    s"""WITH $dateDimSql
+      |SELECT d_year, p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ext_price
+      |FROM lineitem
+      |JOIN date_dim ON l_shipdate = d_date AND d_moy = 1 AND d_year = 1997
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY d_year, p_brand
+      |ORDER BY d_year, ext_price DESC, p_brand
+      |LIMIT 100""".stripMargin
+
+  // DS q55 shape (q55.sql): the q3 grammar reduced to brand-only keys
+  // for one month (no year column in the output).
+  private val q55BrandOnly: Q = (s, dir) => {
+    val dt = dateDim(s, dir).filter(col("d_moy") === 3 && col("d_year") === 1996)
+    load(s, dir, "lineitem")
+      .join(dt, col("l_shipdate") === col("d_date"))
+      .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dbl(sum(dec(col("l_extendedprice")))).as("ext_price"))
+      .orderBy(col("ext_price").desc, col("p_brand"))
+      .limit(100)
+  }
+
+  private val q55BrandOnlySql =
+    s"""WITH $dateDimSql
+      |SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ext_price
+      |FROM lineitem
+      |JOIN date_dim ON l_shipdate = d_date AND d_moy = 3 AND d_year = 1996
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY ext_price DESC, p_brand
+      |LIMIT 100""".stripMargin
+
+  // DS q57 shape (q57.sql): the q47 lag/lead sandwich bound to the
+  // supplier-nation grain (catalog call-center binding).
+  private val q57NationLagLead: Q = (s, dir) => {
+    val monthly = load(s, dir, "lineitem")
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("moy"))
+      .agg(sum(dec(col("l_extendedprice"))).as("sales_dec"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("yr"), col("moy"))
+    val wAvg = Window.partitionBy(col("n_name"), col("yr"))
+    monthly
+      .select(col("n_name"), col("yr"), col("moy"),
+        dbl(col("sales_dec")).as("sum_sales"),
+        (sum(col("sales_dec")).over(wAvg).cast("double") /
+          count(lit(1)).over(wAvg)).as("avg_monthly"),
+        dbl(lag(col("sales_dec"), 1).over(w)).as("psum"),
+        dbl(lead(col("sales_dec"), 1).over(w)).as("nsum"))
+      .filter(col("yr") === 1996 &&
+        abs(col("sum_sales") - col("avg_monthly")) > col("avg_monthly") * 0.1)
+      .orderBy(col("n_name"), col("moy"))
+      .limit(100)
+  }
+
+  private val q57NationLagLeadSql =
+    """WITH monthly AS (
+      |  SELECT n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS yr,
+      |    CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS moy,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sales_dec
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2, 3),
+      |win AS (
+      |  SELECT n_name, yr, moy, CAST(sales_dec AS DOUBLE) AS sum_sales,
+      |    CAST(SUM(sales_dec) OVER (PARTITION BY n_name, yr) AS DOUBLE) /
+      |      COUNT(*) OVER (PARTITION BY n_name, yr) AS avg_monthly,
+      |    CAST(LAG(sales_dec, 1) OVER (PARTITION BY n_name ORDER BY yr, moy) AS DOUBLE) AS psum,
+      |    CAST(LEAD(sales_dec, 1) OVER (PARTITION BY n_name ORDER BY yr, moy) AS DOUBLE) AS nsum
+      |  FROM monthly)
+      |SELECT n_name, yr, moy, sum_sales, avg_monthly, psum, nsum
+      |FROM win
+      |WHERE yr = 1996 AND abs(sum_sales - avg_monthly) > avg_monthly * 0.1
+      |ORDER BY n_name, moy
+      |LIMIT 100""".stripMargin
+
+  // DS q60 shape (q60.sql): the q56 channel union bound to a type
+  // list instead of sizes, ascending-brand report.
+  private val q60TypeChannelUnion: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+      .join(load(s, dir, "part").filter(col("p_type").isin("PROMO", "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+    def chanLeg(ch: String) =
+      li.filter(channelClass === ch)
+        .groupBy(col("p_brand"))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("total_sales"))
+    chanLeg("air").unionAll(chanLeg("sea")).unionAll(chanLeg("land"))
+      .groupBy(col("p_brand"))
+      .agg(dbl(sum(col("total_sales"))).as("total_sales"))
+      .orderBy(col("p_brand"))
+      .limit(100)
+  }
+
+  private val q60TypeChannelUnionSql =
+    s"""WITH j AS (
+      |  SELECT p_brand, l_linenumber, l_extendedprice, l_discount FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey WHERE p_type IN ('PROMO','ECONOMY')),
+      |legs AS (
+      |  SELECT p_brand, SUM($rev) AS total_sales FROM j WHERE $channelClassSql = 'air' GROUP BY 1
+      |  UNION ALL
+      |  SELECT p_brand, SUM($rev) FROM j WHERE $channelClassSql = 'sea' GROUP BY 1
+      |  UNION ALL
+      |  SELECT p_brand, SUM($rev) FROM j WHERE $channelClassSql = 'land' GROUP BY 1)
+      |SELECT p_brand, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+      |FROM legs GROUP BY p_brand
+      |ORDER BY p_brand
+      |LIMIT 100""".stripMargin
+
+  // DS q63 shape (q63.sql): the q53 monthly-vs-average ratio bound to
+  // a manager analog (supplier bucket) instead of brand.
+  private val q63ManagerRatio: Q = (s, dir) => {
+    val monthly = load(s, dir, "lineitem")
+      .withColumn("mgr", pmod(col("l_suppkey"), lit(10)).cast("int"))
+      .groupBy(col("mgr"), year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("moy"))
+      .agg(sum(dec(col("l_extendedprice"))).as("sales_dec"))
+    val w = Window.partitionBy(col("mgr"))
+    monthly.select(col("mgr"), col("yr"), col("moy"),
+        dbl(col("sales_dec")).as("sum_sales"),
+        (sum(col("sales_dec")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("avg_monthly"))
+      .filter(col("sum_sales") > col("avg_monthly") * 1.1)
+      .select(col("mgr"), col("yr"), col("moy"), col("sum_sales"),
+        round(col("sum_sales") / col("avg_monthly"), 6).as("ratio"))
+      .orderBy(col("mgr"), col("yr"), col("moy"))
+      .limit(100)
+  }
+
+  private val q63ManagerRatioSql =
+    """WITH monthly AS (
+      |  SELECT CAST(l_suppkey % 10 AS INTEGER) AS mgr,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS yr,
+      |    CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS moy,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sales_dec
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |win AS (
+      |  SELECT mgr, yr, moy, CAST(sales_dec AS DOUBLE) AS sum_sales,
+      |    CAST(SUM(sales_dec) OVER (PARTITION BY mgr) AS DOUBLE) /
+      |      COUNT(*) OVER (PARTITION BY mgr) AS avg_monthly
+      |  FROM monthly)
+      |SELECT mgr, yr, moy, sum_sales, round(sum_sales / avg_monthly, 6) AS ratio
+      |FROM win
+      |WHERE sum_sales > avg_monthly * 1.1
+      |ORDER BY mgr, yr, moy
+      |LIMIT 100""".stripMargin
+
+  // DS q73 shape (q73.sql): the q34 ticket-bucket grammar with the
+  // narrow 1-3 line band and a count-ordered report.
+  private val q73NarrowTickets: Q = (s, dir) => {
+    val inner = load(s, dir, "lineitem")
+      .join(load(s, dir, "orders")
+          .filter(dayofmonth(col("o_orderdate")).between(10, 20)),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(1, 3))
+    inner
+      .join(load(s, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "FURNITURE")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_mktsegment"),
+        col("l_orderkey").as("ticket"), col("cnt"))
+      .orderBy(col("cnt").desc, col("c_name"), col("ticket"))
+      .limit(100)
+  }
+
+  private val q73NarrowTicketsSql =
+    """WITH inner_q AS (
+      |  SELECT l_orderkey, o_custkey, COUNT(*) AS cnt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE EXTRACT(DAY FROM o_orderdate) BETWEEN 10 AND 20
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) BETWEEN 1 AND 3)
+      |SELECT c_name, c_mktsegment, l_orderkey AS ticket, cnt
+      |FROM inner_q JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment IN ('BUILDING','FURNITURE')
+      |ORDER BY cnt DESC, c_name, ticket
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpcds_style_q12_window_share" -> q12WindowShare,
+    "tpcds_style_q20_quarter_share" -> q20QuarterShare,
+    "tpcds_style_q26_catalog_demo_avg" -> q26CatalogDemoAvg,
+    "tpcds_style_q52_brand_month" -> q52BrandMonth,
+    "tpcds_style_q55_brand_only" -> q55BrandOnly,
+    "tpcds_style_q57_nation_lag_lead" -> q57NationLagLead,
+    "tpcds_style_q60_type_channel_union" -> q60TypeChannelUnion,
+    "tpcds_style_q63_manager_ratio" -> q63ManagerRatio,
+    "tpcds_style_q73_narrow_tickets" -> q73NarrowTickets,
     "tpcds_style_q72_promise_date_stock" -> q72PromiseDateStock,
     "tpcds_style_q40_net_before_after" -> q40NetBeforeAfter,
     "tpcds_style_q71_hour_union" -> q71HourUnion,
@@ -2985,6 +3284,15 @@ object TpcdsPatterns {
     "tpcds_style_q82_stock_range" -> q82StockRange)
 
   val oracles: Map[String, String] = Map(
+    "tpcds_style_q12_window_share" -> q12WindowShareSql,
+    "tpcds_style_q20_quarter_share" -> q20QuarterShareSql,
+    "tpcds_style_q26_catalog_demo_avg" -> q26CatalogDemoAvgSql,
+    "tpcds_style_q52_brand_month" -> q52BrandMonthSql,
+    "tpcds_style_q55_brand_only" -> q55BrandOnlySql,
+    "tpcds_style_q57_nation_lag_lead" -> q57NationLagLeadSql,
+    "tpcds_style_q60_type_channel_union" -> q60TypeChannelUnionSql,
+    "tpcds_style_q63_manager_ratio" -> q63ManagerRatioSql,
+    "tpcds_style_q73_narrow_tickets" -> q73NarrowTicketsSql,
     "tpcds_style_q72_promise_date_stock" -> q72PromiseDateStockSql,
     "tpcds_style_q40_net_before_after" -> q40NetBeforeAfterSql,
     "tpcds_style_q71_hour_union" -> q71HourUnionSql,
