@@ -3190,7 +3190,292 @@ object TpcdsPatterns {
       |ORDER BY cnt DESC, c_name, ticket
       |LIMIT 100""".stripMargin
 
+  // DS q74 shape (q74.sql): the two-year, two-channel growth compare
+  // on order totals (the q4/q11 core with sums instead of the
+  // intermediate rate) — urgent orders are the store leg, the rest web.
+  private val q74TotalsGrowth: Q = (s, dir) => {
+    val o = load(s, dir, "orders")
+    def leg(urgent: Boolean, yr: Int, alias: String) =
+      o.filter((if (urgent) col("o_orderpriority") === "1-URGENT"
+                else col("o_orderpriority") =!= "1-URGENT") &&
+          year(col("o_orderdate")) === yr)
+        .groupBy(col("o_custkey").as(alias + "_ck"))
+        .agg(dbl(sum(dec(col("o_totalprice")))).as(alias))
+    leg(urgent = true, 1995, "s1")
+      .join(leg(urgent = true, 1996, "s2"), col("s1_ck") === col("s2_ck"))
+      .join(leg(urgent = false, 1995, "w1"), col("s1_ck") === col("w1_ck"))
+      .join(leg(urgent = false, 1996, "w2"), col("s1_ck") === col("w2_ck"))
+      .filter(col("s1") > 0.0 && col("w1") > 0.0 &&
+        col("w2") / col("w1") > col("s2") / col("s1"))
+      .select(col("s1_ck").as("custkey"),
+        round(col("w2") / col("w1"), 6).as("web_growth"),
+        round(col("s2") / col("s1"), 6).as("store_growth"))
+      .orderBy(col("custkey"))
+      .limit(100)
+  }
+
+  private val q74TotalsGrowthSql =
+    """WITH s1 AS (SELECT o_custkey AS ck, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s1
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' AND EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1),
+      |s2 AS (SELECT o_custkey AS ck, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s2
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' AND EXTRACT(YEAR FROM o_orderdate) = 1996 GROUP BY 1),
+      |w1 AS (SELECT o_custkey AS ck, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS w1
+      |  FROM orders WHERE o_orderpriority <> '1-URGENT' AND EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1),
+      |w2 AS (SELECT o_custkey AS ck, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS w2
+      |  FROM orders WHERE o_orderpriority <> '1-URGENT' AND EXTRACT(YEAR FROM o_orderdate) = 1996 GROUP BY 1)
+      |SELECT s1.ck AS custkey, round(w2 / w1, 6) AS web_growth,
+      |  round(s2 / s1, 6) AS store_growth
+      |FROM s1 JOIN s2 ON s1.ck = s2.ck JOIN w1 ON s1.ck = w1.ck JOIN w2 ON s1.ck = w2.ck
+      |WHERE s1 > 0.0 AND w1 > 0.0 AND w2 / w1 > s2 / s1
+      |ORDER BY custkey
+      |LIMIT 100""".stripMargin
+
+  // DS q79 shape (q79.sql): each customer's single best cross-nation
+  // trip — the q46 trip grain reduced by a per-customer argmax window.
+  private val q79BestTrip: Q = (s, dir) => {
+    val trips = load(s, dir, "lineitem")
+      .join(load(s, dir, "orders").filter(year(col("o_orderdate")) === 1996),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_custkey"), col("o_orderkey"))
+      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("trip_rev"))
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("trip_rev").desc, col("o_orderkey"))
+    trips.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_custkey"), col("o_orderkey").as("best_order"),
+        col("trip_rev"))
+      .orderBy(col("trip_rev").desc, col("c_custkey"))
+      .limit(100)
+  }
+
+  private val q79BestTripSql =
+    s"""WITH trips AS (
+      |  SELECT c_custkey, o_orderkey, CAST(SUM($rev) AS DOUBLE) AS trip_rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 AND c_nationkey <> s_nationkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT c_custkey, o_orderkey, trip_rev,
+      |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY trip_rev DESC, o_orderkey) AS rn
+      |  FROM trips)
+      |SELECT c_custkey, o_orderkey AS best_order, trip_rev
+      |FROM ranked WHERE rn = 1
+      |ORDER BY trip_rev DESC, c_custkey
+      |LIMIT 100""".stripMargin
+
+  // DS q80 shape (q80.sql): the q77 channel sales/returns report keyed
+  // by ship channel with promotional items excluded.
+  private val q80PromoExcluded: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+      .join(load(s, dir, "part").filter(col("p_type") =!= "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("channel", channelClass)
+    val sales = li.groupBy(col("channel").as("ch"))
+      .agg(sum(dec(col("l_extendedprice"))).as("sales"))
+    val returns = li.filter(col("l_returnflag") === "R")
+      .groupBy(col("channel").as("ch"))
+      .agg(sum(dec(col("l_extendedprice"))).as("returns"))
+    sales.join(returns, Seq("ch"), "left_outer")
+      .select(col("ch").as("channel"), dbl(col("sales")).as("sales"),
+        dbl(coalesce(col("returns"), lit(0))).as("returns"),
+        dbl(col("sales") - coalesce(col("returns"), lit(0))).as("net"))
+      .orderBy(col("channel"))
+  }
+
+  private val q80PromoExcludedSql =
+    s"""WITH j AS (
+      |  SELECT $channelClassSql AS ch, l_returnflag, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type <> 'PROMO'),
+      |sales AS (SELECT ch, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sales FROM j GROUP BY 1),
+      |ret AS (SELECT ch, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS returns
+      |  FROM j WHERE l_returnflag = 'R' GROUP BY 1)
+      |SELECT sales.ch AS channel, CAST(sales AS DOUBLE) AS sales,
+      |  CAST(COALESCE(returns, 0) AS DOUBLE) AS returns,
+      |  CAST(sales - COALESCE(returns, 0) AS DOUBLE) AS net
+      |FROM sales LEFT JOIN ret ON sales.ch = ret.ch
+      |ORDER BY channel""".stripMargin
+
+  // DS q81 shape (q81.sql): customers whose returned amount exceeds
+  // 1.2× their nation's average returned amount (the q30 grammar on
+  // the returns side).
+  private val q81ReturnsAboveAvg: Q = (s, dir) => {
+    val ret = load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("ret_dec"))
+    val natAvg = ret.groupBy(col("c_nationkey").as("nk"))
+      .agg((sum(col("ret_dec")).cast("double") / count(lit(1))).as("nat_avg"))
+    ret.join(natAvg, col("c_nationkey") === col("nk"))
+      .filter(dbl(col("ret_dec")) > col("nat_avg") * 1.2)
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("nation"),
+        dbl(col("ret_dec")).as("returned"), round(col("nat_avg"), 6).as("nat_avg"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q81ReturnsAboveAvgSql =
+    s"""WITH ret AS (
+      |  SELECT c_custkey, c_nationkey, SUM($rev) AS ret_dec
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE l_returnflag = 'R'
+      |  GROUP BY 1, 2),
+      |na AS (
+      |  SELECT c_nationkey AS nk, CAST(SUM(ret_dec) AS DOUBLE) / COUNT(*) AS nat_avg
+      |  FROM ret GROUP BY 1)
+      |SELECT c_custkey, CAST(c_nationkey AS INTEGER) AS nation,
+      |  CAST(ret_dec AS DOUBLE) AS returned, round(nat_avg, 6) AS nat_avg
+      |FROM ret JOIN na ON c_nationkey = nk
+      |WHERE CAST(ret_dec AS DOUBLE) > nat_avg * 1.2
+      |ORDER BY c_custkey""".stripMargin
+
+  // DS q86 shape (q86.sql): the q67 rollup-rank grammar over order
+  // dimensions (priority, status) instead of item dimensions.
+  private val q86OrderRollupRank: Q = (s, dir) => {
+    val rolled = load(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as("sumsales"),
+        (grouping(col("o_orderpriority")) + grouping(col("o_orderstatus")))
+          .cast("int").as("lochierarchy"))
+    val w = Window.partitionBy(col("lochierarchy")).orderBy(col("sumsales").desc)
+    rolled
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        round(col("sumsales"), 4).as("sumsales"), col("lochierarchy"),
+        rank().over(w).as("rk"))
+      .orderBy(col("lochierarchy").desc, col("rk"),
+        col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+      .limit(100)
+  }
+
+  private val q86OrderRollupRankSql =
+    """SELECT o_orderpriority, o_orderstatus, round(sumsales, 4) AS sumsales,
+      |  lochierarchy, CAST(rk AS INTEGER) AS rk
+      |FROM (
+      |  SELECT o_orderpriority, o_orderstatus,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sumsales,
+      |    CAST(GROUPING(o_orderpriority) + GROUPING(o_orderstatus) AS INTEGER) AS lochierarchy,
+      |    RANK() OVER (
+      |      PARTITION BY GROUPING(o_orderpriority) + GROUPING(o_orderstatus)
+      |      ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) DESC) AS rk
+      |  FROM orders
+      |  GROUP BY ROLLUP(o_orderpriority, o_orderstatus))
+      |ORDER BY lochierarchy DESC, rk,
+      |  o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+      |LIMIT 100""".stripMargin
+
+  // DS q92 shape (q92.sql): the web binding of the excess-discount
+  // grammar — tighter 1.5× multiplier over a half-year window, with
+  // the qualifying discount mass reported alongside.
+  private val q92WebExcessDiscount: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-07-01") &&
+        col("l_shipdate") < lit("1996-01-01"))
+    val avgDisc = li.groupBy(col("l_partkey").as("ad_pk"))
+      .agg((dbl(sum(rate(col("l_discount")))) / count(lit(1))).as("avg_disc"))
+    li.join(avgDisc, col("l_partkey") === col("ad_pk"))
+      .filter(dbl(rate(col("l_discount"))) > col("avg_disc") * 1.5)
+      .agg(dbl(sum(dec(col("l_extendedprice")) * rate(col("l_discount"))))
+          .as("excess_discount_amt"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q92WebExcessDiscountSql =
+    """WITH win AS (
+      |  SELECT * FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-07-01' AND l_shipdate < TIMESTAMP '1996-01-01'),
+      |ad AS (
+      |  SELECT l_partkey AS ad_pk,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+      |  FROM win GROUP BY 1)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS excess_discount_amt,
+      |  COUNT(*) AS n_lines
+      |FROM win JOIN ad ON l_partkey = ad_pk
+      |WHERE CAST(CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) > avg_disc * 1.5""".stripMargin
+
+  // DS q94 shape (q94.sql): the windowed one-row ship report — urgent
+  // air-channel orders in a quarter with ≥2 suppliers and no returned
+  // line (the q16 sandwich under channel/priority/window bindings).
+  private val q94WindowedShipReport: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    val airOrders = li.filter(channelClass === "air")
+      .select(col("l_orderkey").as("ak")).distinct()
+    val multi = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") > 1).select(col("l_orderkey").as("mk"))
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("rk")).distinct()
+    load(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995 &&
+        quarter(col("o_orderdate")) === 1 &&
+        col("o_orderpriority") === "1-URGENT")
+      .join(airOrders, col("o_orderkey") === col("ak"), "left_semi")
+      .join(multi, col("o_orderkey") === col("mk"), "left_semi")
+      .join(returned, col("o_orderkey") === col("rk"), "left_anti")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        dbl(sum(dec(col("o_totalprice")))).as("total_price"))
+  }
+
+  private val q94WindowedShipReportSql =
+    s"""SELECT COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 AND EXTRACT(QUARTER FROM o_orderdate) = 1
+      |  AND o_orderpriority = '1-URGENT'
+      |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE $channelClassSql = 'air')
+      |  AND o_orderkey IN (
+      |    SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      |    GROUP BY l_orderkey HAVING COUNT(*) > 1)
+      |  AND o_orderkey NOT IN (
+      |    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin
+
+  // DS q95 shape (q95.sql): like q94 but the order must ALSO have a
+  // returned line (EXISTS instead of NOT EXISTS) — the returned-ship
+  // report over the same multi-supplier evidence.
+  private val q95ReturnedShipReport: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    val multi = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") > 1).select(col("l_orderkey").as("mk"))
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("rk")).distinct()
+    load(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995 && quarter(col("o_orderdate")) === 1)
+      .join(multi, col("o_orderkey") === col("mk"), "left_semi")
+      .join(returned, col("o_orderkey") === col("rk"), "left_semi")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        dbl(sum(dec(col("o_totalprice")))).as("total_price"))
+  }
+
+  private val q95ReturnedShipReportSql =
+    """SELECT COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 AND EXTRACT(QUARTER FROM o_orderdate) = 1
+      |  AND o_orderkey IN (
+      |    SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      |    GROUP BY l_orderkey HAVING COUNT(*) > 1)
+      |  AND o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpcds_style_q74_totals_growth" -> q74TotalsGrowth,
+    "tpcds_style_q79_best_trip" -> q79BestTrip,
+    "tpcds_style_q80_promo_excluded" -> q80PromoExcluded,
+    "tpcds_style_q81_returns_above_avg" -> q81ReturnsAboveAvg,
+    "tpcds_style_q86_order_rollup_rank" -> q86OrderRollupRank,
+    "tpcds_style_q92_web_excess_discount" -> q92WebExcessDiscount,
+    "tpcds_style_q94_windowed_ship_report" -> q94WindowedShipReport,
+    "tpcds_style_q95_returned_ship_report" -> q95ReturnedShipReport,
     "tpcds_style_q12_window_share" -> q12WindowShare,
     "tpcds_style_q20_quarter_share" -> q20QuarterShare,
     "tpcds_style_q26_catalog_demo_avg" -> q26CatalogDemoAvg,
@@ -3284,6 +3569,14 @@ object TpcdsPatterns {
     "tpcds_style_q82_stock_range" -> q82StockRange)
 
   val oracles: Map[String, String] = Map(
+    "tpcds_style_q74_totals_growth" -> q74TotalsGrowthSql,
+    "tpcds_style_q79_best_trip" -> q79BestTripSql,
+    "tpcds_style_q80_promo_excluded" -> q80PromoExcludedSql,
+    "tpcds_style_q81_returns_above_avg" -> q81ReturnsAboveAvgSql,
+    "tpcds_style_q86_order_rollup_rank" -> q86OrderRollupRankSql,
+    "tpcds_style_q92_web_excess_discount" -> q92WebExcessDiscountSql,
+    "tpcds_style_q94_windowed_ship_report" -> q94WindowedShipReportSql,
+    "tpcds_style_q95_returned_ship_report" -> q95ReturnedShipReportSql,
     "tpcds_style_q12_window_share" -> q12WindowShareSql,
     "tpcds_style_q20_quarter_share" -> q20QuarterShareSql,
     "tpcds_style_q26_catalog_demo_avg" -> q26CatalogDemoAvgSql,
