@@ -533,7 +533,144 @@ object ClickbenchPatterns {
       |ORDER BY page_views DESC, user_id, day
       |LIMIT 10 OFFSET 100""".stripMargin
 
+  // CB q12 shape: two-key grouping with a filtered COUNT(DISTINCT) —
+  // the (MobilePhone, MobilePhoneModel) distinct-user profile
+  private val twoKeyDistinct: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(col("props") =!= "")
+      .groupBy(col("event_type"), floor(col("value") / 100).cast("int").as("band"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .orderBy(col("u").desc, col("event_type"), col("band"))
+      .limit(10)
+
+  private val twoKeyDistinctSql =
+    """SELECT event_type, CAST(FLOOR(value / 100) AS INTEGER) AS band,
+      |  COUNT(DISTINCT user_id) AS u
+      |FROM events WHERE props <> ''
+      |GROUP BY 1, 2 ORDER BY u DESC, event_type, band LIMIT 10""".stripMargin
+
+  // CB q15 shape: the (SearchEngineID, SearchPhrase) two-dimension
+  // count — source×language counts over documents
+  private val sourceLangTopk: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .filter(col("lang") =!= "")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("source"), col("lang"))
+      .limit(10)
+
+  private val sourceLangTopkSql =
+    """SELECT source, lang, COUNT(*) AS c
+      |FROM documents WHERE lang <> ''
+      |GROUP BY 1, 2 ORDER BY c DESC, source, lang LIMIT 10""".stripMargin
+
+  // CB q25 shape: the projected time-ordered fetch (SearchPhrase BY
+  // EventTime) — narrow projection, no aggregation
+  private val projectedRecent: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(col("props") =!= "")
+      .orderBy(col("ts"), col("event_id"))
+      .limit(10)
+      .select(col("event_type"), col("props"))
+
+  private val projectedRecentSql =
+    """SELECT event_type, props
+      |FROM events WHERE props <> ''
+      |ORDER BY ts, event_id LIMIT 10""".stripMargin
+
+  // CB q27 shape: the two-key ORDER BY (EventTime, SearchPhrase) cut
+  private val twoKeySort: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(col("props") =!= "")
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+      .limit(10)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+
+  private val twoKeySortSql =
+    """SELECT event_type, epoch_us(ts) AS ts_us, event_id
+      |FROM events WHERE props <> ''
+      |ORDER BY event_type, ts, event_id LIMIT 10""".stripMargin
+
+  // CB q31/q32/q33 shape: composite-key profile with SUM and AVG
+  // alongside COUNT — the (SearchEngineID, ClientIP) report
+  private val pairProfile: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(col("props") =!= "")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"), dbl(sum(dec(col("value")))).as("sum_v"),
+        (sum(length(col("props"))).cast("double") / count(lit(1))).as("avg_len"))
+      .orderBy(col("c").desc, col("user_id"), col("event_type"))
+      .limit(10)
+
+  private val pairProfileSql =
+    """SELECT user_id, event_type, COUNT(*) AS c,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+      |  CAST(SUM(length(props)) AS DOUBLE) / COUNT(*) AS avg_len
+      |FROM events WHERE props <> ''
+      |GROUP BY 1, 2 ORDER BY c DESC, user_id, event_type LIMIT 10""".stripMargin
+
+  // CB q34 shape: top high-cardinality strings by count (URL top-N) —
+  // the raw props payload as the group key
+  private val urlTopk: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(col("props") =!= "")
+      .groupBy(col("props"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("props"))
+      .limit(10)
+
+  private val urlTopkSql =
+    """SELECT props, COUNT(*) AS c
+      |FROM events WHERE props <> ''
+      |GROUP BY props ORDER BY c DESC, props LIMIT 10""".stripMargin
+
+  // CB q41 shape: hash-pinned slice with pagination — one derived
+  // bucket of the payload column (cross-engine arithmetic hash stand-in
+  // for the URLHash pin), grouped and read past an offset
+  private val hashPinnedOffset: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(pmod(length(col("props")) * 31 + col("event_id"), lit(100)) === 7)
+      .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("page_views"))
+      .orderBy(col("page_views").desc, col("user_id"), col("day"))
+      .offset(10)
+      .limit(10)
+
+  private val hashPinnedOffsetSql =
+    """SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS page_views
+      |FROM events
+      |WHERE (length(props) * 31 + event_id) % 100 = 7
+      |GROUP BY 1, 2
+      |ORDER BY page_views DESC, user_id, day
+      |LIMIT 10 OFFSET 10""".stripMargin
+
+  // CB q42 shape: paired derived numeric keys (WindowClientWidth,
+  // WindowClientHeight) — two computed columns as the composite group
+  private val valueShapePairs: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(col("event_type") === "view")
+      .groupBy(floor(col("value") / 50).cast("int").as("w"),
+        length(col("props")).as("h"))
+      .agg(count(lit(1)).as("page_views"))
+      .orderBy(col("page_views").desc, col("w"), col("h"))
+      .limit(10)
+
+  private val valueShapePairsSql =
+    """SELECT CAST(FLOOR(value / 50) AS INTEGER) AS w,
+      |  CAST(length(props) AS INTEGER) AS h, COUNT(*) AS page_views
+      |FROM events WHERE event_type = 'view'
+      |GROUP BY 1, 2 ORDER BY page_views DESC, w, h LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cb_two_key_distinct" -> twoKeyDistinct,
+    "cb_source_lang_topk" -> sourceLangTopk,
+    "cb_projected_recent" -> projectedRecent,
+    "cb_two_key_sort" -> twoKeySort,
+    "cb_pair_profile" -> pairProfile,
+    "cb_url_topk" -> urlTopk,
+    "cb_hash_pinned_offset" -> hashPinnedOffset,
+    "cb_value_shape_pairs" -> valueShapePairs,
     "cb_count_star" -> countStar,
     "cb_global_distincts" -> globalDistincts,
     "cb_minmax_time" -> minmaxTime,
@@ -566,6 +703,14 @@ object ClickbenchPatterns {
     "cb_length_profile" -> lengthProfile)
 
   val oracles: Map[String, String] = Map(
+    "cb_two_key_distinct" -> twoKeyDistinctSql,
+    "cb_source_lang_topk" -> sourceLangTopkSql,
+    "cb_projected_recent" -> projectedRecentSql,
+    "cb_two_key_sort" -> twoKeySortSql,
+    "cb_pair_profile" -> pairProfileSql,
+    "cb_url_topk" -> urlTopkSql,
+    "cb_hash_pinned_offset" -> hashPinnedOffsetSql,
+    "cb_value_shape_pairs" -> valueShapePairsSql,
     "cb_count_star" -> countStarSql,
     "cb_global_distincts" -> globalDistinctsSql,
     "cb_minmax_time" -> minmaxTimeSql,
