@@ -3467,7 +3467,166 @@ object TpcdsPatterns {
       |  AND o_orderkey IN (
       |    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin
 
+  // DS q14b shape (q14b.sql): cross-channel items compared across two
+  // consecutive years per brand (the this-week-vs-last-year leg of the
+  // q14 pair) — same intersection set, year-grain self-join.
+  private val q14bCrossYearCompare: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    val crossItems = li.select(col("l_partkey"), channelClass.as("channel"))
+      .groupBy(col("l_partkey"))
+      .agg(size(collect_set(col("channel"))).as("nch"))
+      .filter(col("nch") === 3).select(col("l_partkey").as("ci_part"))
+    def yearRev(y: Int, alias: String) =
+      li.filter(year(col("l_shipdate")) === y)
+        .join(crossItems, col("l_partkey") === col("ci_part"), "left_semi")
+        .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as(alias + "_b"))
+        .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as(alias))
+    yearRev(1995, "rev_prev").join(yearRev(1996, "rev_cur"),
+        col("rev_prev_b") === col("rev_cur_b"))
+      .select(col("rev_prev_b").as("brand"), col("rev_prev"), col("rev_cur"),
+        round(col("rev_cur") / col("rev_prev"), 6).as("yoy"))
+      .orderBy(col("brand"))
+      .limit(100)
+  }
+
+  private val q14bCrossYearCompareSql =
+    s"""WITH cross_items AS (
+      |  SELECT l_partkey FROM (
+      |    SELECT DISTINCT l_partkey, $channelClassSql AS channel FROM lineitem)
+      |  GROUP BY l_partkey HAVING COUNT(*) = 3),
+      |prev AS (
+      |  SELECT p_brand, CAST(SUM($rev) AS DOUBLE) AS rev_prev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1995
+      |    AND l_partkey IN (SELECT l_partkey FROM cross_items)
+      |  GROUP BY 1),
+      |cur AS (
+      |  SELECT p_brand, CAST(SUM($rev) AS DOUBLE) AS rev_cur
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1996
+      |    AND l_partkey IN (SELECT l_partkey FROM cross_items)
+      |  GROUP BY 1)
+      |SELECT prev.p_brand AS brand, rev_prev, rev_cur,
+      |  round(rev_cur / rev_prev, 6) AS yoy
+      |FROM prev JOIN cur ON prev.p_brand = cur.p_brand
+      |ORDER BY brand
+      |LIMIT 100""".stripMargin
+
+  // DS q23b shape (q23b.sql): the q23 frequent-items × best-customers
+  // revenue split per customer, top-10 (q23a reports the total).
+  private val q23bPerCustomer: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    val ord = load(s, dir, "orders")
+    val freq = li
+      .join(ord.filter(year(col("o_orderdate")) === 1996),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 4).select(col("l_partkey"))
+    val spend = ord.groupBy(col("o_custkey"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as("spend"))
+    val best = spend
+      .crossJoin(broadcast(spend.agg(max(col("spend")).as("mx"))))
+      .filter(col("spend") > col("mx") * 0.5)
+      .select(col("o_custkey"))
+    li.join(ord.filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(freq, Seq("l_partkey"), "left_semi")
+      .join(best, Seq("o_custkey"), "left_semi")
+      .groupBy(col("o_custkey"))
+      .agg(dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("sales"))
+      .orderBy(col("sales").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  private val q23bPerCustomerSql =
+    s"""WITH freq AS (
+      |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      |  GROUP BY l_partkey HAVING count(*) > 4),
+      |spend AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |best AS (
+      |  SELECT o_custkey FROM spend WHERE spend > 0.5 * (SELECT max(spend) FROM spend))
+      |SELECT o_custkey, CAST(SUM($rev) AS DOUBLE) AS sales
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  AND l_partkey IN (SELECT l_partkey FROM freq)
+      |  AND o_custkey IN (SELECT o_custkey FROM best)
+      |GROUP BY o_custkey
+      |ORDER BY sales DESC, o_custkey
+      |LIMIT 10""".stripMargin
+
+  // DS q24b shape (q24b.sql): the q24 same-nation pair net-paid rolled
+  // up to the nation grain (the color-binding twin reports by group).
+  private val q24bNationNetPaid: Q = (s, dir) => {
+    val paid = load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(load(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"), col("s_suppkey"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("netpaid_dec"))
+    val avgAll = paid.agg(
+      (dbl(sum(col("netpaid_dec"))) / count(lit(1))).as("avg_paid"))
+    paid.crossJoin(avgAll)
+      .filter(dbl(col("netpaid_dec")) > col("avg_paid") * 1.5)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pairs"),
+        dbl(sum(col("netpaid_dec"))).as("netpaid"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q24bNationNetPaidSql =
+    s"""WITH paid AS (
+      |  SELECT n_name, c_custkey, s_suppkey, SUM($rev) AS netpaid_dec
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE c_nationkey = s_nationkey
+      |  GROUP BY 1, 2, 3),
+      |avg_all AS (SELECT CAST(SUM(netpaid_dec) AS DOUBLE) / COUNT(*) AS avg_paid FROM paid)
+      |SELECT n_name, COUNT(*) AS n_pairs, CAST(SUM(netpaid_dec) AS DOUBLE) AS netpaid
+      |FROM paid, avg_all
+      |WHERE CAST(netpaid_dec AS DOUBLE) > avg_paid * 1.5
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // DS q39b shape (q39b.sql): the q39 coefficient-of-variation filter
+  // at the stricter 1.2 threshold (the "breakdown" leg of the pair).
+  private val q39bStrictVariance: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), month(col("l_shipdate")).as("moy"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(dbl(dec(col("l_quantity")))), 6).as("mean_qty"),
+        round(stddev_samp(dbl(dec(col("l_quantity")))), 6).as("sd_qty"))
+      .filter(col("n") >= 5 && col("sd_qty") / col("mean_qty") > 1.2)
+      .orderBy(col("l_partkey"), col("moy"))
+      .limit(100)
+
+  private val q39bStrictVarianceSql =
+    """SELECT l_partkey, CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS moy,
+      |  COUNT(*) AS n,
+      |  round(AVG(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE)), 6) AS mean_qty,
+      |  round(STDDEV_SAMP(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE)), 6) AS sd_qty
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 5
+      |   AND round(STDDEV_SAMP(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE)), 6) /
+      |       round(AVG(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE)), 6) > 1.2
+      |ORDER BY l_partkey, moy
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpcds_style_q14b_cross_year_compare" -> q14bCrossYearCompare,
+    "tpcds_style_q23b_per_customer" -> q23bPerCustomer,
+    "tpcds_style_q24b_nation_netpaid" -> q24bNationNetPaid,
+    "tpcds_style_q39b_strict_variance" -> q39bStrictVariance,
     "tpcds_style_q74_totals_growth" -> q74TotalsGrowth,
     "tpcds_style_q79_best_trip" -> q79BestTrip,
     "tpcds_style_q80_promo_excluded" -> q80PromoExcluded,
@@ -3569,6 +3728,10 @@ object TpcdsPatterns {
     "tpcds_style_q82_stock_range" -> q82StockRange)
 
   val oracles: Map[String, String] = Map(
+    "tpcds_style_q14b_cross_year_compare" -> q14bCrossYearCompareSql,
+    "tpcds_style_q23b_per_customer" -> q23bPerCustomerSql,
+    "tpcds_style_q24b_nation_netpaid" -> q24bNationNetPaidSql,
+    "tpcds_style_q39b_strict_variance" -> q39bStrictVarianceSql,
     "tpcds_style_q74_totals_growth" -> q74TotalsGrowthSql,
     "tpcds_style_q79_best_trip" -> q79BestTripSql,
     "tpcds_style_q80_promo_excluded" -> q80PromoExcludedSql,
