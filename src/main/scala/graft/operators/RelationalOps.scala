@@ -1246,7 +1246,7 @@ object RelationalOps {
       s"""WITH RECURSIVE reach(node, depth) AS (
         |  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
         |  UNION ALL
-        |  SELECT e.child, r.depth + 1
+        |  SELECT /*+ BROADCAST(r) */ e.child, r.depth + 1
         |  FROM reach r
         |  JOIN (SELECT p_partkey AS parent, p_partkey * 2 AS child FROM part_rc
         |        UNION ALL
