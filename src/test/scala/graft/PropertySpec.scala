@@ -126,6 +126,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash pipeline recall floor: every exact-duplicate pair is found") {
+    // pigeonhole: identical word sets hash to identical signatures, so
+    // all 4 bands collide and hamming = 0 ≤ 8 — the banded pipeline can
+    // NEVER miss an exact duplicate. This is the quantitative floor for
+    // the rows-only dedup_simhash entry (its hash family is
+    // engine-specific, so DuckDB can't oracle the values themselves).
+    val dir = GraftSparkSession.sfDir
+    // group on the signature's actual input: the distinct word set
+    val exactPairs = graft.Tables.load(spark, dir, "documents")
+      .groupBy(sort_array(array_distinct(split(col("text"), " "))).as("ws"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .collect().flatMap { r =>
+        val ids = r.getSeq[Long](1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    val simPairs = SparkEntry.queries("dedup_simhash")(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "fixture must contain identical-word-set pairs")
+    val missed = exactPairs -- simPairs
+    assert(missed.isEmpty,
+      s"simhash pipeline missed ${missed.size} exact-duplicate pairs: ${missed.take(5)}")
+  }
+
   test("merged complete-mode aggregate equals two-phase on random groupings") {
     val rnd = new Random(19)
     val data = Seq.fill(2000)((rnd.nextInt(40).toLong, rnd.nextInt(1000), rnd.nextDouble()))
