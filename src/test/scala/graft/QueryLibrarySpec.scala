@@ -39,6 +39,21 @@ class QueryLibrarySpec extends AnyFunSuite {
     assert(oversize.isEmpty, oversize.mkString("\n"))
   }
 
+  test("seeded bernoulli sample is rerun-deterministic and near the target fraction") {
+    // the rows-only justification for sample_bernoulli is the
+    // engine-specific RNG stream — but its CONTRACT is still testable:
+    // fixed seed ⇒ identical output across runs, and the sampled mass
+    // stays within a loose binomial band of the 10% target
+    val fn = SparkEntry.queries("sample_bernoulli")
+    val a = fn(spark, dir).collect().toSeq
+    val b = fn(spark, dir).collect().toSeq
+    assert(a == b, "fixed-seed sample must be rerun-identical")
+    val total = graft.Tables.load(spark, dir, "orders").count()
+    val sampled = a.map(_.getLong(1)).sum
+    val frac = sampled.toDouble / total
+    assert(frac > 0.05 && frac < 0.15, s"sampled fraction $frac outside [0.05, 0.15]")
+  }
+
   test("queries are deterministic across reruns") {
     for (name <- Seq("tpch_q01_pricing_summary", "dedup_minhash_lsh", "sim_ann_brute_topk")) {
       val fn = SparkEntry.queries(name)
