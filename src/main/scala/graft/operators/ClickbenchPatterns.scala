@@ -662,7 +662,86 @@ object ClickbenchPatterns {
       |FROM events WHERE event_type = 'view'
       |GROUP BY 1, 2 ORDER BY page_views DESC, w, h LIMIT 10""".stripMargin
 
+  // CB q2 shape: the standalone filtered COUNT(*) (AdvEngineID <> 0)
+  private val filteredCount: Q = (s, dir) =>
+    load(s, dir, "events").filter(col("value") =!= 0.0)
+      .agg(count(lit(1)).as("n"))
+
+  private val filteredCountSql =
+    "SELECT COUNT(*) AS n FROM events WHERE value <> 0.0"
+
+  // CB q5 shape: the standalone global COUNT(DISTINCT UserID)
+  private val uniqUsers: Q = (s, dir) =>
+    load(s, dir, "events").agg(countDistinct(col("user_id")).as("u"))
+
+  private val uniqUsersSql =
+    "SELECT COUNT(DISTINCT user_id) AS u FROM events"
+
+  // CB q6 shape: COUNT(DISTINCT) over the high-cardinality payload
+  // (SearchPhrase) — the distinct-heavy twin of q5
+  private val uniqPayloads: Q = (s, dir) =>
+    load(s, dir, "events").agg(countDistinct(col("props")).as("u"))
+
+  private val uniqPayloadsSql =
+    "SELECT COUNT(DISTINCT props) AS u FROM events"
+
+  // CB q13 shape: plain top-N by count over one string key (the
+  // SearchPhrase count report; q14's distinct-user twin is
+  // cb_phrase_users)
+  private val sourceCounts: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .filter(col("source") =!= "")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("source"))
+      .limit(10)
+
+  private val sourceCountsSql =
+    """SELECT source, COUNT(*) AS c
+      |FROM documents WHERE source <> ''
+      |GROUP BY source ORDER BY c DESC, source LIMIT 10""".stripMargin
+
+  // CB q38 shape: the Title binding of the pinned-window report —
+  // text-prefix page titles counted under a dimension pin
+  private val titleWindow: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .filter(col("lang") === "en" && col("n_chars").between(200, 2000))
+      .groupBy(substring(col("text"), 1, 20).as("title"))
+      .agg(count(lit(1)).as("page_views"))
+      .orderBy(col("page_views").desc, col("title"))
+      .limit(10)
+
+  private val titleWindowSql =
+    """SELECT substring(text, 1, 20) AS title, COUNT(*) AS page_views
+      |FROM documents
+      |WHERE lang = 'en' AND n_chars BETWEEN 200 AND 2000
+      |GROUP BY 1 ORDER BY page_views DESC, title LIMIT 10""".stripMargin
+
+  // CB q42 shape: paired derived keys under a hash pin (the
+  // URLHash-pinned WindowClientWidth × Height pairs)
+  private val pinnedPairs: Q = (s, dir) =>
+    load(s, dir, "events")
+      .filter(pmod(length(col("props")) * 31 + col("event_id"), lit(100)) === 3)
+      .groupBy(floor(col("value") / 20).cast("int").as("w"),
+        minute(col("ts")).as("h"))
+      .agg(count(lit(1)).as("page_views"))
+      .orderBy(col("page_views").desc, col("w"), col("h"))
+      .limit(10)
+
+  private val pinnedPairsSql =
+    """SELECT CAST(FLOOR(value / 20) AS INTEGER) AS w,
+      |  CAST(EXTRACT(MINUTE FROM ts) AS INTEGER) AS h, COUNT(*) AS page_views
+      |FROM events
+      |WHERE (length(props) * 31 + event_id) % 100 = 3
+      |GROUP BY 1, 2 ORDER BY page_views DESC, w, h LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cb_filtered_count" -> filteredCount,
+    "cb_uniq_users" -> uniqUsers,
+    "cb_uniq_payloads" -> uniqPayloads,
+    "cb_source_counts" -> sourceCounts,
+    "cb_title_window" -> titleWindow,
+    "cb_pinned_pairs" -> pinnedPairs,
     "cb_two_key_distinct" -> twoKeyDistinct,
     "cb_source_lang_topk" -> sourceLangTopk,
     "cb_projected_recent" -> projectedRecent,
@@ -703,6 +782,12 @@ object ClickbenchPatterns {
     "cb_length_profile" -> lengthProfile)
 
   val oracles: Map[String, String] = Map(
+    "cb_filtered_count" -> filteredCountSql,
+    "cb_uniq_users" -> uniqUsersSql,
+    "cb_uniq_payloads" -> uniqPayloadsSql,
+    "cb_source_counts" -> sourceCountsSql,
+    "cb_title_window" -> titleWindowSql,
+    "cb_pinned_pairs" -> pinnedPairsSql,
     "cb_two_key_distinct" -> twoKeyDistinctSql,
     "cb_source_lang_topk" -> sourceLangTopkSql,
     "cb_projected_recent" -> projectedRecentSql,
