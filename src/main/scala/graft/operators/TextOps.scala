@@ -349,6 +349,43 @@ object TextOps {
       |WHERE rk <= 15
       |ORDER BY source, rk""".stripMargin
 
+  // Temperature mixture: per-source targets ∝ n^α (α = 0.5), the
+  // T5/mT5-style temperature re-weighting that up-samples tail sources
+  // relative to head sources, with deterministic per-source head
+  // selection. One count agg + one broadcast of the tiny target table +
+  // per-source windows — no global sort at any corpus size.
+  private val docsTemperatureMix: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val weights = docs.groupBy(col("source").as("tsrc"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", pow(col("n").cast("double"), 0.5))
+    val targets = weights
+      .crossJoin(broadcast(weights.agg(sum(col("w")).as("tw"))))
+      .select(col("tsrc"),
+        floor(lit(300.0) * col("w") / col("tw")).cast("long").as("target"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.join(broadcast(targets), col("source") === col("tsrc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("target"))
+      .select(col("doc_id"), col("source"), col("rn").as("pick"))
+      .orderBy(col("source"), col("pick"))
+  }
+
+  private val docsTemperatureMixSql =
+    """WITH counts AS (
+      |  SELECT source AS tsrc, COUNT(*) AS n, POWER(CAST(COUNT(*) AS DOUBLE), 0.5) AS w
+      |  FROM documents GROUP BY 1),
+      |targets AS (
+      |  SELECT tsrc, CAST(FLOOR(300.0 * w / (SELECT SUM(w) FROM counts)) AS BIGINT) AS target
+      |  FROM counts)
+      |SELECT doc_id, source, CAST(rn AS INTEGER) AS pick
+      |FROM (
+      |  SELECT doc_id, source, target,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents JOIN targets ON source = tsrc)
+      |WHERE rn <= target
+      |ORDER BY source, pick""".stripMargin
+
   // Stratified head: per-language quotas (majority language capped
   // harder than the tail) by a quality-proxy order — proportional
   // stratified sampling with deterministic tie-breaks.
@@ -468,6 +505,7 @@ object TextOps {
     "docs_ngram_scrub" -> docsNgramScrub,
     "docs_epoch_shuffle" -> docsEpochShuffle,
     "docs_mixture_quota" -> docsMixtureQuota,
+    "docs_temperature_mix" -> docsTemperatureMix,
     "docs_stratified_head" -> docsStratifiedHead,
     "text_decontaminate" -> textDecontaminate,
     "docs_curation" -> docsCuration,
@@ -485,6 +523,7 @@ object TextOps {
     "docs_ngram_scrub" -> docsNgramScrubSql,
     "docs_epoch_shuffle" -> docsEpochShuffleSql,
     "docs_mixture_quota" -> docsMixtureQuotaSql,
+    "docs_temperature_mix" -> docsTemperatureMixSql,
     "docs_stratified_head" -> docsStratifiedHeadSql,
     "text_decontaminate" -> textDecontaminateSql,
     "docs_curation" -> docsCurationSql,
