@@ -38,6 +38,52 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  // Hard-negative mining for contrastive training: per query, the top-3
+  // most-similar corpus vectors with a DIFFERENT label — the pairs that
+  // matter for embedding-model training. Same distribution shape as the
+  // brute baseline (broadcast query side, corpus streamed once, label
+  // filter evaluated before the similarity ranking window).
+  private val hardNegatives: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("label").as("c_label"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("c_label") =!= col("q_label"))
+      .withColumn("cos", round(GraftExpressions.cosine_sim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"),
+        col("c_label").as("neg_label"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private val hardNegativesSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |lab AS (SELECT DISTINCT vec_id, label FROM e),
+      |dt AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+      |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+      |    AND q.label <> c.label
+      |  GROUP BY q.vec_id, c.vec_id),
+      |cs AS (
+      |  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+      |  FROM dt JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid),
+      |r AS (SELECT qid, cid, cos,
+      |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM cs)
+      |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, cos,
+      |  (SELECT label FROM lab WHERE lab.vec_id = r.cid) AS neg_label
+      |FROM r WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin
+
   private val annBruteSql =
     """WITH e AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
@@ -230,6 +276,7 @@ object SimilarityOps {
   val queries: Map[String, Q] = Map(
     "sim_quantize_int8" -> quantize,
     "sim_ann_brute_topk" -> annBrute,
+    "sim_hard_negatives" -> hardNegatives,
     "sim_ann_unit_topk" -> annUnitTopk,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
@@ -252,6 +299,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "sim_quantize_int8" -> quantizeSql,
     "sim_ann_brute_topk" -> annBruteSql,
+    "sim_hard_negatives" -> hardNegativesSql,
     "sim_ann_unit_topk" -> annUnitTopkSql,
     "sim_label_centroids" -> labelCentroidSimSql)
 }
