@@ -28,6 +28,18 @@ object GraftConf {
       "tables exceed it use shuffle joins on gid instead (AQE may still " +
       "convert at runtime from observed sizes — that conversion is " +
       "stats-driven and safe, unlike an unconditional broadcast hint)")
+  val DedupLshBucketCap: Entry[Int] = Entry("spark.graft.dedup.lsh.bucketCandidateMax", 0,
+    "per-(band, bucket) candidate cap for the LSH band join: a degenerate " +
+      "hot bucket (many distinct-but-near-identical sets) is quadratic in " +
+      "its size; when > 0, each bucket keeps at most this many sets " +
+      "(smallest gid first — deterministic) and the drop count is logged, " +
+      "never silent. 0 (default) = unbounded, exact banding semantics")
+  val RecursiveBroadcastMaxBytes: Entry[Long] = Entry("spark.graft.recursive.broadcastMaxBytes", 64L * 1024 * 1024,
+    "estimated size ceiling for hinting a broadcast of the recursion " +
+      "frontier in iterative/recursive-CTE joins; when the worst-case " +
+      "frontier estimate exceeds it, no hint is planted and AQE decides " +
+      "from observed runtime stats (a frontier is O(reachable nodes) — " +
+      "an unconditional hint would collect it to the driver at scale)")
   val ForceShuffledHashJoin: Entry[Boolean] = Entry("spark.graft.forceShuffledHashJoin", false,
     "rewrite planner-chosen sort-merge joins to shuffled hash joins with " +
       "a stats-chosen build side (RewriteJoinBuildSide); off by default " +
@@ -59,6 +71,7 @@ object GraftConf {
   /** all registered entries (for docs / introspection) */
   val entries: Seq[Entry[_]] =
     Seq(DedupLshPerms, DedupLshBands, DedupJaccardThreshold,
-      DedupVocabInlineMax, DedupBroadcastMaxBytes, ForceShuffledHashJoin,
+      DedupVocabInlineMax, DedupBroadcastMaxBytes, DedupLshBucketCap,
+      RecursiveBroadcastMaxBytes, ForceShuffledHashJoin,
       SkipPartialAggregate, SimTopK, SimLshBits)
 }

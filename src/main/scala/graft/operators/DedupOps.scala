@@ -99,9 +99,24 @@ object DedupOps {
       .select(col("gid"), col("sz"), col("band"),
         xxhash64(col("band"),
           slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("band_key"))
-    val cand = bands.select(col("band").as("band_a"), col("band_key").as("key_a"),
+    // Optional hot-bucket cap: pairs within a band bucket are quadratic
+    // in bucket size, and a degenerate bucket (many distinct-but-near-
+    // identical sets hashing to one band key) is unbounded. When the cap
+    // is on, each (band, key) bucket keeps its `cap` smallest gids —
+    // deterministic — and the number of dropped candidates is LOGGED,
+    // never silent. Default off: exact banding semantics (the oracle's).
+    val cap = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshBucketCap)
+    val bandsCapped = if (cap > 0) {
+      val (kept, dropped) = capBandBuckets(bands, cap)
+      val nDropped = dropped.count()
+      if (nDropped > 0)
+        System.err.println(s"[graft] LSH bucket cap=$cap dropped $nDropped " +
+          "band candidates (recall may be reduced for hot buckets)")
+      kept
+    } else bands
+    val cand = bandsCapped.select(col("band").as("band_a"), col("band_key").as("key_a"),
         col("gid").as("gid_a"), col("sz").as("sz_a"))
-      .join(bands.select(col("band").as("band_b"), col("band_key").as("key_b"),
+      .join(bandsCapped.select(col("band").as("band_b"), col("band_key").as("key_b"),
           col("gid").as("gid_b"), col("sz").as("sz_b")),
         col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
           col("gid_a") < col("gid_b") &&
@@ -293,35 +308,50 @@ object DedupOps {
   // embedding-cosine near-dup pairs (brute-force baseline). The id
   // ordering AND the cosine threshold both live in the join condition:
   // the nested-loop join then emits only surviving pairs instead of
-  // materializing all O(n²) wide rows through a downstream filter (the
-  // codegen'd cosine runs inside the probe loop).
+  // materializing all O(n²) wide rows through a downstream filter.
+  // Normalize-once: each vector is unit-scaled in a single narrow pass
+  // (O(n) work), so the per-pair inner loop is a pure codegen DotProduct
+  // — a third of the cosine FLOPs, and it is the pair loop that runs
+  // O(n²) times. The float round-trip on the unit vectors pins the fp
+  // semantics the DuckDB oracle reproduces exactly (same pattern as
+  // sim_ann_unit_topk). Survivor rows re-evaluate the dot in the select;
+  // survivors are the tiny filtered set, so that recompute is noise next
+  // to the probe loop (hoisted from 2× cosine = 6× dot, down to ~1× dot).
   private val dedupEmbedding: Q = (s, dir) => {
     val e = load(s, dir, "embeddings")
+      .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))))
+      .withColumn("unit", transform(col("embedding"),
+        x => (x.cast("double") / col("nrm")).cast("float")))
     // the corpus parquet is one small file = one input split, but the
     // probe side drives the O(n²) nested-loop work — spread it across
     // the cluster before the join (cost: shuffling n skinny rows)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val a = e.select(col("vec_id").as("id_a"), col("unit").as("unit_a"))
       .repartition(s.sparkContext.defaultParallelism)
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val b = e.select(col("vec_id").as("id_b"), col("unit").as("unit_b"))
     a.join(b, col("id_a") < col("id_b") &&
-        round(GraftExpressions.cosine_sim(col("emb_a"), col("emb_b")), 6) >= 0.4)
+        round(GraftExpressions.dot_product(col("unit_a"), col("unit_b")), 6) >= 0.4)
       .select(col("id_a"), col("id_b"),
-        round(GraftExpressions.cosine_sim(col("emb_a"), col("emb_b")), 6).as("cos"))
+        round(GraftExpressions.dot_product(col("unit_a"), col("unit_b")), 6).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
   private val dedupEmbeddingSql =
-    """WITH e AS (
-      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings),
-      |n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |u AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT)) AS unit
+      |  FROM n),
+      |e AS (SELECT vec_id, generate_subscripts(unit, 1) AS i, CAST(unnest(unit) AS DOUBLE) AS x FROM u),
       |dt AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
       |  GROUP BY a.vec_id, b.vec_id)
-      |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
-      |FROM dt JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
-      |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
+      |SELECT id_a, id_b, round(dot, 6) AS cos
+      |FROM dt
+      |WHERE round(dot, 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
   /** Near-dup clusters: connected components over the MinHash-LSH pair
@@ -347,6 +377,20 @@ object DedupOps {
     labels.groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_member"))
       .orderBy(col("cluster_rep"))
+  }
+
+  /** Per-(band, bucket) candidate cap for LSH banding: keeps each
+    * bucket's `cap` smallest gids (row_number over the same (band, key)
+    * partitioning the band join shuffles on — no extra exchange beyond
+    * the window sort) and returns (kept, dropped) so callers can count
+    * and report the drops. Bounds the band join's worst case to
+    * cap·(cap−1)/2 pairs per bucket. */
+  private[graft] def capBandBuckets(bands: DataFrame, cap: Int): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key")).orderBy(col("gid"))
+    val ranked = bands.withColumn("rn", row_number().over(w))
+    (ranked.filter(col("rn") <= cap).drop("rn"),
+      ranked.filter(col("rn") > cap).drop("rn"))
   }
 
   /** Min-label propagation to fixpoint over an undirected pair graph.

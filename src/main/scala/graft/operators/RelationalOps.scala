@@ -1242,11 +1242,20 @@ object RelationalOps {
     // bound inlined as a literal: scalar subqueries inside the recursive
     // step are restricted; the oracle computes the same bound via SQL
     val maxKey = part.agg(max(col("p_partkey"))).head.getLong(0)
+    // Size-guarded frontier broadcast: the per-iteration frontier is
+    // O(reachable nodes) ≤ maxKey rows of (bigint, int) ≈ 16 B each. An
+    // UNCONDITIONAL hint would collect the frontier to the driver at
+    // every iteration and OOM at 100× scale; under the budget the hint
+    // is a win (the frontier is re-joined against the full edge table
+    // each round), over it we plant nothing and AQE decides from
+    // observed runtime stats — the same policy as DedupBroadcastMaxBytes.
+    val budget = graft.GraftConf.getLong(s, graft.GraftConf.RecursiveBroadcastMaxBytes)
+    val hint = if (maxKey * 16L <= budget) "/*+ BROADCAST(r) */ " else ""
     s.sql(
       s"""WITH RECURSIVE reach(node, depth) AS (
         |  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
         |  UNION ALL
-        |  SELECT /*+ BROADCAST(r) */ e.child, r.depth + 1
+        |  SELECT ${hint}e.child, r.depth + 1
         |  FROM reach r
         |  JOIN (SELECT p_partkey AS parent, p_partkey * 2 AS child FROM part_rc
         |        UNION ALL

@@ -1796,7 +1796,7 @@ object TpcdsPatterns {
       |LIMIT 100""".stripMargin
 
   // DS q8 shape (q8.sql): revenue restricted to a literal zip-prefix
-  // list INTERSECTed with the prefixes that have >20 above-average
+  // list INTERSECTed with the prefixes that have >5 above-average
   // ("preferred") account holders — the customer-name digit suffix is
   // the zip analog. The prefix sets are tiny → both legs broadcast.
   private val q8PreferredPrefix: Q = (s, dir) => {
@@ -2874,8 +2874,11 @@ object TpcdsPatterns {
     val inv = li.groupBy(col("l_partkey").as("inv_pk"), col("l_shipdate").as("inv_d"))
       .agg(dbl(sum(dec(col("l_quantity")))).as("inv_qty"))
     li.filter(year(col("l_shipdate")) === 1996)
+      // both sides normalized to DATE: the oracle compares DATE to DATE,
+      // and raw timestamps would only match while fixtures stay
+      // midnight-aligned — an intra-day ship time must not desync them
       .join(inv, col("l_partkey") === col("inv_pk") &&
-        date_add(col("l_shipdate"), 7) === col("inv_d"))
+        date_add(to_date(col("l_shipdate")), 7) === to_date(col("inv_d")))
       .filter(col("inv_qty") < dbl(dec(col("l_quantity"))) * 5.0)
       .join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))

@@ -31,10 +31,17 @@ class QueryLibrarySpec extends AnyFunSuite {
     // 1.9 GB plan string; every library query must keep analysis- and
     // explain-cost bounded no matter how many rounds/branches it builds
     val oversize = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try {
-        val len = fn(spark, dir).queryExecution.executedPlan.toString.length
-        if (len > 1024 * 1024) Some(s"$name: plan string $len bytes") else None
-      } catch { case _: Throwable => None } // runnability is covered above
+      // scala.util.Try catches only NonFatal — an OutOfMemoryError while
+      // rendering the plan string (the exact regression this test exists
+      // for) propagates and fails the suite instead of being swallowed.
+      // Any non-fatal failure to stringify is reported as a finding too:
+      // the guard must never fail open in its target scenario.
+      scala.util.Try(fn(spark, dir).queryExecution.executedPlan.toString.length) match {
+        case scala.util.Success(len) if len <= 1024 * 1024 => None
+        case scala.util.Success(len) => Some(s"$name: plan string $len bytes")
+        case scala.util.Failure(e) =>
+          Some(s"$name: failed to render plan (${e.getClass.getSimpleName}: ${e.getMessage})")
+      }
     }
     assert(oversize.isEmpty, oversize.mkString("\n"))
   }

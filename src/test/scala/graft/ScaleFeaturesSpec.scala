@@ -166,6 +166,60 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("recursive-CTE frontier broadcast is size-guarded, not unconditional") {
+    // The per-iteration frontier of a recursive CTE is O(reachable nodes):
+    // an unconditional BROADCAST hint collects it to the driver every
+    // round and OOMs at scale. With the budget forced to ~zero (and
+    // stats-driven auto-broadcast off so only a hint could produce one)
+    // the recursion join must carry NO broadcast hint; with an ample
+    // budget the small-frontier fast path still hints it.
+    withConf(
+      GraftConf.RecursiveBroadcastMaxBytes.key -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = operators.RelationalOps.queries("sql_recursive_cte")(spark, dir)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("strategy=broadcast"),
+        "guarded recursion must not hint a frontier broadcast:\n" + optimized.take(3000))
+      // and the guarded plan still computes the same closure
+      assert(df.count() > 0)
+    }
+    withConf(GraftConf.RecursiveBroadcastMaxBytes.key -> (64L * 1024 * 1024).toString) {
+      val df = operators.RelationalOps.queries("sql_recursive_cte")(spark, dir)
+      assert(df.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+        "small frontier under budget should keep the broadcast hint")
+    }
+  }
+
+  test("LSH hot-bucket cap bounds pair blowup; default off preserves exact banding") {
+    import spark.implicits._
+    // synthetic degenerate bucket: 100 distinct sets all hashing to one
+    // (band, key) — uncapped this bucket alone yields 100·99/2 = 4950
+    // candidate pairs; the cap bounds it to cap·(cap−1)/2
+    val hot = (1 to 100).map(g => (g.toLong, 10, 0, 12345L))
+    val cold = Seq((200L, 10, 1, 777L), (201L, 10, 1, 777L))
+    val bands = (hot ++ cold).toDF("gid", "sz", "band", "band_key")
+    val cap = 8
+    val (kept, dropped) = operators.DedupOps.capBandBuckets(bands, cap)
+    assert(kept.count() == cap + 2, "hot bucket capped to 8, cold bucket intact")
+    assert(dropped.count() == 100 - cap, "drops are surfaced for logging, not silent")
+    // deterministic keep rule: smallest gids survive
+    assert(kept.filter(col("band_key") === 12345L).agg(max(col("gid"))).head.getLong(0) == cap.toLong)
+    // cap off (the default) must leave the band table untouched — the
+    // oracled dedup_minhash_lsh semantics depend on it
+    assert(GraftConf.getInt(spark, GraftConf.DedupLshBucketCap) == 0)
+    withConf(GraftConf.DedupLshBucketCap.key -> "3") {
+      // with a cap the full pipeline still runs and stays a subset of
+      // the exact pair list
+      val capped = operators.DedupOps.queries("dedup_minhash_lsh")(spark, dir).collect()
+      val exact = withConf(GraftConf.DedupLshBucketCap.key -> "0") {
+        operators.DedupOps.queries("dedup_minhash_lsh")(spark, dir).collect()
+      }
+      val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped.forall(r => exactSet((r.getLong(0), r.getLong(1)))),
+        "capped pairs must be a subset of exact banding pairs")
+    }
+  }
+
   private def withConf[A](entries: (String, String)*)(f: => A): A = {
     val old = entries.map { case (k, _) => k -> spark.conf.getOption(k) }
     entries.foreach { case (k, v) => spark.conf.set(k, v) }
