@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *    decoded dimensions + exact pixel sums, oracled against DuckDB's
   *    closed-form recomputation of the same pixel function (a wrong or
   *    fake decode cannot reproduce the per-pixel sum);
-  *  - `mm_decode_stub` keeps the clearly-marked deterministic fake as
-  *    the drop-in shape for codecs the JVM lacks (video/audio).
+  *  - `mm_decode_bmp` is a second real codec round-trip through the
+  *    same plumbing: 3-channel color BMP (lossless, `javax.imageio`),
+  *    oracled against the closed-form per-channel pixel sum — proving
+  *    the decode pipeline is codec-generic, not PNG-shaped.
   */
 object MultimodalOps {
 
@@ -26,11 +28,7 @@ object MultimodalOps {
   /** typed record for the decode pipeline: (id, payload bytes) */
   final case class MediaBytes(doc_id: Long, payload: Array[Byte])
 
-  /** typed "decoded" metadata record */
-  final case class MediaMeta(doc_id: Long, width: Int, height: Int,
-      channels: Int, mean_byte: Double)
-
-  /** typed decoded-PNG record: exact integer pixel sum (no float drift) */
+  /** typed decoded-image record: exact integer pixel sum (no float drift) */
   final case class PngMeta(doc_id: Long, width: Int, height: Int,
       channels: Int, sum_px: Long)
 
@@ -54,37 +52,67 @@ object MultimodalOps {
       |  3 AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Partition-wise decode pipeline over a typed Dataset of binary
-    * payloads. The decode body is a clearly-marked deterministic STUB
-    * (no codec libs in this container); everything around it — binary
-    * column handling, encoder schemas, per-partition batch iteration —
-    * is the real shape a libjpeg/ffmpeg-backed decoder would drop into.
-    * Rows-only check (stub semantics are engine-internal).
-    */
-  private val mmDecodeStub: Q = (s, dir) => {
+  /** deterministic per-doc 3-channel color image, encoded as REAL BMP
+    * bytes through the JDK codec (runs on executors). BMP is lossless,
+    * so every channel value survives the round-trip exactly. */
+  private def encodeBmp(id: Long): Array[Byte] = {
+    val w = (16 + id % 16).toInt
+    val h = (8 + id % 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < 3) {
+          r.setSample(x, y, b, ((id * 31 + x * 7 + y * 13 + b * 97) % 251).toInt)
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Second real codec through the same partition-wise decode pipeline:
+    * stage 1 encodes genuine color BMP payloads per document, stage 2
+    * parses them back with the shared [[decodePng]] reader (ImageIO is
+    * format-sniffing — the decode stage is codec-generic). The summed
+    * pixel value is band-permutation-invariant, so the oracle's
+    * closed-form recomputation is exact regardless of the raster's
+    * internal BGR band order. Proves the decode plumbing is not
+    * PNG-shaped; retires the former marked-stub decoder. */
+  private val mmDecodeBmp: Q = (s, dir) => {
     val spark = s
     import spark.implicits._
-    load(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[MediaBytes]
-      .mapPartitions { batch =>
-        // STUB decoder: replace with a real codec call per record.
-        batch.map { m =>
-          val bytes = m.payload
-          var sum = 0L
-          var i = 0
-          while (i < bytes.length) { sum += (bytes(i) & 0xFF); i += 1 }
-          val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-          MediaMeta(m.doc_id,
-            width = 64 + (bytes.length % 512),
-            height = 64 + ((bytes.length * 7) % 512),
-            channels = 3,
-            mean_byte = math.round(mean * 1e6) / 1e6)
-        }
-      }
+    load(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBytes(id, encodeBmp(id))))
+      .mapPartitions(_.map(decodePng))
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  private val mmDecodeBmpSql =
+    """WITH d AS (
+      |  SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      |  FROM documents WHERE doc_id < 100),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 31 + tx.x * 7 + ty.y * 13) % 251
+      |      + (doc_id * 31 + tx.x * 7 + ty.y * 13 + 97) % 251
+      |      + (doc_id * 31 + tx.x * 7 + ty.y * 13 + 194) % 251 AS v
+      |  FROM d,
+      |    LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) tx,
+      |    LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ty)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  3 AS channels, CAST(SUM(v) AS BIGINT) AS sum_px
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
   /** deterministic per-doc grayscale image, encoded as REAL PNG bytes
     * through the JDK codec (runs on executors) */
@@ -108,7 +136,8 @@ object MultimodalOps {
     bos.toByteArray
   }
 
-  /** real PNG parse: dimensions, bands and the exact pixel sum */
+  /** real image parse (ImageIO sniffs the container — PNG, BMP, …):
+    * dimensions, bands and the exact pixel sum */
   private def decodePng(m: MediaBytes): PngMeta = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
     val r = img.getRaster
@@ -212,7 +241,7 @@ object MultimodalOps {
   val queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_decode_png" -> mmDecodePng,
-    "mm_decode_stub" -> mmDecodeStub,
+    "mm_decode_bmp" -> mmDecodeBmp,
     "mm_frame_sample" -> mmFrameSample,
     "mm_chunk_payload" -> mmChunk,
     "mm_base64" -> mmBase64)
@@ -220,6 +249,7 @@ object MultimodalOps {
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_decode_png" -> mmDecodePngSql,
+    "mm_decode_bmp" -> mmDecodeBmpSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_chunk_payload" -> mmChunkSql,
     "mm_base64" -> mmBase64Sql)
