@@ -45,6 +45,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // quantitative gates for the rows-only queries (recall/error/band
+    // numbers the DuckDB hash-compare can't produce) — full dumps only,
+    // so the single-query local iteration loop stays fast
+    if (only.isEmpty) {
+      try {
+        val gates = graft.tools.QualityGates.measure(spark, sfDir)
+        Files.writeString(Paths.get(s"$outDir/recall_gates.json"),
+          graft.tools.QualityGates.toJson(gates))
+        gates.foreach(g => System.err.println(
+          f"[gates] ${g.query}%-22s ${g.metric}%-34s ${g.value}%.4f (bound ${g.bound}%.2f) ${if (g.pass) "ok" else "FAIL"}"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[gates] measurement failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -883,16 +883,28 @@ object RelationalOps {
 
   // mode / median (exact). The grouping is chosen so each group's mode is
   // unique at the tested SF — mode on a tied multiset is engine-defined.
+  // mode with the DETERMINISTIC tie-break (lowest tied value): a tied
+  // multiset is data-dependent — bare mode() passed at sf0.01 but broke
+  // at sf0.001 — so both engines pin the same tie rule explicitly
   private val aggModeMedian: Q = (s, dir) =>
     load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(expr("mode(l_quantity)").as("q_mode"),
+      .agg(expr("mode(l_quantity, true)").as("q_mode"),
         expr("median(l_quantity)").as("q_median"))
       .orderBy(col("l_returnflag"))
 
   private val aggModeMedianSql =
-    """SELECT l_returnflag, mode(l_quantity) AS q_mode, median(l_quantity) AS q_median
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    """WITH c AS (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rk
+      |  FROM c)
+      |SELECT r.l_returnflag, r.l_quantity AS q_mode, m.q_median
+      |FROM r JOIN (SELECT l_returnflag, median(l_quantity) AS q_median
+      |             FROM lineitem GROUP BY 1) m USING (l_returnflag)
+      |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin
 
   // nth_value / first_value / last_value over an explicit unbounded frame
   private val windowNth: Q = (s, dir) => {

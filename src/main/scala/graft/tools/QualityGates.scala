@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Quantitative gates for the rows-only queries (the ones the DuckDB
+  * oracle cannot hash-check because their semantics are engine-specific:
+  * approximate sketches, LSH/IVF recall < 1, seeded sampling, native
+  * hashes). Each gate measures the query's CONTRACT as a number against
+  * the same floors the specs pin (AnnRecallSpec, PropertySpec,
+  * SketchSpec, QueryLibrarySpec), so the driver's correctness artifact
+  * carries measured values, not just "rows-only, trust the specs".
+  * Verify writes the result as `recall_gates.json` next to the dumps.
+  */
+object QualityGates {
+
+  /** one measured gate: pass is metric-specific (recall ≥ floor,
+    * error ≤ bound, fraction within band, determinism == 1) */
+  final case class Gate(query: String, metric: String, value: Double,
+      bound: Double, pass: Boolean)
+
+  private def topSets(df: DataFrame, k: Int): Map[Long, Set[Long]] =
+    df.filter(col("rnk") <= k).select(col("qid"), col("cid")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  private def recallAt3(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).count(ex.contains).toDouble / ex.size
+    }
+    per.sum / per.size
+  }
+
+  private def withConf[A](spark: SparkSession, key: String, value: String)(f: => A): A = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  def measure(spark: SparkSession, sfDir: String): Seq[Gate] = {
+    val qs = graft.SparkEntry.queries
+
+    // ---- ANN recall@3 vs the exact brute-force ranking ----------------
+    val exact3 = topSets(qs("sim_ann_brute_topk")(spark, sfDir), 3)
+    // LSH at the same 4-bit operating point AnnRecallSpec pins (this
+    // corpus has weak angular structure; 8-bit buckets are near-empty)
+    val lshRecall = withConf(spark, graft.GraftConf.SimLshBits.key, "4") {
+      recallAt3(topSets(qs("sim_ann_lsh")(spark, sfDir), 3), exact3)
+    }
+    val ivfRecall = recallAt3(topSets(qs("sim_ann_ivf")(spark, sfDir), 3), exact3)
+
+    // ---- SimHash recall vs the exact-banding MinHash ground truth -----
+    val lshPairs = qs("dedup_minhash_lsh")(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+    val simhashPairs = qs("dedup_simhash")(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical word-sets (j = 1.0) can NEVER be missed (PropertySpec's
+    // pigeonhole guarantee): identical sets ⇒ identical signature ⇒
+    // identical bands ⇒ hamming 0 — floor is exactly 1.0
+    val identical = lshPairs.filter(_.getDouble(2) >= 0.999999)
+    val identicalRecall =
+      if (identical.isEmpty) 1.0
+      else identical.count(r => simhashPairs((r.getLong(0), r.getLong(1)))).toDouble / identical.length
+    // informational: recall over ALL j ≥ 0.9 near-dup pairs (SimHash's
+    // 64-bit signature is coarser than 48-perm MinHash — no floor, the
+    // number is carried so the artifact shows the operating point)
+    val nearDupRecall =
+      if (lshPairs.isEmpty) 1.0
+      else lshPairs.count(r => simhashPairs((r.getLong(0), r.getLong(1)))).toDouble / lshPairs.length
+
+    // ---- seeded Bernoulli sample: fraction within binomial band -------
+    val sampled = qs("sample_bernoulli")(spark, sfDir)
+      .agg(sum(col("n"))).head.getLong(0)
+    val total = graft.Tables.load(spark, sfDir, "orders").count()
+    val frac = sampled.toDouble / total
+    // rerun determinism of the fixed seed (QueryLibrarySpec's contract)
+    val rerunSame = qs("sample_bernoulli")(spark, sfDir).collect().toSeq ==
+      qs("sample_bernoulli")(spark, sfDir).collect().toSeq
+
+    // ---- HLL sketch relative error vs exact distinct counts -----------
+    val apx = qs("agg_approx_sketch")(spark, sfDir)
+      .select(col("l_returnflag"), col("apx_parts")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactDistinct = graft.Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxRelErr = exactDistinct.map { case (flag, ex) =>
+      math.abs(apx.getOrElse(flag, 0L) - ex).toDouble / ex
+    }.max
+
+    // ---- native hashes: deterministic across reruns -------------------
+    val hashSame = qs("fn_hash_native")(spark, sfDir).collect().toSeq ==
+      qs("fn_hash_native")(spark, sfDir).collect().toSeq
+
+    Seq(
+      Gate("sim_ann_lsh", "recall_at_3_vs_brute_4bit", lshRecall, 0.30, lshRecall >= 0.30),
+      Gate("sim_ann_ivf", "recall_at_3_vs_brute", ivfRecall, 0.25, ivfRecall >= 0.25),
+      Gate("dedup_simhash", "identical_set_pair_recall", identicalRecall, 1.0, identicalRecall >= 1.0),
+      Gate("dedup_simhash", "near_dup_pair_recall_j090", nearDupRecall, 0.0, pass = true),
+      Gate("sample_bernoulli", "sampled_fraction_target_010", frac, 0.05,
+        frac > 0.05 && frac < 0.15),
+      Gate("sample_bernoulli", "fixed_seed_rerun_deterministic", if (rerunSame) 1.0 else 0.0,
+        1.0, rerunSame),
+      Gate("agg_approx_sketch", "hll_max_relative_error", maxRelErr, 0.15, maxRelErr <= 0.15),
+      Gate("fn_hash_native", "rerun_deterministic", if (hashSame) 1.0 else 0.0, 1.0, hashSame))
+  }
+
+  /** render gates as a JSON object keyed by query name */
+  def toJson(gates: Seq[Gate]): String =
+    gates.groupBy(_.query).toSeq.sortBy(_._1).map { case (q, gs) =>
+      val arr = gs.map { g =>
+        f"""{"metric":"${g.metric}","value":${g.value}%.6f,"bound":${g.bound}%.6f,"pass":${g.pass}}"""
+      }.mkString("[", ",", "]")
+      s""""$q": $arr"""
+    }.mkString("{", ",", "}")
+}
