@@ -25,7 +25,8 @@ object SparkEntry {
       (DedupOps.queries, DedupOps.oracles),
       (SimilarityOps.queries, SimilarityOps.oracles),
       (TextOps.queries, TextOps.oracles),
-      (MultimodalOps.queries, MultimodalOps.oracles))
+      (MultimodalOps.queries, MultimodalOps.oracles),
+      (LakeOps.queries, LakeOps.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake-catalog queries over [[graft.sources.GraftLakeCatalog]] — the
+  * §2.1 table-format connector surface (Iceberg/Delta/Hudi/Paimon
+  * analog) exercised end-to-end as ORACLED library queries so the
+  * connector carries performance telemetry in Bench and correctness
+  * hashes in Verify, not just spec assertions.
+  *
+  * Each query rebuilds its table from a DETERMINISTIC slice of the
+  * `orders` parquet (drop + create + append), so the DuckDB oracle can
+  * recompute the expected state from the same parquet with plain SQL.
+  * The rebuild is part of the measured operation: these queries time
+  * the connector's write path (hash-clustered distribution), commit
+  * protocol, and snapshot-resolving scan together.
+  *
+  * Scale notes: appends shuffle once on the partition source columns
+  * (RequiresDistributionAndOrdering hash clustering — the small-files
+  * defence); MERGE is the copy-on-write rewrite of only the touched
+  * file groups; the time-travel read resolves a snapshot's manifest and
+  * scans only that file set; identity-partition DELETE is metadata-only
+  * (no data rewrite). Nothing here collects to the driver beyond the
+  * catalog's in-memory stand-in for object storage.
+  */
+object LakeOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** idempotent per-query table rebuild (Verify/Bench run queries many
+    * times in one session; the lake catalog is session-shared state) */
+  private def freshTable(s: SparkSession, name: String): Unit = {
+    s.conf.set("spark.sql.catalog.lake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.sql(s"DROP TABLE IF EXISTS lake.$name")
+    s.sql(
+      s"""CREATE TABLE lake.$name (o_orderkey BIGINT, o_orderstatus STRING,
+         |  o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""".stripMargin)
+  }
+
+  private def ordersSlice(s: SparkSession, dir: String, mod: Int, rem: Int): DataFrame =
+    load(s, dir, "orders")
+      .filter(col("o_orderkey") % mod === rem)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  /** snapshot isolation: two appends, then a VERSION AS OF read pinned
+    * to the first — later commits must be invisible to the pinned scan */
+  private val lakeTimeTravel: Q = (s, dir) => {
+    freshTable(s, "bench_tt")
+    ordersSlice(s, dir, 3, 0).writeTo("lake.bench_tt").append() // v1
+    ordersSlice(s, dir, 3, 1).writeTo("lake.bench_tt").append() // v2
+    s.sql("SELECT * FROM lake.bench_tt VERSION AS OF 1")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val lakeTimeTravelSql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** MERGE INTO (copy-on-write): matched rows re-priced, unmatched
+    * source rows inserted; result is the upserted table's aggregate */
+  private val lakeMerge: Q = (s, dir) => {
+    freshTable(s, "bench_mg")
+    ordersSlice(s, dir, 2, 0).writeTo("lake.bench_mg").append()
+    ordersSlice(s, dir, 3, 0).createOrReplaceTempView("lake_merge_src")
+    s.sql(
+      """MERGE INTO lake.bench_mg t USING lake_merge_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 1000.0D
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+        |  VALUES (s.o_orderkey, s.o_orderstatus, s.o_totalprice)""".stripMargin)
+    s.table("lake.bench_mg")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val lakeMergeSql =
+    """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |           FROM orders WHERE o_orderkey % 2 = 0),
+      |src AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |        FROM orders WHERE o_orderkey % 3 = 0),
+      |merged AS (
+      |  SELECT t.o_orderkey, t.o_orderstatus,
+      |    CASE WHEN src.o_orderkey IS NOT NULL
+      |         THEN t.o_totalprice + 1000.0 ELSE t.o_totalprice END AS o_totalprice
+      |  FROM t LEFT JOIN src ON t.o_orderkey = src.o_orderkey
+      |  UNION ALL
+      |  SELECT src.o_orderkey, src.o_orderstatus, src.o_totalprice
+      |  FROM src LEFT JOIN t ON src.o_orderkey = t.o_orderkey
+      |  WHERE t.o_orderkey IS NULL)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** change data feed: two appends + an identity-partition DELETE
+    * (metadata-only fast path), then the row-level diff between
+    * snapshots aggregated per (change type, commit version) */
+  private val lakeCdf: Q = (s, dir) => {
+    freshTable(s, "bench_cdf")
+    ordersSlice(s, dir, 5, 0).writeTo("lake.bench_cdf").append() // v1
+    ordersSlice(s, dir, 5, 1).writeTo("lake.bench_cdf").append() // v2
+    s.sql("DELETE FROM lake.bench_cdf WHERE o_orderstatus = 'F'") // v3
+    s.sql("CALL lake.system.changes('bench_cdf', 0L, 3L)")
+      .groupBy(col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("change_type"), col("commit_version"))
+  }
+
+  private val lakeCdfSql =
+    """WITH diffs AS (
+      |  SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version, COUNT(*) AS n
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT 'insert', 2, COUNT(*) FROM orders WHERE o_orderkey % 5 = 1
+      |  UNION ALL
+      |  SELECT 'delete', 3, COUNT(*) FROM orders
+      |  WHERE o_orderkey % 5 IN (0, 1) AND o_orderstatus = 'F')
+      |SELECT change_type, commit_version, n FROM diffs
+      |ORDER BY change_type, commit_version""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "lake_time_travel" -> lakeTimeTravel,
+    "lake_merge" -> lakeMerge,
+    "lake_cdf_scan" -> lakeCdf)
+
+  val oracles: Map[String, String] = Map(
+    "lake_time_travel" -> lakeTimeTravelSql,
+    "lake_merge" -> lakeMergeSql,
+    "lake_cdf_scan" -> lakeCdfSql)
+}
