@@ -67,6 +67,21 @@ object Bench {
     "docs_epoch_shuffle",
     "lake_time_travel", "lake_merge", "lake_cdf_scan")
 
+  /** the data-pipeline operator set for scaling runs (ScaleUp's
+    * perturbed 10x documents/embeddings/events): everything that must
+    * scale near-linearly in corpus size. The two documented O(n^2)
+    * correctness baselines (`dedup_embedding`, `dedup_ngram_jaccard`)
+    * are excluded by design — their scalable counterparts
+    * (`sim_ann_lsh`/`sim_ann_ivf`, `dedup_minhash_lsh`) are in. */
+  val pipeline: Seq[String] = Seq(
+    "dedup_exact", "dedup_keyed", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_cluster_groups",
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "text_decontaminate", "docs_curation", "docs_epoch_shuffle",
+    "docs_mixture_quota",
+    "ev_sessionize", "ev_uniq_users_by_type_day", "ev_asof_join_custom",
+    "sim_ann_brute_topk", "sim_ann_lsh", "sim_ann_ivf")
+
   /** needs the graft as-of planner strategy or the graft lake catalog —
     * cannot plan on a stock session */
   val graftOnly: Set[String] = Set(
@@ -128,6 +143,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val set = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "full") match {
       case "tpch" => tpch
+      case "pipeline" => pipeline
       case _ => headline
     }
     val withVanilla = sys.env.getOrElse("SPARK_GRAFT_BENCH_VANILLA", "1") != "0"

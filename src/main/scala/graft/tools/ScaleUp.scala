@@ -3,25 +3,41 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** TPC-H scale-up generator for the sf1 performance run: replicates the
-  * sf0.1 fact/dimension parquet N times with consistent key shifting
-  * (each replica's keys offset by `replica * (max_key + 1)` so foreign
-  * keys stay referentially intact: orders→customer, lineitem→orders/
-  * part/supplier). Dimensions `region`/`nation` are fixed-size at every
+/** Scale-up generator for larger-SF performance runs: replicates the
+  * sf0.1 parquet N times with consistent key shifting (each replica's
+  * keys offset by `replica * (max_key + 1)` so foreign keys stay
+  * referentially intact: orders→customer, lineitem→orders/part/
+  * supplier). Dimensions `region`/`nation` are fixed-size at every
   * TPC-H SF and are copied as-is. Non-key attributes keep their
   * original distributions, so selectivities — date windows, status
   * predicates, name-suffix classes — match the base data and query
   * plans stay representative at 10x the rows.
   *
-  * `runMain graft.tools.ScaleUp [srcDir] [outDir] [factor]`
-  * (defaults: /root/testdata/sf0.1 → /tmp/graft_sf1 × 10).
-  * Bench's sf1 run uses SPARK_GRAFT_BENCH_SET=tpch against the output.
+  * Pipeline tables are replicated with DETERMINISTIC PERTURBATION so
+  * the dedup/similarity workload stays realistic instead of degenerate:
+  *  - `documents`: ~1/8 of each replica's words get a per-replica
+  *    suffix (hash-selected), so replicas are NOT near-duplicates of
+  *    each other (cross-replica word-set Jaccard ≈ 0.78 < the 0.9
+  *    threshold) while in-replica near-dup structure is preserved — a
+  *    10x corpus with ~10x the dup clusters, not one giant clique;
+  *  - `embeddings`: each component scaled by a per-(id, dim) factor in
+  *    [0.997, 1.003] — vectors stay near their originals (realistic
+  *    neighborhoods) but are pairwise distinct;
+  *  - `events`: user ids shifted per replica (10x users, same per-user
+  *    session shape); `ts` kept as raw int64 nanos so `Tables.load`'s
+  *    nanos handling applies to the scaled copy identically.
+  *
+  * `runMain graft.tools.ScaleUp [srcDir] [outDir] [factor] [tables]`
+  * (defaults: /root/testdata/sf0.1 → /tmp/graft_sf1 × 10 tpch).
+  * `tables` = `tpch` | `pipeline` | `all`. Bench runs use
+  * SPARK_GRAFT_BENCH_SET=tpch / =pipeline against the output.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val tables = if (args.length > 3) args(3) else "tpch"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
@@ -51,17 +67,64 @@ object ScaleUp {
         }
       }.reduce(_ union _)
 
-    // fixed-size dimensions: unchanged at every TPC-H SF
-    write(tbl("region"), "region")
-    write(tbl("nation"), "nation")
-    write(replicate(tbl("customer"), "c_custkey" -> custStride), "customer")
-    write(replicate(tbl("supplier"), "s_suppkey" -> suppStride), "supplier")
-    write(replicate(tbl("part"), "p_partkey" -> partStride), "part")
-    write(replicate(tbl("orders"),
-      "o_orderkey" -> orderStride, "o_custkey" -> custStride), "orders")
-    write(replicate(tbl("lineitem"),
-      "l_orderkey" -> orderStride, "l_partkey" -> partStride,
-      "l_suppkey" -> suppStride), "lineitem")
+    if (tables == "tpch" || tables == "all") {
+      // fixed-size dimensions: unchanged at every TPC-H SF
+      write(tbl("region"), "region")
+      write(tbl("nation"), "nation")
+      write(replicate(tbl("customer"), "c_custkey" -> custStride), "customer")
+      write(replicate(tbl("supplier"), "s_suppkey" -> suppStride), "supplier")
+      write(replicate(tbl("part"), "p_partkey" -> partStride), "part")
+      write(replicate(tbl("orders"),
+        "o_orderkey" -> orderStride, "o_custkey" -> custStride), "orders")
+      write(replicate(tbl("lineitem"),
+        "l_orderkey" -> orderStride, "l_partkey" -> partStride,
+        "l_suppkey" -> suppStride), "lineitem")
+    }
+
+    if (tables == "pipeline" || tables == "all") {
+      // documents: per-replica word drift (hash-selected 1/8 of words get
+      // a replica suffix; replica 0 keeps the original text verbatim) —
+      // breaks cross-replica near-duplication without touching in-replica
+      // structure, and keeps n_chars/lang/source distributions intact
+      val docStride = stride("documents", "doc_id")
+      val docs = (0 until factor).map { i =>
+        val base = tbl("documents").withColumn("doc_id", col("doc_id") + lit(i * docStride))
+        if (i == 0) base
+        else base.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => when(pmod(xxhash64(w), lit(8)) === 0,
+              concat(w, lit("_r"), lit(i))).otherwise(w)), " "))
+          .withColumn("n_chars", length(col("text")))
+      }.reduce(_ union _)
+      write(docs, "documents")
+
+      // embeddings: tiny deterministic per-(id, dim) scaling keeps
+      // neighborhoods realistic while making all vectors distinct
+      val vecStride = stride("embeddings", "vec_id")
+      val embs = (0 until factor).map { i =>
+        val base = tbl("embeddings").withColumn("vec_id", col("vec_id") + lit(i * vecStride))
+        if (i == 0) base
+        else base.withColumn("embedding",
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, j) => (x.cast("double") *
+              (lit(1.0) + (pmod(col("vec_id") * 37 + j * 13 + lit(i), lit(7)) - lit(3))
+                * lit(0.001))).cast("float")))
+      }.reduce(_ union _)
+      write(embs, "embeddings")
+
+      // events: ts stays raw int64 nanos (the physical type Tables.load
+      // expects to convert); user ids shift per replica
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evBase = spark.read.parquet(s"$src/events.parquet")
+      val userStride = evBase.agg(max(col("user_id"))).head.getLong(0) + 1L
+      val evStride = evBase.agg(max(col("event_id"))).head.getLong(0) + 1L
+      val events = (0 until factor).map { i =>
+        evBase.withColumn("event_id", col("event_id") + lit(i * evStride))
+          .withColumn("user_id", col("user_id") + lit(i * userStride))
+      }.reduce(_ union _)
+      write(events, "events")
+    }
     spark.stop()
   }
 }

@@ -173,7 +173,117 @@ class SparkSemanticsSpec extends AnyFunSuite {
     "avg_decimal_scale_plus_4" ->
       "SELECT avg(x) FROM VALUES (CAST(1 AS DECIMAL(10,2))),(CAST(2 AS DECIMAL(10,2))) t(x)",
     "sum_empty_relation_is_null" -> "SELECT sum(x) FROM VALUES (1) t(x) WHERE x > 99",
-    "count_empty_relation_is_zero" -> "SELECT count(x) FROM VALUES (1) t(x) WHERE x > 99")
+    "count_empty_relation_is_zero" -> "SELECT count(x) FROM VALUES (1) t(x) WHERE x > 99",
+
+    // higher-order functions (the dedup/similarity pipelines build on
+    // transform/aggregate/zip_with — exact lambda semantics matter)
+    "hof_transform_with_index" -> "SELECT transform(array(10,20,30), (x, i) -> x + i)",
+    "hof_filter" -> "SELECT filter(array(1,2,3,4), x -> x % 2 = 0)",
+    "hof_exists_short_circuit_null" -> "SELECT exists(array(1, NULL, 3), x -> x > 2)",
+    "hof_forall_empty_is_true" -> "SELECT forall(array(), x -> false)",
+    "hof_aggregate_with_finish" ->
+      "SELECT aggregate(array(1,2,3), 0, (acc, x) -> acc + x, acc -> acc * 10)",
+    "hof_zip_with_pads_null" ->
+      "SELECT zip_with(array(1,2,3), array(10,20), (a, b) -> a + b)",
+    "hof_map_filter" -> "SELECT map_filter(map('a',1,'b',2), (k, v) -> v > 1)",
+    "hof_transform_values" -> "SELECT transform_values(map('a',1,'b',2), (k, v) -> v * 10)",
+    "hof_reduce_alias" -> "SELECT reduce(array(1,2,3,4), 0, (acc, x) -> acc + x)",
+
+    // JSON semantics (VARIANT/json paths in the scalar battery)
+    "json_get_object_path" -> "SELECT get_json_object('{\"a\":{\"b\":7}}', '$.a.b')",
+    "json_get_missing_is_null" -> "SELECT get_json_object('{\"a\":1}', '$.b')",
+    "json_tuple_two_fields" -> "SELECT json_tuple('{\"a\":1,\"b\":\"x\"}', 'a', 'b')",
+    "json_from_json_struct" ->
+      "SELECT from_json('{\"a\":1,\"b\":\"x\"}', 'a INT, b STRING')",
+    "json_from_json_malformed_is_null" ->
+      "SELECT from_json('{bad', 'a INT')",
+    "json_to_json_struct" -> "SELECT to_json(named_struct('a', 1, 'b', 'x'))",
+    "json_array_index" -> "SELECT get_json_object('[1,2,3]', '$[1]')",
+
+    // regex semantics
+    "regex_replace_backreference" ->
+      "SELECT regexp_replace('ab12cd', '([a-z]+)(\\\\d+)', '$2$1')",
+    "regex_extract_no_match_empty" -> "SELECT regexp_extract('abc', '([0-9]+)', 1)",
+    "regex_extract_all" -> "SELECT regexp_extract_all('a1b22c333', '([0-9]+)', 1)",
+    "regex_rlike_unanchored" -> "SELECT 'xabcx' RLIKE 'abc'",
+    "regex_split_with_limit" -> "SELECT split('a,b,c,d', ',', 2)",
+    "regex_like_escape_percent" -> "SELECT 'a%b' LIKE 'a\\\\%b'",
+
+    // struct semantics (ordering is field-by-field, left to right)
+    "struct_field_access" -> "SELECT named_struct('a', 1, 'b', 'x').a",
+    "struct_ordering_lexicographic" ->
+      "SELECT struct(1, 'b') < struct(2, 'a'), struct(1, 'b') < struct(1, 'c')",
+    "struct_equality" -> "SELECT named_struct('a', 1) = named_struct('a', 1)",
+
+    // bit semantics
+    "bit_shiftleft_int_wraps" -> "SELECT shiftleft(1, 32)",
+    "bit_count_long" -> "SELECT bit_count(255L)",
+    "bit_xor_and_or" -> "SELECT 12 ^ 10, 12 & 10, 12 | 10, ~12",
+
+    // temporal formatting / arithmetic extensions
+    "time_to_date_with_format" -> "SELECT to_date('31/12/2020', 'dd/MM/yyyy')",
+    "time_date_format_pattern" ->
+      "SELECT date_format(TIMESTAMP '2020-01-02 03:04:05', 'yyyy-MM-dd HH:mm')",
+    "time_trunc_month" -> "SELECT trunc(DATE '2020-02-15', 'MM')",
+    "time_next_day_friday" -> "SELECT next_day(DATE '2020-01-01', 'FR')",
+    "time_dayofyear_leap" -> "SELECT dayofyear(DATE '2020-12-31')",
+    "time_quarter" -> "SELECT quarter(DATE '2020-05-05')",
+    "time_timestampdiff_month_clamp" ->
+      "SELECT timestampdiff(MONTH, TIMESTAMP '2020-01-31', TIMESTAMP '2020-02-29')",
+    "time_try_to_timestamp_invalid" -> "SELECT try_to_timestamp('not a time')",
+    "time_from_unixtime_utc" -> "SELECT from_unixtime(86400)",
+
+    // string function extensions
+    "str_initcap" -> "SELECT initcap('hELLO wORLD')",
+    "str_translate" -> "SELECT translate('abcba', 'ab', 'xy')",
+    "str_overlay" -> "SELECT overlay('Spark SQL' PLACING 'ANSI' FROM 7 FOR 3)",
+    "str_left_right" -> "SELECT left('hello', 2), right('hello', 2)",
+    "str_levenshtein" -> "SELECT levenshtein('kitten', 'sitting')",
+    "str_format_number" -> "SELECT format_number(1234567.891, 2)",
+    "str_elt_one_based" -> "SELECT elt(2, 'a', 'b', 'c')",
+    "str_octet_vs_char_length" -> "SELECT octet_length('héllo'), length('héllo')",
+    "str_base64_round_trip" -> "SELECT CAST(unbase64(base64('graft')) AS STRING)",
+
+    // deterministic hash functions: values pinned across versions (the
+    // fingerprint/bucketing operators depend on these exact streams)
+    "hash_murmur3_pinned" -> "SELECT hash('abc')",
+    "hash_xxhash64_pinned" -> "SELECT xxhash64('abc')",
+    "hash_crc32_pinned" -> "SELECT crc32('abc')",
+    "hash_md5_pinned" -> "SELECT md5('abc')",
+    "hash_sha2_pinned" -> "SELECT sha2('abc', 256)",
+
+    // window semantics over a fixed single-partition VALUES relation
+    "win_rank_gaps_dense_no_gaps" ->
+      """SELECT x, rank() OVER (ORDER BY x), dense_rank() OVER (ORDER BY x)
+        |FROM VALUES (1),(1),(2) t(x) ORDER BY x""".stripMargin,
+    "win_range_frame_includes_peers" ->
+      """SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |FROM VALUES (1),(1),(2) t(x) ORDER BY x""".stripMargin,
+    "win_rows_frame_excludes_peers" ->
+      """SELECT x, sum(x) OVER (ORDER BY x, y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |FROM VALUES (1, 1),(1, 2),(2, 3) t(x, y) ORDER BY x, y""".stripMargin,
+    "win_lag_default" ->
+      """SELECT x, lag(x, 1, -1) OVER (ORDER BY x)
+        |FROM VALUES (1),(2),(3) t(x) ORDER BY x""".stripMargin,
+    "win_percent_rank_fractions" ->
+      """SELECT x, percent_rank() OVER (ORDER BY x), cume_dist() OVER (ORDER BY x)
+        |FROM VALUES (1),(2),(2),(4) t(x) ORDER BY x""".stripMargin,
+    "win_ntile_uneven" ->
+      """SELECT x, ntile(3) OVER (ORDER BY x)
+        |FROM VALUES (1),(2),(3),(4),(5) t(x) ORDER BY x""".stripMargin,
+
+    // set operation semantics
+    "setop_intersect_dedups" ->
+      "SELECT * FROM (SELECT 1 UNION ALL SELECT 1) INTERSECT (SELECT 1) ",
+    "setop_except_all_multiplicity" ->
+      """SELECT x FROM (SELECT * FROM VALUES (1),(1),(2) t(x)
+        |EXCEPT ALL SELECT * FROM VALUES (1) u(y)) ORDER BY x""".stripMargin,
+    "setop_union_coerces_int_double" ->
+      "SELECT x FROM (SELECT 1 AS x UNION SELECT 2.5e0) ORDER BY x",
+
+    // literal typing
+    "literal_decimal_typing" -> "SELECT typeof(1.5), typeof(1e0), typeof(.5), typeof(1)",
+    "literal_bigint_suffix" -> "SELECT typeof(1L), typeof(1S), typeof(1Y)")
 
   // ---- ANSI error entries: (label, sql, expected error condition) ------
   private val ansiErrors: Seq[(String, String, String)] = Seq(
