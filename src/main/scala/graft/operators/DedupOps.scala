@@ -75,17 +75,25 @@ object DedupOps {
     * DataFrame plus the cached set-level table so callers that
     * materialize the pairs themselves can release the cache. */
   private def minhashLshImpl(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // NOTE: no repartition before tokenizing — at real scale the corpus
+    // arrives as many file splits (scan already parallel) and a
+    // round-robin repartition here would shuffle the full text payload
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), sort_array(array_distinct(split(col("text"), " "))).as("words"))
+    lshPairsFromSets(s, docs)
+  }
+
+  /** The staged MinHash-LSH pipeline over ANY (doc_id, words) set table
+    * — word sets (the [[dedupMinhashLsh]] default) or w-shingle sets
+    * ([[dedupMinhashShingle]]); element strings are opaque to every
+    * stage (signature, banding, vocabulary bitmap verify). */
+  private def lshPairsFromSets(s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     // tunables from the spark.graft.* namespace (defaults = oracled semantics)
     val perms = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshPerms)
     val nBands = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshBands)
     val rowsPerBand = math.max(1, perms / nBands)
     val threshold = graft.GraftConf.getDouble(s, graft.GraftConf.DedupJaccardThreshold)
-    // NOTE: no repartition before tokenizing — at real scale the corpus
-    // arrives as many file splits (scan already parallel) and a
-    // round-robin repartition here would shuffle the full text payload
-    val docs = load(s, dir, "documents")
-      .select(col("doc_id"), sort_array(array_distinct(split(col("text"), " "))).as("words"))
     // one row per distinct word-set; cached (it feeds 4 downstream stages
     // and is |distinct sets| rows — small even when the corpus is not)
     val groups = docs.groupBy(col("words"))
@@ -190,7 +198,10 @@ object DedupOps {
     val budget = graft.GraftConf.getLong(s, graft.GraftConf.DedupBroadcastMaxBytes)
     val rowBytes = nChunks * 8L + 32L
     val maxSets = math.min(Int.MaxValue - 1L, budget / rowBytes)
-    val smallSets = maxSets > 0 && load(s, dir, "documents").count() <= maxSets
+    // the probe counts the INPUT doc table (a free upper bound on
+    // distinct sets — column pruning reduces it to a parquet row-count
+    // scan; it never touches the expensive group pipeline)
+    val smallSets = maxSets > 0 && docs.count() <= maxSets
     val maskA = masks.select(col("gid").as("gid_a"), col("mask").as("mask_a"))
     val maskB = masks.select(col("gid").as("gid_b"), col("mask").as("mask_b"))
     val crossGroup =
@@ -241,6 +252,47 @@ object DedupOps {
       |inter AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       |  FROM ws a JOIN ws b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  round(CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
+      |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash-LSH near-dup over 3-word SHINGLE sets — the standard
+    * document near-dup formulation (order-sensitive where the word-set
+    * variant is bag-of-words): two docs pair only when ≥90% of their
+    * 3-gram phrase structure matches. Reuses the full staged pipeline
+    * ([[lshPairsFromSets]]); the shingle vocabulary is ~|corpus words|
+    * large, so at sf0.01 this ORACLED query exercises the distributed
+    * sortBy+zipWithIndex vocabulary path (the 100 TB branch) rather
+    * than the inline-literal fast path. */
+  private val dedupMinhashShingle: Q = (s, dir) => {
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val sets = toks.select(col("doc_id"),
+      sort_array(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("w")) - 2, lit(0))),
+        i => concat_ws(" ",
+          element_at(col("w"), i),
+          element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2))))).as("words"))
+      .filter(size(col("words")) > 0)
+    // the set-level cache stays live for the query's execution (like
+    // the word-set variant); the Verify/Bench harnesses clear caches
+    // between queries
+    lshPairsFromSets(s, sets)._1
+  }
+
+  private val dedupMinhashShingleSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)
       |SELECT da AS doc_a, db AS doc_b,
       |  round(CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
@@ -449,6 +501,7 @@ object DedupOps {
     "dedup_exact" -> dedupExact,
     "dedup_keyed" -> dedupKeyed,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_shingle" -> dedupMinhashShingle,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgram,
     "dedup_embedding" -> dedupEmbedding)
@@ -458,6 +511,7 @@ object DedupOps {
     "dedup_exact" -> dedupExactSql,
     "dedup_keyed" -> dedupKeyedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_minhash_shingle" -> dedupMinhashShingleSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }
