@@ -65,7 +65,7 @@ object Bench {
     "sim_ann_brute_topk", "sim_ann_lsh",
     "text_quality", "text_fingerprint", "text_decontaminate", "docs_curation",
     "docs_epoch_shuffle",
-    "lake_time_travel", "lake_merge", "lake_cdf_scan")
+    "lake_time_travel", "lake_merge", "lake_cdf_scan", "lake_zorder_skip")
 
   /** the data-pipeline operator set for scaling runs (ScaleUp's
     * perturbed 10x documents/embeddings/events): everything that must
@@ -85,7 +85,8 @@ object Bench {
   /** needs the graft as-of planner strategy or the graft lake catalog —
     * cannot plan on a stock session */
   val graftOnly: Set[String] = Set(
-    "ev_asof_join_custom", "lake_time_travel", "lake_merge", "lake_cdf_scan")
+    "ev_asof_join_custom", "lake_time_travel", "lake_merge", "lake_cdf_scan",
+    "lake_zorder_skip")
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     val qs = SparkEntry.queries

@@ -126,13 +126,62 @@ object LakeOps {
       |SELECT change_type, commit_version, n FROM diffs
       |ORDER BY change_type, commit_version""".stripMargin
 
+  /** Z-order clustered write + 2-D box read: the table is rebuilt with
+    * rows clustered on the (o_orderkey, o_totalprice) Z-curve, so the
+    * box predicate prunes most files via min/max stats in BOTH
+    * dimensions (ZOrderSpec proves the skip vs linear clustering); the
+    * box bounds are derived from min/max with arithmetic DuckDB
+    * reproduces bit-for-bit (long ops exact, double ops same IEEE
+    * stream), keeping the oracle an exact hash match */
+  private val lakeZOrderSkip: Q = (s, dir) => {
+    s.conf.set("spark.sql.catalog.lake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS lake.bench_z")
+    s.sql(
+      """CREATE TABLE lake.bench_z (o_orderkey BIGINT, o_custkey BIGINT,
+        |  o_totalprice DOUBLE)""".stripMargin)
+    val src = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ZOrder.cluster(src, "o_orderkey", "o_totalprice", 16)
+      .writeTo("lake.bench_z").append()
+    val r = load(s, dir, "orders")
+      .agg(min(col("o_orderkey")), max(col("o_orderkey")),
+        min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    val (mnk, mxk) = (r.getLong(0), r.getLong(1))
+    val (mnp, mxp) = (r.getDouble(2), r.getDouble(3))
+    val loK = mnk + math.floor((mxk - mnk) * 0.40).toLong
+    val hiK = mnk + math.floor((mxk - mnk) * 0.60).toLong
+    val loP = mnp + (mxp - mnp) * 0.20
+    val hiP = mnp + (mxp - mnp) * 0.45
+    s.table("lake.bench_z")
+      .filter(col("o_orderkey").between(loK, hiK) &&
+        col("o_totalprice").between(loP, hiP))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("custs"),
+        dbl(sum(dec(col("o_totalprice")))).as("total"))
+  }
+
+  private val lakeZOrderSkipSql =
+    """WITH b AS (SELECT MIN(o_orderkey) AS mnk, MAX(o_orderkey) AS mxk,
+      |                  MIN(o_totalprice) AS mnp, MAX(o_totalprice) AS mxp
+      |           FROM orders)
+      |SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS custs,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders, b
+      |WHERE o_orderkey BETWEEN mnk + CAST(FLOOR((mxk - mnk) * 0.40e0) AS BIGINT)
+      |                     AND mnk + CAST(FLOOR((mxk - mnk) * 0.60e0) AS BIGINT)
+      |  AND o_totalprice BETWEEN mnp + (mxp - mnp) * 0.20e0
+      |                       AND mnp + (mxp - mnp) * 0.45e0""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "lake_time_travel" -> lakeTimeTravel,
     "lake_merge" -> lakeMerge,
-    "lake_cdf_scan" -> lakeCdf)
+    "lake_cdf_scan" -> lakeCdf,
+    "lake_zorder_skip" -> lakeZOrderSkip)
 
   val oracles: Map[String, String] = Map(
     "lake_time_travel" -> lakeTimeTravelSql,
     "lake_merge" -> lakeMergeSql,
-    "lake_cdf_scan" -> lakeCdfSql)
+    "lake_cdf_scan" -> lakeCdfSql,
+    "lake_zorder_skip" -> lakeZOrderSkipSql)
 }

@@ -283,7 +283,266 @@ class SparkSemanticsSpec extends AnyFunSuite {
 
     // literal typing
     "literal_decimal_typing" -> "SELECT typeof(1.5), typeof(1e0), typeof(.5), typeof(1)",
-    "literal_bigint_suffix" -> "SELECT typeof(1L), typeof(1S), typeof(1Y)")
+    "literal_bigint_suffix" -> "SELECT typeof(1L), typeof(1S), typeof(1Y)",
+
+    // ---- round-4 extension --------------------------------------------
+    // cast & typing edges (string<->temporal, float widening noise,
+    // scientific rendering, binary round-trips)
+    "cast_iso_t_separator_to_timestamp" -> "SELECT CAST('2020-01-02T03:04:05' AS TIMESTAMP)",
+    "cast_date_only_string_to_timestamp" -> "SELECT CAST('2020-01-02' AS TIMESTAMP)",
+    "cast_bool_to_string" -> "SELECT CAST(true AS STRING)",
+    "cast_binary_roundtrip_string" -> "SELECT CAST(CAST('hi' AS BINARY) AS STRING)",
+    "cast_tinyint_overflow_try" -> "SELECT try_cast(128 AS TINYINT)",
+    "cast_smallint_min_boundary" -> "SELECT CAST(-32768 AS SMALLINT)",
+    "cast_plus_sign_string_to_int" -> "SELECT try_cast('+7' AS INT), try_cast('-7' AS INT)",
+    "cast_empty_string_to_int_try" -> "SELECT try_cast('' AS INT)",
+    "cast_double_1e21_renders_scientific" -> "SELECT CAST(1e21 AS STRING)",
+    "cast_decimal_keeps_trailing_zeros" ->
+      "SELECT CAST(CAST(1.10 AS DECIMAL(5,2)) AS STRING)",
+    "cast_float_to_double_widening_noise" -> "SELECT CAST(CAST(0.1 AS FLOAT) AS DOUBLE)",
+    "cast_interval_to_string" -> "SELECT CAST(INTERVAL '1' DAY AS STRING)",
+    "cast_numeric_string_to_boolean" ->
+      "SELECT try_cast('1' AS BOOLEAN), try_cast('0' AS BOOLEAN)",
+    "cast_typeof_timestamp_ntz" -> "SELECT typeof(TIMESTAMP_NTZ '2020-01-02 03:04:05')",
+    "cast_typeof_null_literal" -> "SELECT typeof(NULL)",
+
+    // string function edges (1-based positions, custom trim/escape,
+    // binary/number formatting, regexp count/instr/substr)
+    "str_ascii_chr" -> "SELECT ascii('A'), char(66)",
+    "str_find_in_set" -> "SELECT find_in_set('b', 'a,b,c'), find_in_set('z', 'a,b,c')",
+    "str_locate_from_position" -> "SELECT locate('l', 'hello', 4)",
+    "str_position_in" -> "SELECT position('l' IN 'hello')",
+    "str_substring_index_negative" ->
+      "SELECT substring_index('a.b.c', '.', -1), substring_index('a.b.c', '.', 2)",
+    "str_space_concat" -> "SELECT concat('a', space(2), 'b')",
+    "str_btrim_custom_chars" -> "SELECT btrim('xxhixx', 'x')",
+    "str_trim_leading_custom" -> "SELECT trim(LEADING 'x' FROM 'xxhi')",
+    "str_startswith_endswith_contains" ->
+      "SELECT startswith('spark', 'sp'), endswith('spark', 'rk'), contains('spark', 'ar')",
+    "str_format_string_printf" -> "SELECT format_string('%d-%s', 7, 'x')",
+    "str_encode_decode_utf8_roundtrip" ->
+      "SELECT decode(encode('héllo', 'utf-8'), 'utf-8')",
+    "str_to_binary_hex" -> "SELECT to_binary('4142', 'hex')",
+    "str_try_to_binary_invalid" -> "SELECT try_to_binary('zz', 'hex')",
+    "str_to_number_grouped" -> "SELECT to_number('12,345', '99,999')",
+    "str_try_to_number_invalid" -> "SELECT try_to_number('abc', '999')",
+    "str_to_char_decimal_format" -> "SELECT to_char(123.45, '9999.99')",
+    "str_split_part_negative" -> "SELECT split_part('a,b,c', ',', -1)",
+    "str_regexp_count" -> "SELECT regexp_count('a1b22c333', '[0-9]+')",
+    "str_regexp_instr" -> "SELECT regexp_instr('ab12cd', '[0-9]+')",
+    "str_regexp_substr" -> "SELECT regexp_substr('ab12cd', '[0-9]+')",
+    "str_like_custom_escape" -> "SELECT 'a%b' LIKE 'aX%b' ESCAPE 'X'",
+    "str_ilike_case_insensitive" -> "SELECT 'SPARK' ILIKE 'spark'",
+    "str_soundex" -> "SELECT soundex('Tymczak'), soundex('Robert')",
+    "str_luhn_check" -> "SELECT luhn_check('79927398713'), luhn_check('79927398714')",
+    "str_mask_defaults" -> "SELECT mask('AbCd-123')",
+    "str_replace_all_occurrences" -> "SELECT replace('abcabc', 'bc', 'X')",
+    "str_reverse_string_and_array" -> "SELECT reverse('abc'), reverse(array(1,2,3))",
+    "str_lower_unicode_dotted_i" -> "SELECT lower('İ')",
+
+    // math edges (domain errors -> NULL/NaN, unsigned conv, try_*
+    // overflow, half-even rint vs half-up round)
+    "math_ln_zero" -> "SELECT ln(0)",
+    "math_log_negative" -> "SELECT log(-1)",
+    "math_sqrt_negative_is_nan" -> "SELECT sqrt(-1)",
+    "math_power_zero_zero" -> "SELECT power(0, 0)",
+    "math_mod_double" -> "SELECT mod(7.5e0, 2)",
+    "math_round_negative_scale" -> "SELECT round(12345, -2)",
+    "math_hex_negative_is_unsigned64" -> "SELECT hex(-1)",
+    "math_unhex_roundtrip" -> "SELECT CAST(unhex(hex('hi')) AS STRING)",
+    "math_conv_bases" -> "SELECT conv('ff', 16, 10), conv('-1', 10, 16)",
+    "math_factorial_overflow_null" -> "SELECT factorial(5), factorial(21)",
+    "math_cbrt_hypot" -> "SELECT cbrt(27e0), hypot(3e0, 4e0)",
+    "math_signum" -> "SELECT signum(-5e0), signum(0e0), signum(7e0)",
+    "math_bin_bits" -> "SELECT bin(13)",
+    "math_width_bucket" -> "SELECT width_bucket(5.3e0, 0.2e0, 10.6e0, 5)",
+    "math_try_add_int_overflow" -> "SELECT try_add(2147483647, 1)",
+    "math_try_multiply_bigint_overflow" -> "SELECT try_multiply(9223372036854775807L, 2L)",
+    "math_try_subtract_underflow" -> "SELECT try_subtract(-2147483648, 1)",
+    "math_rint_half_even" -> "SELECT rint(2.5e0), rint(3.5e0)",
+    "math_e_pi" -> "SELECT e(), pi()",
+    "math_cot" -> "SELECT cot(1e0)",
+    "math_expm1_log1p" -> "SELECT expm1(0e0), log1p(0e0)",
+    "math_double_zero_div_zero_try" -> "SELECT try_divide(0.0e0, 0.0e0)",
+
+    // array edges (0-based get vs 1-based element_at, compact/insert/
+    // append, sequences with steps, explode_outer on empty)
+    "arr_get_is_zero_based" -> "SELECT get(array(10,20,30), 1)",
+    "arr_compact_strips_nulls" -> "SELECT array_compact(array(1, NULL, 2, NULL))",
+    "arr_distinct_keeps_first_occurrence" -> "SELECT array_distinct(array(3,1,3,2,1))",
+    "arr_except_dedups" -> "SELECT array_except(array(1,1,2,3), array(3))",
+    "arr_intersect_order_of_left" -> "SELECT array_intersect(array(3,1,2), array(2,3))",
+    "arr_join_with_null_replacement" -> "SELECT array_join(array('a',NULL,'b'), ',', '?')",
+    "arr_join_skips_null_by_default" -> "SELECT array_join(array('a',NULL,'b'), ',')",
+    "arr_max_min_skip_nulls" ->
+      "SELECT array_max(array(1,NULL,3)), array_min(array(2,NULL,1))",
+    "arr_remove_all_occurrences" -> "SELECT array_remove(array(1,2,1,3), 1)",
+    "arr_repeat" -> "SELECT array_repeat('x', 3)",
+    "arr_overlap_with_null_entry" -> "SELECT arrays_overlap(array(1,NULL), array(2))",
+    "arr_zip_struct_fields" -> "SELECT arrays_zip(array(1,2), array('a','b'))",
+    "arr_append_null_element" -> "SELECT array_append(array(1,2), NULL)",
+    "arr_prepend" -> "SELECT array_prepend(array(1,2), 0)",
+    "arr_insert_negative_index" -> "SELECT array_insert(array(1,2,3), -1, 99)",
+    "arr_sequence_desc_step" -> "SELECT sequence(5, 1, -2)",
+    "arr_sequence_month_step" ->
+      "SELECT sequence(DATE '2020-01-01', DATE '2020-03-01', INTERVAL '1' MONTH)",
+    "arr_explode_outer_empty_array_keeps_row" ->
+      "SELECT x FROM (SELECT explode_outer(CAST(array() AS ARRAY<INT>)) AS x)",
+    "arr_size_vs_cardinality" -> "SELECT array_size(array(1,2)), cardinality(array(1,2))",
+    "arr_concat_operator" -> "SELECT concat(array(1), array(2,3))",
+    "arr_posexplode_is_zero_based" ->
+      "SELECT pos, v FROM (SELECT posexplode(array('a','b')) AS (pos, v))",
+
+    // map construction & access
+    "map_from_arrays_basic" -> "SELECT map_from_arrays(array('a','b'), array(1,2))",
+    "map_from_entries_basic" ->
+      "SELECT map_from_entries(array(struct('a',1), struct('b',2)))",
+    "map_entries_preserve_insertion" -> "SELECT map_entries(map('b',2,'a',1))",
+    "map_keys_and_values" -> "SELECT map_keys(map('a',1,'b',2)), map_values(map('a',1,'b',2))",
+    "map_str_to_map_defaults" -> "SELECT str_to_map('a:1,b:2')",
+    "map_contains_key" -> "SELECT map_contains_key(map('a',1), 'a'), map_contains_key(map('a',1), 'z')",
+    "map_zip_with_missing_key_null" ->
+      "SELECT map_zip_with(map('a',1,'b',2), map('a',10), (k, v1, v2) -> coalesce(v1,0) + coalesce(v2,0))",
+    "map_transform_keys" -> "SELECT transform_keys(map('a',1,'b',2), (k, v) -> upper(k))",
+    "map_size" -> "SELECT size(map('a',1))",
+
+    // conditionals & predicates (three-valued logic extensions)
+    "cond_if_null_condition_takes_else" -> "SELECT if(CAST(NULL AS BOOLEAN), 1, 2)",
+    "cond_case_without_else_is_null" -> "SELECT CASE WHEN 1 = 2 THEN 'x' END",
+    "cond_nvl2" -> "SELECT nvl2(NULL, 1, 2), nvl2(0, 1, 2)",
+    "cond_nanvl_replaces_nan_only" -> "SELECT nanvl(double('NaN'), 1.0e0), nanvl(2.0e0, 1.0e0)",
+    "cond_isnan_isnull" -> "SELECT isnan(double('NaN')), isnull(NULL), isnotnull(1)",
+    "cond_ifnull" -> "SELECT ifnull(NULL, 'd')",
+    "pred_between_null_bound" -> "SELECT 1 BETWEEN NULL AND 2",
+    "pred_is_distinct_from_null_safe" ->
+      "SELECT 1 IS DISTINCT FROM NULL, NULL IS DISTINCT FROM NULL",
+    "pred_like_null_pattern_is_null" -> "SELECT 'a' LIKE CAST(NULL AS STRING)",
+    "pred_equal_null_function" -> "SELECT equal_null(NULL, NULL), equal_null(1, NULL)",
+
+    // aggregate surface extensions (ignore-nulls modes, boolean/bitwise
+    // aggregates, moments, try_ aggregates, sketch estimate)
+    "agg_first_last_ignore_nulls" ->
+      "SELECT first(x) IGNORE NULLS, last(x) IGNORE NULLS FROM VALUES (NULL),(1),(2),(NULL) t(x)",
+    "agg_any_value_single_partition" ->
+      "SELECT any_value(x) FROM VALUES (7),(8) t(x)",
+    "agg_bool_and_or_every_some" ->
+      "SELECT bool_and(x), bool_or(x), every(x), some(x) FROM VALUES (true),(false) t(x)",
+    "agg_bitwise_fns" ->
+      "SELECT bit_and(x), bit_or(x), bit_xor(x) FROM VALUES (12),(10),(6) t(x)",
+    "agg_corr_covar" ->
+      "SELECT corr(x, y), covar_samp(x, y), covar_pop(x, y) FROM VALUES (1e0,2e0),(2e0,4e0),(3e0,6e0) t(x, y)",
+    "agg_skewness_kurtosis_pinned" ->
+      "SELECT skewness(x), kurtosis(x) FROM VALUES (1e0),(2e0),(3e0),(10e0) t(x)",
+    "agg_variance_single_row" ->
+      "SELECT var_samp(x), var_pop(x) FROM VALUES (5e0) t(x)",
+    "agg_median_interpolates" -> "SELECT median(x) FROM VALUES (1),(2),(3),(4) t(x)",
+    "agg_count_if" -> "SELECT count_if(x > 1) FROM VALUES (1),(2),(3) t(x)",
+    "agg_percentile_cont_vs_disc" ->
+      """SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x),
+        |       percentile_disc(0.5) WITHIN GROUP (ORDER BY x)
+        |FROM VALUES (1),(2),(3),(4) t(x)""".stripMargin,
+    "agg_collect_list_preserves_local_order" ->
+      "SELECT collect_list(x) FROM VALUES (3),(1),(2) t(x)",
+    "agg_grouping_and_grouping_id_rollup" ->
+      """SELECT a, grouping(a), grouping_id(a), count(*)
+        |FROM VALUES ('x'),('x') t(a) GROUP BY ROLLUP(a) ORDER BY a NULLS LAST""".stripMargin,
+    "agg_try_sum_bigint_overflow_null" ->
+      "SELECT try_sum(x) FROM VALUES (9223372036854775807L),(1L) t(x)",
+    "agg_hll_sketch_estimate_exact_small" ->
+      "SELECT hll_sketch_estimate(hll_sketch_agg(x)) FROM VALUES (1),(2),(3),(2) t(x)",
+    "agg_bitmap_count_construct" ->
+      "SELECT bitmap_count(bitmap_construct_agg(bitmap_bit_position(x))) FROM VALUES (1),(2),(2),(70000) t(x)",
+
+    // window frame gotchas (default-frame last_value, empty frames,
+    // ignore-nulls navigation, interval range frames)
+    "win_last_value_default_frame_is_current_row" ->
+      """SELECT x, last_value(x) OVER (ORDER BY x)
+        |FROM VALUES (1),(2),(3) t(x) ORDER BY x""".stripMargin,
+    "win_nth_value_full_frame" ->
+      """SELECT x, nth_value(x, 2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |FROM VALUES (1),(2),(3) t(x) ORDER BY x""".stripMargin,
+    "win_first_value_ignore_nulls" ->
+      """SELECT x, first_value(x) IGNORE NULLS OVER (ORDER BY coalesce(x, 0) ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |FROM VALUES (NULL),(2),(3) t(x) ORDER BY coalesce(x, 0)""".stripMargin,
+    "win_lead_beyond_partition_is_null" ->
+      """SELECT x, lead(x, 1) OVER (ORDER BY x)
+        |FROM VALUES (1),(2) t(x) ORDER BY x""".stripMargin,
+    "win_empty_following_frame_counts_zero" ->
+      """SELECT x, count(x) OVER (ORDER BY x ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING)
+        |FROM VALUES (1),(2),(3) t(x) ORDER BY x""".stripMargin,
+    "win_rows_sliding_frame" ->
+      """SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |FROM VALUES (1),(2),(3),(4) t(x) ORDER BY x""".stripMargin,
+    "win_range_interval_frame_over_dates" ->
+      """SELECT d, count(*) OVER (ORDER BY d RANGE BETWEEN INTERVAL '1' DAY PRECEDING AND CURRENT ROW)
+        |FROM VALUES (DATE '2020-01-01'),(DATE '2020-01-02'),(DATE '2020-01-05') t(d) ORDER BY d""".stripMargin,
+
+    // timezone & extended temporal semantics (session zone is UTC)
+    "tz_from_utc_timestamp" ->
+      "SELECT from_utc_timestamp(TIMESTAMP '2020-01-01 00:00:00', 'Asia/Tokyo')",
+    "tz_to_utc_timestamp" ->
+      "SELECT to_utc_timestamp(TIMESTAMP '2020-01-01 09:00:00', 'Asia/Tokyo')",
+    "tz_convert_timezone_ntz" ->
+      "SELECT convert_timezone('UTC', 'Asia/Tokyo', TIMESTAMP_NTZ '2020-01-01 00:00:00')",
+    "tz_dst_spring_forward_la" ->
+      "SELECT from_utc_timestamp(TIMESTAMP '2020-03-08 10:30:00', 'America/Los_Angeles')",
+    "dt_make_timestamp_fractional_seconds" ->
+      "SELECT make_timestamp(2020, 1, 2, 3, 4, 5.5)",
+    "dt_make_intervals" ->
+      "SELECT make_interval(1, 2, 0, 3, 4, 5, 6.5), make_dt_interval(1, 2, 3, 4.5), make_ym_interval(1, 14)",
+    "dt_timestamp_seconds_millis_micros" ->
+      "SELECT timestamp_seconds(1), timestamp_millis(1500), timestamp_micros(1500000)",
+    "dt_unix_date_roundtrip" ->
+      "SELECT unix_date(DATE '1970-01-02'), date_from_unix_date(1)",
+    "dt_unix_micros_millis" ->
+      "SELECT unix_micros(TIMESTAMP '1970-01-01 00:00:01'), unix_millis(TIMESTAMP '1970-01-01 00:00:01')",
+    "dt_months_between_same_day_is_whole" ->
+      "SELECT months_between(DATE '2020-03-15', DATE '2020-02-15')",
+    "dt_date_part_alias" ->
+      "SELECT date_part('YEAR', DATE '2020-05-05'), datepart('MONTH', DATE '2020-05-05')",
+    "dt_day_name_english_locale" -> "SELECT date_format(DATE '2020-01-05', 'EEEE')",
+    "dt_to_timestamp_ntz" -> "SELECT to_timestamp_ntz('2020-01-01 00:00:00')",
+    "dt_interval_division" -> "SELECT INTERVAL '1' DAY / 2",
+    "dt_date_plus_int_is_date_add" -> "SELECT DATE '2020-01-01' + 1",
+
+    // JSON / CSV / URL function surface
+    "json_schema_of_json" -> "SELECT schema_of_json('[{\"a\":1}]')",
+    "json_from_json_array_type" -> "SELECT from_json('[1,2]', 'ARRAY<INT>')",
+    "json_array_length" -> "SELECT json_array_length('[1,2,3]')",
+    "json_object_keys" -> "SELECT json_object_keys('{\"b\":1,\"a\":2}')",
+    "json_to_json_map" -> "SELECT to_json(map('a', 1))",
+    "csv_from_csv_struct" -> "SELECT from_csv('1,ab', 'a INT, b STRING')",
+    "csv_to_csv" -> "SELECT to_csv(named_struct('a', 1, 'b', 'x'))",
+    "csv_schema_of_csv" -> "SELECT schema_of_csv('1,ab')",
+    "url_parse_host_and_query_key" ->
+      "SELECT parse_url('https://h.com:8080/p?q=1#f', 'HOST'), parse_url('https://h.com/p?q=1', 'QUERY', 'q')",
+    "url_encode_decode_roundtrip" ->
+      "SELECT url_encode('a b&c'), url_decode(url_encode('a b&c'))",
+
+    // variant semantics (semi-structured path extraction)
+    "variant_get_typed_path" ->
+      "SELECT variant_get(parse_json('{\"a\":{\"b\":7}}'), '$.a.b', 'int')",
+    "variant_typeof" -> "SELECT schema_of_variant(parse_json('{\"a\":1}'))",
+    "variant_missing_path_null" ->
+      "SELECT variant_get(parse_json('{\"a\":1}'), '$.z', 'int')",
+
+    // struct & normalization semantics
+    "struct_null_struct_field_access" ->
+      "SELECT s.a FROM (SELECT CAST(NULL AS STRUCT<a: INT>) AS s)",
+    "struct_star_expansion" ->
+      "SELECT s.* FROM (SELECT named_struct('a', 1, 'b', 2) AS s)",
+    "norm_distinct_merges_negative_zero" ->
+      "SELECT count(DISTINCT x) FROM VALUES (CAST('0.0' AS DOUBLE)),(CAST('-0.0' AS DOUBLE)) t(x)",
+    "norm_distinct_merges_nan_variants" ->
+      "SELECT count(DISTINCT x) FROM VALUES (double('NaN')),(acos(2e0)) t(x)",
+
+    // generator & misc scalar semantics
+    "gen_stack_pads_null" -> "SELECT stack(2, 1, 2, 3)",
+    "gen_inline_structs" ->
+      "SELECT inline(array(named_struct('a', 1), named_struct('a', 2)))",
+    "misc_reflect_static_call" -> "SELECT reflect('java.lang.Math', 'max', 1, 2)",
+    "misc_hash_multi_arg" -> "SELECT hash(1, 'a', true)",
+    "misc_sha1_pinned" -> "SELECT sha1('abc')")
 
   // ---- ANSI error entries: (label, sql, expected error condition) ------
   private val ansiErrors: Seq[(String, String, String)] = Seq(
@@ -293,7 +552,24 @@ class SparkSemanticsSpec extends AnyFunSuite {
     ("ansi_element_at_oob_errors", "SELECT element_at(array(1), 3)", "INVALID_ARRAY_INDEX"),
     ("ansi_int_overflow_errors", "SELECT 2147483647 + 1", "ARITHMETIC_OVERFLOW"),
     ("ansi_duplicate_map_key_errors", "SELECT map_concat(map('a',1), map('a',2))",
-      "DUPLICATED_MAP_KEY"))
+      "DUPLICATED_MAP_KEY"),
+    // round-4 extension
+    ("ansi_element_at_zero_errors", "SELECT element_at(array(1), 0)",
+      "INVALID_INDEX_OF_ZERO"),
+    ("ansi_decimal_overflow_errors", "SELECT CAST(99999 AS DECIMAL(4,0))",
+      "NUMERIC_VALUE_OUT_OF_RANGE"),
+    ("ansi_abs_min_int_overflow_errors", "SELECT abs(-2147483648)",
+      "ARITHMETIC_OVERFLOW"),
+    ("ansi_array_subscript_oob_errors", "SELECT array(1, 2)[5]",
+      "INVALID_ARRAY_INDEX"),
+    ("ansi_to_number_malformed_errors", "SELECT to_number('abc', '999')",
+      "INVALID_FORMAT"),
+    ("ansi_long_division_by_zero_errors", "SELECT 1L div 0L",
+      "DIVIDE_BY_ZERO"),
+    ("ansi_pmod_by_zero_errors", "SELECT pmod(7, 0)",
+      "REMAINDER_BY_ZERO"),
+    ("ansi_interval_divide_by_zero_errors", "SELECT INTERVAL '1' DAY / 0",
+      "INTERVAL_DIVIDED_BY_ZERO"))
 
   /** canonical rendering: dtypes :: rows (stable across JVMs) */
   private def render(sql: String): String = {
