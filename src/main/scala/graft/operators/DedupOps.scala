@@ -496,8 +496,65 @@ object DedupOps {
       |SELECT label AS cluster_rep, COUNT(*) AS n_docs, MAX(doc_id) AS max_member
       |FROM labels GROUP BY label ORDER BY cluster_rep""".stripMargin
 
+  /** Leakage-safe train/val/test split: assignment happens at the
+    * NEAR-DUP-CLUSTER level, not the document level — a document's
+    * split is a pure function (first md5 hex char) of its cluster
+    * representative, so near-duplicates can never straddle train and
+    * eval (the train-on-test contamination vector exact-dedup splits
+    * miss). PropertySpec asserts the invariant on the pair graph
+    * itself. Scale shape: the split adds one narrow projection over
+    * the label propagation output — no extra shuffle; md5-of-rep is
+    * reproducible across engines/runs (rerun-stable splits, the
+    * requirement for incremental corpus refreshes). */
+  /** spec hook: the cluster labels the split derives from */
+  private[graft] def labelsForSpec(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val (lsh, groupsCache) = minhashLshImpl(s, dir)
+    val pairs = lsh.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    groupsCache.unpersist()
+    propagateMinLabels(pairs, docs)
+  }
+
+  private val leakageSafeSplit: Q = (s, dir) => {
+    val (lsh, groupsCache) = minhashLshImpl(s, dir)
+    val pairs = lsh.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    groupsCache.unpersist()
+    val docs = load(s, dir, "documents").select(col("doc_id"))
+    val h = substring(md5(col("label").cast("string")), 1, 1)
+    propagateMinLabels(pairs, docs)
+      .withColumn("split",
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("label")).as("n_clusters"))
+      .orderBy(col("split"))
+  }
+
+  private val leakageSafeSplitSql =
+    """WITH RECURSIVE ws AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |  FROM ws a JOIN ws b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT da, db
+      |  FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      |  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.9),
+      |edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |labels AS (SELECT a AS doc_id, MIN(b) AS label FROM reach GROUP BY a)
+      |SELECT CASE WHEN substr(md5(CAST(label AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+      |            WHEN substr(md5(CAST(label AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, COUNT(DISTINCT label) AS n_clusters
+      |FROM labels GROUP BY 1 ORDER BY split""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_cluster_groups" -> dedupClusters,
+    "dedup_leakage_safe_split" -> leakageSafeSplit,
     "dedup_exact" -> dedupExact,
     "dedup_keyed" -> dedupKeyed,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -508,6 +565,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_cluster_groups" -> dedupClustersSql,
+    "dedup_leakage_safe_split" -> leakageSafeSplitSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_keyed" -> dedupKeyedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -62,6 +62,7 @@ object ZOrder {
   def cluster(df: DataFrame, a: String, b: String, numFiles: Int): DataFrame = {
     val r = df.agg(min(col(a).cast("double")), max(col(a).cast("double")),
       min(col(b).cast("double")), max(col(b).cast("double"))).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) return df // empty/all-null input: nothing to cluster
     val key = interleave16(
       rank16(col(a), r.getDouble(0), r.getDouble(1)),
       rank16(col(b), r.getDouble(2), r.getDouble(3)))

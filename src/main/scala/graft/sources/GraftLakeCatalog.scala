@@ -155,7 +155,8 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
         })
         f.rows.map(r => proj(r).copy(): InternalRow)
       }.toArray
-      LakeDataFile(part, rows, ids, types, LakeStats.collect(rows, types))
+      LakeDataFile(part, rows, ids, types, LakeStats.collect(rows, types),
+        LakeBloom.collect(rows, types))
     }.toSeq
     st.replace(snap.files, merged)
   }
@@ -308,7 +309,82 @@ case class LakePartSpec(fieldId: Int, bucket: Int)
   * the manifest-level pruning stats Iceberg/Delta keep per data file. */
 case class LakeDataFile(partition: IndexedSeq[Any], rows: Array[InternalRow],
     fieldIds: IndexedSeq[Int], types: IndexedSeq[DataType],
-    stats: IndexedSeq[Option[(Any, Any)]] = IndexedSeq.empty)
+    stats: IndexedSeq[Option[(Any, Any)]] = IndexedSeq.empty,
+    blooms: IndexedSeq[Option[Array[Long]]] = IndexedSeq.empty)
+
+/** Per-file, per-column bloom filters — the manifest-level equality
+  * skipping Parquet column blooms / Iceberg puffin files provide for
+  * HIGH-CARDINALITY columns whose per-file (min, max) ranges overlap
+  * (random ids, uuids, hashes): a range check keeps every file, the
+  * bloom proves most files cannot contain the probed value. A bloom
+  * no-match proves absence, so skipping is exact — safe for plain
+  * scans AND for excluding files from row-level rewrite groups. Sized
+  * at ~8 bits/row (k=3, capped) → ~2% false-positive rate; a false
+  * positive only costs a wasted file read, never a wrong result. */
+object LakeBloom {
+  private val HashCount = 3
+  private def sizeBits(n: Int): Int = {
+    val want = math.max(512, n * 8)
+    math.min(Integer.highestOneBit(math.max(1, want - 1)) * 2, 1 << 16)
+  }
+  // splitmix64 finalizer — deterministic across JVMs/runs
+  private def mix(h0: Long, i: Int): Long = {
+    var h = h0 + 0x9E3779B97F4A7C15L * (i + 1)
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^ (h >>> 33)
+  }
+  private def baseHash(v: Any): Long = v match {
+    case s: String => // FNV-1a over chars: stable, independent of JVM identity
+      s.foldLeft(0xCBF29CE484222325L)((h, c) => (h ^ c) * 0x100000001B3L)
+    case n: java.lang.Long => n.longValue()
+    case n: java.lang.Integer => n.longValue()
+    case n: java.lang.Short => n.longValue()
+    case n: java.lang.Byte => n.longValue()
+    case d: java.lang.Double => java.lang.Double.doubleToLongBits(d.doubleValue())
+    case f: java.lang.Float => java.lang.Double.doubleToLongBits(f.doubleValue())
+    case b: java.lang.Boolean => if (b) 1L else 0L
+    case other => other.hashCode().toLong
+  }
+  private def set(bits: Array[Long], v: Any): Unit = {
+    val h0 = baseHash(v); val m = bits.length * 64
+    var i = 0
+    while (i < HashCount) {
+      val idx = ((mix(h0, i) % m + m) % m).toInt
+      bits(idx >> 6) |= 1L << (idx & 63); i += 1
+    }
+  }
+  def mightContain(bits: Array[Long], v: Any): Boolean = {
+    val h0 = baseHash(v); val m = bits.length * 64
+    var i = 0
+    while (i < HashCount) {
+      val idx = ((mix(h0, i) % m + m) % m).toInt
+      if ((bits(idx >> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+  /** one pass per supported column → bloom over the file's non-null
+    * values (values normalized exactly like the min/max stats, so
+    * pushed filter literals hash identically) */
+  def collect(rows: Iterable[InternalRow],
+      types: IndexedSeq[DataType]): IndexedSeq[Option[Array[Long]]] = {
+    val n = rows.size
+    types.zipWithIndex.map { case (dt, i) =>
+      if (!LakeStats.supported(dt)) None
+      else {
+        val bits = new Array[Long](sizeBits(n) >> 6)
+        var any = false
+        rows.foreach { r =>
+          if (!r.isNullAt(i)) {
+            set(bits, LakePartField.normalize(r.get(i, dt))); any = true
+          }
+        }
+        if (any) Some(bits) else None
+      }
+    }
+  }
+}
 
 object LakeStats {
   /** total order over the stat-supported runtime types (normalized
@@ -610,6 +686,26 @@ class LakeScanBuilder(state: LakeTableState, snapshot: LakeSnapshot,
     }
   }
 
+  /** keep a file only if its column bloom admits ANY of the probed
+    * values (EqualTo / In); no bloom recorded → never skip */
+  private def bloomMatcher(colName: String,
+      values: Seq[Any]): Option[LakeDataFile => Boolean] = {
+    val ordSnap =
+      if (snapshot.schema.fieldNames.contains(colName))
+        snapshot.schema.fieldIndex(colName)
+      else return None
+    val id = snapshot.fieldIds(ordSnap)
+    val probes = values.map(LakePartField.normalize)
+    Some { f =>
+      val ord = f.fieldIds.indexOf(id)
+      if (ord < 0) false // column absent → all null → equality can't match
+      else f.blooms.lift(ord).flatten match {
+        case Some(bits) => probes.exists(v => LakeBloom.mightContain(bits, v))
+        case None => true
+      }
+    }
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // partition columns addressed by their name IN THIS SNAPSHOT's schema
     // (field-id indirection keeps pruning correct across renames)
@@ -641,9 +737,13 @@ class LakeScanBuilder(state: LakeTableState, snapshot: LakeSnapshot,
     import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
     def n(v: Any): Any = LakePartField.normalize(v)
     statMatchers = filters.toSeq.flatMap {
-      case EqualTo(c, v) if v != null => statMatcher(c, { case (mn, mx) =>
-        for { a <- LakeStats.compare(mn, n(v)); b <- LakeStats.compare(mx, n(v)) }
-          yield a <= 0 && b >= 0 })
+      case EqualTo(c, v) if v != null =>
+        statMatcher(c, { case (mn, mx) =>
+          for { a <- LakeStats.compare(mn, n(v)); b <- LakeStats.compare(mx, n(v)) }
+            yield a <= 0 && b >= 0 }).toSeq ++ bloomMatcher(c, Seq(v))
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        // files whose blooms reject every listed value cannot match
+        bloomMatcher(c, vs.toSeq)
       case GreaterThan(c, v) if v != null =>
         statMatcher(c, { case (_, mx) => LakeStats.compare(mx, n(v)).map(_ > 0) })
       case GreaterThanOrEqual(c, v) if v != null =>
@@ -921,7 +1021,8 @@ class LakeWriterFactory(schema: StructType, fieldIds: IndexedSeq[Int],
       override def commit(): WriterCommitMessage =
         LakeCommit(buffers.map { case (k, rows) =>
           LakeDataFile(k, rows.toArray, fieldIds, types,
-            LakeStats.collect(rows, types)) }.toArray)
+            LakeStats.collect(rows, types),
+            LakeBloom.collect(rows, types)) }.toArray)
       override def abort(): Unit = buffers.clear()
       override def close(): Unit = ()
     }

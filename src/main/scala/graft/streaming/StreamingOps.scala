@@ -43,6 +43,20 @@ object StreamingOps {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
 
+  /** native session_window on a STREAM: per-user sessions closed by a
+    * 30-minute gap. Unlike the batch `ev_session_window_native` query
+    * this exercises the merging-sessions state-store path (late rows
+    * merge adjacent sessions; watermark finalizes + evicts closed
+    * sessions, so state is bounded by the open-session count) */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n"), col("total_value"))
+
   /** watermark-bounded dedup on the key ALONE (no event-time column in
     * the key): duplicates may carry different timestamps — the state
     * entry expires one watermark-delay after first sight, so state stays

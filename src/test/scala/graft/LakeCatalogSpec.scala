@@ -278,6 +278,35 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(k3 == 0, s"out-of-range predicate must skip every file, got $k3")
   }
 
+  test("per-file bloom filters skip equality probes when min/max ranges fully overlap") {
+    spark.sql("CREATE TABLE lake.bf (id BIGINT, tag STRING)")
+    import spark.implicits._
+    // three appends with INTERLEAVED id spaces (id % 3 = r): every file
+    // spans [r, ~3000+r] so range stats keep all three — only the value
+    // bloom can tell which file holds a probed id
+    for (r <- 0 until 3)
+      (0 until 1000).map(i => (i.toLong * 3 + r, s"t${i * 3 + r}")).toDF("id", "tag")
+        .coalesce(1).writeTo("lake.bf").append()
+    def keptOf(df: org.apache.spark.sql.DataFrame): (Int, Int, Long) = {
+      val n = df.count()
+      val m = """files=(\d+)/(\d+)""".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt, n)
+    }
+    val (k1, t1, n1) = keptOf(spark.table("lake.bf").filter(col("id") === 1500L))
+    assert(t1 == 3 && n1 == 1 && k1 == 1,
+      s"bloom equality skip expected files=1/3 with 1 row, got $k1/$t1 n=$n1")
+    // a long-column probe absent everywhere: all three blooms reject
+    val (k2, _, n2) = keptOf(spark.table("lake.bf").filter(col("id") === 999983L))
+    assert(n2 == 0 && k2 == 0, s"absent probe must skip every file, got files=$k2")
+    // string column: same skipping through the FNV string hash
+    val (k3, _, n3) = keptOf(spark.table("lake.bf").filter(col("tag") === "t1500"))
+    assert(n3 == 1 && k3 == 1, s"string bloom skip expected 1 file, got $k3")
+    // IN-list spanning two files keeps exactly those two
+    val (k4, _, n4) = keptOf(spark.table("lake.bf").filter(col("id").isin(1500L, 1501L)))
+    assert(n4 == 2 && k4 == 2, s"IN bloom skip expected 2 files, got $k4")
+  }
+
   test("files written before ADD COLUMN are skipped for predicates on the new column") {
     spark.sql("ALTER TABLE lake.sk ADD COLUMN score INT")
     import spark.implicits._

@@ -151,6 +151,29 @@ class PropertySpec extends AnyFunSuite {
       s"simhash pipeline missed ${missed.size} exact-duplicate pairs: ${missed.take(5)}")
   }
 
+  test("leakage-safe split: no near-dup pair straddles two splits") {
+    // the split is a pure function of the cluster representative, so
+    // every LSH near-dup pair must land in one split — assert it on the
+    // pair graph end-to-end (not just by construction)
+    val dir = GraftSparkSession.sfDir
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val docs = graft.Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val labels = graft.operators.DedupOps.labelsForSpec(spark, dir, docs)
+    val h = substring(md5(col("label").cast("string")), 1, 1)
+    val assigned = labels.withColumn(
+      "split", when(h <= "b", "train").when(h <= "d", "val").otherwise("test"))
+    val straddlers = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(straddlers == 0, s"$straddlers near-dup pairs straddle splits")
+    // and the split is non-degenerate on the fixture
+    val splits = assigned.select(col("split")).distinct().collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"), s"degenerate split: $splits")
+  }
+
   test("merged complete-mode aggregate equals two-phase on random groupings") {
     val rnd = new Random(19)
     val data = Seq.fill(2000)((rnd.nextInt(40).toLong, rnd.nextInt(1000), rnd.nextDouble()))

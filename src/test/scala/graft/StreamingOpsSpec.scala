@@ -54,6 +54,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window stream merges gap-bounded sessions and finalizes on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // user 1: two rows 10 min apart (one session), then a row 40 min
+    // later (new session); user 2: single row
+    in.addData(
+      Ev(1, ts(0), 1, "click", 1.0, "{}"),
+      Ev(2, ts(10), 1, "click", 2.0, "{}"),
+      Ev(3, ts(80), 1, "view", 4.0, "{}"),
+      Ev(4, ts(5), 2, "view", 8.0, "{}"))
+    val q = StreamingOps.sessionWindowCounts(in.toDF())
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      // a late row inside user 1's first gap MERGES the two rows' sessions
+      in.addData(Ev(5, ts(7), 1, "click", 0.5, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_win").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(rows == Set(
+        (1L, "2024-01-01 00:00:00.0", 3L, 3.5),  // merged session: rows at 0,7,10
+        (1L, "2024-01-01 01:20:00.0", 1L, 4.0),
+        (2L, "2024-01-01 00:05:00.0", 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
