@@ -217,6 +217,104 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** squared L2 distance between an embedding and a centroid literal,
+    * folded in array order and rounded to 6 dp so Spark and the oracle
+    * agree on argmin boundaries */
+  private def sqDist(emb: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+    round(aggregate(zip_with(emb, c,
+      (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, v) => acc + v), 6)
+
+  /** map-side cluster assignment: centroids are a driver-held literal
+    * (k×64 floats — bounded, the state real distributed k-means keeps on
+    * the driver), so assignment is one scan with NO shuffle; ties take
+    * the lowest cluster id (first minimum in cl order). */
+  private def kmeansAssign(e: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    val centArr = array(cents.map { case (_, c) => array(c.map(lit(_)): _*) }: _*)
+    val idArr = array(cents.map { case (id, _) => lit(id) }: _*)
+    e.withColumn("dists", transform(centArr, c => sqDist(col("embedding"), c)))
+      .withColumn("dist", array_min(col("dists")))
+      .withColumn("cl",
+        element_at(idArr, array_position(col("dists"), col("dist")).cast("int")))
+      .drop("dists")
+  }
+
+  /** one Lloyd's refinement: recompute per-cluster means (positional
+    * explode → partial-agg shuffle of only k×64 groups) and pull the new
+    * centroids back to the driver, quantized through FLOAT so both
+    * engines see bit-identical values despite summation-order jitter.
+    * Empty clusters drop out (deterministic; matches the SQL oracle
+    * where an empty cluster simply has no mean row). */
+  private def kmeansStep(e: DataFrame,
+      cents: Seq[(Int, Seq[Float])]): Seq[(Int, Seq[Float])] =
+    kmeansAssign(e, cents)
+      .select(col("cl"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cl"), col("dim")).agg(avg(col("x").cast("double")).as("cx"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (cl, rows) =>
+        (cl, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq) }
+      .sortBy(_._1)
+
+  /** spec hook: initial centroids (the k lowest vec_ids) + iterate */
+  private[graft] def kmeansInit(e: DataFrame, k: Int): Seq[(Int, Seq[Float])] =
+    e.filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0).toInt + 1, r.getSeq[Float](1).toSeq)).toSeq
+  private[graft] def kmeansRefine(e: DataFrame, cents: Seq[(Int, Seq[Float])]) =
+    kmeansStep(e, cents)
+  private[graft] def kmeansInertia(e: DataFrame, cents: Seq[(Int, Seq[Float])]): Double =
+    kmeansAssign(e, cents)
+      .agg(sum(col("dist").cast("decimal(18,6)")).cast("double")).head().getDouble(0)
+
+  /** Distributed Lloyd's k-means over the embedding corpus (k=4 seeded
+    * from the 4 lowest vec_ids, 2 refinement rounds — both unrolled in
+    * the DuckDB oracle). Per iteration: one shuffle-free assignment scan
+    * + one k×64-group mean shuffle; the only driver state is the k×64
+    * centroid matrix. The shape that holds at 100 TB: corpus rows never
+    * leave their partitions, per-iteration cost is exactly one scan. */
+  private val kmeansClusters: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    var cents = kmeansInit(e, 4)
+    for (_ <- 0 until 2) cents = kmeansStep(e, cents)
+    kmeansAssign(e, cents)
+      .groupBy(col("cl"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("dist").cast("decimal(18,6)")).cast("double").as("inertia"),
+        min(col("vec_id")).as("min_vec"))
+      .orderBy(col("cl"))
+  }
+
+  private val kmeansClustersSql =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id + 1 AS INTEGER) AS cl, dim, x AS cx FROM e WHERE vec_id < 4),
+      |d1 AS (SELECT e.vec_id, c0.cl, round(SUM((e.x - c0.cx) * (e.x - c0.cx)), 6) AS dist
+      |       FROM e JOIN c0 ON e.dim = c0.dim GROUP BY e.vec_id, c0.cl),
+      |a1 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.cl, e.dim, CAST(CAST(avg(e.x) AS FLOAT) AS DOUBLE) AS cx
+      |       FROM e JOIN a1 ON e.vec_id = a1.vec_id GROUP BY a1.cl, e.dim),
+      |d2 AS (SELECT e.vec_id, c1.cl, round(SUM((e.x - c1.cx) * (e.x - c1.cx)), 6) AS dist
+      |       FROM e JOIN c1 ON e.dim = c1.dim GROUP BY e.vec_id, c1.cl),
+      |a2 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+      |         FROM d2) WHERE rn = 1),
+      |c2 AS (SELECT a2.cl, e.dim, CAST(CAST(avg(e.x) AS FLOAT) AS DOUBLE) AS cx
+      |       FROM e JOIN a2 ON e.vec_id = a2.vec_id GROUP BY a2.cl, e.dim),
+      |d3 AS (SELECT e.vec_id, c2.cl, round(SUM((e.x - c2.cx) * (e.x - c2.cx)), 6) AS dist
+      |       FROM e JOIN c2 ON e.dim = c2.dim GROUP BY e.vec_id, c2.cl),
+      |a3 AS (SELECT vec_id, cl, dist FROM (
+      |         SELECT vec_id, cl, dist,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+      |         FROM d3) WHERE rn = 1)
+      |SELECT cl, COUNT(*) AS n_vectors,
+      |  CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS inertia,
+      |  MIN(vec_id) AS min_vec
+      |FROM a3 GROUP BY cl ORDER BY cl""".stripMargin
+
   /** label-centroid similarity matrix — aggregation over vector columns.
     * Oracled: both sides quantize the double centroid means through
     * FLOAT (bit-exact round-trip) before the cosine, and the final
@@ -280,6 +378,7 @@ object SimilarityOps {
     "sim_ann_unit_topk" -> annUnitTopk,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
+    "sim_kmeans_clusters" -> kmeansClusters,
     "sim_label_centroids" -> labelCentroidSim)
 
   private val labelCentroidSimSql =
@@ -301,5 +400,6 @@ object SimilarityOps {
     "sim_ann_brute_topk" -> annBruteSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_ann_unit_topk" -> annUnitTopkSql,
+    "sim_kmeans_clusters" -> kmeansClustersSql,
     "sim_label_centroids" -> labelCentroidSimSql)
 }

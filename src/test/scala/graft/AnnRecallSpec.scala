@@ -54,4 +54,21 @@ class AnnRecallSpec extends AnyFunSuite {
     // 2-of-|labels| probed partitions
     assert(r >= 0.25, f"IVF recall@3 regressed: $r%.3f")
   }
+
+  test("k-means refinement monotonically reduces total inertia (Lloyd's invariant)") {
+    import graft.operators.SimilarityOps
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    var cents = SimilarityOps.kmeansInit(e, 4)
+    var prev = SimilarityOps.kmeansInertia(e, cents)
+    for (it <- 1 to 3) {
+      cents = SimilarityOps.kmeansRefine(e, cents)
+      val cur = SimilarityOps.kmeansInertia(e, cents)
+      info(f"iteration $it: inertia $prev%.3f -> $cur%.3f")
+      // float-quantized centroids can cost a hair of exactness; allow 1e-3
+      assert(cur <= prev + 1e-3, f"inertia rose at iteration $it: $prev%.3f -> $cur%.3f")
+      prev = cur
+    }
+    assert(cents.size == 4, s"expected 4 non-empty clusters, got ${cents.size}")
+  }
 }
