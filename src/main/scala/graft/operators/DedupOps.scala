@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard is bounded to a fixed doc_id<150 slice (the
   *    unbounded variant is the LSH path above);
   *  - embedding near-dup brute force is the correctness baseline; the
-  *    scalable path is SimilarityOps.sim_ann_lsh.
+  *    scale path is [[dedupEmbeddingLsh]] (hyperplane buckets +
+  *    hamming-1 multi-probe, recall-gated against the exact pairs);
+  *  - incremental refreshes dedup only batch×corpus ([[dedupIncremental]]).
   */
 object DedupOps {
 
@@ -552,8 +554,119 @@ object DedupOps {
       |  COUNT(*) AS n_docs, COUNT(DISTINCT label) AS n_clusters
       |FROM labels GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Incremental (corpus-delta) near-dup — the continuous-crawl shape:
+    * a NEW batch (doc_id >= 400) is deduplicated against the existing
+    * CORPUS (doc_id < 400) without ever re-verifying corpus×corpus
+    * pairs. Banding runs per side; the band join is strictly
+    * batch-bands ⋈ corpus-bands, so per refresh the work is
+    * O(|batch| + matched buckets) — corpus signatures are computed once
+    * (in a real pipeline: stored with the corpus, a parquet side
+    * table), never re-shuffled against themselves. Candidates carry
+    * only ids through the band join; word arrays re-attach by id for
+    * the exact verify. Verdict per new doc: drop (with the smallest
+    * matching corpus id + best Jaccard) or keep. Same 16×3 banding ⇒
+    * a j ≥ 0.9 match is missed w.p. ≈8.5e-10 — empirically exact,
+    * hence ORACLED against the full exact batch×corpus Jaccard join. */
+  private val dedupIncremental: Q = (s, dir) => {
+    val perms = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshPerms)
+    val nBands = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshBands)
+    val rowsPerBand = math.max(1, perms / nBands)
+    val threshold = graft.GraftConf.getDouble(s, graft.GraftConf.DedupJaccardThreshold)
+    val sets = load(s, dir, "documents")
+      .select(col("doc_id"), sort_array(array_distinct(split(col("text"), " "))).as("words"))
+      .withColumn("sz", size(col("words")))
+    def bandsOf(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("sz"),
+          GraftExpressions.minhash_signature(col("words"), perms).as("sig"))
+        .select(col("doc_id"), col("sz"),
+          explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("sig"))
+        .select(col("doc_id"), col("sz"), col("band"),
+          xxhash64(col("band"),
+            slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("band_key"))
+    val corpus = sets.filter(col("doc_id") < 400)
+    val batch = sets.filter(col("doc_id") >= 400)
+    val cand = bandsOf(batch)
+      .select(col("doc_id").as("new_id"), col("sz").as("sz_n"), col("band"), col("band_key"))
+      .join(bandsOf(corpus)
+          .select(col("doc_id").as("ref_id"), col("sz").as("sz_r"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      // same no-false-negative length filter as the self-join pipeline
+      .filter(least(col("sz_n"), col("sz_r")).cast("double") /
+        greatest(col("sz_n"), col("sz_r")) >= threshold)
+      .select(col("new_id"), col("ref_id")).distinct()
+    val verified = cand
+      .join(batch.select(col("doc_id").as("new_id"), col("words").as("wn")), Seq("new_id"))
+      .join(corpus.select(col("doc_id").as("ref_id"), col("words").as("wr")), Seq("ref_id"))
+      .withColumn("j", size(array_intersect(col("wn"), col("wr"))).cast("double") /
+        size(array_union(col("wn"), col("wr"))).cast("double"))
+      .filter(col("j") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(min(col("ref_id")).as("match_id"), max(round(col("j"), 6)).as("best_j"))
+    batch.select(col("doc_id"))
+      .join(verified, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"), col("match_id"), col("best_j"),
+        when(col("match_id").isNotNull, "drop").otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupIncrementalSql =
+    """WITH ws AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+      |inter AS (
+      |  SELECT b.doc_id AS new_id, c.doc_id AS ref_id, COUNT(*) AS i
+      |  FROM ws b JOIN ws c ON b.w = c.w AND b.doc_id >= 400 AND c.doc_id < 400
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT new_id, ref_id, CAST(i AS DOUBLE) / CAST(cb.n + cc.n - i AS DOUBLE) AS j
+      |  FROM inter JOIN cnt cb ON cb.doc_id = new_id JOIN cnt cc ON cc.doc_id = ref_id
+      |  WHERE CAST(i AS DOUBLE) / CAST(cb.n + cc.n - i AS DOUBLE) >= 0.9),
+      |agg AS (SELECT new_id, MIN(ref_id) AS match_id, MAX(round(j, 6)) AS best_j
+      |        FROM m GROUP BY new_id)
+      |SELECT d.doc_id, agg.match_id, agg.best_j,
+      |  CASE WHEN agg.match_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict
+      |FROM documents d LEFT JOIN agg ON agg.new_id = d.doc_id
+      |WHERE d.doc_id >= 400
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** LSH-bucketed embedding near-dup — the scale path for
+    * [[dedupEmbedding]] (which stays as the exact O(n²) correctness
+    * baseline): corpus hashed once into 2^bits hyperplane buckets, the
+    * probe copy exploded across its own bucket plus every hamming-1
+    * neighbor (multi-probe), candidate pairs verified with the codegen
+    * unit-vector dot product. A true pair is found iff its two vectors
+    * disagree on ≤1 hyperplane, so recall < 1 by design → rows-only in
+    * the oracle gate; `PropertySpec` pins the measured recall floor
+    * against the exact pair set. Scale shape: no all-pairs product
+    * anywhere — shuffle volume is (1+bits)×corpus skinny rows on the
+    * probe side + 1×corpus on the build side, and each unordered pair
+    * is emitted by exactly one probe (XOR-injectivity), so no distinct
+    * is needed. */
+  private val dedupEmbeddingLsh: Q = (s, dir) => {
+    val bits = graft.GraftConf.getInt(s, graft.GraftConf.SimLshBits)
+    val e = load(s, dir, "embeddings")
+      .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))))
+      .withColumn("unit", transform(col("embedding"),
+        x => (x.cast("double") / col("nrm")).cast("float")))
+      .withColumn("bucket", SimilarityOps.lshBucket(col("embedding"), bits))
+    val probeMasks = array((lit(0) +: (0 until bits).map(i => lit(1 << i))): _*)
+    val a = e.select(col("vec_id").as("id_a"), col("unit").as("unit_a"), col("bucket"))
+      .withColumn("mask", explode(probeMasks))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("mask")))
+      .drop("mask")
+    val b = e.select(col("vec_id").as("id_b"), col("unit").as("unit_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        round(GraftExpressions.dot_product(col("unit_a"), col("unit_b")), 6) >= 0.4)
+      .select(col("id_a"), col("id_b"),
+        round(GraftExpressions.dot_product(col("unit_a"), col("unit_b")), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_cluster_groups" -> dedupClusters,
+    "dedup_incremental" -> dedupIncremental,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "dedup_leakage_safe_split" -> leakageSafeSplit,
     "dedup_exact" -> dedupExact,
     "dedup_keyed" -> dedupKeyed,
@@ -565,6 +678,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_cluster_groups" -> dedupClustersSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_leakage_safe_split" -> leakageSafeSplitSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_keyed" -> dedupKeyedSql,

@@ -152,7 +152,7 @@ object SimilarityOps {
   /** random-hyperplane LSH signature as a bucketing column;
     * `bits` (spark.graft.similarity.lsh.bits) sets the recall/selectivity
     * trade — fewer planes = bigger buckets = higher recall. */
-  private def lshBucket(emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+  private[operators] def lshBucket(emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
     (0 until bits).map { j =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0L), lit(63L)), (x, i) => x.cast("double") * planeWeight(i, j)),

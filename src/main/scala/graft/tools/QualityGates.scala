@@ -92,6 +92,16 @@ object QualityGates {
       math.abs(apx.getOrElse(flag, 0L) - ex).toDouble / ex
     }.max
 
+    // ---- embedding LSH near-dup: pair recall vs the exact O(n²) pairs -
+    def embPairs(name: String): Set[(Long, Long)] =
+      qs(name)(spark, sfDir).select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val embExact = embPairs("dedup_embedding")
+    val embLshRecall = withConf(spark, graft.GraftConf.SimLshBits.key, "4") {
+      val approx = embPairs("dedup_embedding_lsh")
+      if (embExact.isEmpty) 1.0 else approx.count(embExact).toDouble / embExact.size
+    }
+
     // ---- native hashes: deterministic across reruns -------------------
     val hashSame = qs("fn_hash_native")(spark, sfDir).collect().toSeq ==
       qs("fn_hash_native")(spark, sfDir).collect().toSeq
@@ -105,6 +115,8 @@ object QualityGates {
         frac > 0.05 && frac < 0.15),
       Gate("sample_bernoulli", "fixed_seed_rerun_deterministic", if (rerunSame) 1.0 else 0.0,
         1.0, rerunSame),
+      Gate("dedup_embedding_lsh", "pair_recall_vs_exact_4bit", embLshRecall, 0.50,
+        embLshRecall >= 0.50),
       Gate("agg_approx_sketch", "hll_max_relative_error", maxRelErr, 0.15, maxRelErr <= 0.15),
       Gate("fn_hash_native", "rerun_deterministic", if (hashSame) 1.0 else 0.0, 1.0, hashSame))
   }

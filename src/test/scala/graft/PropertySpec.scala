@@ -174,6 +174,31 @@ class PropertySpec extends AnyFunSuite {
     assert(splits == Set("train", "val", "test"), s"degenerate split: $splits")
   }
 
+  test("embedding LSH near-dup: perfect precision, pinned recall floor vs exact pairs") {
+    val dir = GraftSparkSession.sfDir
+    def pairSet(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, dir)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet("dedup_embedding")
+    val old = spark.conf.getOption(GraftConf.SimLshBits.key)
+    // 4-bit operating point (matches the ANN gates: this corpus has weak
+    // angular structure, 8-bit buckets are near-empty)
+    spark.conf.set(GraftConf.SimLshBits.key, "4")
+    try {
+      val approx = pairSet("dedup_embedding_lsh")
+      // every emitted pair passed the same exact verify → precision = 1
+      assert(approx.subsetOf(exact),
+        s"LSH emitted ${(approx -- exact).take(3)} not in the exact pair set")
+      val recall = if (exact.isEmpty) 1.0 else approx.count(exact).toDouble / exact.size
+      info(f"dedup_embedding_lsh recall = $recall%.3f over ${exact.size} exact pairs")
+      assert(recall >= 0.50, f"embedding LSH recall regressed: $recall%.3f")
+    } finally old match {
+      case Some(v) => spark.conf.set(GraftConf.SimLshBits.key, v)
+      case None => spark.conf.unset(GraftConf.SimLshBits.key)
+    }
+  }
+
   test("merged complete-mode aggregate equals two-phase on random groupings") {
     val rnd = new Random(19)
     val data = Seq.fill(2000)((rnd.nextInt(40).toLong, rnd.nextInt(1000), rnd.nextDouble()))
