@@ -315,6 +315,37 @@ object SimilarityOps {
       |  MIN(vec_id) AS min_vec
       |FROM a3 GROUP BY cl ORDER BY cl""".stripMargin
 
+  /** IVF with LEARNED centroids: the coarse quantizer is the 2-round
+    * Lloyd's k-means above instead of label means — the real IVF build
+    * path (no label column needed at inference). Corpus partitioning is
+    * the same shuffle-free literal-matrix assignment; each query probes
+    * its 2 nearest learned centroids. Rows-only (recall < 1 by design);
+    * recall@3 floor pinned in AnnRecallSpec + recall_gates.json. */
+  private val annIvfKmeans: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    var cents = kmeansInit(e, 4)
+    for (_ <- 0 until 2) cents = kmeansStep(e, cents)
+    val corpus = kmeansAssign(e.filter(col("vec_id") >= 10), cents)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("cl"))
+    val idArr = array(cents.map { case (id, _) => lit(id) }: _*)
+    val centArr = array(cents.map { case (_, c) => array(c.map(lit(_)): _*) }: _*)
+    val wc = Window.partitionBy(col("qid")).orderBy(col("probe.dist"), col("probe.cl"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        explode(arrays_zip(idArr.as("cl"),
+          transform(centArr, c => sqDist(col("embedding"), c)).as("dist"))).as("probe"))
+      .withColumn("c_rnk", row_number().over(wc))
+      .filter(col("c_rnk") <= 2)
+      .select(col("qid"), col("q_emb"), col("probe.cl").as("cl"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    corpus.join(broadcast(probes), Seq("cl"))
+      .withColumn("cos", round(GraftExpressions.cosine_sim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"), col("cl"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** label-centroid similarity matrix — aggregation over vector columns.
     * Oracled: both sides quantize the double centroid means through
     * FLOAT (bit-exact round-trip) before the cosine, and the final
@@ -378,6 +409,7 @@ object SimilarityOps {
     "sim_ann_unit_topk" -> annUnitTopk,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
+    "sim_ann_ivf_kmeans" -> annIvfKmeans,
     "sim_kmeans_clusters" -> kmeansClusters,
     "sim_label_centroids" -> labelCentroidSim)
 

@@ -55,6 +55,14 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.25, f"IVF recall@3 regressed: $r%.3f")
   }
 
+  test("IVF with learned k-means centroids meets its pinned recall@3 floor") {
+    val ivf = topSets(SparkEntry.queries("sim_ann_ivf_kmeans")(spark, dir), 3)
+    val r = recallAt3(ivf, exact3)
+    info(f"sim_ann_ivf_kmeans recall@3 = $r%.3f over ${exact3.size} queries")
+    // 2-of-4 probed learned partitions
+    assert(r >= 0.25, f"k-means IVF recall@3 regressed: $r%.3f")
+  }
+
   test("k-means refinement monotonically reduces total inertia (Lloyd's invariant)") {
     import graft.operators.SimilarityOps
     val e = graft.Tables.load(spark, dir, "embeddings")
