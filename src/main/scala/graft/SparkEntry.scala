@@ -26,6 +26,7 @@ object SparkEntry {
       (SimilarityOps.queries, SimilarityOps.oracles),
       (TextOps.queries, TextOps.oracles),
       (MultimodalOps.queries, MultimodalOps.oracles),
+      (GraphOps.queries, GraphOps.oracles),
       (LakeOps.queries, LakeOps.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1382,7 +1382,73 @@ object RelationalOps {
       |FROM (SELECT unnest(generate_series(1, 1000)) AS i)
       |GROUP BY 1 ORDER BY grp""".stripMargin
 
+  // staged conversion funnel: first view → first click AFTER that view →
+  // first purchase AFTER that click, per user. Three aggregations all
+  // keyed on user_id — co-partitioned shuffles that AQE plans once; each
+  // stage's output is orders-of-magnitude smaller than the events scan,
+  // so at 100 TB this is one fact pass plus two cheap shrinking joins.
+  private val evFunnel: Q = (s, dir) => {
+    val ev = load(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicked = ev.filter(col("event_type") === "click")
+      .join(viewed, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val bought = ev.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
+    viewed.agg(count(lit(1)).as("n_view"))
+      .crossJoin(clicked.agg(count(lit(1)).as("n_click")))
+      .crossJoin(bought.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_purchase") / col("n_view"), 6).as("conv"))
+  }
+
+  private val evFunnelSql =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t_buy FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase,
+      |  ROUND((SELECT COUNT(*) FROM p) * 1.0e0 / (SELECT COUNT(*) FROM v), 6) AS conv""".stripMargin
+
+  // weekly retention cohorts: cohort = ISO week of a user's first event,
+  // cell (cohort, k) = distinct users active k weeks later, k ≤ 3. One
+  // user-week dedup shuffle + one user-keyed min + a co-partitioned join;
+  // the distinct-count regroups on (cohort, k) — all bounded keyspaces.
+  private val evRetention: Q = (s, dir) => {
+    val wk = load(s, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohort = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    wk.join(cohort, "user_id")
+      .withColumn("k", (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+      .filter(col("k") <= 3)
+      .groupBy(col("cohort"), col("k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("cohort").cast("string").as("cohort"), col("k"), col("n_users"))
+      .orderBy(col("cohort"), col("k"))
+  }
+
+  private val evRetentionSql =
+    """WITH wk AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |cohort AS (SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY 1)
+      |SELECT CAST(c.cohort AS VARCHAR) AS cohort,
+      |  CAST(date_diff('day', c.cohort, w.wk) / 7 AS INTEGER) AS k,
+      |  COUNT(DISTINCT w.user_id) AS n_users
+      |FROM wk w JOIN cohort c ON w.user_id = c.user_id
+      |WHERE date_diff('day', c.cohort, w.wk) / 7 <= 3
+      |GROUP BY 1, 2 ORDER BY cohort, k""".stripMargin
+
   private val built: (Map[String, Q], Map[String, String]) = q(
+    ("ev_funnel_conversion" -> evFunnel, evFunnelSql),
+    ("ev_retention_cohorts" -> evRetention, evRetentionSql),
     ("scan_rdd" -> rddScan, rddScanSql),
     ("reshape_unpivot" -> unpivotMeasures, unpivotMeasuresSql),
     ("join_lateral_agg" -> lateralJoin, lateralJoinSql),

@@ -500,7 +500,68 @@ object TextOps {
       |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
       |ORDER BY 1""".stripMargin
 
+  // BM25 ranked retrieval (Robertson/Sparck-Jones; Lucene's idf variant
+  // ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75): tokenize → per-doc term
+  // frequencies (ONE shuffle on doc_id — tf and dl come out of the same
+  // grouping), then score only the query terms. df/avgdl/N are tiny
+  // aggregates joined by broadcast, so at 100 TB the plan is one
+  // tokenize+group pass over the corpus plus constant-size side inputs.
+  // Rank by the ROUNDED score so the cross-engine top-k cutoff never
+  // depends on last-ulp double differences.
+  private val queryTerms = Seq("spark", "join", "window", "stream")
+
+  private val textBm25: Q = (s, dir) => {
+    val k1 = 1.2
+    val b = 0.75
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val df = tf.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.filter(col("term").isin(queryTerms: _*))
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(round(sum(col("w")), 4).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= 15)
+      .select(col("doc_id"), col("score"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  private val textBm25Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, t.term FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |  WHERE t.term <> ''),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf
+      |       WHERE term IN ('spark', 'join', 'window', 'stream') GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    ROUND(SUM(ln(1.0e0 + (corpus.n_docs - df.df + 0.5e0) / (df.df + 0.5e0))
+      |      * tf.tf * 2.2e0
+      |      / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / corpus.avgdl))), 4) AS score
+      |  FROM tf JOIN df ON tf.term = df.term
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN corpus
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, score, rk FROM (
+      |  SELECT doc_id, score,
+      |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+      |  FROM scored)
+      |WHERE rk <= 15 ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_bm25_topk" -> textBm25,
     "text_repetition" -> textRepetition,
     "docs_ngram_scrub" -> docsNgramScrub,
     "docs_epoch_shuffle" -> docsEpochShuffle,
@@ -519,6 +580,7 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "text_bm25_topk" -> textBm25Sql,
     "text_repetition" -> textRepetitionSql,
     "docs_ngram_scrub" -> docsNgramScrubSql,
     "docs_epoch_shuffle" -> docsEpochShuffleSql,
