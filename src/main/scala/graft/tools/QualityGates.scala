@@ -51,6 +51,7 @@ object QualityGates {
     }
     val ivfRecall = recallAt3(topSets(qs("sim_ann_ivf")(spark, sfDir), 3), exact3)
     val ivfKmeansRecall = recallAt3(topSets(qs("sim_ann_ivf_kmeans")(spark, sfDir), 3), exact3)
+    val pqRecall = recallAt3(topSets(qs("sim_ann_pq")(spark, sfDir), 3), exact3)
 
     // ---- SimHash recall vs the exact-banding MinHash ground truth -----
     val lshPairs = qs("dedup_minhash_lsh")(spark, sfDir)
@@ -112,6 +113,7 @@ object QualityGates {
       Gate("sim_ann_ivf", "recall_at_3_vs_brute", ivfRecall, 0.25, ivfRecall >= 0.25),
       Gate("sim_ann_ivf_kmeans", "recall_at_3_vs_brute", ivfKmeansRecall, 0.25,
         ivfKmeansRecall >= 0.25),
+      Gate("sim_ann_pq", "recall_at_3_vs_brute", pqRecall, 0.50, pqRecall >= 0.50),
       Gate("dedup_simhash", "identical_set_pair_recall", identicalRecall, 1.0, identicalRecall >= 1.0),
       Gate("dedup_simhash", "near_dup_pair_recall_j090", nearDupRecall, 0.0, pass = true),
       Gate("sample_bernoulli", "sampled_fraction_target_010", frac, 0.05,

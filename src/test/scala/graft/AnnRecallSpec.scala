@@ -63,6 +63,14 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.25, f"k-means IVF recall@3 regressed: $r%.3f")
   }
 
+  test("PQ ADC shortlist + exact re-rank meets its pinned recall@3 floor") {
+    val pq = topSets(SparkEntry.queries("sim_ann_pq")(spark, dir), 3)
+    val r = recallAt3(pq, exact3)
+    info(f"sim_ann_pq recall@3 = $r%.3f over ${exact3.size} queries")
+    // 16 subspaces × 16-centroid codebooks, shortlist 32 of ~490
+    assert(r >= 0.50, f"PQ recall@3 regressed: $r%.3f")
+  }
+
   test("k-means refinement monotonically reduces total inertia (Lloyd's invariant)") {
     import graft.operators.SimilarityOps
     val e = graft.Tables.load(spark, dir, "embeddings")
