@@ -261,6 +261,52 @@ object DedupOps {
       |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Asymmetric CONTAINMENT dedup: |shingles(A) ∩ shingles(B)| /
+    * |shingles(A)| ≥ τ — catches quote/subset duplication (doc A embedded
+    * inside a longer doc B) that symmetric Jaccard misses, the other
+    * standard near-dup relation in training-data curation. Shared-shingle
+    * posting-list join (3-gram shingles are near-unique, so the join is
+    * sparse), one (da,db) count shuffle, then a broadcast-size doc-length
+    * join. Exact ORACLED baseline; the unbounded-scale path for corpora
+    * where posting lists explode is the MinHash-LSH pipeline above with
+    * the band-join candidate cap. Output is directional: doc_a is the
+    * CONTAINED document. */
+  private val dedupContainment: Q = (s, dir) => {
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val sh = toks.select(col("doc_id"), explode(array_distinct(transform(
+      sequence(lit(1), greatest(size(col("w")) - 2, lit(0))),
+      i => concat_ws(" ",
+        element_at(col("w"), i),
+        element_at(col("w"), i + 1),
+        element_at(col("w"), i + 2))))).as("g"))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    sh.select(col("doc_id").as("da"), col("g"))
+      .join(sh.select(col("doc_id").as("db"), col("g")), Seq("g"))
+      .filter(col("da") =!= col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+      .join(cnt.withColumnRenamed("doc_id", "da"), "da")
+      .withColumn("containment", round(col("i") / col("na"), 6))
+      .filter(col("containment") >= 0.5)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupContainmentSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)),
+      |cnt AS (SELECT doc_id, COUNT(*) AS na FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  round(CAST(i AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment
+      |FROM inter JOIN cnt ON cnt.doc_id = da
+      |WHERE CAST(i AS DOUBLE) / CAST(na AS DOUBLE) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** MinHash-LSH near-dup over 3-word SHINGLE sets — the standard
     * document near-dup formulation (order-sensitive where the word-set
     * variant is bag-of-words): two docs pair only when ≥90% of their
@@ -674,6 +720,7 @@ object DedupOps {
     "dedup_minhash_shingle" -> dedupMinhashShingle,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgram,
+    "dedup_containment" -> dedupContainment,
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
@@ -685,5 +732,6 @@ object DedupOps {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_minhash_shingle" -> dedupMinhashShingleSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }
