@@ -65,6 +65,8 @@ object Bench {
     "sim_ann_brute_topk", "sim_ann_lsh",
     "text_quality", "text_fingerprint", "text_decontaminate", "docs_curation",
     "docs_epoch_shuffle",
+    "text_bm25_topk", "graph_pagerank", "ev_funnel_conversion",
+    "dedup_containment", "sim_ann_pq",
     "lake_time_travel", "lake_merge", "lake_cdf_scan", "lake_zorder_skip")
 
   /** the data-pipeline operator set for scaling runs (ScaleUp's
@@ -80,6 +82,7 @@ object Bench {
     "text_decontaminate", "docs_curation", "docs_epoch_shuffle",
     "docs_mixture_quota",
     "ev_sessionize", "ev_uniq_users_by_type_day", "ev_asof_join_custom",
+    "ev_funnel_conversion", "text_bm25_topk", "graph_pagerank",
     "sim_ann_brute_topk", "sim_ann_lsh", "sim_ann_ivf")
 
   /** needs the graft as-of planner strategy or the graft lake catalog —

@@ -348,12 +348,13 @@ object SimilarityOps {
 
   /** Product quantization (PQ) ANN — the storage-compressed scale path
     * (Jégou et al., "Product Quantization for Nearest Neighbor Search").
-    * The 64-dim vectors split into M=8 subspaces of 8 dims; each subspace
-    * gets its own k=16 codebook (per-subspace Lloyd's rounds over the SAME
-    * distributed k-means helpers as sim_kmeans_clusters). A corpus vector
-    * is then 8 nibble codes — 16^8 ≈ 4.3e9 cells of resolution from 4
-    * bytes instead of 256 — and the query-side ADC scan sums M table
-    * lookups per candidate instead of a 64-dim dot product.
+    * The 64-dim vectors split into M=16 subspaces of 4 dims; each
+    * subspace gets its own k=16 codebook, and ALL M codebooks train in
+    * the same two Lloyd's scans via a long-format (vector, subspace)
+    * explode — one (sp,code,dim)-keyed mean shuffle per round, never M
+    * sequential k-means runs. A corpus vector is then 16 nibble codes —
+    * 8 bytes instead of 256 — and the query-side ADC sums M broadcast
+    * table lookups per candidate instead of a 64-dim dot product.
     *
     * Distributed shape: codebooks are driver-held literals (M×k×8 floats,
     * same bounded state as k-means), so ENCODING is a shuffle-free scan;
@@ -375,48 +376,62 @@ object SimilarityOps {
       .select(col("vec_id"), transform(col("embedding"),
         x => (x.cast("double") / col("nrm")).cast("float")).as("embedding"))
     val sub = e.select(size(col("embedding"))).head.getInt(0) / m
-    // per-subspace codebook: k=16 seeded from the 16 lowest vec_ids'
-    // subvectors, two Lloyd's rounds (L2 on the subspace — standard PQ)
-    val books = (0 until m).map { i =>
-      val se = e.select(col("vec_id"), slice(col("embedding"), i * sub + 1, sub).as("embedding"))
-      var c = kmeansInit(se, 16)
-      for (_ <- 0 until 2) c = kmeansStep(se, c)
-      c
+    // long format: one row per (vector, subspace) — ALL m codebooks
+    // train/encode in the SAME scans instead of m sequential k-means
+    // runs (the per-subspace loop was 3m jobs; this is 3 total)
+    val svecs = e.select(col("vec_id"), explode(transform(
+        sequence(lit(0), lit(m - 1)),
+        i => struct(i.as("sp"), slice(col("embedding"), i * sub + 1, lit(sub)).as("sv")))).as("x"))
+      .select(col("vec_id"), col("x.sp").as("sp"), col("x.sv").as("sv"))
+      .cache()
+    // seed: the 16 lowest vec_ids' subvectors, ordered, per subspace
+    var books: Map[Int, Seq[Seq[Float]]] = svecs.filter(col("vec_id") < 16).collect()
+      .groupBy(_.getInt(1)).map { case (spi, rows) =>
+        spi -> rows.sortBy(_.getLong(0)).map(_.getSeq[Float](2).toSeq).toSeq }
+    def booksLit = array((0 until m).map { i =>
+      array(books(i).map(c => array(c.map(lit(_)): _*)): _*) }: _*)
+    // code = 1-based L2-argmin into THIS row's subspace codebook
+    def codeCol = {
+      val d = transform(element_at(booksLit, col("sp") + 1), c => sqDist(col("sv"), c))
+      array_position(d, array_min(d)).cast("int")
     }
-    def centArr(cents: Seq[(Int, Seq[Float])]) =
-      array(cents.map { case (_, c) => array(c.map(lit(_)): _*) }: _*)
+    // two Lloyd's rounds over every subspace at once: one scan + one
+    // (sp,code,dim)-keyed mean shuffle per round; driver state is the
+    // m×k×sub codebook matrix (bounded), exactly like sim_kmeans_clusters
+    for (_ <- 0 until 2) {
+      val updated = svecs.withColumn("code", codeCol)
+        .select(col("sp"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sp"), col("code"), col("dim")).agg(avg(col("x").cast("double")).as("cx"))
+        .collect()
+      books = updated.groupBy(_.getInt(0)).map { case (spi, rows) =>
+        spi -> rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (_, rs) =>
+          rs.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq } }
+    }
     def ip(a: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, c, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    // corpus side: code = 1-based L2-argmin position into the codebook
-    var corpus = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cid"), col("embedding"))
-    books.zipWithIndex.foreach { case (cents, i) =>
-      val d = transform(centArr(cents), c => sqDist(slice(col("embedding"), i * sub + 1, sub), c))
-      corpus = corpus.withColumn(s"code_$i",
-        array_position(d, array_min(d)).cast("int"))
-    }
-    // query side: per-subspace INNER-PRODUCT tables, broadcast with the
-    // query; ADC dot ≈ cosine since both sides are unit-normalized
-    var qdf = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
-    books.zipWithIndex.foreach { case (cents, i) =>
-      qdf = qdf.withColumn(s"tab_$i",
-        transform(centArr(cents), c => ip(slice(col("q_emb"), i * sub + 1, sub), c)))
-    }
-    val adc = (0 until m).map(i => element_at(col(s"tab_$i"), col(s"code_$i")))
-      .reduce(_ + _)
+    // corpus codes, long format (at 100 TB: the 4-byte column you persist)
+    val codes = svecs.filter(col("vec_id") >= 10)
+      .withColumn("code", codeCol)
+      .select(col("vec_id").as("cid"), col("sp"), col("code"))
+    // query-side INNER-PRODUCT tables (ADC dot ≈ cosine on unit vectors);
+    // tiny — broadcast into the codes scan, ADC = one (qid,cid) sum
+    val qtab = svecs.filter(col("vec_id") < 10)
+      .withColumn("tab", transform(element_at(booksLit, col("sp") + 1), c => ip(col("sv"), c)))
+      .select(col("vec_id").as("qid"), col("sp"), col("tab"))
     // ADC shortlist (top-32 by approximate dot, codes only — the cheap
     // pass), then exact re-rank of just the shortlist against the full
     // vectors (the standard IVFADC+refine pipeline: exact FLOPs touch 32
     // candidates per query, not the corpus)
     val ws = Window.partitionBy(col("qid")).orderBy(col("ad").desc, col("cid"))
-    val shortlist = corpus.drop("embedding").crossJoin(broadcast(qdf.drop("q_emb")))
-      .withColumn("ad", round(adc, 6))
+    val shortlist = codes.join(broadcast(qtab), Seq("sp"))
+      .select(col("qid"), col("cid"), element_at(col("tab"), col("code")).as("pd"))
+      .groupBy(col("qid"), col("cid")).agg(round(sum(col("pd")), 6).as("ad"))
       .withColumn("srk", row_number().over(ws))
       .filter(col("srk") <= 32)
       .select(col("qid"), col("cid"))
-      .join(qdf.select(col("qid"), col("q_emb")), "qid")
+      .join(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")), "qid")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))

@@ -560,7 +560,61 @@ object TextOps {
       |  FROM scored)
       |WHERE rk <= 15 ORDER BY rk""".stripMargin
 
+  /** End-to-end curation pipeline COMPOSED as one declarative plan —
+    * the flagship "a training-data run is these stages chained" query:
+    * quality gate → exact-dedup canonical pick → per-source quota →
+    * token-budget batch packing. Each stage is individually oracled
+    * elsewhere (docs_curation / dedup_exact / docs_mixture_quota /
+    * docs_pack_batches); this one proves the COMPOSITION stays correct
+    * and plannable. Three shuffles total (fp, source, lang windows) —
+    * each inherent to its stage's grouping key, nothing global; filters
+    * run before the md5 so dropped docs are never hashed. */
+  private val docsPipelineE2e: Q = (s, dir) => {
+    val w = split(col("text"), " ")
+    val nWords = size(w)
+    val stopRatio = size(filter(w, x => x.isin(stopwords: _*))).cast("double") / nWords
+    val dedupW = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val quotaW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val packW = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "documents")
+      .withColumn("n_tok", nWords)
+      .filter(col("n_tok") >= 20 && col("n_tok") <= 400 && stopRatio > 0.02)
+      .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
+      .withColumn("qn", row_number().over(quotaW)).filter(col("qn") <= 100)
+      .withColumn("cum", sum(col("n_tok")).over(packW))
+      .withColumn("batch_id", ((col("cum") - col("n_tok")) / 8192).cast("int"))
+      .select(col("source"), col("lang"), col("batch_id"), col("doc_id"), col("n_tok"))
+      .orderBy(col("source"), col("lang"), col("batch_id"), col("doc_id"))
+  }
+
+  private val docsPipelineE2eSql =
+    """WITH q AS (
+      |  SELECT doc_id, source, lang,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+      |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 400
+      |    AND CAST(len(list_filter(string_split(text, ' '),
+      |          w -> w IN ('the','a','and','of','to','is','in'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) > 0.02),
+      |d AS (SELECT * FROM (
+      |        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q)
+      |      WHERE rn = 1),
+      |qt AS (SELECT * FROM (
+      |         SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS qn FROM d)
+      |       WHERE qn <= 100),
+      |p AS (SELECT source, lang, doc_id, n_tok,
+      |        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM qt)
+      |SELECT source, lang, CAST(floor((cum - n_tok) / 8192) AS INTEGER) AS batch_id,
+      |  doc_id, n_tok
+      |FROM p ORDER BY source, lang, batch_id, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "docs_pipeline_e2e" -> docsPipelineE2e,
     "text_bm25_topk" -> textBm25,
     "text_repetition" -> textRepetition,
     "docs_ngram_scrub" -> docsNgramScrub,
@@ -580,6 +634,7 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "docs_pipeline_e2e" -> docsPipelineE2eSql,
     "text_bm25_topk" -> textBm25Sql,
     "text_repetition" -> textRepetitionSql,
     "docs_ngram_scrub" -> docsNgramScrubSql,

@@ -55,7 +55,14 @@ class GraftCachedBatchSerializer extends CachedBatchSerializer {
               case ur: UnsafeRow => ur
               case r => toUnsafe(r)
             }
-            val bytes = u.getBytes // copies the row payload out of any shared buffer
+            // ALWAYS copy: upstream operators (codegen writers, explode,
+            // UnsafeProjection) reuse one backing buffer across rows, and
+            // UnsafeRow.getBytes returns that buffer UN-copied whenever
+            // its length happens to equal sizeInBytes — aliasing every
+            // row in the batch to the last row written
+            val bytes = new Array[Byte](u.getSizeInBytes)
+            Platform.copyMemory(u.getBaseObject, u.getBaseOffset,
+              bytes, Platform.BYTE_ARRAY_OFFSET, u.getSizeInBytes)
             offsets += total
             chunks += bytes
             total += bytes.length

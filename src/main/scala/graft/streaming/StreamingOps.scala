@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming extension — beyond-reference surface: the
   * reference offloads no Spark streaming operators at all (SURVEY.md
@@ -148,5 +148,62 @@ object StreamingOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class SessionSum(user_id: Long, n: Long, max_value: Double,
+    closed_at_ms: Long)
+
+  /** event-time session closing via TIMERS + ListState — the remaining
+    * state-v2 API surface (RunningMaxProcessor covers ValueState):
+    * buffered per-key values in a ListState, one armed event-time timer
+    * per key re-set to lastSeen+gap on every input, and the session
+    * summary emitted from handleExpiredTimer when the WATERMARK crosses
+    * the gap — i.e. closure is driven by stream progress, not by the
+    * arrival of the next event for that key (the property the
+    * flatMapGroupsWithState sessionizer cannot give in event-time). */
+  class TimerSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, ValueIn, SessionSum] {
+    @transient private var values: ListState[Double] = _
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      values = getHandle.getListState[Double]("values", Encoders.scalaDouble, TTLConfig.NONE)
+      lastSeen = getHandle.getValueState[Long]("lastSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ValueIn],
+        timers: TimerValues): Iterator[SessionSum] = {
+      var mx = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      var seenAny = false
+      rows.foreach { r =>
+        values.appendValue(r.value)
+        mx = math.max(mx, r.ts.getTime)
+        seenAny = true
+      }
+      if (seenAny) {
+        // one live timer per key: re-arm at the new last-seen + gap
+        if (lastSeen.exists()) getHandle.deleteTimer(lastSeen.get() + gapMs)
+        lastSeen.update(mx)
+        getHandle.registerTimer(mx + gapMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSum] = {
+      val vs = values.get().toSeq
+      val out = SessionSum(key, vs.size.toLong,
+        if (vs.isEmpty) 0.0 else vs.max, expiredTimerInfo.getExpiryTimeInMs())
+      values.clear(); lastSeen.clear()
+      Iterator.single(out)
+    }
+  }
+
+  def timerSessions(events: Dataset[ValueIn], gapMs: Long = 60000L): Dataset[SessionSum] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -65,4 +65,24 @@ class CachedBatchSerializerSpec extends AnyFunSuite {
       assert(viaCache == direct)
     } finally agg.unpersist()
   }
+
+  test("cached rows from buffer-reusing operators are not aliased (regression)") {
+    // explode + projection emit rows whose UnsafeRow backing buffer is
+    // REUSED and whose length can exactly equal sizeInBytes — the case
+    // where UnsafeRow.getBytes skips its defensive copy. Before the
+    // explicit-copy fix every row in a cached batch aliased the last row
+    // written (all rows identical, filters matching nothing).
+    val exploded = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), explode(transform(sequence(lit(0), lit(3)),
+        i => struct(i.as("sp"), slice(col("embedding"), i * 16 + 1, lit(16)).as("sv")))).as("x"))
+      .select(col("vec_id"), col("x.sp").as("sp"), col("x.sv").as("sv"))
+      .cache()
+    try {
+      val total = exploded.count()
+      val distinctIds = exploded.select(col("vec_id")).distinct().count()
+      val low = exploded.filter(col("vec_id") < 16).count()
+      assert(distinctIds == total / 4, s"cached rows aliased: $distinctIds ids over $total rows")
+      assert(low == 64, s"filter over cached exploded rows returned $low (expected 64)")
+    } finally exploded.unpersist()
+  }
 }

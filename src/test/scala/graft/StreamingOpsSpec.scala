@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.{SessionEvent, SessionOut}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -195,6 +196,49 @@ class StreamingOpsSpec extends AnyFunSuite {
         .as[Long].collect().sorted.toSeq
       assert(ids == Seq(1L, 2L), ids.toString)
     } finally q.stop()
+  }
+
+  test("transformWithState event-time timers close sessions as the watermark advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamingOps.ValueIn]
+      val q = StreamingOps.timerSessions(in.toDS(), gapMs = 60000L)
+        .writeStream.format("memory").queryName("timer_sessions")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // user 1's session: events at minute 1 and 2 (gap timer arms at 3)
+        in.addData(
+          StreamingOps.ValueIn(1, ts(1), 5.0),
+          StreamingOps.ValueIn(1, ts(2), 3.0))
+        q.processAllAvailable()
+        // watermark only reaches minute 2 after this batch; timer not due
+        in.addData(StreamingOps.ValueIn(2, ts(10), 1.0))
+        q.processAllAvailable()
+        // this batch runs with watermark = minute 10 > minute 3 → user 1's
+        // timer fires even though user 1 itself sends nothing
+        in.addData(StreamingOps.ValueIn(2, ts(20), 2.0))
+        q.processAllAvailable()
+        val rows = spark.table("timer_sessions")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(rows.contains((1L, 2L, 5.0)),
+          s"user 1 session (n=2, max=5.0) not closed by timer: $rows")
+        assert(!rows.exists(_._1 == 2L),
+          s"user 2 session closed early (watermark never passed its gap): $rows")
+        // closure timestamp is exactly lastSeen + gap
+        val closedAt = spark.table("timer_sessions")
+          .filter(col("user_id") === 1L).collect().head.getLong(3)
+        assert(closedAt == ts(2).getTime + 60000L, closedAt.toString)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("transformWithState keeps typed per-key state across micro-batches") {
