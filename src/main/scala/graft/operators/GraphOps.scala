@@ -82,9 +82,32 @@ object GraphOps {
        |SELECT id, ROUND(pr, 6) AS pr FROM r$iters WHERE id LIKE 'k%'
        |ORDER BY id""".stripMargin
 
+  /** degree-distribution profile of the same graph: out-degree per node
+    * → histogram per node class (user/key). Two narrowing aggregations —
+    * the standard first look at any crawled link graph. */
+  private val degreeStats: Q = (s, dir) => {
+    val deg = edgeList(s, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    deg.select(substring(col("src"), 1, 1).as("node_class"), col("degree"))
+      .groupBy(col("node_class"), col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("node_class"), col("degree"))
+  }
+
+  private val degreeStatsSql =
+    s"""WITH base AS (
+       |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+       |    'k' || json_extract_string(props, '$$.k') AS dst FROM events),
+       |edges AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY 1)
+       |SELECT substr(src, 1, 1) AS node_class, degree, COUNT(*) AS n_nodes
+       |FROM deg GROUP BY 1, 2 ORDER BY node_class, degree""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "graph_pagerank" -> pagerank)
+    "graph_pagerank" -> pagerank,
+    "graph_degree_stats" -> degreeStats)
 
   val oracles: Map[String, String] = Map(
-    "graph_pagerank" -> pagerankSql)
+    "graph_pagerank" -> pagerankSql,
+    "graph_degree_stats" -> degreeStatsSql)
 }

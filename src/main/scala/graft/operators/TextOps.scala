@@ -326,6 +326,111 @@ object TextOps {
       |  FROM documents)
       |ORDER BY shard, pos""".stripMargin
 
+  // TF-IDF keyword extraction per source: tf over (source, term) and
+  // df over sources come out of the same tokenize pass; idf = ln(S/df)
+  // with S = #sources as a broadcast scalar; top-5 terms per source by
+  // rounded tf-idf (per-group rank — WindowGroupLimit prunes before the
+  // final sort). The per-corpus-slice signature a mixture builder uses
+  // to label sources.
+  private val textTfidfKeywords: Q = (s, dir) => {
+    val toks = load(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "" && !col("term").isin(stopwords: _*))
+    val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nSrc = tf.select(col("source")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_src"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nSrc))
+      .withColumn("tfidf", round(col("tf") * log(col("n_src") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("term"), col("tfidf"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val textTfidfKeywordsSql =
+    """WITH toks AS (
+      |  SELECT source, t.term
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |  WHERE t.term <> '' AND t.term NOT IN ('the','a','and','of','to','is','in')),
+      |tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_src FROM tf)
+      |SELECT source, rk, term, tfidf FROM (
+      |  SELECT tf.source, tf.term,
+      |    round(tf.tf * ln(ns.n_src / df.df), 6) AS tfidf,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.source
+      |      ORDER BY round(tf.tf * ln(ns.n_src / df.df), 6) DESC, tf.term) AS INTEGER) AS rk
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN ns)
+      |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
+  // Bigram language-model statistics: corpus-wide bigram counts with
+  // add-one-smoothed conditional probability P(w2|w1) — the classic
+  // MapReduce n-gram-stats workload. One shingle explode → one (w1,w2)
+  // count shuffle; unigram counts and |V| join back broadcast. Top-20
+  // bigrams with deterministic tie-breaks.
+  private val textBigramLm: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    val bigrams = load(s, dir, "documents")
+      .filter(size(words) >= 2) // ANSI: element_at never out of bounds
+      .select(explode(transform(
+        sequence(lit(1), size(words) - 1),
+        i => struct(element_at(words, i).as("w1"), element_at(words, i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val bc = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uc = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = bc.select(col("w2")).distinct().agg(count(lit(1)).as("v"))
+    bc.join(uc, "w1").crossJoin(broadcast(vocab))
+      .withColumn("p_smooth", round((col("c2") + 1.0) / (col("c1") + col("v")), 6))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+      .limit(20)
+      .select(col("w1"), col("w2"), col("c2"), col("p_smooth"))
+  }
+
+  private val textBigramLmSql =
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2
+      |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      |  WHERE ws[i] <> '' AND ws[i+1] <> ''),
+      |bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |uc AS (SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w2) AS v FROM bc)
+      |SELECT bc.w1, bc.w2, bc.c2,
+      |  round((bc.c2 + 1.0e0) / (uc.c1 + v.v), 6) AS p_smooth
+      |FROM bc JOIN uc ON bc.w1 = uc.w1 CROSS JOIN v
+      |ORDER BY bc.c2 DESC, bc.w1, bc.w2 LIMIT 20""".stripMargin
+
+  // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+  // each doc draws u ∈ (0,1) from a seeded md5 (the same portable-hash
+  // trick as docs_epoch_shuffle) and competes on key = ln(u)/weight —
+  // the top-k by key IS an exact weighted sample without replacement,
+  // computed as one scan + a distributed top-k (TakeOrderedAndProject),
+  // no per-row RNG state and no global sort. Weight here = n_chars
+  // (longer docs proportionally likelier — the token-mass-weighted
+  // sampling a mixture builder uses). Keys are ROUNDED before ordering
+  // so the cross-engine cutoff never rests on a last-ulp ln() bit.
+  private val docsWeightedSample: Q = (s, dir) => {
+    val h = md5(concat(lit("wsamp1:"), col("doc_id")))
+    val u = (conv(substring(h, 1, 6), 16, 10).cast("double") + 0.5) / lit(16777216.0)
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        round(log(u) / col("n_chars"), 9).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(60)
+  }
+
+  private val docsWeightedSampleSql =
+    """SELECT doc_id, n_chars,
+      |  round(ln((CAST('0x' || substr(md5('wsamp1:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      |    + 0.5e0) / 16777216.0e0) / n_chars, 9) AS es_key
+      |FROM documents
+      |ORDER BY es_key DESC, doc_id LIMIT 60""".stripMargin
+
   // Mixture quota: cap each source's contribution at K docs chosen by a
   // deterministic hash priority — the data-mixing step that rebalances
   // over-represented sources. Per-source windows; no global sort.
@@ -614,6 +719,9 @@ object TextOps {
       |FROM p ORDER BY source, lang, batch_id, doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "text_tfidf_keywords" -> textTfidfKeywords,
+    "text_bigram_lm" -> textBigramLm,
+    "docs_weighted_sample" -> docsWeightedSample,
     "docs_pipeline_e2e" -> docsPipelineE2e,
     "text_bm25_topk" -> textBm25,
     "text_repetition" -> textRepetition,
@@ -634,6 +742,9 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf_keywords" -> textTfidfKeywordsSql,
+    "text_bigram_lm" -> textBigramLmSql,
+    "docs_weighted_sample" -> docsWeightedSampleSql,
     "docs_pipeline_e2e" -> docsPipelineE2eSql,
     "text_bm25_topk" -> textBm25Sql,
     "text_repetition" -> textRepetitionSql,
