@@ -405,6 +405,59 @@ object TextOps {
       |FROM bc JOIN uc ON bc.w1 = uc.w1 CROSS JOIN v
       |ORDER BY bc.c2 DESC, bc.w1, bc.w2 LIMIT 20""".stripMargin
 
+  // CCNet-style LM-quality bucketing: score each doc by its average
+  // bigram negative log-likelihood under the CORPUS bigram model
+  // (add-one smoothing — the same statistics as text_bigram_lm), then
+  // quintile docs per language by the ROUNDED score (low perplexity =
+  // head bucket, the split CCNet keeps/filters on). Plan shape: the
+  // doc-bigram explode joins the corpus model on the (w1,w2) key — both
+  // sides hash-partition, no broadcast of the (large at 100 TB) model;
+  // unigram totals and |V| ride along; ntile windows are per-language.
+  private val docsLmQualityBuckets: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    val docBigrams = load(s, dir, "documents")
+      .filter(size(words) >= 2)
+      .select(col("doc_id"), col("lang"), explode(transform(
+        sequence(lit(1), size(words) - 1),
+        i => struct(element_at(words, i).as("w1"), element_at(words, i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val bc = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uc = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = bc.select(col("w2")).distinct().agg(count(lit(1)).as("v"))
+    val scored = docBigrams
+      .join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log((col("c2") + 1.0) / (col("c1") + col("v"))))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(avg(col("nll")), 6).as("avg_nll"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))
+    scored.withColumn("bucket", ntile(5).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_nll"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docsLmQualityBucketsSql =
+    """WITH w AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      |  WHERE ws[i] <> '' AND ws[i+1] <> ''),
+      |bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |uc AS (SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w2) AS v FROM bc),
+      |scored AS (
+      |  SELECT bg.doc_id, bg.lang,
+      |    round(avg(-ln((bc.c2 + 1.0e0) / (uc.c1 + v.v))), 6) AS avg_nll
+      |  FROM bg JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+      |  JOIN uc ON bg.w1 = uc.w1 CROSS JOIN v
+      |  GROUP BY bg.doc_id, bg.lang)
+      |SELECT doc_id, lang, avg_nll,
+      |  CAST(ntile(5) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS INTEGER) AS bucket
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
   // each doc draws u ∈ (0,1) from a seeded md5 (the same portable-hash
   // trick as docs_epoch_shuffle) and competes on key = ln(u)/weight —
@@ -721,6 +774,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "text_tfidf_keywords" -> textTfidfKeywords,
     "text_bigram_lm" -> textBigramLm,
+    "docs_lm_quality_buckets" -> docsLmQualityBuckets,
     "docs_weighted_sample" -> docsWeightedSample,
     "docs_pipeline_e2e" -> docsPipelineE2e,
     "text_bm25_topk" -> textBm25,
@@ -744,6 +798,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_tfidf_keywords" -> textTfidfKeywordsSql,
     "text_bigram_lm" -> textBigramLmSql,
+    "docs_lm_quality_buckets" -> docsLmQualityBucketsSql,
     "docs_weighted_sample" -> docsWeightedSampleSql,
     "docs_pipeline_e2e" -> docsPipelineE2eSql,
     "text_bm25_topk" -> textBm25Sql,
