@@ -1382,6 +1382,41 @@ object RelationalOps {
       |FROM (SELECT unnest(generate_series(1, 1000)) AS i)
       |GROUP BY 1 ORDER BY grp""".stripMargin
 
+  // Spark-4 SQL SCRIPTING (BEGIN…END, DECLARE, WHILE, SET with scalar
+  // subqueries): a 2-step iterated trimmed mean — each pass recomputes
+  // the mean over rows at-or-above the previous cutoff, state carried in
+  // a script variable. Control flow runs on the driver; every SET still
+  // evaluates as a full distributed aggregate. Decimal-exact SUM/COUNT
+  // (not AVG) so both engines divide identical numbers. Oracle = the
+  // two iterations unrolled as CTEs.
+  private val sqlScripting: Q = (s, dir) => {
+    graft.Tables.registerAll(s, dir)
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    s.sql(
+      """BEGIN
+        |  DECLARE cutoff DOUBLE DEFAULT 0;
+        |  DECLARE it INT DEFAULT 0;
+        |  WHILE it < 2 DO
+        |    SET cutoff = (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |                  FROM orders WHERE CAST(o_totalprice AS DOUBLE) >= cutoff);
+        |    SET it = it + 1;
+        |  END WHILE;
+        |  SELECT it AS iterations, ROUND(cutoff, 6) AS trimmed_cutoff,
+        |    (SELECT COUNT(*) FROM orders WHERE CAST(o_totalprice AS DOUBLE) >= cutoff) AS n_above;
+        |END""".stripMargin)
+  }
+
+  private val sqlScriptingSql =
+    """WITH c0 AS (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM orders),
+      |c1 AS (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM orders, c0 WHERE CAST(o_totalprice AS DOUBLE) >= c0.c)
+      |SELECT 2 AS iterations, ROUND(c1.c, 6) AS trimmed_cutoff,
+      |  (SELECT COUNT(*) FROM orders, c1 WHERE CAST(o_totalprice AS DOUBLE) >= c1.c) AS n_above
+      |FROM c1""".stripMargin
+
   // staged conversion funnel: first view → first click AFTER that view →
   // first purchase AFTER that click, per user. Three aggregations all
   // keyed on user_id — co-partitioned shuffles that AQE plans once; each
@@ -1447,6 +1482,7 @@ object RelationalOps {
       |GROUP BY 1, 2 ORDER BY cohort, k""".stripMargin
 
   private val built: (Map[String, Q], Map[String, String]) = q(
+    ("sql_scripting" -> sqlScripting, sqlScriptingSql),
     ("ev_funnel_conversion" -> evFunnel, evFunnelSql),
     ("ev_retention_cohorts" -> evRetention, evRetentionSql),
     ("scan_rdd" -> rddScan, rddScanSql),
