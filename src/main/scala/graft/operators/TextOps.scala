@@ -405,6 +405,40 @@ object TextOps {
       |FROM bc JOIN uc ON bc.w1 = uc.w1 CROSS JOIN v
       |ORDER BY bc.c2 DESC, bc.w1, bc.w2 LIMIT 20""".stripMargin
 
+  // RAG-style overlapping token chunking: fixed 64-token windows with
+  // stride 48 (16-token overlap), chunk boundaries derived purely from
+  // per-row token positions — embarrassingly parallel explode, no
+  // shuffle, and chunk_id is deterministic so downstream joins/upserts
+  // are stable across refreshes. The text-side counterpart of the
+  // binary mm_chunk_payload tiling.
+  private val docsChunkOverlap: Q = (s, dir) => {
+    val win = 64
+    val stride = 48
+    val words = split(col("text"), " ")
+    load(s, dir, "documents")
+      .select(col("doc_id"), words.as("w"))
+      .withColumn("n", size(col("w")))
+      // start positions 1, 1+stride, 1+2*stride, … while start ≤ n
+      .withColumn("start", explode(sequence(lit(1), greatest(col("n") - 1, lit(1)), lit(stride))))
+      .withColumn("chunk_id", ((col("start") - 1) / stride).cast("int"))
+      .withColumn("chunk_tokens", least(lit(win), col("n") - col("start") + 1))
+      .select(col("doc_id"), col("chunk_id"),
+        col("start"), col("chunk_tokens"),
+        concat_ws(" ", slice(col("w"), col("start"), least(lit(win), col("n") - col("start") + 1))).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val docsChunkOverlapSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (
+      |  SELECT doc_id, w, len(w) AS n, t.st AS start
+      |  FROM d, unnest(generate_series(1, greatest(len(w) - 1, 1), 48)) AS t(st))
+      |SELECT doc_id, CAST((start - 1) / 48 AS INTEGER) AS chunk_id,
+      |  CAST(start AS INTEGER) AS start,
+      |  CAST(least(64, n - start + 1) AS INTEGER) AS chunk_tokens,
+      |  array_to_string(list_slice(w, start, start + least(64, n - start + 1) - 1), ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   // CCNet-style LM-quality bucketing: score each doc by its average
   // bigram negative log-likelihood under the CORPUS bigram model
   // (add-one smoothing — the same statistics as text_bigram_lm), then
@@ -775,6 +809,7 @@ object TextOps {
     "text_tfidf_keywords" -> textTfidfKeywords,
     "text_bigram_lm" -> textBigramLm,
     "docs_lm_quality_buckets" -> docsLmQualityBuckets,
+    "docs_chunk_overlap" -> docsChunkOverlap,
     "docs_weighted_sample" -> docsWeightedSample,
     "docs_pipeline_e2e" -> docsPipelineE2e,
     "text_bm25_topk" -> textBm25,
@@ -799,6 +834,7 @@ object TextOps {
     "text_tfidf_keywords" -> textTfidfKeywordsSql,
     "text_bigram_lm" -> textBigramLmSql,
     "docs_lm_quality_buckets" -> docsLmQualityBucketsSql,
+    "docs_chunk_overlap" -> docsChunkOverlapSql,
     "docs_weighted_sample" -> docsWeightedSampleSql,
     "docs_pipeline_e2e" -> docsPipelineE2eSql,
     "text_bm25_topk" -> textBm25Sql,
