@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming extension — beyond-reference surface: the
   * reference offloads no Spark streaming operators at all (SURVEY.md
@@ -197,6 +197,40 @@ object StreamingOps {
       values.clear(); lastSeen.clear()
       Iterator.single(out)
     }
+  }
+
+  final case class TypedEvent(user_id: Long, event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** per-key event-type counters in a MapState — the remaining state-v2
+    * handle type (ValueState/ListState/timers covered above). MapState
+    * gives point lookups and per-entry updates against the RocksDB
+    * store, i.e. a counter map that does NOT rewrite the whole
+    * collection per batch the way a ValueState[Map] would. Emits the
+    * updated (key, type, n) rows each batch. */
+  class TypeCounterProcessor extends StatefulProcessor[Long, TypedEvent, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timers: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        val cur = if (counts.containsKey(r.event_type)) counts.getValue(r.event_type) else 0L
+        counts.updateValue(r.event_type, cur + 1L)
+        touched += r.event_type
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  def typeCounts(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCounterProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   def timerSessions(events: Dataset[ValueIn], gapMs: Long = 60000L): Dataset[SessionSum] = {

@@ -241,6 +241,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState MapState keeps per-entry counters across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamingOps.TypedEvent]
+      val q = StreamingOps.typeCounts(in.toDS())
+        .writeStream.format("memory").queryName("type_counts")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(
+          StreamingOps.TypedEvent(1, "view"), StreamingOps.TypedEvent(1, "view"),
+          StreamingOps.TypedEvent(1, "click"), StreamingOps.TypedEvent(2, "view"))
+        q.processAllAvailable()
+        in.addData( // per-entry updates must build on batch-1 state
+          StreamingOps.TypedEvent(1, "view"), StreamingOps.TypedEvent(2, "purchase"))
+        q.processAllAvailable()
+        val rows = spark.table("type_counts")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        assert(rows == Set(
+          (1L, "view", 2L), (1L, "click", 1L), (2L, "view", 1L),   // batch 1
+          (1L, "view", 3L), (2L, "purchase", 1L)),                 // batch 2
+          rows.toString)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState keeps typed per-key state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
