@@ -66,7 +66,8 @@ object Bench {
     "text_quality", "text_fingerprint", "text_decontaminate", "docs_curation",
     "docs_epoch_shuffle",
     "text_bm25_topk", "graph_pagerank", "ev_funnel_conversion",
-    "dedup_containment", "sim_ann_pq",
+    "dedup_containment", "sim_ann_pq", "docs_pipeline_e2e",
+    "docs_lm_quality_buckets",
     "lake_time_travel", "lake_merge", "lake_cdf_scan", "lake_zorder_skip")
 
   /** the data-pipeline operator set for scaling runs (ScaleUp's
@@ -83,6 +84,7 @@ object Bench {
     "docs_mixture_quota",
     "ev_sessionize", "ev_uniq_users_by_type_day", "ev_asof_join_custom",
     "ev_funnel_conversion", "text_bm25_topk", "graph_pagerank",
+    "docs_pipeline_e2e", "docs_lm_quality_buckets",
     "sim_ann_brute_topk", "sim_ann_lsh", "sim_ann_ivf")
 
   /** needs the graft as-of planner strategy or the graft lake catalog —

@@ -307,6 +307,40 @@ object DedupOps {
       |WHERE CAST(i AS DOUBLE) / CAST(na AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Fuzzy record linkage by edit distance with BLOCKING: candidate
+    * pairs come only from a blocking join (first character) plus the
+    * semantics-preserving length-band prune (levenshtein ≥ |len(a) −
+    * len(b)|, so pairs outside the band can never match) — the classic
+    * entity-resolution shape where the quadratic is confined to small
+    * blocks instead of the corpus, and the expensive distance runs on
+    * survivors only. Exact and ORACLED (same blocking both sides; both
+    * engines' levenshtein is the textbook integer edit distance). */
+  private val dedupFuzzyNames: Q = (s, dir) => {
+    val names = load(s, dir, "part").select(col("p_name")).distinct()
+    val a = names.select(col("p_name").as("name_a"))
+      .withColumn("blk", substring(col("name_a"), 1, 1))
+    val b = names.select(col("p_name").as("name_b"))
+      .withColumn("blk", substring(col("name_b"), 1, 1))
+    a.join(b, "blk")
+      .filter(col("name_a") < col("name_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  private val dedupFuzzyNamesSql =
+    """WITH n AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      |FROM n a JOIN n b
+      |  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+      |  AND a.p_name < b.p_name
+      |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   /** MinHash-LSH near-dup over 3-word SHINGLE sets — the standard
     * document near-dup formulation (order-sensitive where the word-set
     * variant is bag-of-words): two docs pair only when ≥90% of their
@@ -721,6 +755,7 @@ object DedupOps {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgram,
     "dedup_containment" -> dedupContainment,
+    "dedup_fuzzy_names" -> dedupFuzzyNames,
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
@@ -733,5 +768,6 @@ object DedupOps {
     "dedup_minhash_shingle" -> dedupMinhashShingleSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
     "dedup_containment" -> dedupContainmentSql,
+    "dedup_fuzzy_names" -> dedupFuzzyNamesSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }
