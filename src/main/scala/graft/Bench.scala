@@ -67,7 +67,8 @@ object Bench {
     "docs_epoch_shuffle",
     "text_bm25_topk", "graph_pagerank", "ev_funnel_conversion",
     "dedup_containment", "sim_ann_pq", "docs_pipeline_e2e",
-    "docs_lm_quality_buckets",
+    "docs_lm_quality_buckets", "dedup_semantic", "sim_margin_mining",
+    "text_quality_classifier",
     "lake_time_travel", "lake_merge", "lake_cdf_scan", "lake_zorder_skip")
 
   /** the data-pipeline operator set for scaling runs (ScaleUp's
@@ -85,6 +86,7 @@ object Bench {
     "ev_sessionize", "ev_uniq_users_by_type_day", "ev_asof_join_custom",
     "ev_funnel_conversion", "text_bm25_topk", "graph_pagerank",
     "docs_pipeline_e2e", "docs_lm_quality_buckets",
+    "text_quality_classifier", "dedup_semantic",
     "sim_ann_brute_topk", "sim_ann_lsh", "sim_ann_ivf")
 
   /** needs the graft as-of planner strategy or the graft lake catalog —

@@ -499,7 +499,151 @@ object SimilarityOps {
       |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale))), 9) AS sq_err
       |FROM w ORDER BY vec_id""".stripMargin
 
+  /** Margin-based parallel-pair mining (the LASER/CCMatrix bitext-mining
+    * criterion): a candidate pair scores not by raw cosine but by the
+    * RATIO of its cosine to the mean of each side's top-k neighborhood —
+    * margin(x,y) = cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2) — which
+    * suppresses hub vectors that are "near everything". Sides here are
+    * the even/odd vec_id halves (stand-ins for two languages' encoder
+    * outputs); each source keeps its best target iff margin ≥ 1.05.
+    * Exact, ORACLED formulation: the pair table is the bounded
+    * cross-product (source side broadcast, corpus streamed once, same
+    * shape as the brute ANN baseline); at 100 TB the pair generation
+    * swaps in the LSH/IVF shortlist and the margin math downstream is
+    * unchanged. Cosines round to 6 dp before the windows so both
+    * engines agree on every top-k and argmax boundary. */
+  private val marginMining: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings")
+    val src = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("sid"), col("embedding").as("s_emb"))
+    val tgt = e.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id").as("tid"), col("embedding").as("t_emb"))
+    val pairs = tgt.crossJoin(broadcast(src))
+      .withColumn("cos",
+        round(GraftExpressions.cosine_sim(col("s_emb"), col("t_emb")), 6))
+      .select(col("sid"), col("tid"), col("cos"))
+    val wS = Window.partitionBy(col("sid")).orderBy(col("cos").desc, col("tid"))
+    val wT = Window.partitionBy(col("tid")).orderBy(col("cos").desc, col("sid"))
+    val ranked = pairs
+      .withColumn("rs", row_number().over(wS))
+      .withColumn("rt", row_number().over(wT))
+    // top-4 averages round to 8 dp, NOT 6: an avg of four 6-dp values
+    // sits on a 2.5e-7 grid, i.e. EXACTLY on 6-dp half-boundaries,
+    // where Spark (HALF_UP on the decimal) and the oracle (nearest
+    // double) disagree; the 25e-8 grid is exact at 8 dp so rounding
+    // there is unambiguous and both engines see bit-identical operands
+    val aSrc = ranked.filter(col("rs") <= 4)
+      .groupBy(col("sid")).agg(round(avg(col("cos")), 8).as("a_src"))
+    val aTgt = ranked.filter(col("rt") <= 4)
+      .groupBy(col("tid")).agg(round(avg(col("cos")), 8).as("a_tgt"))
+    val wBest = Window.partitionBy(col("sid"))
+      .orderBy(col("margin").desc, col("tid"))
+    pairs.join(aSrc, "sid").join(aTgt, "tid")
+      .withColumn("margin",
+        round(col("cos") / ((col("a_src") + col("a_tgt")) / 2), 6))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1 && col("margin") >= 1.05)
+      .select(col("sid"), col("tid"), col("cos"), col("margin"))
+      .orderBy(col("sid"))
+  }
+
+  private val marginMiningSql =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |dt AS (SELECT s.vec_id AS sid, t.vec_id AS tid, SUM(s.x * t.x) AS dot
+      |       FROM e s JOIN e t ON s.i = t.i AND s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+      |       GROUP BY 1, 2),
+      |cs AS (SELECT sid, tid, round(dot / (ns.nrm * nt.nrm), 6) AS cos
+      |       FROM dt JOIN n ns ON ns.vec_id = sid JOIN n nt ON nt.vec_id = tid),
+      |r AS (SELECT sid, tid, cos,
+      |       ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, tid) AS rs,
+      |       ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cos DESC, sid) AS rt FROM cs),
+      |asrc AS (SELECT sid, round(avg(cos), 8) AS a_src FROM r WHERE rs <= 4 GROUP BY 1),
+      |atgt AS (SELECT tid, round(avg(cos), 8) AS a_tgt FROM r WHERE rt <= 4 GROUP BY 1),
+      |m AS (SELECT cs.sid, cs.tid, cs.cos,
+      |        round(cs.cos / ((a_src + a_tgt) / 2), 6) AS margin
+      |      FROM cs JOIN asrc ON asrc.sid = cs.sid JOIN atgt ON atgt.tid = cs.tid),
+      |b AS (SELECT sid, tid, cos, margin,
+      |        ROW_NUMBER() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS rk FROM m)
+      |SELECT sid, tid, cos, margin FROM b WHERE rk = 1 AND margin >= 1.05
+      |ORDER BY sid""".stripMargin
+
+  /** SemDeDup (semantic dedup, Abbas et al. 2023): cluster the corpus
+    * with the SAME 2-round distributed Lloyd's k-means as
+    * `sim_kmeans_clusters`, then drop any vector whose cosine to a
+    * LOWER-id vector in the SAME cluster is ≥ 0.4 (one-pass keeper
+    * rule, same convention as `dedup_embedding`). The whole point of
+    * the clustering is scale: the quadratic verify is confined to one
+    * cluster's partition — with k ∝ corpus size the per-cluster pair
+    * count stays bounded while all-pairs grows as n². The recall
+    * tradeoff is visible in the fixture: all-pairs `dedup_embedding`
+    * finds 59 pairs at the same threshold, the clustered pass drops 29
+    * docs — cross-cluster near-dups are unseen by design. Exact given
+    * the cluster assignment, so fully ORACLED (the oracle unrolls the
+    * same two Lloyd's rounds). */
+  private val dedupSemantic: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    var cents = kmeansInit(e, 4)
+    for (_ <- 0 until 2) cents = kmeansStep(e, cents)
+    val assigned = kmeansAssign(e, cents)
+      .select(col("vec_id"), col("embedding"), col("cl"))
+    val dup = assigned
+      .select(col("cl"), col("vec_id").as("va"), col("embedding").as("ea"))
+      .join(assigned.select(col("cl"), col("vec_id").as("vb"),
+        col("embedding").as("eb")), Seq("cl"))
+      .filter(col("va") < col("vb"))
+      .filter(round(GraftExpressions.cosine_sim(col("ea"), col("eb")), 6) >= 0.4)
+      .select(col("vb").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cl"),
+        coalesce(!col("is_dup"), lit(true)).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val dedupSemanticSql =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id + 1 AS INTEGER) AS cl, dim, x AS cx FROM e WHERE vec_id < 4),
+      |d1 AS (SELECT e.vec_id, c0.cl, round(SUM((e.x - c0.cx) * (e.x - c0.cx)), 6) AS dist
+      |       FROM e JOIN c0 ON e.dim = c0.dim GROUP BY e.vec_id, c0.cl),
+      |a1 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.cl, e.dim, CAST(CAST(avg(e.x) AS FLOAT) AS DOUBLE) AS cx
+      |       FROM e JOIN a1 ON e.vec_id = a1.vec_id GROUP BY a1.cl, e.dim),
+      |d2 AS (SELECT e.vec_id, c1.cl, round(SUM((e.x - c1.cx) * (e.x - c1.cx)), 6) AS dist
+      |       FROM e JOIN c1 ON e.dim = c1.dim GROUP BY e.vec_id, c1.cl),
+      |a2 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+      |         FROM d2) WHERE rn = 1),
+      |c2 AS (SELECT a2.cl, e.dim, CAST(CAST(avg(e.x) AS FLOAT) AS DOUBLE) AS cx
+      |       FROM e JOIN a2 ON e.vec_id = a2.vec_id GROUP BY a2.cl, e.dim),
+      |d3 AS (SELECT e.vec_id, c2.cl, round(SUM((e.x - c2.cx) * (e.x - c2.cx)), 6) AS dist
+      |       FROM e JOIN c2 ON e.dim = c2.dim GROUP BY e.vec_id, c2.cl),
+      |a3 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+      |         FROM d3) WHERE rn = 1),
+      |nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
+      |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM a3 a JOIN a3 b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+      |dt AS (SELECT p.va, p.vb, SUM(ea.x * eb.x) AS dot
+      |       FROM pairs p JOIN e ea ON ea.vec_id = p.va
+      |         JOIN e eb ON eb.vec_id = p.vb AND ea.dim = eb.dim
+      |       GROUP BY 1, 2),
+      |dup AS (SELECT DISTINCT vb FROM dt
+      |        JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb
+      |        WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4)
+      |SELECT a3.vec_id, a3.cl,
+      |  (a3.vec_id NOT IN (SELECT vb FROM dup)) AS keep
+      |FROM a3 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_margin_mining" -> marginMining,
+    "dedup_semantic" -> dedupSemantic,
     "sim_quantize_int8" -> quantize,
     "sim_ann_brute_topk" -> annBrute,
     "sim_hard_negatives" -> hardNegatives,
@@ -526,6 +670,8 @@ object SimilarityOps {
       |ORDER BY la, lb""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_margin_mining" -> marginMiningSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "sim_quantize_int8" -> quantizeSql,
     "sim_ann_brute_topk" -> annBruteSql,
     "sim_hard_negatives" -> hardNegativesSql,

@@ -805,7 +805,50 @@ object TextOps {
       |  doc_id, n_tok
       |FROM p ORDER BY source, lang, batch_id, doc_id""".stripMargin
 
+  /** Model-based quality filtering with the HASHING TRICK (fastText /
+    * Weinberger et al. feature hashing; the GPT-3/CCNet-style learned
+    * quality classifier stage): score = mean over tokens of
+    * weight(hash(token)), prob = sigmoid(8·score). Weights live in NO
+    * table at all — each token's weight is derived from its portable
+    * md5 hash (a stand-in for a trained weight vector, which at scale
+    * would be a broadcast array indexed by `hash % D`). The whole
+    * classifier is therefore one codegen row pipeline: zero shuffle,
+    * zero join, constant memory — the shape a 100 TB quality-filter
+    * pass needs. Token weights are INTEGERS (hash − 2²³) so the
+    * per-doc sum is order-independent and bit-identical cross-engine;
+    * only the final division/sigmoid touches floating point. */
+  private val textQualityClassifier: Q = (s, dir) => {
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val tokW = transform(ws, w =>
+      conv(substring(md5(concat(lit("qw1:"), w)), 1, 6), 16, 10).cast("long") -
+        8388608L)
+    val sw = aggregate(tokW, lit(0L), (acc, x) => acc + x)
+    val n = size(ws)
+    val raw = sw.cast("double") / (n.cast("double") * lit(16777216.0))
+    load(s, dir, "documents")
+      .select(col("doc_id"), n.as("n_tokens"),
+        round(raw, 6).as("score"),
+        round(lit(1.0) / (lit(1.0) + exp(-lit(8.0) * raw)), 6).as("prob"),
+        (sw > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textQualityClassifierSql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents),
+      |s AS (SELECT doc_id, len(ws) AS n,
+      |    list_sum(list_transform(ws,
+      |      w -> CAST('0x' || substr(md5('qw1:' || w), 1, 6) AS BIGINT) - 8388608)) AS sw
+      |  FROM t)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+      |  round(sw / (n * 16777216.0e0), 6) AS score,
+      |  round(1.0e0 / (1.0e0 + exp(-8.0e0 * (sw / (n * 16777216.0e0)))), 6) AS prob,
+      |  (sw > 0) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_quality_classifier" -> textQualityClassifier,
     "text_tfidf_keywords" -> textTfidfKeywords,
     "text_bigram_lm" -> textBigramLm,
     "docs_lm_quality_buckets" -> docsLmQualityBuckets,
@@ -831,6 +874,7 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "text_quality_classifier" -> textQualityClassifierSql,
     "text_tfidf_keywords" -> textTfidfKeywordsSql,
     "text_bigram_lm" -> textBigramLmSql,
     "docs_lm_quality_buckets" -> docsLmQualityBucketsSql,
