@@ -506,19 +506,21 @@ object SimilarityOps {
     * suppresses hub vectors that are "near everything". Sides here are
     * the even/odd vec_id halves (stand-ins for two languages' encoder
     * outputs); each source keeps its best target iff margin ≥ 1.05.
-    * Exact, ORACLED formulation: the pair table is the bounded
-    * cross-product (source side broadcast, corpus streamed once, same
-    * shape as the brute ANN baseline); at 100 TB the pair generation
-    * swaps in the LSH/IVF shortlist and the margin math downstream is
-    * unchanged. Cosines round to 6 dp before the windows so both
-    * engines agree on every top-k and argmax boundary. */
+    * Exact, ORACLED formulation: the pair table is the cross-product
+    * with NO planted broadcast hint — at this SF the optimizer
+    * broadcasts the source side from its stats; at scale neither half
+    * is broadcastable and the pair generation swaps in the LSH/IVF
+    * shortlist (the margin math downstream is unchanged), so hinting
+    * would only bake in a driver-OOM (the recursive-CTE lesson).
+    * Cosines round to 6 dp before the windows so both engines agree
+    * on every top-k and argmax boundary. */
   private val marginMining: Q = (s, dir) => {
     val e = load(s, dir, "embeddings")
     val src = e.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("sid"), col("embedding").as("s_emb"))
     val tgt = e.filter(col("vec_id") % 2 =!= 0)
       .select(col("vec_id").as("tid"), col("embedding").as("t_emb"))
-    val pairs = tgt.crossJoin(broadcast(src))
+    val pairs = tgt.crossJoin(src)
       .withColumn("cos",
         round(GraftExpressions.cosine_sim(col("s_emb"), col("t_emb")), 6))
       .select(col("sid"), col("tid"), col("cos"))
