@@ -86,7 +86,7 @@ object Bench {
     "ev_sessionize", "ev_uniq_users_by_type_day", "ev_asof_join_custom",
     "ev_funnel_conversion", "text_bm25_topk", "graph_pagerank",
     "docs_pipeline_e2e", "docs_lm_quality_buckets",
-    "text_quality_classifier", "dedup_semantic",
+    "text_quality_classifier",
     "sim_ann_brute_topk", "sim_ann_lsh", "sim_ann_ivf")
 
   /** needs the graft as-of planner strategy or the graft lake catalog —

@@ -613,6 +613,50 @@ object RelationalOps {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Trajectory assembly (behavioral-cloning / RL-from-logs dataset
+    * build): each (user, session) becomes ONE training example — the
+    * ordered action sequence plus episode reward. Sessionization is the
+    * same gap-30-min window as `ev_sessionize`; the sequence is
+    * collected per group and ordered by a deterministic in-group sort
+    * (`array_sort` over (ts, event_id, type) structs — collect order
+    * never matters), so the whole build is the one user-keyed shuffle
+    * sessionization already pays. Serialized as a '>'-joined string:
+    * exact cross-engine comparison, and the wire format a tokenizer
+    * would ingest anyway. */
+  private val evTrajectories: Q = (s, dir) => {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wRun).cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_steps"),
+        concat_ws(">", transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("trajectory"),
+        dbl(sum(dec(col("value")))).as("episode_reward"))
+      .filter(col("n_steps") >= 2)
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val evTrajectoriesSql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+      |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new FROM e),
+      |g AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id FROM f)
+      |SELECT user_id, session_id, COUNT(*) AS n_steps,
+      |  string_agg(event_type, '>' ORDER BY ts, event_id) AS trajectory,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS episode_reward
+      |FROM g GROUP BY user_id, session_id HAVING COUNT(*) >= 2
+      |ORDER BY user_id, session_id""".stripMargin
+
   // as-of join by composition: each purchase joined to the latest prior
   // click of the same user (merged-stream window — no per-row range scan;
   // single shuffle on user_id; DuckDB's native ASOF JOIN is the oracle's
@@ -1540,6 +1584,7 @@ object RelationalOps {
     ("generate_inline" -> generateInline, generateInlineSql),
     ("generate_sequence" -> generateSequence, generateSequenceSql),
     ("ev_sessionize" -> evSessionize, evSessionizeSql),
+    ("ev_trajectories" -> evTrajectories, evTrajectoriesSql),
     ("ev_asof_join" -> evAsof, evAsofSql),
     ("ev_asof_join_custom" -> evAsofCustom, evAsofCustomSql),
     ("ev_asof_join_forward" -> evAsofForward, evAsofForwardSql),

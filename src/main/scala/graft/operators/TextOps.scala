@@ -847,7 +847,55 @@ object TextOps {
       |  (sw > 0) AS keep
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary build + id encoding — the last step of a text pipeline
+    * before tensors: rank tokens by corpus frequency (ties by token,
+    * so the id assignment is total and engine-independent), keep the
+    * top-512 as the vocab, re-encode every document as a space-joined
+    * id sequence with OOV → 0. Two inherent shuffles (token-keyed
+    * count, doc-keyed reassembly) + one vocab join that Spark
+    * broadcasts from stats (a real vocab is ≤ a few hundred thousand
+    * rows — always the broadcast side). In-doc order is restored by
+    * sorting on the exploded position, never on collect order. */
+  private val textVocabIds: Q = (s, dir) => {
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val wRank = Window.orderBy(col("cnt").desc, col("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tok_id", row_number().over(wRank))
+      .filter(col("tok_id") <= 512)
+    toks.join(vocab.select(col("w"), col("tok_id")), Seq("w"), "left")
+      .withColumn("tid", coalesce(col("tok_id"), lit(0)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid").cast("string"))).as("token_ids"),
+        sum(when(col("tok_id").isNull, 1).otherwise(0)).as("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textVocabIdsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, i AS pos, ws[i] AS w
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |    unnest(generate_series(1, len(ws))) AS t(i)
+      |  WHERE ws[i] <> ''),
+      |vocab AS (
+      |  SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS INTEGER) AS tok_id
+      |  FROM toks GROUP BY w
+      |  QUALIFY tok_id <= 512),
+      |enc AS (
+      |  SELECT t.doc_id, t.pos, COALESCE(v.tok_id, 0) AS tid,
+      |    CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS token_ids,
+      |  CAST(SUM(oov) AS BIGINT) AS n_oov
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_vocab_ids" -> textVocabIds,
     "text_quality_classifier" -> textQualityClassifier,
     "text_tfidf_keywords" -> textTfidfKeywords,
     "text_bigram_lm" -> textBigramLm,
@@ -874,6 +922,7 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_ids" -> textVocabIdsSql,
     "text_quality_classifier" -> textQualityClassifierSql,
     "text_tfidf_keywords" -> textTfidfKeywordsSql,
     "text_bigram_lm" -> textBigramLmSql,
