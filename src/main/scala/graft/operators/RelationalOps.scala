@@ -613,6 +613,62 @@ object RelationalOps {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** DataFrameNaFunctions surface (`na.fill` / `na.replace` /
+    * `na.drop`) — the missing-data cleanup API (reference covers the
+    * expression forms; this pins the DataFrame entry points). The
+    * fixture has no nulls, so they are synthesized deterministically
+    * first (`nullif`-style whens), then: fill(value→0), replace
+    * (event_type purchase→buy), drop rows whose props is null. All
+    * three lower to plain Project/Filter expressions — codegen, no
+    * shuffle beyond the output sort. */
+  private val apiNaClean: Q = (s, dir) => {
+    val df = load(s, dir, "events")
+      .select(col("event_id"),
+        when(col("event_type") === "view", lit(null).cast("double"))
+          .otherwise(col("value")).as("value"),
+        when(col("value") < 1.0, lit(null).cast("string"))
+          .otherwise(col("props")).as("props"),
+        col("event_type"))
+    df.na.fill(Map("value" -> 0.0))
+      .na.replace("event_type", Map("purchase" -> "buy"))
+      .na.drop(Seq("props"))
+      .select(col("event_id"), dbl(dec(col("value"))).as("value"),
+        col("event_type"))
+      .orderBy(col("event_id")).limit(500)
+  }
+
+  private val apiNaCleanSql =
+    """WITH x AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_type = 'view' THEN NULL ELSE value END AS value,
+      |    CASE WHEN value < 1.0e0 THEN NULL ELSE props END AS props,
+      |    event_type
+      |  FROM events)
+      |SELECT event_id,
+      |  CAST(CAST(COALESCE(value, 0.0e0) AS DECIMAL(12,2)) AS DOUBLE) AS value,
+      |  CASE WHEN event_type = 'purchase' THEN 'buy' ELSE event_type END AS event_type
+      |FROM x WHERE props IS NOT NULL
+      |ORDER BY event_id LIMIT 500""".stripMargin
+
+  /** `df.stat.crosstab` — the contingency-table API: lang × source doc
+    * counts (5×21 at any SF; output width = domain of the second
+    * column, so callers pick bounded domains — the same contract as
+    * Spark's own API). Lowered by Spark to a pivot aggregate: one
+    * shuffle on the row key. Oracle reproduces the exact column-naming
+    * contract (`lang_source` header, one column per source value). */
+  private val apiStatCrosstab: Q = (s, dir) =>
+    load(s, dir, "documents").stat.crosstab("lang", "source")
+      .orderBy(col("lang_source"))
+
+  private val apiStatCrosstabSql = {
+    val cols = (0 until 20).sortBy(i => s"src$i")
+      .map(i => s"CAST(COUNT(*) FILTER (source = 'src$i') AS BIGINT) AS src$i")
+      .mkString(",\n      |  ")
+    s"""SELECT lang AS lang_source,
+       |  $cols
+       |FROM documents GROUP BY lang ORDER BY lang_source""".stripMargin
+  }
+
   /** Trajectory assembly (behavioral-cloning / RL-from-logs dataset
     * build): each (user, session) becomes ONE training example — the
     * ordered action sequence plus episode reward. Sessionization is the
@@ -1585,6 +1641,8 @@ object RelationalOps {
     ("generate_sequence" -> generateSequence, generateSequenceSql),
     ("ev_sessionize" -> evSessionize, evSessionizeSql),
     ("ev_trajectories" -> evTrajectories, evTrajectoriesSql),
+    ("api_na_clean" -> apiNaClean, apiNaCleanSql),
+    ("api_stat_crosstab" -> apiStatCrosstab, apiStatCrosstabSql),
     ("ev_asof_join" -> evAsof, evAsofSql),
     ("ev_asof_join_custom" -> evAsofCustom, evAsofCustomSql),
     ("ev_asof_join_forward" -> evAsofForward, evAsofForwardSql),
