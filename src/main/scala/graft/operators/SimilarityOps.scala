@@ -643,7 +643,117 @@ object SimilarityOps {
       |  (a3.vec_id NOT IN (SELECT vb FROM dup)) AS keep
       |FROM a3 ORDER BY vec_id""".stripMargin
 
+  /** Per-dimension z-score standardization — the feature-scaling pass
+    * before clustering/quantization. Dim stats (mean, pop-stddev) come
+    * out of ONE posexplode + 64-group shuffle and are pulled to the
+    * driver (64 rows — the same bounded-state contract as the k-means
+    * centroid matrix), so the apply step is a shuffle-free scan against
+    * literal arrays. Stats and z-values are FLOAT-quantized (the
+    * kmeans trick) so engine-specific summation order and stddev
+    * algorithms (Welford vs naive) can never move a rounded output. */
+  private val standardizeDims: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val stats = e.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(avg(col("x").cast("double")).as("mu"),
+        stddev_pop(col("x").cast("double")).as("sd"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getDouble(1).toFloat, r.getDouble(2).toFloat))
+    val muArr = array(stats.map(t => lit(t._1)): _*)
+    val sdArr = array(stats.map(t => lit(t._2)): _*)
+    val centered = zip_with(col("embedding"), muArr,
+      (x, m) => x.cast("double") - m.cast("double"))
+    val z = zip_with(centered, sdArr,
+      (d, sd) => (d / sd.cast("double")).cast("float").cast("double"))
+    e.withColumn("z", z)
+      .select(col("vec_id"),
+        round(aggregate(col("z"), lit(0.0), (acc, v) => acc + v), 6).as("z_sum"),
+        round(aggregate(col("z"), lit(0.0), (acc, v) => acc + v * v), 6).as("z_sq"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val standardizeDimsSql =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |st AS (SELECT dim, CAST(CAST(avg(x) AS FLOAT) AS DOUBLE) AS mu,
+      |         CAST(CAST(stddev_pop(x) AS FLOAT) AS DOUBLE) AS sd
+      |       FROM e GROUP BY dim),
+      |z AS (SELECT e.vec_id,
+      |        CAST(CAST((e.x - st.mu) / st.sd AS FLOAT) AS DOUBLE) AS z
+      |      FROM e JOIN st USING (dim))
+      |SELECT vec_id, round(SUM(z), 6) AS z_sum, round(SUM(z * z), 6) AS z_sq
+      |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Top principal direction by distributed POWER ITERATION on the
+    * (uncentered) second-moment matrix XᵀX — the linear-algebra
+    * workhorse behind PCA whitening / spectral embeddings, in the same
+    * bounded-driver-state shape as the k-means loop: v lives on the
+    * driver (64 floats), each of the 3 unrolled iterations costs one
+    * shuffle-free projection scan (per-row dot against the literal v,
+    * rounded to 6 dp) plus one 64-group partial-agg shuffle for
+    * u = Σᵢ xᵢ·sᵢ. Deterministic across engines: v₀ = 1/8 exactly
+    * (binary-exact float), u FLOAT-quantized each round before the
+    * unit-normalize, so the oracle's 3 unrolled SQL iterations see
+    * bit-identical state. Output: the 64 loadings + the Rayleigh-
+    * quotient eigenvalue estimate (‖u₃‖, the scale of the dominant
+    * direction). */
+  private val powerIteration: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    var v: Seq[Float] = Seq.fill(64)(0.125f)
+    var eig = 0.0
+    for (_ <- 0 until 3) {
+      val vArr = array(v.map(lit(_)): _*)
+      val sCol = round(aggregate(zip_with(col("embedding"), vArr,
+        (x, vi) => x.cast("double") * vi.cast("double")),
+        lit(0.0), (acc, p) => acc + p), 6)
+      val u = e.withColumn("s", sCol)
+        .select(col("s"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(sum(col("x").cast("double") * col("s")).cast("float").as("u"))
+        .collect().sortBy(_.getInt(0)).map(_.getFloat(1))
+      eig = math.sqrt(u.map(x => x.toDouble * x.toDouble).sum)
+      v = u.map(x => (x / eig).toFloat).toSeq
+    }
+    val spark = s
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (l, i) => (i + 1, math.rint(l.toDouble * 1e6) / 1e6,
+        math.rint(eig * 1e4) / 1e4) }
+      .toDF("dim", "loading", "eigenvalue")
+      .orderBy(col("dim"))
+  }
+
+  private val powerIterationSql =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |s1 AS (SELECT vec_id, round(SUM(x * 0.125e0), 6) AS s FROM e GROUP BY vec_id),
+      |u1 AS (SELECT dim, CAST(CAST(SUM(e.x * s1.s) AS FLOAT) AS DOUBLE) AS u
+      |       FROM e JOIN s1 USING (vec_id) GROUP BY dim),
+      |n1 AS (SELECT sqrt(SUM(u * u)) AS nrm FROM u1),
+      |v1 AS (SELECT dim, CAST(CAST(u / nrm AS FLOAT) AS DOUBLE) AS v FROM u1, n1),
+      |s2 AS (SELECT e.vec_id, round(SUM(e.x * v1.v), 6) AS s
+      |       FROM e JOIN v1 USING (dim) GROUP BY e.vec_id),
+      |u2 AS (SELECT dim, CAST(CAST(SUM(e.x * s2.s) AS FLOAT) AS DOUBLE) AS u
+      |       FROM e JOIN s2 USING (vec_id) GROUP BY dim),
+      |n2 AS (SELECT sqrt(SUM(u * u)) AS nrm FROM u2),
+      |v2 AS (SELECT dim, CAST(CAST(u / nrm AS FLOAT) AS DOUBLE) AS v FROM u2, n2),
+      |s3 AS (SELECT e.vec_id, round(SUM(e.x * v2.v), 6) AS s
+      |       FROM e JOIN v2 USING (dim) GROUP BY e.vec_id),
+      |u3 AS (SELECT dim, CAST(CAST(SUM(e.x * s3.s) AS FLOAT) AS DOUBLE) AS u
+      |       FROM e JOIN s3 USING (vec_id) GROUP BY dim),
+      |n3 AS (SELECT sqrt(SUM(u * u)) AS nrm FROM u3),
+      |v3 AS (SELECT dim, CAST(CAST(u / nrm AS FLOAT) AS DOUBLE) AS v FROM u3, n3)
+      |SELECT CAST(dim AS INTEGER) AS dim, round(v, 6) AS loading,
+      |  round((SELECT nrm FROM n3), 4) AS eigenvalue
+      |FROM v3 ORDER BY dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_standardize_dims" -> standardizeDims,
+    "sim_power_iteration" -> powerIteration,
     "sim_margin_mining" -> marginMining,
     "dedup_semantic" -> dedupSemantic,
     "sim_quantize_int8" -> quantize,
@@ -672,6 +782,8 @@ object SimilarityOps {
       |ORDER BY la, lb""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_standardize_dims" -> standardizeDimsSql,
+    "sim_power_iteration" -> powerIterationSql,
     "sim_margin_mining" -> marginMiningSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_quantize_int8" -> quantizeSql,
