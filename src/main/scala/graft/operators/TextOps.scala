@@ -894,7 +894,41 @@ object TextOps {
       |  CAST(SUM(oov) AS BIGINT) AS n_oov
       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DP-style noised aggregate release: per-source doc counts with
+    * Laplace(1/ε) noise (ε = 1) — the private-statistics-release step
+    * of a corpus pipeline. Noise is drawn from the SEEDED portable-md5
+    * uniform (inverse-CDF transform), like `docs_epoch_shuffle`'s
+    * determinism contract: a production release would use true
+    * randomness; the seeded variant makes the release reproducible and
+    * therefore oracle-checkable, while exercising the exact plan (one
+    * group-by shuffle, noise applied post-aggregate so each group is
+    * touched once). */
+  private val docsDpRelease: Q = (s, dir) => {
+    val h = md5(concat(lit("dp1:"), col("source")))
+    val u = (conv(substring(h, 1, 6), 16, 10).cast("double") + 0.5) /
+      lit(16777216.0)
+    val noise = -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    load(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("noisy_count", round(col("n_docs") + noise, 4))
+      .withColumn("epsilon", lit(1.0))
+      .orderBy(col("source"))
+  }
+
+  private val docsDpReleaseSql =
+    """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |u AS (SELECT source, n_docs,
+      |  (CAST('0x' || substr(md5('dp1:' || source), 1, 6) AS BIGINT) + 0.5e0)
+      |    / 16777216.0e0 AS u
+      |  FROM c)
+      |SELECT source, n_docs,
+      |  round(n_docs + (-sign(u - 0.5e0)) * ln(1.0e0 - 2.0e0 * abs(u - 0.5e0)), 4)
+      |    AS noisy_count,
+      |  1.0e0 AS epsilon
+      |FROM u ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "docs_dp_release" -> docsDpRelease,
     "text_vocab_ids" -> textVocabIds,
     "text_quality_classifier" -> textQualityClassifier,
     "text_tfidf_keywords" -> textTfidfKeywords,
@@ -922,6 +956,7 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "docs_dp_release" -> docsDpReleaseSql,
     "text_vocab_ids" -> textVocabIdsSql,
     "text_quality_classifier" -> textQualityClassifierSql,
     "text_tfidf_keywords" -> textTfidfKeywordsSql,
