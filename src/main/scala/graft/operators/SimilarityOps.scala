@@ -751,7 +751,106 @@ object SimilarityOps {
       |  round((SELECT nrm FROM n3), 4) AS eigenvalue
       |FROM v3 ORDER BY dim""".stripMargin
 
+  /** MMR (maximal marginal relevance) diversified re-ranking — the
+    * context-selection step of a RAG pipeline: greedily pick 5 docs
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s) (λ = 0.7), so
+    * each pick trades relevance against similarity to what is already
+    * selected. Distribution contract: relevance + the top-20 shortlist
+    * are distributed (one scan + TakeOrderedAndProject); the greedy
+    * runs on the driver over the 20-row shortlist — the rerank stage
+    * is TINY BY DESIGN (that is the point of shortlisting; same
+    * bounded-driver-state contract as the k-means centroids). Scores
+    * land on the 1e-7 decimal grid (0.7·(6 dp) − 0.3·(6 dp)), so they
+    * round at 7 dp where no half-boundary exists — the margin-mining
+    * lesson applied. */
+  private val mmrDiversify: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val short = e.filter(col("vec_id") >= 10)
+      .crossJoin(q)
+      .select(col("vec_id").as("cid"),
+        round(GraftExpressions.cosine_sim(col("q_emb"), col("embedding")), 6)
+          .as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("cid")).limit(20)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    def rnd7(x: Double): Double = math.rint(x * 1e7) / 1e7
+    val remaining = scala.collection.mutable.ArrayBuffer(short: _*)
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double, Double)]
+    val sel = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Array[Float])]
+    for (rnk <- 1 to 5) {
+      val scored = remaining.map { c =>
+        val penalty = if (sel.isEmpty) 0.0
+          else sel.map(p => cos(c._3, p._3)).max * 0.3
+        (c, rnd7(0.7 * c._2 - penalty))
+      }
+      val (best, score) = scored.minBy { case (c, sc) => (-sc, c._1) }
+      picks += ((rnk, best._1, best._2, score))
+      sel += best
+      remaining -= best
+    }
+    val spark = s
+    import spark.implicits._
+    picks.toSeq.toDF("rnk", "cid", "rel", "score").orderBy(col("rnk"))
+  }
+
+  private val mmrDiversifySql =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |rel AS (
+      |  SELECT c.vec_id AS cid, round(SUM(q.x * c.x) / (nq.nrm * nc.nrm), 6) AS rel
+      |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id = 0 AND c.vec_id >= 10
+      |  JOIN n nq ON nq.vec_id = 0 JOIN n nc ON nc.vec_id = c.vec_id
+      |  GROUP BY c.vec_id, nq.nrm, nc.nrm),
+      |short AS (SELECT cid, rel FROM rel ORDER BY rel DESC, cid LIMIT 20),
+      |pc AS (
+      |  SELECT a.cid AS ca, b.cid AS cb, round(SUM(ea.x * eb.x) / (na.nrm * nb.nrm), 6) AS cos
+      |  FROM short a JOIN short b ON a.cid < b.cid
+      |  JOIN e ea ON ea.vec_id = a.cid JOIN e eb ON eb.vec_id = b.cid AND ea.i = eb.i
+      |  JOIN n na ON na.vec_id = a.cid JOIN n nb ON nb.vec_id = b.cid
+      |  GROUP BY a.cid, b.cid, na.nrm, nb.nrm),
+      |sym AS (SELECT ca, cb, cos FROM pc UNION ALL SELECT cb, ca, cos FROM pc),
+      |p1 AS (SELECT 1 AS rnk, cid, rel, round(0.7e0 * rel, 7) AS score
+      |       FROM short ORDER BY rel DESC, cid LIMIT 1),
+      |r2 AS (SELECT s.cid, s.rel, round(0.7e0 * s.rel - 0.3e0 * MAX(y.cos), 7) AS score
+      |       FROM short s JOIN sym y ON y.ca = s.cid AND y.cb IN (SELECT cid FROM p1)
+      |       WHERE s.cid NOT IN (SELECT cid FROM p1) GROUP BY s.cid, s.rel),
+      |p2 AS (SELECT 2 AS rnk, cid, rel, score FROM r2 ORDER BY score DESC, cid LIMIT 1),
+      |s2 AS (SELECT cid FROM p1 UNION ALL SELECT cid FROM p2),
+      |r3 AS (SELECT s.cid, s.rel, round(0.7e0 * s.rel - 0.3e0 * MAX(y.cos), 7) AS score
+      |       FROM short s JOIN sym y ON y.ca = s.cid AND y.cb IN (SELECT cid FROM s2)
+      |       WHERE s.cid NOT IN (SELECT cid FROM s2) GROUP BY s.cid, s.rel),
+      |p3 AS (SELECT 3 AS rnk, cid, rel, score FROM r3 ORDER BY score DESC, cid LIMIT 1),
+      |s3 AS (SELECT cid FROM s2 UNION ALL SELECT cid FROM p3),
+      |r4 AS (SELECT s.cid, s.rel, round(0.7e0 * s.rel - 0.3e0 * MAX(y.cos), 7) AS score
+      |       FROM short s JOIN sym y ON y.ca = s.cid AND y.cb IN (SELECT cid FROM s3)
+      |       WHERE s.cid NOT IN (SELECT cid FROM s3) GROUP BY s.cid, s.rel),
+      |p4 AS (SELECT 4 AS rnk, cid, rel, score FROM r4 ORDER BY score DESC, cid LIMIT 1),
+      |s4 AS (SELECT cid FROM s3 UNION ALL SELECT cid FROM p4),
+      |r5 AS (SELECT s.cid, s.rel, round(0.7e0 * s.rel - 0.3e0 * MAX(y.cos), 7) AS score
+      |       FROM short s JOIN sym y ON y.ca = s.cid AND y.cb IN (SELECT cid FROM s4)
+      |       WHERE s.cid NOT IN (SELECT cid FROM s4) GROUP BY s.cid, s.rel),
+      |p5 AS (SELECT 5 AS rnk, cid, rel, score FROM r5 ORDER BY score DESC, cid LIMIT 1)
+      |SELECT CAST(rnk AS INTEGER) AS rnk, cid, rel, score FROM (
+      |  SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+      |  UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5) ORDER BY rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_mmr_diversify" -> mmrDiversify,
     "sim_standardize_dims" -> standardizeDims,
     "sim_power_iteration" -> powerIteration,
     "sim_margin_mining" -> marginMining,
@@ -782,6 +881,7 @@ object SimilarityOps {
       |ORDER BY la, lb""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_mmr_diversify" -> mmrDiversifySql,
     "sim_standardize_dims" -> standardizeDimsSql,
     "sim_power_iteration" -> powerIterationSql,
     "sim_margin_mining" -> marginMiningSql,
