@@ -1581,7 +1581,94 @@ object RelationalOps {
       |WHERE date_diff('day', c.cohort, w.wk) / 7 <= 3
       |GROUP BY 1, 2 ORDER BY cohort, k""".stripMargin
 
+  /** Robust anomaly detection per event type: median + MAD (median
+    * absolute deviation), flagging |x − med| > 3·1.4826·MAD — the
+    * standard robust z-score gate a data-quality monitor runs over an
+    * ingest stream (mean/stddev gates are themselves corrupted by the
+    * outliers they hunt; the median/MAD pair is 50%-breakdown robust).
+    * Three keyed aggregations over the bounded event-type vocabulary —
+    * the per-type median is exact (Spark's sort-based `median`), and the
+    * tiny med/MAD tables broadcast back onto the stream, so nothing
+    * driver-side scales with the data. Values sit on a 0.01 grid ⇒
+    * medians land on the 0.0025 grid, so round-6 is grid-exact and
+    * absorbs the lo+(hi−lo)·0.5 vs (lo+hi)/2 interpolation-ulp
+    * difference between engines. */
+  private val evAnomalyMad: Q = (s, dir) => {
+    val ev = load(s, dir, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(median(col("value")), 6).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", round(abs(col("value") - col("med")), 6))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(median(col("adev")), 6).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val evAnomalyMadSql =
+    """WITH med AS (
+      |  SELECT event_type, ROUND(MEDIAN(value), 6) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, e.value, m.med,
+      |    ROUND(ABS(e.value - m.med), 6) AS adev
+      |  FROM events e JOIN med m ON e.event_type = m.event_type),
+      |mad AS (
+      |  SELECT event_type, ROUND(MEDIAN(adev), 6) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, COUNT(*) AS n, MIN(d.med) AS med, MIN(a.mad) AS mad,
+      |  CAST(SUM(CASE WHEN d.adev > 3.0e0 * 1.4826e0 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad a ON d.event_type = a.event_type
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
+  /** Schema-agnostic column profiler (the `df.summary()` /
+    * data-catalog-ingest shape): every column is cast to string and
+    * unpivoted via `stack`, then ONE hash aggregation computes per-column
+    * row count, null count, distinct count, and lexicographic min/max.
+    * The stack is a Generate (no shuffle, no column explosion in the
+    * scan — ReadSchema still lists only the profiled columns); the
+    * single shuffle is keyed on the 5-value column-name vocabulary.
+    * Profiling 100 TB is therefore one pass over the data regardless of
+    * column count. */
+  private val apiProfileColumns: Q = (s, dir) =>
+    load(s, dir, "customer")
+      .select(expr(
+        """stack(5,
+          |  'c_custkey', cast(c_custkey as string),
+          |  'c_name', c_name,
+          |  'c_nationkey', cast(c_nationkey as string),
+          |  'c_acctbal', cast(c_acctbal as string),
+          |  'c_mktsegment', c_mktsegment) as (col_name, val)""".stripMargin))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("val")).as("n_distinct"),
+        min(col("val")).as("min_val"),
+        max(col("val")).as("max_val"))
+      .orderBy(col("col_name"))
+
+  private val apiProfileColumnsSql =
+    """WITH u AS (
+      |  SELECT 'c_custkey' AS col_name, CAST(c_custkey AS VARCHAR) AS val FROM customer
+      |  UNION ALL SELECT 'c_name', c_name FROM customer
+      |  UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+      |  UNION ALL SELECT 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+      |  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer)
+      |SELECT col_name, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  COUNT(DISTINCT val) AS n_distinct,
+      |  MIN(val) AS min_val, MAX(val) AS max_val
+      |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
+
   private val built: (Map[String, Q], Map[String, String]) = q(
+    ("ev_anomaly_mad" -> evAnomalyMad, evAnomalyMadSql),
+    ("api_profile_columns" -> apiProfileColumns, apiProfileColumnsSql),
     ("sql_scripting" -> sqlScripting, sqlScriptingSql),
     ("ev_funnel_conversion" -> evFunnel, evFunnelSql),
     ("ev_retention_cohorts" -> evRetention, evRetentionSql),
