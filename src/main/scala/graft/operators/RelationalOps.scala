@@ -1666,9 +1666,110 @@ object RelationalOps {
       |  MIN(val) AS min_val, MAX(val) AS max_val
       |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  /** Bradley-Terry preference aggregation — the reward-model data-prep
+    * step of an RLHF pipeline: pairwise duels (here: a user's top event
+    * type on a day beats the runner-up, ranked (count desc, type) for
+    * determinism) are reduced to per-item strength scores via 3 rounds
+    * of the Hunter-2004 minorization-maximization update
+    * s_i ← W_i / Σ_j n_ij/(s_i+s_j), sum-normalized each round.
+    * Distribution contract: the duel extraction is one window over
+    * (user, day) partitions + one pair-count shuffle; every MM round
+    * then runs on the k²-bounded pair table (item vocabulary, not data)
+    * — broadcast joins against the k-row score table, nothing
+    * driver-side at all. Every aggregate (denominator, raw score,
+    * normalizer) is FLOAT-quantized so summation order cannot split the
+    * engines; the DuckDB oracle unrolls the same 3 rounds. */
+  private val evPrefBradleyTerry: Q = (s, dir) => {
+    val fq = (c: org.apache.spark.sql.Column) => c.cast("float").cast("double")
+    val byDay = load(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    val ranked = byDay.withColumn("rn", row_number().over(w))
+    val duels = ranked.filter(col("rn") === 1)
+      .select(col("user_id"), col("d"), col("event_type").as("win"))
+      .join(ranked.filter(col("rn") === 2)
+        .select(col("user_id"), col("d"), col("event_type").as("lose")),
+        Seq("user_id", "d"))
+    val wins = duels.groupBy(col("win"), col("lose"))
+      .agg(count(lit(1)).as("n")).cache()
+    val pairs = wins.select(col("win").as("i"), col("lose").as("j"), col("n"))
+      .union(wins.select(col("lose").as("i"), col("win").as("j"), col("n")))
+      .groupBy(col("i"), col("j")).agg(sum(col("n")).cast("double").as("nij"))
+      .cache()
+    val wt = wins.groupBy(col("win").as("i"))
+      .agg(sum(col("n")).as("n_wins"))
+      .withColumn("w", col("n_wins").cast("double"))
+    val games = pairs.groupBy(col("i")).agg(sum(col("nij")).cast("long").as("n_games"))
+    var sc = pairs.select(col("i").as("item")).distinct()
+      .withColumn("s", lit(1.0))
+    for (_ <- 1 to 3) {
+      val denom = pairs
+        .join(broadcast(sc.select(col("item").as("i"), col("s").as("si"))), "i")
+        .join(broadcast(sc.select(col("item").as("j"), col("s").as("sj"))), "j")
+        .groupBy(col("i"))
+        .agg(fq(sum(col("nij") / (col("si") + col("sj")))).as("den"))
+      val raw = wt.join(denom, "i")
+        .select(col("i"), fq(col("w") / col("den")).as("sraw"))
+      val tot = raw.agg(fq(sum(col("sraw"))).as("tot"))
+      // the score table is referenced TWICE per round (s_i and s_j), so
+      // lineage doubles per iteration — truncate it eagerly (k rows;
+      // same pattern as dedup_cluster_groups' per-round checkpoint)
+      sc = raw.crossJoin(broadcast(tot))
+        .select(col("i").as("item"), fq(col("sraw") / col("tot")).as("s"))
+        .localCheckpoint()
+    }
+    sc.join(wt.select(col("i").as("item"), col("n_wins")), "item")
+      .join(games.select(col("i").as("item"), col("n_games")), "item")
+      .select(col("item"), col("n_wins"), col("n_games"),
+        round(col("s"), 6).as("score"))
+      .orderBy(col("item"))
+  }
+
+  private def btRoundSql(k: Int): String =
+    s"""d$k AS (
+       |  SELECT p.i, CAST(CAST(SUM(p.nij / (si.s + sj.s)) AS REAL) AS DOUBLE) AS den
+       |  FROM p JOIN s${k - 1} si ON si.item = p.i JOIN s${k - 1} sj ON sj.item = p.j
+       |  GROUP BY p.i),
+       |raw$k AS (
+       |  SELECT wt.i, CAST(CAST(wt.w / d.den AS REAL) AS DOUBLE) AS sraw
+       |  FROM wt JOIN d$k d ON d.i = wt.i),
+       |tot$k AS (SELECT CAST(CAST(SUM(sraw) AS REAL) AS DOUBLE) AS tot FROM raw$k),
+       |s$k AS (
+       |  SELECT i AS item, CAST(CAST(sraw / tot AS REAL) AS DOUBLE) AS s
+       |  FROM raw$k CROSS JOIN tot$k)""".stripMargin
+
+  private val evPrefBradleyTerrySql =
+    s"""WITH byday AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d, event_type, COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2, 3),
+       |rk AS (
+       |  SELECT user_id, d, event_type, ROW_NUMBER() OVER (
+       |    PARTITION BY user_id, d ORDER BY cnt DESC, event_type) AS rn FROM byday),
+       |duels AS (
+       |  SELECT w.event_type AS win, l.event_type AS lose
+       |  FROM rk w JOIN rk l ON w.user_id = l.user_id AND w.d = l.d
+       |  WHERE w.rn = 1 AND l.rn = 2),
+       |wins AS (SELECT win, lose, COUNT(*) AS n FROM duels GROUP BY 1, 2),
+       |p AS (
+       |  SELECT i, j, CAST(SUM(n) AS DOUBLE) AS nij FROM (
+       |    SELECT win AS i, lose AS j, n FROM wins
+       |    UNION ALL SELECT lose, win, n FROM wins)
+       |  GROUP BY 1, 2),
+       |wt AS (SELECT win AS i, CAST(SUM(n) AS BIGINT) AS n_wins,
+       |       CAST(SUM(n) AS DOUBLE) AS w FROM wins GROUP BY 1),
+       |games AS (SELECT i, CAST(SUM(nij) AS BIGINT) AS n_games FROM p GROUP BY 1),
+       |s0 AS (SELECT DISTINCT i AS item, 1.0e0 AS s FROM p),
+       |${(1 to 3).map(btRoundSql).mkString(",\n")}
+       |SELECT s3.item, wt.n_wins, games.n_games, ROUND(s3.s, 6) AS score
+       |FROM s3 JOIN wt ON wt.i = s3.item JOIN games ON games.i = s3.item
+       |ORDER BY s3.item""".stripMargin
+
   private val built: (Map[String, Q], Map[String, String]) = q(
     ("ev_anomaly_mad" -> evAnomalyMad, evAnomalyMadSql),
     ("api_profile_columns" -> apiProfileColumns, apiProfileColumnsSql),
+    ("ev_pref_bradley_terry" -> evPrefBradleyTerry, evPrefBradleyTerrySql),
     ("sql_scripting" -> sqlScripting, sqlScriptingSql),
     ("ev_funnel_conversion" -> evFunnel, evFunnelSql),
     ("ev_retention_cohorts" -> evRetention, evRetentionSql),

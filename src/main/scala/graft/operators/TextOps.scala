@@ -927,7 +927,85 @@ object TextOps {
       |  1.0e0 AS epsilon
       |FROM u ORDER BY source""".stripMargin
 
+  /** BPE tokenizer training, first 3 merges — the distributed half of
+    * training a tokenizer on a 100 TB corpus: pair statistics are
+    * computed over the DISTINCT word vocabulary weighted by corpus
+    * frequency (the classic trick — the corpus is touched once to build
+    * the word-count table; every merge round then runs on vocab-sized
+    * data). Each round is ONE pair-count shuffle + a 1-row collect of
+    * the argmax pair (bounded driver state, same contract as the
+    * k-means centroids), and the merge is applied with a plain string
+    * `replace` over a separator-wrapped symbol encoding:
+    * sym = '·' + symbols.mkString("··") + '·', merge (l,r) = replace of
+    * '·l··r·' with '·lr·'. The double separator makes leftmost
+    * non-overlapping `replace` EXACTLY the greedy left-to-right BPE
+    * merge pass ("a a a a" merges to "aa aa", not "aa a a" — adjacent
+    * occurrences share no separator) and the wrapping prevents
+    * false matches inside multi-char symbols ('·b··c·' cannot match
+    * inside '·ab··c·'). Both engines' replace scans leftmost
+    * non-overlapping ⇒ exact oracle, ties broken (count desc, l, r). */
+  private val textBpeMerges: Q = (s, dir) => {
+    val words = load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var syms = words.withColumn("sym",
+      concat(lit("·"), concat_ws("··", split(col("word"), "")), lit("·")))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rnk <- 1 to 3) {
+      val top = syms
+        .withColumn("lst", split(expr("trim(BOTH '·' FROM sym)"), "··"))
+        .filter(size(col("lst")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(lst) - 1),
+            |  i -> struct(element_at(lst, i) as l, element_at(lst, i + 1) as r))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
+        .collect()(0)
+      val (l, r, pc) = (top.getString(0), top.getString(1), top.getLong(2))
+      picks += ((rnk, l, r, pc))
+      syms = syms.withColumn("sym",
+        expr(s"replace(sym, '·${l}··${r}·', '·${l}${r}·')"))
+    }
+    val spark = s
+    import spark.implicits._
+    picks.toSeq.toDF("merge_rank", "l", "r", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  private def bpeRoundSql(k: Int): String =
+    s"""p$k AS (
+       |  SELECT lst[i] AS l, lst[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS pc
+       |  FROM (SELECT cnt, string_split(trim(sym, '·'), '··') AS lst FROM w${k - 1}),
+       |       UNNEST(range(1, len(lst))) AS t(i)
+       |  GROUP BY 1, 2),
+       |m$k AS (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
+       |w$k AS (
+       |  SELECT word, cnt,
+       |    replace(sym, '·' || l || '··' || r || '·', '·' || l || r || '·') AS sym
+       |  FROM w${k - 1} CROSS JOIN m$k)""".stripMargin
+
+  private val textBpeMergesSql =
+    s"""WITH words AS (
+       |  SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+       |w0 AS (
+       |  SELECT word, cnt,
+       |    '·' || array_to_string(list_transform(range(1, len(word) + 1),
+       |      i -> substr(word, CAST(i AS INTEGER), 1)), '··') || '·' AS sym
+       |  FROM words),
+       |${(1 to 3).map(bpeRoundSql).mkString(",\n")}
+       |SELECT CAST(merge_rank AS INTEGER) AS merge_rank, l, r, pc AS pair_count FROM (
+       |  SELECT 1 AS merge_rank, l, r, pc FROM m1
+       |  UNION ALL SELECT 2, l, r, pc FROM m2
+       |  UNION ALL SELECT 3, l, r, pc FROM m3)
+       |ORDER BY merge_rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_bpe_merges" -> textBpeMerges,
     "docs_dp_release" -> docsDpRelease,
     "text_vocab_ids" -> textVocabIds,
     "text_quality_classifier" -> textQualityClassifier,
@@ -956,6 +1034,7 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_merges" -> textBpeMergesSql,
     "docs_dp_release" -> docsDpReleaseSql,
     "text_vocab_ids" -> textVocabIdsSql,
     "text_quality_classifier" -> textQualityClassifierSql,
