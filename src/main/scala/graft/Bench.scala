@@ -69,6 +69,7 @@ object Bench {
     "dedup_containment", "sim_ann_pq", "docs_pipeline_e2e",
     "docs_lm_quality_buckets", "dedup_semantic", "sim_margin_mining",
     "text_quality_classifier",
+    "graph_triangle_count", "text_bpe_merges", "ev_pref_bradley_terry",
     "lake_time_travel", "lake_merge", "lake_cdf_scan", "lake_zorder_skip")
 
   /** the data-pipeline operator set for scaling runs (ScaleUp's
@@ -87,7 +88,8 @@ object Bench {
     "ev_funnel_conversion", "text_bm25_topk", "graph_pagerank",
     "docs_pipeline_e2e", "docs_lm_quality_buckets",
     "text_quality_classifier",
-    "sim_ann_brute_topk", "sim_ann_lsh", "sim_ann_ivf")
+    "sim_ann_brute_topk", "sim_ann_lsh", "sim_ann_ivf",
+    "graph_triangle_count", "text_bpe_merges")
 
   /** needs the graft as-of planner strategy or the graft lake catalog —
     * cannot plan on a stock session */
