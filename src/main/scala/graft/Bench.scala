@@ -200,7 +200,13 @@ object Bench {
     }
 
     val total = results.map(_._2).sum
-    val vanillaExtra = if (withVanilla) {
+    // Compact vs full split: the driver captures only a bounded tail of
+    // stdout, and the round-4 line (graft map + vanilla map + audit
+    // lists, ~4.7 KB) overflowed it — BENCH_r04 recorded `parsed: null`.
+    // The stdout line now carries the contract fields plus scalar
+    // summaries only (~2 KB); the per-query vanilla column and the full
+    // rule-audit list go to BENCH_FULL.json in the working directory.
+    val (vanillaCompact, vanillaFull) = if (withVanilla) {
       val vTotal = vanillaResults.map(_._2).sum
       // ratio over the common query set only
       val common = vanillaResults.map(_._1).toSet
@@ -208,11 +214,20 @@ object Bench {
       val ratio = if (vTotal > 0) graftCommon / vTotal else 0.0
       val skipped = set.filter(graftOnly.contains)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      f""","vanilla":${toJson(vanillaResults)},"vanilla_total":$vTotal%.3f""" +
-        f""","graft_vs_vanilla_ratio":$ratio%.3f,"vanilla_skipped":$skipped"""
-    } else ""
+      (f""","vanilla_total":$vTotal%.3f,"graft_vs_vanilla_ratio":$ratio%.3f""",
+        f""","vanilla":${toJson(vanillaResults)},"vanilla_total":$vTotal%.3f""" +
+          f""","graft_vs_vanilla_ratio":$ratio%.3f,"vanilla_skipped":$skipped""")
+    } else ("", "")
     val changedJson = changed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)}""" +
-      vanillaExtra + s""","plan_changed_by_rules":$changedJson,"sf":"$sfDir"}""")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)}""" +
+        vanillaCompact + s""","plan_changed_by_rules_n":${changed.size}""" +
+        s""","detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)}""" +
+        vanillaFull + s""","plan_changed_by_rules":$changedJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    println(compact)
   }
 }

@@ -22,12 +22,23 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read as raw nanos and truncate to micros (the
-      // data is microsecond-resolution, so this is lossless).
+      // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (early
+      // testdata drops; Spark's vectorized reader rejects it outright
+      // without nanosAsLong) and plain TIMESTAMP_MICROS (current drops).
+      // Handle either: read with nanosAsLong on, then convert only if
+      // the column actually came back as raw nano longs. The data is
+      // microsecond-resolution, so the nanos→micros truncation is
+      // lossless.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else
+        // TIMESTAMP_MICROS drops arrive as TIMESTAMP_NTZ; cast to the
+        // session-zone TIMESTAMP (session tz is pinned UTC) so every
+        // downstream query sees the exact type/values the NANOS path
+        // produced
+        raw.withColumn("ts", col("ts").cast("timestamp"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register all tables as temp views named exactly as the files. */

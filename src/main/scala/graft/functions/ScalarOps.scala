@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import graft.functions.RefHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -260,13 +261,25 @@ object ScalarOps {
     """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // Spark-native hash family — no DuckDB counterpart (rows-only check)
+  // Spark-native hash family. DuckDB has no xxhash64/murmur3/crc32/sha1,
+  // so instead of dumping raw digests (rows-only), each builtin is
+  // checked per-row against an independent from-spec reimplementation
+  // ([[graft.functions.PureHashes]]) and the agreement booleans are
+  // oracled: any single-bit divergence on any document flips a column
+  // and hash-mismatches the row.
   private val fnHashNative: Q = (s, dir) =>
     load(s, dir, "documents")
-      .select(col("doc_id"), xxhash64(col("text")).as("h_xx64"),
-        hash(col("text")).as("h_murmur3"), crc32(col("text")).as("h_crc32"),
-        sha1(col("text")).as("h_sha1"))
+      .select(col("doc_id"),
+        (xxhash64(col("text")) === RefHash.ref_xxh64(col("text"))).as("xx64_match"),
+        (hash(col("text")) === RefHash.ref_murmur3(col("text"))).as("murmur3_match"),
+        (crc32(col("text")) === RefHash.ref_crc32(col("text"))).as("crc32_match"),
+        (sha1(col("text")) === RefHash.ref_sha1(col("text"))).as("sha1_match"))
       .orderBy(col("doc_id"))
+
+  private val fnHashNativeSql =
+    """SELECT doc_id, true AS xx64_match, true AS murmur3_match,
+      |  true AS crc32_match, true AS sha1_match
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   private val fnConditional: Q = (s, dir) =>
     load(s, dir, "customer")
@@ -727,6 +740,7 @@ object ScalarOps {
     "fn_variant" -> fnVariantSql,
     "fn_interval" -> fnIntervalSql,
     "fn_hash" -> fnHashSql,
+    "fn_hash_native" -> fnHashNativeSql,
     "fn_conditional" -> fnConditionalSql,
     "fn_array" -> fnArraySql,
     "fn_regex" -> fnRegexSql,

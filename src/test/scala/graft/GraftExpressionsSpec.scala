@@ -98,4 +98,23 @@ class GraftExpressionsSpec extends AnyFunSuite {
 
   private def load() =
     spark.read.parquet(s"${GraftSparkSession.sfDir}/embeddings.parquet")
+
+  test("reference hashes agree with Spark builtins on every tail-length class") {
+    import graft.functions.RefHash._
+    // lengths 0..40 cross every boundary the algorithms branch on:
+    // murmur3 4-byte blocks, xxh64 32-byte stripes + 8/4/1-byte tails,
+    // sha1 one-vs-two padding blocks; multi-byte UTF-8 included
+    val strings = (0 to 40).map("abcdefghijklmnopqrstuvwxyz0123456789ABCD".take(_)) ++
+      Seq("café 你好 😀", " ", "\n\t", "a" * 300)
+    val df = strings.toDF("s")
+    val bad = df.filter(
+      !(xxhash64($"s") === ref_xxh64($"s")) ||
+      !(hash($"s") === ref_murmur3($"s")) ||
+      !(crc32($"s") === ref_crc32($"s")) ||
+      !(sha1($"s") === ref_sha1($"s"))).count()
+    assert(bad == 0)
+    // pin one known SHA-1 vector independent of Spark ("abc" from FIPS 180-1)
+    assert(graft.functions.PureHashes.sha1Hex("abc".getBytes("UTF-8")) ==
+      "a9993e364706816aba3e25717850c26c9cd0d89d")
+  }
 }
