@@ -721,8 +721,10 @@ object DedupOps {
     * probe side + 1×corpus on the build side, and each unordered pair
     * is emitted by exactly one probe (XOR-injectivity), so no distinct
     * is needed. */
-  private val dedupEmbeddingLsh: Q = (s, dir) => {
-    val bits = graft.GraftConf.getInt(s, graft.GraftConf.SimLshBits)
+  private val dedupEmbeddingLsh: Q = (s, dir) =>
+    dedupEmbeddingLshAt(s, dir, graft.GraftConf.getInt(s, graft.GraftConf.SimLshBits))
+
+  private def dedupEmbeddingLshAt(s: SparkSession, dir: String, bits: Int): DataFrame = {
     val e = load(s, dir, "embeddings")
       .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
         (a, x) => a + x.cast("double") * x.cast("double"))))
@@ -743,16 +745,97 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---- oracled gate faces of the two engine-specific dedup paths.
+  // Approximate candidate generation (SimHash bands, hyperplane LSH)
+  // can never hash-match a SQL oracle directly, so the EXPORTED queries
+  // emit property summaries whose every value DuckDB can recompute:
+  // exact ground-truth counts plus in-query-measured recall/soundness
+  // booleans. Any recall or precision regression flips a column and
+  // fails the driver's hash compare. Raw pair lists stay available via
+  // [[rawPairs]] (PropertySpec / QualityGates measure from them).
+
+  /** SimHash gate: identical distinct-word-set pairs (the pigeonhole
+    * guarantee — identical sets ⇒ identical signature ⇒ hamming 0 ⇒
+    * always a candidate) must ALL be captured, at hamming 0. */
+  private val dedupSimhashGate: Q = (s, dir) => {
+    val pairs = dedupSimhash(s, dir)
+    val sets = load(s, dir, "documents")
+      .select(col("doc_id"),
+        sort_array(array_distinct(split(col("text"), " "))).as("ws"))
+    val exactPairs = sets.select(col("doc_id").as("doc_a"), col("ws"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ws")), Seq("ws"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val captured = exactPairs.join(pairs, Seq("doc_a", "doc_b"))
+    exactPairs.agg(count(lit(1)).as("exact_dup_pairs"))
+      .crossJoin(captured.agg(count(lit(1)).as("captured_exact_dups")))
+      .crossJoin(captured.agg(
+        (coalesce(max(col("hamming")), lit(0)) === 0).as("exact_dups_hamming_zero")))
+  }
+
+  private val dedupSimhashGateSql =
+    """WITH ws AS (
+      |  SELECT doc_id, list_sort(list(DISTINCT w)) AS ws FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY doc_id),
+      |g AS (SELECT ws, COUNT(*) AS n FROM ws GROUP BY ws)
+      |SELECT COALESCE(CAST(SUM(n * (n - 1) / 2) AS BIGINT), 0) AS exact_dup_pairs,
+      |  COALESCE(CAST(SUM(n * (n - 1) / 2) AS BIGINT), 0) AS captured_exact_dups,
+      |  true AS exact_dups_hamming_zero
+      |FROM g""".stripMargin
+
+  /** Embedding-LSH gate at the pinned 4-bit operating point: DuckDB
+    * recomputes the exact cos≥0.4 pair count; the booleans assert the
+    * measured pair recall ≥ 0.5 and that every LSH pair is also an
+    * exact pair (precision 1.0 — the verify step applies the exact
+    * threshold, so a false positive here means a broken verifier). */
+  private val dedupEmbeddingLshGate: Q = (s, dir) => {
+    val approx = dedupEmbeddingLshAt(s, dir, 4).select(col("id_a"), col("id_b"))
+    val exact = dedupEmbedding(s, dir).select(col("id_a"), col("id_b"))
+    val captured = exact.join(approx, Seq("id_a", "id_b"))
+    val spurious = approx.join(exact, Seq("id_a", "id_b"), "left_anti")
+    exact.agg(count(lit(1)).as("exact_pairs"))
+      .crossJoin(captured.agg(count(lit(1)).as("captured")))
+      .crossJoin(spurious.agg(count(lit(1)).as("spurious")))
+      .select(col("exact_pairs"),
+        (col("captured").cast("double") >=
+          col("exact_pairs").cast("double") * 0.5).as("recall_floor_met"),
+        (col("spurious") === 0).as("all_lsh_pairs_exact"))
+  }
+
+  private val dedupEmbeddingLshGateSql =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT)) AS unit
+      |  FROM n),
+      |e AS (SELECT vec_id, generate_subscripts(unit, 1) AS i, CAST(unnest(unit) AS DOUBLE) AS x FROM u),
+      |dt AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+      |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id)
+      |SELECT COUNT(*) AS exact_pairs, true AS recall_floor_met,
+      |  true AS all_lsh_pairs_exact
+      |FROM dt WHERE round(dot, 6) >= 0.4""".stripMargin
+
+  /** raw pair lists for the two gate-faced queries (library surface +
+    * what PropertySpec / QualityGates measure from) */
+  private[graft] val rawPairs: Map[String, Q] = Map(
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh)
+
   val queries: Map[String, Q] = Map(
     "dedup_cluster_groups" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
-    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
+    "dedup_embedding_lsh" -> dedupEmbeddingLshGate,
     "dedup_leakage_safe_split" -> leakageSafeSplit,
     "dedup_exact" -> dedupExact,
     "dedup_keyed" -> dedupKeyed,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_shingle" -> dedupMinhashShingle,
-    "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash" -> dedupSimhashGate,
     "dedup_ngram_jaccard" -> dedupNgram,
     "dedup_containment" -> dedupContainment,
     "dedup_fuzzy_names" -> dedupFuzzyNames,
@@ -767,6 +850,8 @@ object DedupOps {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_minhash_shingle" -> dedupMinhashShingleSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
+    "dedup_simhash" -> dedupSimhashGateSql,
+    "dedup_embedding_lsh" -> dedupEmbeddingLshGateSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_fuzzy_names" -> dedupFuzzyNamesSql,
     "dedup_embedding" -> dedupEmbeddingSql)

@@ -293,12 +293,38 @@ object RelationalOps {
       |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
-  // sketch aggregates — engine-specific estimates, no SQL oracle (rows-only)
-  private val aggApprox: Q = (s, dir) =>
+  // sketch aggregates (HLL++ count-distinct, quantile-summary median).
+  // Engine-specific estimates can't hash-match an oracle directly, so
+  // the exported query joins the sketches against exact in-query
+  // references and emits DuckDB-checkable values: the exact distinct
+  // count, plus error-bound booleans (HLL relative error ≤ 15% — the
+  // default rsd is 5%, measured ≈2.7% here; approx median inside the
+  // exact p45..p55 band — accuracy 1000 gives ~0.1pp rank error). A
+  // sketch regression flips a boolean and fails the hash compare.
+  private val aggApproxRaw: Q = (s, dir) =>
     load(s, dir, "lineitem").groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("apx_median"))
       .orderBy(col("l_returnflag"))
+
+  private val aggApprox: Q = (s, dir) => {
+    val exact = load(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_extendedprice, 0.45)").as("p45"),
+        expr("percentile(l_extendedprice, 0.55)").as("p55"))
+    aggApproxRaw(s, dir).join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("apx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.15).as("hll_within_15pct"),
+        (col("apx_median") >= col("p45") &&
+          col("apx_median") <= col("p55")).as("apx_median_in_p45_p55"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val aggApproxSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  true AS hll_within_15pct, true AS apx_median_in_p45_p55
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------- windows
 
@@ -485,11 +511,38 @@ object RelationalOps {
       |FROM orders WHERE ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) % 4 = 0
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  // built-in Bernoulli sample — seed semantics are engine-specific: rows-only
-  private val sampleBernoulli: Q = (s, dir) =>
+  // built-in Bernoulli sample — seed semantics are engine-specific, so
+  // the exported query emits per-status exact totals (DuckDB-checkable)
+  // plus a 6-sigma binomial-band boolean on the sampled fraction: the
+  // sample is seed-deterministic, so the boolean is a fixed property of
+  // the dataset that flips only if the sampler breaks.
+  private val sampleBernoulliRaw: Q = (s, dir) =>
     load(s, dir, "orders").sample(withReplacement = false, 0.1, 42L)
       .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
+
+  private val sampleBernoulli: Q = (s, dir) => {
+    val totals = load(s, dir, "orders")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_total"))
+    totals.join(sampleBernoulliRaw(s, dir)
+        .withColumnRenamed("n", "n_sampled"), Seq("o_orderstatus"), "left")
+      .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+      .select(col("o_orderstatus"), col("n_total"),
+        (abs(col("n_sampled").cast("double") / col("n_total") - 0.1) <=
+          greatest(lit(0.02), lit(6.0) * sqrt(lit(0.09) / col("n_total"))))
+          .as("within_binomial_band"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val sampleBernoulliSql =
+    """SELECT o_orderstatus, COUNT(*) AS n_total, true AS within_binomial_band
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** raw sketch/sample results (library surface; QualityGates measures
+    * the quantitative gates from these) */
+  private[graft] val rawApprox: Map[String, Q] = Map(
+    "agg_approx_sketch" -> aggApproxRaw,
+    "sample_bernoulli" -> sampleBernoulliRaw)
 
   // ------------------------------------------------------------- set ops
 
@@ -1857,5 +1910,7 @@ object RelationalOps {
     "agg_approx_sketch" -> aggApprox,
     "sample_bernoulli" -> sampleBernoulli)
 
-  val oracles: Map[String, String] = built._2
+  val oracles: Map[String, String] = built._2 ++ Map(
+    "agg_approx_sketch" -> aggApproxSql,
+    "sample_bernoulli" -> sampleBernoulliSql)
 }

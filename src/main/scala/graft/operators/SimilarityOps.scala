@@ -166,8 +166,10 @@ object SimilarityOps {
     * query side, never re-shuffling the corpus. A true neighbor is
     * found iff it disagrees on ≤1 of the 8 hyperplanes (rows-only:
     * recall < 1 by design, gated quantitatively in AnnRecallSpec). */
-  private val annLsh: Q = (s, dir) => {
-    val bits = graft.GraftConf.getInt(s, graft.GraftConf.SimLshBits)
+  private val annLsh: Q = (s, dir) =>
+    annLshAt(s, dir, graft.GraftConf.getInt(s, graft.GraftConf.SimLshBits))
+
+  private def annLshAt(s: SparkSession, dir: String, bits: Int): DataFrame = {
     val e = load(s, dir, "embeddings").withColumn("bucket", lshBucket(col("embedding"), bits))
     val probeMasks = array((lit(0) +: (0 until bits).map(i => lit(1 << i))): _*)
     val queries = e.filter(col("vec_id") < 10)
@@ -442,6 +444,86 @@ object SimilarityOps {
       .select(col("qid"), col("rnk"), col("cid"), col("cos"))
       .orderBy(col("qid"), col("rnk"))
   }
+
+  // ---- ANN recall gates: the oracled face of the approximate queries.
+  // An approximate top-k result can never hash-match a SQL oracle (its
+  // whole point is recall < 1), so the EXPORTED query wraps the raw ANN
+  // pipeline in its own quantitative contract: join the ANN top-3
+  // against an in-query exact brute-force top-3, compute aggregate
+  // recall@3, and emit one row per query vector with (a) the exact
+  // best cosine — which DuckDB recomputes exactly, pinning the
+  // reference side — and (b) the measured-recall-≥-floor boolean. A
+  // recall regression in any ANN path flips the boolean on every row
+  // and fails the driver's hash compare. The raw top-k results stay
+  // available to library users and to AnnRecallSpec/QualityGates via
+  // [[rawAnn]].
+
+  private def exactTop3(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", round(GraftExpressions.cosine_sim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+  }
+
+  private def recallGated(approx: DataFrame, exact: DataFrame, floor: Double): DataFrame = {
+    val hits = exact.select(col("qid"), col("cid"))
+      .join(approx.filter(col("rnk") <= 3).select(col("qid"), col("cid")), Seq("qid", "cid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    val perQ = exact.groupBy(col("qid"))
+      .agg(max(when(col("rnk") === 1, col("cos"))).as("exact_best_cos"),
+        count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+    // global window over the 10 query rows (report grain — bounded)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perQ.select(col("qid"), col("exact_best_cos"),
+        ((sum(col("hits")).over(wAll).cast("double") / sum(col("k")).over(wAll))
+          >= floor).as("recall_floor_met"))
+      .orderBy(col("qid"))
+  }
+
+  /** floors mirror recall_gates.json / AnnRecallSpec (measured at
+    * sf0.01: lsh 4-bit ≈0.57, ivf ≈0.43, ivf-kmeans ≈0.40, pq ≈0.80).
+    * LSH is gated at its 4-bit operating point — this corpus has weak
+    * angular structure, so the default 8-bit buckets are near-empty. */
+  private val annLshGate: Q = (s, dir) =>
+    recallGated(annLshAt(s, dir, 4), exactTop3(s, dir), 0.30)
+  private val annIvfGate: Q = (s, dir) =>
+    recallGated(annIvf(s, dir), exactTop3(s, dir), 0.25)
+  private val annIvfKmeansGate: Q = (s, dir) =>
+    recallGated(annIvfKmeans(s, dir), exactTop3(s, dir), 0.25)
+  private val annPqGate: Q = (s, dir) =>
+    recallGated(annPq(s, dir), exactTop3(s, dir), 0.50)
+
+  private val annGateSql =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |dt AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+      |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+      |  GROUP BY q.vec_id, c.vec_id),
+      |cs AS (SELECT qid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+      |       FROM dt JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid)
+      |SELECT qid, MAX(cos) AS exact_best_cos, true AS recall_floor_met
+      |FROM cs GROUP BY qid ORDER BY qid""".stripMargin
+
+  /** raw approximate top-k results (the library surface for users who
+    * want neighbors, not gates) — also what AnnRecallSpec/QualityGates
+    * measure recall from */
+  private[graft] val rawAnn: Map[String, Q] = Map(
+    "sim_ann_lsh" -> annLsh,
+    "sim_ann_ivf" -> annIvf,
+    "sim_ann_ivf_kmeans" -> annIvfKmeans,
+    "sim_ann_pq" -> annPq)
 
   /** label-centroid similarity matrix — aggregation over vector columns.
     * Oracled: both sides quantize the double centroid means through
@@ -859,10 +941,10 @@ object SimilarityOps {
     "sim_ann_brute_topk" -> annBrute,
     "sim_hard_negatives" -> hardNegatives,
     "sim_ann_unit_topk" -> annUnitTopk,
-    "sim_ann_lsh" -> annLsh,
-    "sim_ann_ivf" -> annIvf,
-    "sim_ann_ivf_kmeans" -> annIvfKmeans,
-    "sim_ann_pq" -> annPq,
+    "sim_ann_lsh" -> annLshGate,
+    "sim_ann_ivf" -> annIvfGate,
+    "sim_ann_ivf_kmeans" -> annIvfKmeansGate,
+    "sim_ann_pq" -> annPqGate,
     "sim_kmeans_clusters" -> kmeansClusters,
     "sim_label_centroids" -> labelCentroidSim)
 
@@ -890,6 +972,10 @@ object SimilarityOps {
     "sim_ann_brute_topk" -> annBruteSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_ann_unit_topk" -> annUnitTopkSql,
+    "sim_ann_lsh" -> annGateSql,
+    "sim_ann_ivf" -> annGateSql,
+    "sim_ann_ivf_kmeans" -> annGateSql,
+    "sim_ann_pq" -> annGateSql,
     "sim_kmeans_clusters" -> kmeansClustersSql,
     "sim_label_centroids" -> labelCentroidSimSql)
 }

@@ -43,20 +43,24 @@ object QualityGates {
     val qs = graft.SparkEntry.queries
 
     // ---- ANN recall@3 vs the exact brute-force ranking ----------------
+    // measured from the RAW top-k results (the exported sim_ann_*
+    // queries now emit oracled gate summaries; rawAnn keeps the
+    // neighbor lists)
+    val rawAnn = graft.operators.SimilarityOps.rawAnn
     val exact3 = topSets(qs("sim_ann_brute_topk")(spark, sfDir), 3)
     // LSH at the same 4-bit operating point AnnRecallSpec pins (this
     // corpus has weak angular structure; 8-bit buckets are near-empty)
     val lshRecall = withConf(spark, graft.GraftConf.SimLshBits.key, "4") {
-      recallAt3(topSets(qs("sim_ann_lsh")(spark, sfDir), 3), exact3)
+      recallAt3(topSets(rawAnn("sim_ann_lsh")(spark, sfDir), 3), exact3)
     }
-    val ivfRecall = recallAt3(topSets(qs("sim_ann_ivf")(spark, sfDir), 3), exact3)
-    val ivfKmeansRecall = recallAt3(topSets(qs("sim_ann_ivf_kmeans")(spark, sfDir), 3), exact3)
-    val pqRecall = recallAt3(topSets(qs("sim_ann_pq")(spark, sfDir), 3), exact3)
+    val ivfRecall = recallAt3(topSets(rawAnn("sim_ann_ivf")(spark, sfDir), 3), exact3)
+    val ivfKmeansRecall = recallAt3(topSets(rawAnn("sim_ann_ivf_kmeans")(spark, sfDir), 3), exact3)
+    val pqRecall = recallAt3(topSets(rawAnn("sim_ann_pq")(spark, sfDir), 3), exact3)
 
     // ---- SimHash recall vs the exact-banding MinHash ground truth -----
     val lshPairs = qs("dedup_minhash_lsh")(spark, sfDir)
       .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
-    val simhashPairs = qs("dedup_simhash")(spark, sfDir)
+    val simhashPairs = graft.operators.DedupOps.rawPairs("dedup_simhash")(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // identical word-sets (j = 1.0) can NEVER be missed (PropertySpec's
@@ -74,16 +78,17 @@ object QualityGates {
       else lshPairs.count(r => simhashPairs((r.getLong(0), r.getLong(1)))).toDouble / lshPairs.length
 
     // ---- seeded Bernoulli sample: fraction within binomial band -------
-    val sampled = qs("sample_bernoulli")(spark, sfDir)
+    val rawApprox = graft.operators.RelationalOps.rawApprox
+    val sampled = rawApprox("sample_bernoulli")(spark, sfDir)
       .agg(sum(col("n"))).head.getLong(0)
     val total = graft.Tables.load(spark, sfDir, "orders").count()
     val frac = sampled.toDouble / total
     // rerun determinism of the fixed seed (QueryLibrarySpec's contract)
-    val rerunSame = qs("sample_bernoulli")(spark, sfDir).collect().toSeq ==
-      qs("sample_bernoulli")(spark, sfDir).collect().toSeq
+    val rerunSame = rawApprox("sample_bernoulli")(spark, sfDir).collect().toSeq ==
+      rawApprox("sample_bernoulli")(spark, sfDir).collect().toSeq
 
     // ---- HLL sketch relative error vs exact distinct counts -----------
-    val apx = qs("agg_approx_sketch")(spark, sfDir)
+    val apx = rawApprox("agg_approx_sketch")(spark, sfDir)
       .select(col("l_returnflag"), col("apx_parts")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exactDistinct = graft.Tables.load(spark, sfDir, "lineitem")
@@ -96,7 +101,9 @@ object QualityGates {
 
     // ---- embedding LSH near-dup: pair recall vs the exact O(n²) pairs -
     def embPairs(name: String): Set[(Long, Long)] =
-      qs(name)(spark, sfDir).select(col("id_a"), col("id_b")).collect()
+      (if (name == "dedup_embedding_lsh")
+         graft.operators.DedupOps.rawPairs(name)(spark, sfDir)
+       else qs(name)(spark, sfDir)).select(col("id_a"), col("id_b")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val embExact = embPairs("dedup_embedding")
     val embLshRecall = withConf(spark, graft.GraftConf.SimLshBits.key, "4") {

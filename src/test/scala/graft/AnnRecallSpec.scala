@@ -4,10 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Quantitative recall gates for the approximate ANN paths (rows-only in
-  * the oracle gate because recall < 1 by design): LSH-bucketed and IVF
-  * coarse-quantized top-k are measured against the exact brute-force
-  * ranking. Everything is deterministic (hash-derived hyperplanes,
+/** Quantitative recall gates for the approximate ANN paths, measured
+  * from the RAW top-k results (`SimilarityOps.rawAnn`; the exported
+  * sim_ann_* queries emit oracled recall-gate summaries instead):
+  * LSH-bucketed and IVF coarse-quantized top-k are measured against
+  * the exact brute-force ranking. Everything is deterministic (hash-derived hyperplanes,
   * label centroids), so the recall is a fixed number per dataset — the
   * floors pinned here fail on any regression in bucketing or probing.
   */
@@ -37,7 +38,7 @@ class AnnRecallSpec extends AnyFunSuite {
     val old = spark.conf.getOption(GraftConf.SimLshBits.key)
     spark.conf.set(GraftConf.SimLshBits.key, "4")
     try {
-      val lsh = topSets(SparkEntry.queries("sim_ann_lsh")(spark, dir), 3)
+      val lsh = topSets(graft.operators.SimilarityOps.rawAnn("sim_ann_lsh")(spark, dir), 3)
       val r = recallAt3(lsh, exact3)
       info(f"sim_ann_lsh recall@3 (4 bits, multi-probe) = $r%.3f over ${exact3.size} queries")
       assert(r >= 0.30, f"LSH recall@3 regressed: $r%.3f")
@@ -48,7 +49,7 @@ class AnnRecallSpec extends AnyFunSuite {
   }
 
   test("IVF coarse-quantized ANN meets its pinned recall@3 floor") {
-    val ivf = topSets(SparkEntry.queries("sim_ann_ivf")(spark, dir), 3)
+    val ivf = topSets(graft.operators.SimilarityOps.rawAnn("sim_ann_ivf")(spark, dir), 3)
     val r = recallAt3(ivf, exact3)
     info(f"sim_ann_ivf recall@3 = $r%.3f over ${exact3.size} queries")
     // 2-of-|labels| probed partitions
@@ -56,7 +57,7 @@ class AnnRecallSpec extends AnyFunSuite {
   }
 
   test("IVF with learned k-means centroids meets its pinned recall@3 floor") {
-    val ivf = topSets(SparkEntry.queries("sim_ann_ivf_kmeans")(spark, dir), 3)
+    val ivf = topSets(graft.operators.SimilarityOps.rawAnn("sim_ann_ivf_kmeans")(spark, dir), 3)
     val r = recallAt3(ivf, exact3)
     info(f"sim_ann_ivf_kmeans recall@3 = $r%.3f over ${exact3.size} queries")
     // 2-of-4 probed learned partitions
@@ -64,7 +65,7 @@ class AnnRecallSpec extends AnyFunSuite {
   }
 
   test("PQ ADC shortlist + exact re-rank meets its pinned recall@3 floor") {
-    val pq = topSets(SparkEntry.queries("sim_ann_pq")(spark, dir), 3)
+    val pq = topSets(graft.operators.SimilarityOps.rawAnn("sim_ann_pq")(spark, dir), 3)
     val r = recallAt3(pq, exact3)
     info(f"sim_ann_pq recall@3 = $r%.3f over ${exact3.size} queries")
     // 16 subspaces × 16-centroid codebooks, shortlist 32 of ~490

@@ -142,7 +142,7 @@ class PropertySpec extends AnyFunSuite {
         val ids = r.getSeq[Long](1).sorted
         for (i <- ids.indices; j <- (i + 1) until ids.size) yield (ids(i), ids(j))
       }.toSet
-    val simPairs = SparkEntry.queries("dedup_simhash")(spark, dir)
+    val simPairs = graft.operators.DedupOps.rawPairs("dedup_simhash")(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exactPairs.nonEmpty, "fixture must contain identical-word-set pairs")
@@ -177,7 +177,9 @@ class PropertySpec extends AnyFunSuite {
   test("embedding LSH near-dup: perfect precision, pinned recall floor vs exact pairs") {
     val dir = GraftSparkSession.sfDir
     def pairSet(name: String): Set[(Long, Long)] =
-      SparkEntry.queries(name)(spark, dir)
+      (if (name == "dedup_embedding_lsh")
+         graft.operators.DedupOps.rawPairs(name)(spark, dir)
+       else SparkEntry.queries(name)(spark, dir))
         .select(col("id_a"), col("id_b")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairSet("dedup_embedding")

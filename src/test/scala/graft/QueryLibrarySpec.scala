@@ -51,7 +51,7 @@ class QueryLibrarySpec extends AnyFunSuite {
     // engine-specific RNG stream — but its CONTRACT is still testable:
     // fixed seed ⇒ identical output across runs, and the sampled mass
     // stays within a loose binomial band of the 10% target
-    val fn = SparkEntry.queries("sample_bernoulli")
+    val fn = graft.operators.RelationalOps.rawApprox("sample_bernoulli")
     val a = fn(spark, dir).collect().toSeq
     val b = fn(spark, dir).collect().toSeq
     assert(a == b, "fixed-seed sample must be rerun-identical")
@@ -59,6 +59,9 @@ class QueryLibrarySpec extends AnyFunSuite {
     val sampled = a.map(_.getLong(1)).sum
     val frac = sampled.toDouble / total
     assert(frac > 0.05 && frac < 0.15, s"sampled fraction $frac outside [0.05, 0.15]")
+    // and the exported gate face agrees: every band boolean true
+    val gate = SparkEntry.queries("sample_bernoulli")(spark, dir).collect()
+    assert(gate.forall(_.getBoolean(2)), "binomial band boolean flipped")
   }
 
   test("queries are deterministic across reruns") {
