@@ -23,13 +23,19 @@ import org.apache.spark.sql.SparkSession
   * the graft session, expr-ids normalized away) — the queries where
   * graft-vs-vanilla is a rule comparison, not noise.
   *
-  * Fairness protocol (A-B-A-B): the graft and vanilla passes alternate
-  * for SPARK_GRAFT_BENCH_ROUNDS rounds (default 2) and only the LAST
-  * round of each is reported. A single graft-then-vanilla sequence
-  * hands the second pass a fully JIT-warmed JVM — measured at sf0.1
-  * that bias alone showed pure-builtin queries (identical plans!) as
-  * "4x slower" on whichever engine ran first. With a discarded first
-  * round, both engines are timed against the same warm JVM.
+  * Fairness protocol (per-query interleave): BOTH engines live as two
+  * sessions over ONE SparkContext (extensions and every tuned SQL conf
+  * are session-scoped), and each query is timed on graft and vanilla
+  * back-to-back, for SPARK_GRAFT_BENCH_ROUNDS rounds (default 2) with
+  * the within-pair order flipped each round; the per-query minimum
+  * across rounds is reported for each engine. The earlier whole-pass
+  * A-B-A-B protocol left minutes between an engine's two measurements
+  * of the same query — JIT/GC/page-cache drift over that gap showed
+  * IDENTICAL-PLAN queries ±50% apart between engines, swamping any
+  * real rule effect. Adjacent-in-time pairs + min-of-rounds cut that
+  * to noise level. Static confs (the cache serializer) are shared by
+  * both sessions — a conservative bias: vanilla gets the engine's
+  * cache encoding too, so it can only understate graft's advantage.
   *
   * Env knobs: SPARK_GRAFT_BENCH_SET=tpch restricts to the 22 TPC-H
   * queries (used for the sf1 scale run where only TPC-H tables are
@@ -109,21 +115,17 @@ object Bench {
     spark.catalog.clearCache()
   }
 
-  private def runPass(spark: SparkSession, sfDir: String,
-      names: Seq[String]): Seq[(String, Double)] = {
+  private def timeOne(spark: SparkSession, sfDir: String, name: String): Double = {
     val qs = SparkEntry.queries
-    warmup(spark, sfDir)
-    names.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
-      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release intra-query caches OUTSIDE the timer: a query's persist()
-      // is its own cost (timed above), but leaked storage blocks from
-      // one query must not squeeze executor memory for the next
-      spark.catalog.clearCache()
-      name -> dt
-    }
+    val t0 = System.nanoTime()
+    try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+    val dt = (System.nanoTime() - t0) / 1e9
+    // release intra-query caches OUTSIDE the timer: a query's persist()
+    // is its own cost (timed above), but leaked storage blocks from
+    // one query must not squeeze executor memory for the next
+    spark.catalog.clearCache()
+    dt
   }
 
   /** headline queries whose physical plan the default-on custom rules
@@ -164,40 +166,63 @@ object Bench {
       SparkSession.clearDefaultSession()
     }
 
-    def graftPass(audit: Boolean): (Seq[(String, Double)], Seq[String]) = {
-      val graft = GraftSession.builder(s"local[$cpus]", cpus.toInt)
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      graft.sparkContext.setLogLevel("WARN")
-      val r = runPass(graft, sfDir, set)
-      val changed = if (audit) planAudit(graft, sfDir, set) else Seq.empty
-      graft.stop(); freshSession()
-      (r, changed)
-    }
+    // One SparkContext, two sessions. The context itself carries only
+    // the neutral/static confs (NOT spark.sql.extensions — that static
+    // conf would leak the graft extensions into the vanilla session);
+    // graft's extensions are injected programmatically per-session and
+    // its tuned SQL confs are all session-scoped.
+    val vanilla = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.cache.serializer",
+        classOf[sources.GraftCachedBatchSerializer].getName)
+      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
+      .getOrCreate()
+    vanilla.sparkContext.setLogLevel("WARN")
+    freshSession()
+    val graft = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .getOrCreate()
 
-    def vanillaPass(): Seq[(String, Double)] = {
-      val vanilla = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      vanilla.sparkContext.setLogLevel("WARN")
-      val r = runPass(vanilla, sfDir, set.filterNot(graftOnly.contains))
-      vanilla.stop(); freshSession()
-      r
-    }
-
-    // A-B-A-B: alternate passes; only the final round of each counts
-    var results: Seq[(String, Double)] = Seq.empty
-    var changed: Seq[String] = Seq.empty
-    var vanillaResults: Seq[(String, Double)] = Seq.empty
+    val qs = SparkEntry.queries
+    val names = set.filter(qs.contains)
+    var gTimes = Map.empty[String, Double]
+    var vTimes = Map.empty[String, Double]
+    warmup(graft, sfDir)
+    if (withVanilla) warmup(vanilla, sfDir)
     for (round <- 1 to rounds) {
-      val last = round == rounds
-      val (g, c) = graftPass(audit = last)
-      results = g; changed = c
-      if (withVanilla) vanillaResults = vanillaPass()
+      // flip within-pair order each round; min-of-rounds absorbs the
+      // residual first-in-pair page-cache effect
+      val graftFirst = round % 2 == 1
+      for (name <- names) {
+        def g(): Unit = {
+          val t = timeOne(graft, sfDir, name)
+          gTimes += (name -> math.min(t, gTimes.getOrElse(name, Double.MaxValue)))
+        }
+        def v(): Unit = if (withVanilla && !graftOnly.contains(name)) {
+          val t = timeOne(vanilla, sfDir, name)
+          vTimes += (name -> math.min(t, vTimes.getOrElse(name, Double.MaxValue)))
+        }
+        if (graftFirst) { g(); v() } else { v(); g() }
+      }
     }
+    val results: Seq[(String, Double)] = names.map(n => n -> gTimes(n))
+    val vanillaResults: Seq[(String, Double)] =
+      names.filter(vTimes.contains).map(n => n -> vTimes(n))
+    val changed: Seq[String] = planAudit(graft, sfDir, set)
+    graft.stop(); freshSession()
 
     val total = results.map(_._2).sum
     // Compact vs full split: the driver captures only a bounded tail of
