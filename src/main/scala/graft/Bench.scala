@@ -76,6 +76,7 @@ object Bench {
     "docs_lm_quality_buckets", "dedup_semantic", "sim_margin_mining",
     "text_quality_classifier",
     "graph_triangle_count", "text_bpe_merges", "ev_pref_bradley_terry",
+    "dedup_substring_windows",
     "lake_time_travel", "lake_merge", "lake_cdf_scan", "lake_zorder_skip")
 
   /** the data-pipeline operator set for scaling runs (ScaleUp's
@@ -95,7 +96,7 @@ object Bench {
     "docs_pipeline_e2e", "docs_lm_quality_buckets",
     "text_quality_classifier",
     "sim_ann_brute_topk", "sim_ann_lsh", "sim_ann_ivf",
-    "graph_triangle_count", "text_bpe_merges")
+    "graph_triangle_count", "text_bpe_merges", "dedup_substring_windows")
 
   /** needs the graft as-of planner strategy or the graft lake catalog —
     * cannot plan on a stock session */

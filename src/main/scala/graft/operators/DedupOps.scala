@@ -826,6 +826,51 @@ object DedupOps {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
+  /** Repeated-substring window dedup (the exact-substring span signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): every 8-word window of every document is fingerprinted
+    * (md5 — at 100 TB you'd persist the 16-byte digest, never the window
+    * text), windows occurring in ≥2 distinct documents are "duplicated
+    * spans", and each document reports its duplicated-window fraction —
+    * the per-doc removal signal the span-dedup pass keys on.
+    *
+    * Scale shape: explode to one skinny (doc_id, digest) row per window
+    * position, ONE digest-keyed shuffle for the cross-doc counts, one
+    * doc-keyed shuffle for the report — no pairwise comparisons anywhere,
+    * shuffle volume is 16 B + count per window. The window length is the
+    * standard knob: longer windows → rarer collisions → sharper signal. */
+  private val dedupSubstringWindows: Q = (s, dir) => {
+    val w = 8
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= w)
+    val wins = toks.select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(w) - ${w - 1}), i -> md5(array_join(slice(w, i, $w), ' ')))")).as("wh"))
+    val cnt = wins.groupBy(col("wh")).agg(countDistinct(col("doc_id")).as("nd"))
+    wins.join(cnt, Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSubstringWindowsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |win AS (
+      |  SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS wh
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) t),
+      |cnt AS (SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY wh)
+      |SELECT w.doc_id, COUNT(*) AS n_windows,
+      |  CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+      |  round(CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+      |    AS dup_fraction
+      |FROM win w JOIN cnt c ON c.wh = w.wh
+      |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_cluster_groups" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
@@ -838,6 +883,7 @@ object DedupOps {
     "dedup_simhash" -> dedupSimhashGate,
     "dedup_ngram_jaccard" -> dedupNgram,
     "dedup_containment" -> dedupContainment,
+    "dedup_substring_windows" -> dedupSubstringWindows,
     "dedup_fuzzy_names" -> dedupFuzzyNames,
     "dedup_embedding" -> dedupEmbedding)
 
@@ -853,6 +899,7 @@ object DedupOps {
     "dedup_simhash" -> dedupSimhashGateSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshGateSql,
     "dedup_containment" -> dedupContainmentSql,
+    "dedup_substring_windows" -> dedupSubstringWindowsSql,
     "dedup_fuzzy_names" -> dedupFuzzyNamesSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }
