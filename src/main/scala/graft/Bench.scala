@@ -134,9 +134,13 @@ object Bench {
   private def planAudit(spark: SparkSession, sfDir: String,
       names: Seq[String]): Seq[String] = {
     val qs = SparkEntry.queries
+    // normalize expr ids, plan ids AND lambda-variable counters — the
+    // lambda counter is session-global, so two plan builds of the same
+    // query differ in `lambda x_4` vs `lambda x_8` (a false "changed")
     def normPlan(name: String): String =
       qs(name)(spark, sfDir).queryExecution.executedPlan.toString
         .replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "plan_id=")
+        .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_")
     names.filter(qs.contains).filterNot(graftOnly.contains).flatMap { name =>
       try {
         val on = normPlan(name)
