@@ -42,12 +42,20 @@ object GraphOps {
   private val pagerank: Q = (s, dir) => {
     val edges = edgeList(s, dir).cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val nodes = edges.select(col("src").as("id")).distinct()
+    // degree-annotated edges hoisted OUT of the loop: the first cut
+    // re-derived deg (a groupBy shuffle over the edge list) and re-joined
+    // it inside every iteration — 2 extra shuffles x iters for a table
+    // that never changes. The od column rides along so the contribution
+    // stays the textbook pr/od (bit-identical to the oracle's arithmetic;
+    // pre-inverting to pr*(1/od) could drift an ulp across the 6-dp gate).
+    val out = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("od")).cache()
+    val nodes = out.select(col("src").as("id")).distinct().cache()
     val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("id"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 0 until iters) {
-      val contribs = edges.join(deg, "src")
+      val contribs = out
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("pr") / col("od")).as("contrib"))
       ranks = nodes.join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
