@@ -449,22 +449,33 @@ object TextOps {
   // unigram totals and |V| ride along; ntile windows are per-language.
   private val docsLmQualityBuckets: Q = (s, dir) => {
     val words = split(col("text"), " ")
-    val docBigrams = load(s, dir, "documents")
+    // ONE explode, aggregated straight to per-doc bigram counts: the
+    // first cut re-exploded the corpus for the scoring join and joined
+    // the model at bigram-INSTANCE grain; this (doc, w1, w2, n) table is
+    // both the model input (bc = one more groupBy over it) and the
+    // scoring join input, so the model join moves |distinct doc-bigrams|
+    // rows instead of |bigram instances| — the grain that matters when
+    // the corpus is 100 TB. avg_nll becomes the n-weighted mean (same
+    // value; the oracle mirrors the weighted formulation).
+    val docBg = load(s, dir, "documents")
       .filter(size(words) >= 2)
       .select(col("doc_id"), col("lang"), explode(transform(
         sequence(lit(1), size(words) - 1),
         i => struct(element_at(words, i).as("w1"), element_at(words, i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
-    val bc = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val bc = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c2"))
     val uc = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = bc.select(col("w2")).distinct().agg(count(lit(1)).as("v"))
-    val scored = docBigrams
+    val scored = docBg
       .join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("nll", -log((col("c2") + 1.0) / (col("c1") + col("v"))))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(round(avg(col("nll")), 6).as("avg_nll"))
+      .agg(round(sum(col("n") * col("nll")) / sum(col("n")), 6).as("avg_nll"))
     val w = Window.partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))
     scored.withColumn("bucket", ntile(5).over(w))
       .select(col("doc_id"), col("lang"), col("avg_nll"), col("bucket"))
@@ -479,15 +490,16 @@ object TextOps {
       |  SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
       |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
       |  WHERE ws[i] <> '' AND ws[i+1] <> ''),
-      |bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
-      |uc AS (SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY 1),
+      |bgc AS (SELECT doc_id, lang, w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3, 4),
+      |bc AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c2 FROM bgc GROUP BY 1, 2),
+      |uc AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
       |v AS (SELECT COUNT(DISTINCT w2) AS v FROM bc),
       |scored AS (
-      |  SELECT bg.doc_id, bg.lang,
-      |    round(avg(-ln((bc.c2 + 1.0e0) / (uc.c1 + v.v))), 6) AS avg_nll
-      |  FROM bg JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
-      |  JOIN uc ON bg.w1 = uc.w1 CROSS JOIN v
-      |  GROUP BY bg.doc_id, bg.lang)
+      |  SELECT bgc.doc_id, bgc.lang,
+      |    round(SUM(bgc.n * -ln((bc.c2 + 1.0e0) / (uc.c1 + v.v))) / SUM(bgc.n), 6) AS avg_nll
+      |  FROM bgc JOIN bc ON bgc.w1 = bc.w1 AND bgc.w2 = bc.w2
+      |  JOIN uc ON bgc.w1 = uc.w1 CROSS JOIN v
+      |  GROUP BY bgc.doc_id, bgc.lang)
       |SELECT doc_id, lang, avg_nll,
       |  CAST(ntile(5) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS INTEGER) AS bucket
       |FROM scored ORDER BY doc_id""".stripMargin
