@@ -274,12 +274,21 @@ object DedupOps {
   private val dedupContainment: Q = (s, dir) => {
     val toks = load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // posting list carries an 8-byte xxhash64 of each shingle, not the
+    // ~30-byte string: the self-join's shuffle volume drops ~4x and the
+    // equi-probe compares longs. Deterministic; a 64-bit collision over
+    // this vocabulary (~1e-11) would merge two posting lists and fail
+    // the oracle, so the hash gate itself polices the assumption. The
+    // skinny (doc_id, hash) list is cached — it feeds both join sides
+    // and the length table, and the explode is the expensive part.
     val sh = toks.select(col("doc_id"), explode(array_distinct(transform(
       sequence(lit(1), greatest(size(col("w")) - 2, lit(0))),
       i => concat_ws(" ",
         element_at(col("w"), i),
         element_at(col("w"), i + 1),
-        element_at(col("w"), i + 2))))).as("g"))
+        element_at(col("w"), i + 2))))).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+      .cache()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
     sh.select(col("doc_id").as("da"), col("g"))
       .join(sh.select(col("doc_id").as("db"), col("g")), Seq("g"))
