@@ -544,6 +544,58 @@ object RelationalOps {
     "agg_approx_sketch" -> aggApproxRaw,
     "sample_bernoulli" -> sampleBernoulliRaw)
 
+  // Apache DataSketches HLL surface (Spark 3.5+): hll_sketch_agg builds
+  // a mergeable binary sketch per group, hll_union_agg merges the group
+  // sketches WITHOUT rescanning the data — the two-level rollup pattern
+  // sketches exist for at 100 TB (per-partition sketches persisted, any
+  // ad-hoc rollup = tiny union). Gate face: per-group and merged-union
+  // estimates vs exact distinct counts (default lgK=12 ≈ 1.6% rse;
+  // bound 5%).
+  private val aggHllSketch: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+    val est = sk.select(col("l_returnflag"), expr("hll_sketch_estimate(sk)").as("est"))
+    val merged = sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_all"))
+    val ex = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val exAll = li.agg(countDistinct(col("l_partkey")).as("exact_all"))
+    est.join(ex, Seq("l_returnflag"))
+      .crossJoin(broadcast(merged)).crossJoin(broadcast(exAll))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("est") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("sketch_within_5pct"),
+        col("exact_all"),
+        (abs(col("est_all") - col("exact_all")).cast("double") /
+          col("exact_all") <= 0.05).as("union_within_5pct"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val aggHllSketchSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  true AS sketch_within_5pct,
+      |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_all,
+      |  true AS union_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // histogram_numeric (NumericHistogram / Hive GenericUDAFHistogramNumeric
+  // shape): engine-specific bin centers, but exact invariants — bin count,
+  // total mass == row count, centers inside the data range — gate it.
+  private val aggHistogram: Q = (s, dir) =>
+    load(s, dir, "lineitem")
+      .agg(expr("histogram_numeric(l_quantity, 10)").as("h"),
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
+      .select(size(col("h")).as("n_bins"), col("n_rows"),
+        (abs(expr("aggregate(h, 0.0d, (a, b) -> a + b.y)") -
+          col("n_rows").cast("double")) < lit(1e-6)).as("mass_equals_rows"),
+        expr("forall(h, b -> b.x >= mn AND b.x <= mx)").as("centers_within_range"))
+
+  private val aggHistogramSql =
+    """SELECT 10 AS n_bins, COUNT(*) AS n_rows, true AS mass_equals_rows,
+      |  true AS centers_within_range
+      |FROM lineitem""".stripMargin
+
   // ------------------------------------------------------------- set ops
 
   private val setUnionAll: Q = (s, dir) =>
@@ -1908,9 +1960,13 @@ object RelationalOps {
 
   val queries: Map[String, Q] = built._1 ++ Map[String, Q](
     "agg_approx_sketch" -> aggApprox,
+    "agg_hll_sketch" -> aggHllSketch,
+    "agg_histogram_numeric" -> aggHistogram,
     "sample_bernoulli" -> sampleBernoulli)
 
   val oracles: Map[String, String] = built._2 ++ Map(
     "agg_approx_sketch" -> aggApproxSql,
+    "agg_hll_sketch" -> aggHllSketchSql,
+    "agg_histogram_numeric" -> aggHistogramSql,
     "sample_bernoulli" -> sampleBernoulliSql)
 }
