@@ -192,13 +192,162 @@ object GraphOps {
       |  ROUND(3.0e0 * n_triangles / n_wedges, 6) AS global_cc
       |FROM stats CROSS JOIN ecnt CROSS JOIN tri""".stripMargin
 
+  private val lpIters = 4
+
+  /** Synchronous min-label propagation (the Pregel-style connected-
+    * components / community seed step; reference offloads no graph work
+    * — this is pipeline-curation surface beyond it). Every node starts
+    * labelled with its own id; each round every node takes the minimum
+    * of its own label and its neighbors' labels. One round = one
+    * edges⋈labels shuffle + a dst-keyed min — the same bounded shape as
+    * [[pagerank]], nothing graph-sized ever reaches the driver. Rounds
+    * are FIXED (4) so the plan is bounded and the oracle can unroll the
+    * identical rounds as CTEs; the open-ended converge-with-checkpoint
+    * variant of this loop already exists in
+    * `DedupOps.connectedComponents` (per-round localCheckpoint) and is
+    * the 100 TB path for unbounded diameters. String min is byte-wise
+    * in both engines (ASCII labels), so the gate is exact. */
+  private val labelPropagation: Q = (s, dir) => {
+    val edges = edgeList(s, dir).cache()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    // the dense bipartite graph converges to ONE component within the
+    // fixed rounds, so the final partition alone would be a 1-row gate;
+    // exporting the distinct-label count AFTER EVERY round pins each
+    // round's full label state (any drift in round k changes n_k)
+    var roundCounts = Seq.empty[DataFrame]
+    for (k <- 1 to lpIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
+      labels = labels
+        .join(nbrMin.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+      roundCounts = roundCounts :+
+        labels.agg(countDistinct(col("lbl")).as(s"n_labels_r$k"))
+    }
+    val perRound = roundCounts.map(broadcast).reduce(_.crossJoin(_))
+    labels.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(perRound)
+      .orderBy(col("component"))
+  }
+
+  private def lpIterCte(k: Int): String =
+    s"""l$k AS (
+       |  SELECT n.id, LEAST(n.lbl, COALESCE(m.nbr, n.lbl)) AS lbl
+       |  FROM l${k - 1} n LEFT JOIN (
+       |    SELECT e.dst AS id, MIN(l.lbl) AS nbr
+       |    FROM edges e JOIN l${k - 1} l ON e.src = l.id GROUP BY 1) m
+       |  ON m.id = n.id)""".stripMargin
+
+  private val labelPropagationSql =
+    s"""WITH base AS (
+       |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+       |    'k' || json_extract_string(props, '$$.k') AS dst FROM events),
+       |edges AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |${(1 to lpIters).map(lpIterCte).mkString(",\n")},
+       |${(1 to lpIters).map(k =>
+            s"c$k AS (SELECT COUNT(DISTINCT lbl) AS n_labels_r$k FROM l$k)")
+            .mkString(",\n")}
+       |SELECT lbl AS component, COUNT(*) AS n_nodes,
+       |  ${(1 to lpIters).map(k => s"n_labels_r$k").mkString(", ")}
+       |FROM l$lpIters
+       |${(1 to lpIters).map(k => s"CROSS JOIN c$k").mkString(" ")}
+       |GROUP BY ALL ORDER BY component""".stripMargin
+
+  /** Neighborhood-overlap link prediction over the prop-key
+    * co-occurrence graph: for every UNLINKED key pair sharing at least
+    * one neighbor, common-neighbor count, Jaccard overlap and
+    * Adamic–Adar (Σ 1/ln deg(c) over shared neighbors c) — the three
+    * classic similarity-based link predictors. Candidate pairs come
+    * from a wedge self-join on the adjacency list (only pairs that DO
+    * share a neighbor are ever materialized — never all-pairs), then an
+    * anti-join against the edge list removes already-linked pairs. At
+    * 100 TB the wedge fan-out at a hub neighbor is the quadratic risk;
+    * the mitigation is the same degree-orientation bound proven in
+    * [[triangleCount]] plus a hot-node candidate cap à la
+    * `DedupLshBucketCap` — here the key universe is schema-bounded so
+    * the exact form stays oracled. All counts are integers and the two
+    * ratios are rounded at 6 dp, so the DuckDB hash gate is exact. */
+  private val linkPrediction: Q = (s, dir) => {
+    val uk = load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        get_json_object(col("props"), "$.k").as("kk"))
+      .distinct()
+    val edges = uk.as("a")
+      .join(uk.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.d") === col("b.d") &&
+          col("a.kk") < col("b.kk"))
+      .select(col("a.kk").as("ka"), col("b.kk").as("kb"))
+      .distinct().cache()
+    val adj = edges.select(col("ka").as("node"), col("kb").as("nbr"))
+      .union(edges.select(col("kb").as("node"), col("ka").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val wedges = adj.as("x")
+      .join(adj.as("y"), col("x.nbr") === col("y.nbr") &&
+        col("x.node") < col("y.node"))
+      .select(col("x.node").as("ka"), col("y.node").as("kb"),
+        col("x.nbr").as("nbr"))
+      .join(deg.withColumnRenamed("node", "nbr"), Seq("nbr"))
+      .groupBy(col("ka"), col("kb"))
+      .agg(count(lit(1)).as("common"),
+        sum(lit(1.0) / log(col("dg"))).as("aa"))
+    val unlinked = wedges.join(edges, Seq("ka", "kb"), "left_anti")
+    unlinked
+      .join(deg.select(col("node").as("ka"), col("dg").as("da")), "ka")
+      .join(deg.select(col("node").as("kb"), col("dg").as("db")), "kb")
+      .select(col("ka"), col("kb"), col("common"),
+        round(col("common") / (col("da") + col("db") - col("common")), 6)
+          .as("jaccard"),
+        round(col("aa"), 6).as("adamic_adar"))
+      .orderBy(col("ka"), col("kb"))
+  }
+
+  private val linkPredictionSql =
+    """WITH uk AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+      |    json_extract_string(props, '$.k') AS kk FROM events),
+      |edges AS (
+      |  SELECT DISTINCT a.kk AS ka, b.kk AS kb
+      |  FROM uk a JOIN uk b
+      |    ON a.user_id = b.user_id AND a.d = b.d AND a.kk < b.kk),
+      |adj AS (
+      |  SELECT ka AS node, kb AS nbr FROM edges
+      |  UNION ALL SELECT kb, ka FROM edges),
+      |deg AS (SELECT node, COUNT(*) AS dg FROM adj GROUP BY 1),
+      |wedges AS (
+      |  SELECT x.node AS ka, y.node AS kb, COUNT(*) AS common,
+      |    SUM(1.0e0 / LN(dn.dg)) AS aa
+      |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+      |  JOIN deg dn ON dn.node = x.nbr
+      |  GROUP BY 1, 2),
+      |unlinked AS (
+      |  SELECT w.* FROM wedges w
+      |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+      |                    WHERE e.ka = w.ka AND e.kb = w.kb))
+      |SELECT u.ka, u.kb, u.common,
+      |  ROUND(CAST(u.common AS DOUBLE) / (da.dg + db.dg - u.common), 6)
+      |    AS jaccard,
+      |  ROUND(u.aa, 6) AS adamic_adar
+      |FROM unlinked u
+      |JOIN deg da ON da.node = u.ka JOIN deg db ON db.node = u.kb
+      |ORDER BY ka, kb""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> pagerank,
     "graph_degree_stats" -> degreeStats,
-    "graph_triangle_count" -> triangleCount)
+    "graph_triangle_count" -> triangleCount,
+    "graph_label_propagation" -> labelPropagation,
+    "graph_link_prediction" -> linkPrediction)
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
     "graph_degree_stats" -> degreeStatsSql,
-    "graph_triangle_count" -> triangleCountSql)
+    "graph_triangle_count" -> triangleCountSql,
+    "graph_label_propagation" -> labelPropagationSql,
+    "graph_link_prediction" -> linkPredictionSql)
 }

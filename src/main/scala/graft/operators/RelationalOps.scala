@@ -1871,7 +1871,172 @@ object RelationalOps {
        |FROM s3 JOIN wt ON wt.i = s3.item JOIN games ON games.i = s3.item
        |ORDER BY s3.item""".stripMargin
 
+  /** Last-touch attribution — the marketing/data-curation classic: each
+    * purchase is credited to the user's most recent click/view STRICTLY
+    * before it. One window pass (partition user, order ts) with an
+    * IGNORE-NULLS `last` over `ROWS UNBOUNDED PRECEDING .. 1 PRECEDING`
+    * — no self-join, no per-user collect; at 100 TB this is exactly one
+    * shuffle on user_id and the frame is streaming-evaluable (Spark's
+    * UnboundedPreceding window state is O(1) per row for `last`).
+    * Decimal-cast revenue keeps the cross-engine sum exact. */
+  private val evAttributionLastTouch: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    load(s, dir, "events")
+      .withColumn("touch",
+        when(col("event_type").isin("click", "view"), col("event_type")))
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dbl(sum(dec(col("value")))).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  private val evAttributionLastTouchSql =
+    """WITH t AS (
+      |  SELECT event_type, value,
+      |    last_value(CASE WHEN event_type IN ('click','view')
+      |                    THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_touch
+      |  FROM events)
+      |SELECT COALESCE(last_touch, 'none') AS channel,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
+  /** DPO/RLHF preference-pair assembly: within each (user, day) group
+    * the highest-value event is `chosen` and the lowest is `rejected`
+    * (deterministic value-then-id tie-breaks), emitted only when the
+    * margin is strictly positive — the exact pair-construction step a
+    * preference-tuning pipeline runs over judge scores before training.
+    * Two ranks over ONE window partition — a single shuffle on the
+    * group key, no join: at 100 TB the group key (prompt id) is the
+    * natural partitioner and groups are small, so no skew risk. Sits
+    * beside [[evPrefBradleyTerry]] (score fitting) as the pair-emission
+    * half of the preference pipeline. */
+  private val evDpoPairs: Q = (s, dir) => {
+    val grp = load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_id"), col("value"))
+    val wTop = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val wBot = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    grp.withColumn("rn_top", row_number().over(wTop))
+      .withColumn("rn_bot", row_number().over(wBot))
+      .groupBy(col("user_id"), col("d"))
+      .agg(
+        max(when(col("rn_top") === 1, col("event_id"))).as("chosen_id"),
+        max(when(col("rn_top") === 1, col("value"))).as("chosen_value"),
+        max(when(col("rn_bot") === 1, col("event_id"))).as("rejected_id"),
+        max(when(col("rn_bot") === 1, col("value"))).as("rejected_value"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("chosen_value") > col("rejected_value"))
+      .select(col("user_id"), col("d").cast("string").as("d"),
+        col("chosen_id"), col("rejected_id"),
+        round(col("chosen_value") - col("rejected_value"), 6).as("margin"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  private val evDpoPairsSql =
+    """WITH r AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                       ORDER BY value DESC, event_id ASC) AS rn_top,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                       ORDER BY value ASC, event_id ASC) AS rn_bot
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, d,
+      |    MAX(CASE WHEN rn_top = 1 THEN event_id END) AS chosen_id,
+      |    MAX(CASE WHEN rn_top = 1 THEN value END) AS chosen_value,
+      |    MAX(CASE WHEN rn_bot = 1 THEN event_id END) AS rejected_id,
+      |    MAX(CASE WHEN rn_bot = 1 THEN value END) AS rejected_value
+      |  FROM r GROUP BY user_id, d)
+      |SELECT user_id, CAST(d AS VARCHAR) AS d, chosen_id, rejected_id,
+      |  ROUND(chosen_value - rejected_value, 6) AS margin
+      |FROM g
+      |WHERE chosen_id <> rejected_id AND chosen_value > rejected_value
+      |ORDER BY user_id, d""".stripMargin
+
+  /** `df.stat.freqItems` face — Spark's one-pass Karp–Papadimitriou–
+    * Shenker heavy-hitter sketch. Its contract is a SUPERSET guarantee
+    * (every item with frequency > support·n is returned, possibly with
+    * false positives), so the gate face exports the EXACTLY-frequent
+    * items (DuckDB-recomputable) plus an in-query boolean that each one
+    * appears in the sketch output — the guarantee the sketch must never
+    * violate. KPS is single-pass constant-memory per partition with a
+    * tiny merge, the right shape for a 100 TB first-look profile. */
+  private val apiStatFreqItems: Q = (s, dir) => {
+    val ev = load(s, dir, "events")
+    val support = 0.15
+    val freqRow = ev.stat.freqItems(Seq("event_type"), support)
+    val items = freqRow.select(
+      explode(col("event_type_freqItems")).as("event_type"))
+    val n = ev.count()
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > n * support)
+    exact.join(items.withColumn("in_sketch", lit(true)),
+        Seq("event_type"), "left")
+      .select(col("event_type"), col("cnt").as("n_exact"),
+        coalesce(col("in_sketch"), lit(false)).as("sketch_contains"))
+      .orderBy(col("event_type"))
+  }
+
+  private val apiStatFreqItemsSql =
+    """SELECT event_type, COUNT(*) AS n_exact, true AS sketch_contains
+      |FROM events GROUP BY event_type
+      |HAVING COUNT(*) > 0.15 * (SELECT COUNT(*) FROM events)
+      |ORDER BY event_type""".stripMargin
+
+  /** `df.stat.sampleBy` face — per-stratum Bernoulli sampling with
+    * per-key fractions (the mixture-balancing primitive behind
+    * source-weighted corpus sampling). Seed semantics are
+    * engine-specific, so like [[sampleBernoulli]] the export is exact
+    * per-stratum totals plus two fixed properties: the sampled fraction
+    * sits inside a 6-sigma binomial band, and a same-seed rerun returns
+    * the IDENTICAL per-stratum counts (sampleBy is a pure hash filter —
+    * no state, no shuffle, executor-parallel at any scale). */
+  private val apiStatSampleBy: Q = (s, dir) => {
+    val ev = load(s, dir, "events")
+    val fr = Map("click" -> 0.2, "view" -> 0.5, "purchase" -> 1.0)
+    def counts(): DataFrame = ev.stat.sampleBy("event_type", fr, 7L)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_sampled"))
+    val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+      .filter(col("event_type").isin(fr.keys.toSeq: _*))
+    val a = counts(); val b = counts()
+    totals
+      .join(a, Seq("event_type"), "left")
+      .join(b.withColumnRenamed("n_sampled", "n_rerun"), Seq("event_type"), "left")
+      .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+      .withColumn("n_rerun", coalesce(col("n_rerun"), lit(0L)))
+      .withColumn("p", element_at(
+        typedLit(fr), col("event_type")))
+      .select(col("event_type"), col("n_total"),
+        (abs(col("n_sampled").cast("double") / col("n_total") - col("p")) <=
+          greatest(lit(0.02),
+            lit(6.0) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n_total"))))
+          .as("within_binomial_band"),
+        (col("n_sampled") === col("n_rerun")).as("seed_deterministic"))
+      .orderBy(col("event_type"))
+  }
+
+  private val apiStatSampleBySql =
+    """SELECT event_type, COUNT(*) AS n_total, true AS within_binomial_band,
+      |  true AS seed_deterministic
+      |FROM events WHERE event_type IN ('click','view','purchase')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val built: (Map[String, Q], Map[String, String]) = q(
+    ("ev_attribution_last_touch" -> evAttributionLastTouch, evAttributionLastTouchSql),
+    ("ev_dpo_pairs" -> evDpoPairs, evDpoPairsSql),
+    ("api_stat_freqitems" -> apiStatFreqItems, apiStatFreqItemsSql),
+    ("api_stat_sampleby" -> apiStatSampleBy, apiStatSampleBySql),
     ("ev_anomaly_mad" -> evAnomalyMad, evAnomalyMadSql),
     ("api_profile_columns" -> apiProfileColumns, apiProfileColumnsSql),
     ("ev_pref_bradley_terry" -> evPrefBradleyTerry, evPrefBradleyTerrySql),

@@ -542,7 +542,84 @@ class SparkSemanticsSpec extends AnyFunSuite {
       "SELECT inline(array(named_struct('a', 1), named_struct('a', 2)))",
     "misc_reflect_static_call" -> "SELECT reflect('java.lang.Math', 'max', 1, 2)",
     "misc_hash_multi_arg" -> "SELECT hash(1, 'a', true)",
-    "misc_sha1_pinned" -> "SELECT sha1('abc')")
+    "misc_sha1_pinned" -> "SELECT sha1('abc')",
+
+    // round-5 extension: higher-order-function edges NOT in the round-3
+    // hof block (index-lambda filter, three-valued exists/forall with
+    // null elements, null-padded string zip, comparator lambdas)
+    "hof_filter_with_index" ->
+      "SELECT filter(array('a','b','c'), (x, i) -> i > 0)",
+    "hof_exists_null_three_valued" ->
+      "SELECT exists(array(1, CAST(NULL AS INT)), x -> x > 1)",
+    "hof_exists_empty_is_false" ->
+      "SELECT exists(CAST(array() AS ARRAY<INT>), x -> x > 0)",
+    "hof_forall_null_three_valued" ->
+      "SELECT forall(array(2, CAST(NULL AS INT)), x -> x > 1)",
+    "hof_zip_with_pads_shorter_with_null" ->
+      "SELECT zip_with(array(1,2), array('a'), (x, y) -> concat(x, y))",
+    "hof_array_sort_custom_comparator_desc" ->
+      "SELECT array_sort(array(3,1,2), (l, r) -> CASE WHEN l < r THEN 1 WHEN l > r THEN -1 ELSE 0 END)",
+    "hof_array_sort_default_nulls_last" ->
+      "SELECT array_sort(array(2, NULL, 1))",
+
+    // subquery result semantics
+    "subq_scalar_empty_is_null" -> "SELECT (SELECT 1 WHERE 1 = 0)",
+    "subq_scalar_value" -> "SELECT (SELECT 41) + 1",
+    "subq_in_null_list_filters_all" ->
+      "SELECT count(*) FROM VALUES (1) t(x) WHERE x IN (SELECT CAST(NULL AS INT))",
+    "subq_not_in_null_list_filters_all" ->
+      "SELECT count(*) FROM VALUES (1) t(x) WHERE x NOT IN (SELECT CAST(NULL AS INT))",
+    "subq_exists_uncorrelated_true" ->
+      "SELECT count(*) FROM VALUES (1) t(x) WHERE EXISTS (SELECT 1)",
+
+    // SQL relational shapes (pivot/unpivot syntax, natural/USING joins,
+    // inline-table coercion, ordinals, lateral column alias, range TVF)
+    "sqlrel_pivot_missing_key_null" ->
+      "SELECT * FROM (SELECT 'a' AS k, 1 AS v) PIVOT (sum(v) FOR k IN ('a', 'b'))",
+    "sqlrel_unpivot_skips_nulls_by_default" ->
+      """SELECT * FROM (SELECT 1 AS id, 10 AS m1, CAST(NULL AS INT) AS m2)
+        |UNPIVOT (val FOR metric IN (m1, m2)) ORDER BY metric""".stripMargin,
+    "sqlrel_natural_join_merges_key" ->
+      "SELECT * FROM VALUES (1, 'a') t(k, b) NATURAL JOIN (SELECT 1 AS k, 'c' AS c)",
+    "sqlrel_using_join_single_key_column" ->
+      "SELECT * FROM VALUES (1, 'a') t(k, b) JOIN (SELECT 1 AS k, 'c' AS c) USING (k)",
+    "sqlrel_values_int_decimal_coercion" ->
+      "SELECT x FROM VALUES (1), (2.5) t(x) ORDER BY x",
+    "sqlrel_group_by_ordinal" ->
+      "SELECT x, count(*) FROM VALUES (1),(1),(2) t(x) GROUP BY 1 ORDER BY 1",
+    "sqlrel_order_by_ordinal_desc" ->
+      "SELECT x FROM VALUES (1),(3),(2) t(x) ORDER BY 1 DESC",
+    "sqlrel_lateral_column_alias" -> "SELECT 1 AS a, a + 1 AS b",
+    "sqlrel_range_tvf" -> "SELECT * FROM range(2, 7, 2)",
+    "sqlrel_intersect_all_multiplicity" ->
+      """SELECT x FROM (SELECT x FROM VALUES (1),(1),(2) t(x)
+        |INTERSECT ALL SELECT x FROM VALUES (1),(1) s(x)) ORDER BY x""".stripMargin,
+
+    // collation (Spark 4 surface)
+    "coll_lcase_equality" -> "SELECT 'abc' COLLATE UTF8_LCASE = 'ABC'",
+    "coll_collation_of_default" -> "SELECT collation('abc')",
+
+    // round-5 aggregate/window surface extras
+    "agg_listagg_within_group_ordered" ->
+      "SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) FROM VALUES ('b'),('a'),('c') t(x)",
+    "agg_mode_smallest_tie" ->
+      "SELECT mode(x) FROM VALUES (1),(1),(2),(2) t(x)",
+    "agg_histogram_numeric_exact_bins" ->
+      "SELECT histogram_numeric(x, 2) FROM VALUES (1e0),(1e0),(5e0) t(x)",
+    "win_cume_dist_fraction" ->
+      """SELECT x, cume_dist() OVER (ORDER BY x)
+        |FROM VALUES (1),(2),(2),(3) t(x) ORDER BY x, 2""".stripMargin,
+
+    // numeric sign/modulo edges and misc round-5 scalars
+    "math_pmod_vs_modulo_negative" -> "SELECT pmod(-7, 3), -7 % 3",
+    "math_positive_negative" -> "SELECT positive(5), negative(5)",
+    "str_char_chr_codepoint" -> "SELECT char(65), chr(98)",
+    "misc_sentences_splits" -> "SELECT sentences('Hi there. How are you')",
+    "misc_bitmap_positions" ->
+      "SELECT bitmap_bucket_number(1), bitmap_bucket_number(32769), bitmap_bit_position(70000)",
+    "misc_try_parse_json_invalid_null" -> "SELECT try_parse_json('{bad')",
+    "misc_assert_true_passes_null" -> "SELECT assert_true(1 = 1)",
+    "misc_current_database_default" -> "SELECT current_database()")
 
   // ---- ANSI error entries: (label, sql, expected error condition) ------
   private val ansiErrors: Seq[(String, String, String)] = Seq(
