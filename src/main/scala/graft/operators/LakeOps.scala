@@ -173,15 +173,50 @@ object LakeOps {
       |  AND o_totalprice BETWEEN mnp + (mxp - mnp) * 0.20e0
       |                       AND mnp + (mxp - mnp) * 0.45e0""".stripMargin
 
+  /** Write-audit-publish via branches (Iceberg branch + fast_forward
+    * analog): base data lands on main, staged data is written to an
+    * `audit` branch through the `t$branch$audit` identifier, the audit
+    * step reads BOTH refs (main must still be base-only — the isolation
+    * WAP exists for), and `CALL lake.system.fast_forward` publishes the
+    * branch atomically. The result reads main AFTER publish, carrying
+    * two in-query-audited isolation booleans; the DuckDB oracle
+    * recomputes the published state from the same parquet slices. */
+  private val lakeBranchWap: Q = (s, dir) => {
+    freshTable(s, "bench_wap")
+    ordersSlice(s, dir, 4, 0).writeTo("lake.bench_wap").append() // main v1
+    s.sql("CALL lake.system.create_branch('bench_wap', 'audit')")
+    ordersSlice(s, dir, 4, 1).writeTo("lake.`bench_wap$branch$audit`").append()
+    val mainBefore = s.table("lake.bench_wap").count()
+    val branchStaged =
+      s.sql("SELECT * FROM lake.bench_wap VERSION AS OF 'audit'").count()
+    s.sql("CALL lake.system.fast_forward('bench_wap', 'audit')")
+    val baseN = ordersSlice(s, dir, 4, 0).count()
+    s.table("lake.bench_wap")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("o_totalprice")))).as("total"))
+      .withColumn("main_isolated_during_audit", lit(mainBefore == baseN))
+      .withColumn("branch_saw_staged_rows", lit(branchStaged > mainBefore))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val lakeBranchWapSql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  true AS main_isolated_during_audit, true AS branch_saw_staged_rows
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "lake_time_travel" -> lakeTimeTravel,
     "lake_merge" -> lakeMerge,
     "lake_cdf_scan" -> lakeCdf,
-    "lake_zorder_skip" -> lakeZOrderSkip)
+    "lake_zorder_skip" -> lakeZOrderSkip,
+    "lake_branch_wap" -> lakeBranchWap)
 
   val oracles: Map[String, String] = Map(
     "lake_time_travel" -> lakeTimeTravelSql,
     "lake_merge" -> lakeMergeSql,
     "lake_cdf_scan" -> lakeCdfSql,
-    "lake_zorder_skip" -> lakeZOrderSkipSql)
+    "lake_zorder_skip" -> lakeZOrderSkipSql,
+    "lake_branch_wap" -> lakeBranchWapSql)
 }

@@ -1909,6 +1909,45 @@ object RelationalOps {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event streams
+    * (the sequence-modeling prior a behavioral pipeline extracts before
+    * training): one user-keyed window `lead` produces the (type →
+    * next-type) pairs, then a transition count + row-normalized
+    * probability. One shuffle on user_id for the window plus one small
+    * agg on the type-pair vocabulary — nothing here scales worse than
+    * linearly. Integer counts exact; p = n/n_from is a deterministic
+    * per-row ratio, 6-dp rounded. */
+  private val evMarkovTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(fromTot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("n_from"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val evMarkovTransitionsSql =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY 1)
+      |SELECT p.from_type, p.to_type, p.n,
+      |  ROUND(CAST(p.n AS DOUBLE) / tot.n_from, 6) AS p
+      |FROM pairs p JOIN tot ON tot.from_type = p.from_type
+      |ORDER BY p.from_type, p.to_type""".stripMargin
+
   /** DPO/RLHF preference-pair assembly: within each (user, day) group
     * the highest-value event is `chosen` and the lowest is `rejected`
     * (deterministic value-then-id tie-breaks), emitted only when the
@@ -2034,6 +2073,7 @@ object RelationalOps {
 
   private val built: (Map[String, Q], Map[String, String]) = q(
     ("ev_attribution_last_touch" -> evAttributionLastTouch, evAttributionLastTouchSql),
+    ("ev_markov_transitions" -> evMarkovTransitions, evMarkovTransitionsSql),
     ("ev_dpo_pairs" -> evDpoPairs, evDpoPairsSql),
     ("api_stat_freqitems" -> apiStatFreqItems, apiStatFreqItemsSql),
     ("api_stat_sampleby" -> apiStatSampleBy, apiStatSampleBySql),

@@ -1016,7 +1016,76 @@ object TextOps {
        |  UNION ALL SELECT 3, l, r, pc FROM m3)
        |ORDER BY merge_rank""".stripMargin
 
+  /** PMI collocation mining — pointwise mutual information
+    * ln(p(ab) / (p(a)·p(b))) over adjacent word pairs, the standard
+    * corpus-linguistics detector for multi-word expressions (and the
+    * phrase-vocabulary step of word2vec-style phrase building). Reuses
+    * the bigram-explode shape of [[textBigramLm]] but scores against
+    * UNIGRAM marginals: one bigram-count shuffle + two vocabulary-keyed
+    * joins for the marginals (shuffle joins on the term key — the vocab
+    * of a 100 TB corpus is not broadcastable) + two broadcast 1-row
+    * totals. Global top-50 goes through orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, no global sort);
+    * the rank column is added by a window AFTER the 50-row cut, so the
+    * single-partition window only ever sees 50 rows. A min-count floor
+    * (≥5) applies the classic low-frequency PMI correction before
+    * ranking. */
+  private val textPmiCollocations: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    val docs = load(s, dir, "documents")
+    val uni = docs.select(explode(words).as("t")).filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val nWords = uni.agg(sum(col("n_t")).cast("double").as("n_words"))
+    val bi = docs.filter(size(words) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(words) - 1),
+        i => struct(element_at(words, i).as("a"), element_at(words, i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val nBigrams = bi.agg(sum(col("n_ab")).cast("double").as("n_bigrams"))
+    val scored = bi.filter(col("n_ab") >= 5)
+      .join(uni.select(col("t").as("a"), col("n_t").as("n_a")), "a")
+      .join(uni.select(col("t").as("b"), col("n_t").as("n_b")), "b")
+      .crossJoin(broadcast(nWords)).crossJoin(broadcast(nBigrams))
+      .withColumn("pmi", round(log(
+        (col("n_ab") / col("n_bigrams")) /
+          ((col("n_a") / col("n_words")) * (col("n_b") / col("n_words")))), 6))
+    scored.orderBy(col("pmi").desc, col("a"), col("b")).limit(50)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("pmi").desc, col("a"), col("b"))))
+      .select(col("rk"), col("a"), col("b"), col("n_ab"), col("pmi"))
+      .orderBy(col("rk"))
+  }
+
+  private val textPmiCollocationsSql =
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |uni AS (
+      |  SELECT t AS tkn, COUNT(*) AS n_t
+      |  FROM w, unnest(ws) AS u(t) WHERE t <> '' GROUP BY 1),
+      |nw AS (SELECT CAST(SUM(n_t) AS DOUBLE) AS n_words FROM uni),
+      |bg AS (
+      |  SELECT ws[i] AS a, ws[i+1] AS b
+      |  FROM (SELECT ws FROM w WHERE len(ws) >= 2),
+      |    unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      |  WHERE ws[i] <> '' AND ws[i+1] <> ''),
+      |bc AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+      |nb AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS n_bigrams FROM bc),
+      |scored AS (
+      |  SELECT bc.a, bc.b, bc.n_ab,
+      |    ROUND(LN((bc.n_ab / nb.n_bigrams) /
+      |      ((ua.n_t / nw.n_words) * (ub.n_t / nw.n_words))), 6) AS pmi
+      |  FROM bc
+      |  JOIN uni ua ON ua.tkn = bc.a JOIN uni ub ON ub.tkn = bc.b
+      |  CROSS JOIN nw CROSS JOIN nb
+      |  WHERE bc.n_ab >= 5)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS INTEGER) AS rk,
+      |  a, b, n_ab, pmi
+      |FROM (SELECT * FROM scored ORDER BY pmi DESC, a, b LIMIT 50)
+      |ORDER BY rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_pmi_collocations" -> textPmiCollocations,
     "text_bpe_merges" -> textBpeMerges,
     "docs_dp_release" -> docsDpRelease,
     "text_vocab_ids" -> textVocabIds,
@@ -1046,6 +1115,7 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "text_pmi_collocations" -> textPmiCollocationsSql,
     "text_bpe_merges" -> textBpeMergesSql,
     "docs_dp_release" -> docsDpReleaseSql,
     "text_vocab_ids" -> textVocabIdsSql,

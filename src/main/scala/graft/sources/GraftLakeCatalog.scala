@@ -82,13 +82,22 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
     case n if n.endsWith("$files") =>
       val st = state(Identifier.of(ident.namespace(), n.stripSuffix("$files")))
       LakeMetaTable.files(st)
+    // branch table: SELECT/INSERT against lake.`t$branch$name` reads the
+    // branch head and routes writes to the branch lineage (the Iceberg
+    // `t.branch_name` identifier shape) — the staging half of WAP
+    case n if n.contains("$branch$") =>
+      val Array(tbl, br) = n.split("\\$branch\\$", 2)
+      val st = state(Identifier.of(ident.namespace(), tbl))
+      val head = st.branchHead(br).getOrElse(throw new NoSuchTableException(ident))
+      new GraftLakeTable(st, pinned = Some(head), branch = Some(br))
     case _ => new GraftLakeTable(state(ident), pinned = None)
   }
 
-  /** VERSION AS OF — pin the scan to a named snapshot. */
+  /** VERSION AS OF — a numeric version pins that snapshot; a non-numeric
+    * version resolves as a REF name (branch head or tag). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val st = state(ident)
-    val snap = st.byVersion(version.toLong)
+    val snap = version.toLongOption.fold(st.refSnapshot(version))(st.byVersion)
       .getOrElse(throw new NoSuchTableException(ident))
     new GraftLakeTable(st, pinned = Some(snap))
   }
@@ -174,10 +183,54 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
     * native ProcedureCatalog SPI */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array("system"), "compact"),
-      Identifier.of(Array("system"), "changes"))
+      Identifier.of(Array("system"), "changes"),
+      Identifier.of(Array("system"), "create_branch"),
+      Identifier.of(Array("system"), "create_tag"),
+      Identifier.of(Array("system"), "fast_forward"),
+      Identifier.of(Array("system"), "rollback"))
+
+  /** boilerplate for the ref-management procedures: one (table, STRING
+    * arg) or (table, LONG arg) parameter pair, body runs on the driver,
+    * empty result */
+  private def refProcedure(procName: String, desc: String, argName: String,
+      argType: DataType)(body: (LakeTableState, InternalRow) => Unit): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = desc
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in(argName, argType).build())
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          body(state(Identifier.of(Array.empty, input.getUTF8String(0).toString)), input)
+          util.Collections.emptyIterator()
+        }
+      }
+    }
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name() match {
+      case "create_branch" =>
+        refProcedure("create_branch",
+          "fork a branch from the current main snapshot (WAP staging)",
+          "branch", StringType)((st, in) =>
+          st.createBranch(in.getUTF8String(1).toString))
+      case "create_tag" =>
+        refProcedure("create_tag", "pin the current main version under a name",
+          "tag", StringType)((st, in) => st.createTag(in.getUTF8String(1).toString))
+      case "fast_forward" =>
+        refProcedure("fast_forward",
+          "publish a branch: main adopts the branch lineage (WAP publish)",
+          "branch", StringType)((st, in) =>
+          st.fastForward(in.getUTF8String(1).toString))
+      case "rollback" =>
+        refProcedure("rollback",
+          "history-preserving rollback: new commit carrying an old file set",
+          "version", org.apache.spark.sql.types.LongType)((st, in) =>
+          st.rollback(in.getLong(1)))
       case "compact" => new UnboundProcedure {
         override def name(): String = "compact"
         override def description(): String =
@@ -523,6 +576,68 @@ class LakeTableState(val tableName: String, initialSchema: StructType,
     snaps = snaps :+ LakeSnapshot(current.version + 1, ts, current.files, sch, ids)
   }
 
+  // ---- refs: branches and tags (Iceberg branch/tag + WAP analog) -----
+  // A BRANCH forks the snapshot lineage: its vector starts as a copy of
+  // main's at fork time and branch commits append there only — main
+  // never sees them until fast-forward. A TAG pins a main version by
+  // name. This is the write-audit-publish workflow: stage writes on a
+  // branch, audit the branch head, publish by fast-forwarding main.
+  private var branches: Map[String, Vector[LakeSnapshot]] = Map.empty
+  private var branchFork: Map[String, Long] = Map.empty
+  private var tags: Map[String, Long] = Map.empty
+
+  def createBranch(name: String): Unit = synchronized {
+    require(!branches.contains(name) && !tags.contains(name), s"ref exists: $name")
+    branches += name -> snaps
+    branchFork += name -> current.version
+  }
+
+  def createTag(name: String): Unit = synchronized {
+    require(!branches.contains(name) && !tags.contains(name), s"ref exists: $name")
+    tags += name -> current.version
+  }
+
+  def branchHead(name: String): Option[LakeSnapshot] = branches.get(name).map(_.last)
+
+  /** resolve a ref NAME (branch → its head, tag → the pinned snapshot) */
+  def refSnapshot(name: String): Option[LakeSnapshot] =
+    branchHead(name).orElse(tags.get(name).flatMap(v => snaps.find(_.version == v)))
+
+  def commitToBranch(name: String, newFiles: Seq[LakeDataFile], truncate: Boolean): Unit =
+    synchronized {
+      val lineage = branches.getOrElse(name,
+        throw new IllegalArgumentException(s"no such branch: $name"))
+      val head = lineage.last
+      val base = if (truncate) Vector.empty else head.files
+      val ts = math.max(System.currentTimeMillis(), head.timestampMs + 1)
+      branches += name -> (lineage :+ LakeSnapshot(head.version + 1, ts,
+        base ++ newFiles.toVector, head.schema, head.fieldIds))
+    }
+
+  /** WAP publish: main adopts the branch lineage. Legal only while main
+    * still sits at the fork point — on divergence this fails exactly
+    * like Iceberg's fast_forward (the caller must cherry-pick/rebase). */
+  def fastForward(name: String): Long = synchronized {
+    val lineage = branches.getOrElse(name,
+      throw new IllegalArgumentException(s"no such branch: $name"))
+    require(current.version == branchFork(name),
+      s"main (v${current.version}) diverged from branch $name fork point " +
+        s"(v${branchFork(name)}); fast-forward impossible")
+    snaps = lineage
+    branchFork += name -> current.version
+    current.version
+  }
+
+  /** history-preserving rollback: commit a NEW snapshot carrying the old
+    * version's file set (the Iceberg rollback_to_snapshot shape — the
+    * log never rewrites, so the rolled-back state remains auditable). */
+  def rollback(version: Long): Long = synchronized {
+    val snap = byVersion(version).getOrElse(
+      throw new IllegalArgumentException(s"no such version: $version"))
+    push(snap.files)
+    current.version
+  }
+
   /** streaming epoch commit, idempotent per (query, epoch): a replayed
     * epoch after a driver restart must not double-append */
   private val committedEpochs = scala.collection.mutable.HashSet[String]()
@@ -536,7 +651,8 @@ class LakeTableState(val tableName: String, initialSchema: StructType,
     }
 }
 
-class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot])
+class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot],
+    branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsDeleteV2 with SupportsMetadataColumns {
 
@@ -626,8 +742,13 @@ class GraftLakeTable(state: LakeTableState, pinned: Option[LakeSnapshot])
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
             new LakeWriterFactory(info.schema(), state.fieldIds,
               state.resolvePartFields(state.schema, state.fieldIds))
-          override def commit(messages: Array[WriterCommitMessage]): Unit =
-            state.commit(messages.flatMap { case LakeCommit(files) => files }.toSeq, doTruncate)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val files = messages.flatMap { case LakeCommit(fs) => fs }.toSeq
+            branch match {
+              case Some(b) => state.commitToBranch(b, files, doTruncate)
+              case None => state.commit(files, doTruncate)
+            }
+          }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
 

@@ -443,4 +443,52 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.table("lake.cw").filter(col("region") =!= "r1").count() == 30)
   }
 
+  test("branch write-audit-publish: staging isolated from main until fast_forward") {
+    spark.sql("CREATE TABLE lake.wap (id BIGINT, v DOUBLE)")
+    import spark.implicits._
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").writeTo("lake.wap").append() // main v1
+    spark.sql("CALL lake.system.create_branch('wap', 'audit')")
+    Seq((3L, 3.0), (4L, 4.0)).toDF("id", "v")
+      .writeTo("lake.`wap$branch$audit`").append() // branch-only commit
+    // WRITE isolation: main unchanged, branch head sees base + staged
+    assert(spark.table("lake.wap").count() == 2)
+    assert(spark.sql("SELECT * FROM lake.wap VERSION AS OF 'audit'").count() == 4)
+    assert(spark.table("lake.`wap$branch$audit`").count() == 4)
+    // publish
+    spark.sql("CALL lake.system.fast_forward('wap', 'audit')")
+    assert(spark.table("lake.wap").count() == 4)
+    // pre-publish main history is preserved in the adopted lineage
+    assert(spark.sql("SELECT * FROM lake.wap VERSION AS OF 1").count() == 2)
+  }
+
+  test("fast_forward refuses when main diverged from the branch fork point") {
+    spark.sql("CREATE TABLE lake.wap2 (id BIGINT)")
+    import spark.implicits._
+    Seq(1L).toDF("id").writeTo("lake.wap2").append()
+    spark.sql("CALL lake.system.create_branch('wap2', 'b')")
+    Seq(2L).toDF("id").writeTo("lake.`wap2$branch$b`").append()
+    Seq(3L).toDF("id").writeTo("lake.wap2").append() // main advances → diverged
+    val e = intercept[Exception] {
+      spark.sql("CALL lake.system.fast_forward('wap2', 'b')").collect()
+    }
+    assert(e.getMessage.contains("diverged"), e.getMessage.take(200))
+    assert(spark.table("lake.wap2").count() == 2) // main untouched by the failed publish
+  }
+
+  test("tags pin a version by name and survive later commits; rollback is history-preserving") {
+    spark.sql("CREATE TABLE lake.tg (id BIGINT)")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("id").writeTo("lake.tg").append() // v1
+    spark.sql("CALL lake.system.create_tag('tg', 'baseline')")
+    Seq(3L).toDF("id").writeTo("lake.tg").append() // v2
+    assert(spark.sql("SELECT * FROM lake.tg VERSION AS OF 'baseline'").count() == 2)
+    assert(spark.table("lake.tg").count() == 3)
+    // rollback to the tagged version: a NEW commit (v3) carries v1's files
+    spark.sql("CALL lake.system.rollback('tg', 1L)")
+    assert(spark.table("lake.tg").count() == 2)
+    // the rolled-PAST state is still time-travelable — nothing was erased
+    assert(spark.sql("SELECT * FROM lake.tg VERSION AS OF 2").count() == 3)
+    assert(spark.sql("SELECT * FROM lake.tg VERSION AS OF 3").count() == 2)
+  }
+
 }
