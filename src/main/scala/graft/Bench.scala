@@ -77,7 +77,9 @@ object Bench {
     "text_quality_classifier",
     "graph_triangle_count", "text_bpe_merges", "ev_pref_bradley_terry",
     "dedup_substring_windows",
-    "lake_time_travel", "lake_merge", "lake_cdf_scan", "lake_zorder_skip")
+    "graph_label_propagation", "text_pmi_collocations", "ev_markov_transitions",
+    "lake_time_travel", "lake_merge", "lake_cdf_scan", "lake_zorder_skip",
+    "lake_branch_wap")
 
   /** the data-pipeline operator set for scaling runs (ScaleUp's
     * perturbed 10x documents/embeddings/events): everything that must
@@ -102,7 +104,7 @@ object Bench {
     * cannot plan on a stock session */
   val graftOnly: Set[String] = Set(
     "ev_asof_join_custom", "lake_time_travel", "lake_merge", "lake_cdf_scan",
-    "lake_zorder_skip")
+    "lake_zorder_skip", "lake_branch_wap")
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     val qs = SparkEntry.queries

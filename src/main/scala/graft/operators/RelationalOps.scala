@@ -1909,6 +1909,144 @@ object RelationalOps {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** A/B experiment readout — Welch's unequal-variance t-test per
+    * metric: users are deterministically split into two arms by a hash
+    * of user_id (the assignment function an experimentation platform
+    * ships), and each event_type is read out as (mean, var, n) per arm
+    * → Welch t statistic, df, and a z-critical significance flag. The
+    * entire test is ONE pass: a per-(type, arm) aggregate — at 100 TB
+    * the readout costs one shuffle on the (small) type×arm key space,
+    * never a per-user collect. Moments come from exact decimal-cast
+    * sums (sum, sum of squares), so both engines compute identical
+    * statistics; 6-dp rounding absorbs the final double division. */
+  private val evAbTestWelch: Q = (s, dir) => {
+    // value sits on the generator's exact 0.0025 grid: vq = 400·value is
+    // integral, so sums/sums-of-squares are EXACT longs in both engines
+    // and the t/df statistics (scale-invariant) come out bit-identical;
+    // only `lift` is rescaled back by /400
+    val vq = round(col("value") * 400).cast("long")
+    val ev = load(s, dir, "events")
+      .withColumn("arm",
+        when(ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
+          "control").otherwise("treatment"))
+    val moments = ev.withColumn("vq", vq)
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("vq")).cast("double").as("sx"),
+        sum(col("vq") * col("vq")).cast("double").as("sxx"))
+      .select(col("event_type"), col("arm"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("vr"))
+    val a = moments.filter(col("arm") === "control")
+      .select(col("event_type"), col("n").as("n_a"), col("mean").as("m_a"),
+        col("vr").as("v_a"))
+    val b = moments.filter(col("arm") === "treatment")
+      .select(col("event_type"), col("n").as("n_b"), col("mean").as("m_b"),
+        col("vr").as("v_b"))
+    val se2 = col("v_a") / col("n_a") + col("v_b") / col("n_b")
+    a.join(b, "event_type")
+      .select(col("event_type"),
+        col("n_a").cast("long").as("n_control"),
+        col("n_b").cast("long").as("n_treatment"),
+        round((col("m_b") - col("m_a")) / 400, 6).as("lift"),
+        round((col("m_b") - col("m_a")) / sqrt(se2), 6).as("t_welch"),
+        round(pow(se2, 2) /
+          (pow(col("v_a") / col("n_a"), 2) / (col("n_a") - 1) +
+            pow(col("v_b") / col("n_b"), 2) / (col("n_b") - 1)), 2).as("df_welch"),
+        (abs((col("m_b") - col("m_a")) / sqrt(se2)) > 1.96)
+          .as("significant_5pct"))
+      .orderBy(col("event_type"))
+  }
+
+  private val evAbTestWelchSql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 400) AS BIGINT) AS vq,
+      |    CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+      |         THEN 'control' ELSE 'treatment' END AS arm
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, arm, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(vq) AS DOUBLE) AS sx,
+      |    CAST(SUM(vq * vq) AS DOUBLE) AS sxx
+      |  FROM ev GROUP BY 1, 2),
+      |mm AS (
+      |  SELECT event_type, arm, n, sx / n AS mean,
+      |    (sxx - sx * sx / n) / (n - 1) AS vr FROM m),
+      |j AS (
+      |  SELECT a.event_type, a.n AS n_a, a.mean AS m_a, a.vr AS v_a,
+      |         b.n AS n_b, b.mean AS m_b, b.vr AS v_b
+      |  FROM mm a JOIN mm b ON a.event_type = b.event_type
+      |  WHERE a.arm = 'control' AND b.arm = 'treatment')
+      |SELECT event_type,
+      |  CAST(n_a AS BIGINT) AS n_control, CAST(n_b AS BIGINT) AS n_treatment,
+      |  ROUND((m_b - m_a) / 400, 6) AS lift,
+      |  ROUND((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_welch,
+      |  ROUND(pow(v_a / n_a + v_b / n_b, 2) /
+      |    (pow(v_a / n_a, 2) / (n_a - 1) + pow(v_b / n_b, 2) / (n_b - 1)), 2)
+      |    AS df_welch,
+      |  abs((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b)) > 1.96
+      |    AS significant_5pct
+      |FROM j ORDER BY event_type""".stripMargin
+
+  /** Metric drift monitor — per-type daily means scored against a
+    * TRAILING 7-day window (mean + sample stddev via lagged exact
+    * moments), flagging |z| > 2 days. The detector a pipeline runs over
+    * its own output statistics to catch upstream regressions. All
+    * window arithmetic, one shuffle on event_type; sums decimal-cast so
+    * trailing moments match across engines. */
+  private val evRollingDrift: Q = (s, dir) => {
+    // same exact 0.0025-grid quantization as [[evAbTestWelch]]: daily
+    // means derive from exact long sums, the z-score is scale-invariant
+    val daily = load(s, dir, "events")
+      .withColumn("vq", round(col("value") * 400).cast("long"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(col("vq")).cast("double").as("sx"),
+        count(lit(1)).cast("double").as("n"))
+      .select(col("event_type"), col("d"),
+        (col("sx") / col("n") / 400).as("daily_mean"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n_trail", count(col("daily_mean")).over(w).cast("double"))
+      .withColumn("sx_t", sum(col("daily_mean")).over(w))
+      .withColumn("sxx_t", sum(col("daily_mean") * col("daily_mean")).over(w))
+      .filter(col("n_trail") >= 7)
+      .withColumn("mu", col("sx_t") / col("n_trail"))
+      .withColumn("sd", sqrt((col("sxx_t") - col("sx_t") * col("sx_t") / col("n_trail")) /
+        (col("n_trail") - 1)))
+      .withColumn("z", (col("daily_mean") - col("mu")) / col("sd"))
+      .select(col("event_type"), col("d").cast("string").as("d"),
+        round(col("daily_mean"), 6).as("daily_mean"),
+        round(col("z"), 4).as("z"),
+        (abs(col("z")) > 2.0).as("drift_flag"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  private val evRollingDriftSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(round(value * 400) AS BIGINT)) AS DOUBLE)
+      |      / COUNT(*) / 400 AS daily_mean
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, d, daily_mean,
+      |    CAST(COUNT(daily_mean) OVER w AS DOUBLE) AS n_trail,
+      |    SUM(daily_mean) OVER w AS sx_t,
+      |    SUM(daily_mean * daily_mean) OVER w AS sxx_t
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, CAST(d AS VARCHAR) AS d,
+      |  ROUND(daily_mean, 6) AS daily_mean,
+      |  ROUND((daily_mean - sx_t / n_trail) /
+      |    sqrt((sxx_t - sx_t * sx_t / n_trail) / (n_trail - 1)), 4) AS z,
+      |  abs((daily_mean - sx_t / n_trail) /
+      |    sqrt((sxx_t - sx_t * sx_t / n_trail) / (n_trail - 1))) > 2.0
+      |    AS drift_flag
+      |FROM t WHERE n_trail >= 7
+      |ORDER BY event_type, d""".stripMargin
+
   /** First-order Markov transition matrix over per-user event streams
     * (the sequence-modeling prior a behavioral pipeline extracts before
     * training): one user-keyed window `lead` produces the (type →
@@ -2074,6 +2212,8 @@ object RelationalOps {
   private val built: (Map[String, Q], Map[String, String]) = q(
     ("ev_attribution_last_touch" -> evAttributionLastTouch, evAttributionLastTouchSql),
     ("ev_markov_transitions" -> evMarkovTransitions, evMarkovTransitionsSql),
+    ("ev_ab_test_welch" -> evAbTestWelch, evAbTestWelchSql),
+    ("ev_rolling_drift" -> evRollingDrift, evRollingDriftSql),
     ("ev_dpo_pairs" -> evDpoPairs, evDpoPairsSql),
     ("api_stat_freqitems" -> apiStatFreqItems, apiStatFreqItemsSql),
     ("api_stat_sampleby" -> apiStatSampleBy, apiStatSampleBySql),

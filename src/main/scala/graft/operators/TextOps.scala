@@ -1084,7 +1084,83 @@ object TextOps {
       |FROM (SELECT * FROM scored ORDER BY pmi DESC, a, b LIMIT 50)
       |ORDER BY rk""".stripMargin
 
+  /** Zipf-law fit over the word-frequency distribution: ln(freq) vs
+    * ln(rank) slope via the closed-form least-squares aggregate
+    * (regr_slope/intercept/r2) on the top-200 vocabulary — the one-line
+    * sanity check that a crawled corpus looks like natural language
+    * (slope ≈ −1) rather than boilerplate or spam. The global rank is
+    * TakeOrdered-bounded (top-200 cut BEFORE the rank window, so the
+    * single-partition window sees 200 rows, never the vocabulary).
+    * regr_* run over 200 rows in both engines; 4-dp rounding absorbs
+    * the two engines' summation-order ulps. */
+  private val textZipfFit: Q = (s, dir) => {
+    val topWords = load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("t")).limit(200)
+    topWords
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("freq").desc, col("t"))))
+      .agg(
+        round(expr("regr_slope(ln(freq), ln(rk))"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(ln(freq), ln(rk))"), 4).as("zipf_intercept"),
+        round(expr("regr_r2(ln(freq), ln(rk))"), 4).as("fit_r2"),
+        count(lit(1)).as("n_ranks"))
+  }
+
+  private val textZipfFitSql =
+    """WITH top AS (
+      |  SELECT t AS tkn, COUNT(*) AS freq
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      |  WHERE t <> '' GROUP BY 1
+      |  ORDER BY freq DESC, tkn LIMIT 200),
+      |ranked AS (
+      |  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tkn) AS rk
+      |  FROM top)
+      |SELECT ROUND(regr_slope(ln(freq), ln(rk)), 4) AS zipf_slope,
+      |  ROUND(regr_intercept(ln(freq), ln(rk)), 4) AS zipf_intercept,
+      |  ROUND(regr_r2(ln(freq), ln(rk)), 4) AS fit_r2,
+      |  COUNT(*) AS n_ranks
+      |FROM ranked""".stripMargin
+
+  /** Mixture-diversity report — Shannon entropy (nats + normalized),
+    * Simpson index, and effective source count of the corpus source
+    * mix: the three numbers a dataset card quotes for composition
+    * balance. One tiny group-by on the source vocabulary + a broadcast
+    * total; shares are exact integer ratios so both engines compute the
+    * same doubles. */
+  private val docsSourceEntropy: Q = (s, dir) => {
+    val counts = load(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).cast("double").as("tot"),
+      count(lit(1)).cast("double").as("k"))
+    counts.crossJoin(broadcast(tot))
+      .select((col("n") / col("tot")).as("p"), col("k"))
+      .agg(
+        round(-sum(col("p") * log(col("p"))), 6).as("shannon_nats"),
+        round(-sum(col("p") * log(col("p"))) / log(max(col("k"))), 6)
+          .as("shannon_normalized"),
+        round(lit(1.0) - sum(col("p") * col("p")), 6).as("simpson"),
+        round(exp(-sum(col("p") * log(col("p")))), 4).as("effective_sources"),
+        max(col("k")).cast("long").as("n_sources"))
+  }
+
+  private val docsSourceEntropySql =
+    """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot,
+      |             CAST(COUNT(*) AS DOUBLE) AS k FROM c),
+      |p AS (SELECT c.n / t.tot AS p, t.k FROM c CROSS JOIN t)
+      |SELECT ROUND(-SUM(p * ln(p)), 6) AS shannon_nats,
+      |  ROUND(-SUM(p * ln(p)) / ln(MAX(k)), 6) AS shannon_normalized,
+      |  ROUND(1.0e0 - SUM(p * p), 6) AS simpson,
+      |  ROUND(exp(-SUM(p * ln(p))), 4) AS effective_sources,
+      |  CAST(MAX(k) AS BIGINT) AS n_sources
+      |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_zipf_fit" -> textZipfFit,
+    "docs_source_entropy" -> docsSourceEntropy,
     "text_pmi_collocations" -> textPmiCollocations,
     "text_bpe_merges" -> textBpeMerges,
     "docs_dp_release" -> docsDpRelease,
@@ -1115,6 +1191,8 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "text_zipf_fit" -> textZipfFitSql,
+    "docs_source_entropy" -> docsSourceEntropySql,
     "text_pmi_collocations" -> textPmiCollocationsSql,
     "text_bpe_merges" -> textBpeMergesSql,
     "docs_dp_release" -> docsDpReleaseSql,
