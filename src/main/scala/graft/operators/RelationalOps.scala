@@ -2303,13 +2303,46 @@ object RelationalOps {
     ("tpcds_style_growth" -> tpcdsGrowth, tpcdsGrowthSql),
     ("tpcds_style_channel_rollup" -> tpcdsChannelRollup, tpcdsChannelRollupSql))
 
+  /** Spark 4.1 `approx_top_k` (DataSketches frequent-items) face: the
+    * sketch is EXACT whenever the distinct-key count fits its capacity
+    * (default 1024 ≫ the bounded type×status vocabulary here), so the
+    * exploded (item, estimate) pairs hash-match DuckDB's exact counts —
+    * the same capacity≥vocab⇒exact contract [[graft.functions.TopKFreq]]
+    * pins for the custom sketch. Also runs the two-phase
+    * accumulate→estimate path (the persisted-sketch rollup pattern:
+    * per-partition sketches land in a table, ad-hoc top-k reads merge
+    * WITHOUT rescanning data) and gates it against the one-shot result
+    * in-query. */
+  private val aggApproxTopK: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+      .select(concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("k"))
+    val oneShot = li.select(explode(expr("approx_top_k(k, 4)")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("n"))
+    val twoPhase = li.select(expr("approx_top_k_accumulate(k)").as("sk"))
+      .select(explode(expr("approx_top_k_estimate(sk, 4)")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("n_two_phase"))
+    oneShot.join(twoPhase, "item")
+      .select(col("item"), col("n"),
+        (col("n") === col("n_two_phase")).as("two_phase_agrees"))
+      .orderBy(col("item"))
+  }
+
+  private val aggApproxTopKSql =
+    """SELECT k AS item, n, true AS two_phase_agrees FROM (
+      |  SELECT l_returnflag || '/' || l_linestatus AS k, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1
+      |  ORDER BY n DESC, k LIMIT 4)
+      |ORDER BY item""".stripMargin
+
   val queries: Map[String, Q] = built._1 ++ Map[String, Q](
+    "agg_approx_top_k" -> aggApproxTopK,
     "agg_approx_sketch" -> aggApprox,
     "agg_hll_sketch" -> aggHllSketch,
     "agg_histogram_numeric" -> aggHistogram,
     "sample_bernoulli" -> sampleBernoulli)
 
   val oracles: Map[String, String] = built._2 ++ Map(
+    "agg_approx_top_k" -> aggApproxTopKSql,
     "agg_approx_sketch" -> aggApproxSql,
     "agg_hll_sketch" -> aggHllSketchSql,
     "agg_histogram_numeric" -> aggHistogramSql,

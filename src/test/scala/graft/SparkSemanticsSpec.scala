@@ -619,7 +619,28 @@ class SparkSemanticsSpec extends AnyFunSuite {
       "SELECT bitmap_bucket_number(1), bitmap_bucket_number(32769), bitmap_bit_position(70000)",
     "misc_try_parse_json_invalid_null" -> "SELECT try_parse_json('{bad')",
     "misc_assert_true_passes_null" -> "SELECT assert_true(1 = 1)",
-    "misc_current_database_default" -> "SELECT current_database()")
+    "misc_current_database_default" -> "SELECT current_database()",
+
+    // Spark 4.1 surface: TIME type, approx_top_k sketches, deterministic
+    // AES modes, seeded random generators, UTF-8 validation
+    // TIME values are parse-able but still collection-gated in 4.1
+    // (UNSUPPORTED_TIME_TYPE on the serializer path) — pin the part
+    // that IS public surface: the literal resolves and types
+    "time_literal_typeof" -> "SELECT typeof(TIME '12:00:00')",
+    "sketch_approx_top_k_exact_small" ->
+      "SELECT approx_top_k(x, 2) FROM VALUES ('a'),('a'),('b'),('c'),('a') t(x)",
+    "sketch_approx_top_k_two_phase" ->
+      "SELECT approx_top_k_estimate(approx_top_k_accumulate(x), 2) FROM VALUES ('a'),('a'),('b') t(x)",
+    "crypto_aes_ecb_deterministic" ->
+      "SELECT hex(aes_encrypt('spark', 'abcdefghijklmnop', 'ECB'))",
+    "crypto_aes_ecb_roundtrip" ->
+      "SELECT CAST(aes_decrypt(aes_encrypt('secret','0123456789abcdef','ECB'),'0123456789abcdef','ECB') AS STRING)",
+    "crypto_try_aes_decrypt_bad_key_null" ->
+      "SELECT try_aes_decrypt(aes_encrypt('x','abcdefghijklmnop','ECB'),'wrongwrongwrongw','ECB')",
+    "rand_randstr_seeded" -> "SELECT randstr(8, 42)",
+    "rand_uniform_seeded" -> "SELECT uniform(0, 100, 42), uniform(0.0e0, 1.0e0, 7)",
+    "utf8_validation_family" ->
+      "SELECT is_valid_utf8(x'80'), is_valid_utf8('ok'), try_validate_utf8(x'80'), hex(CAST(make_valid_utf8(x'80') AS BINARY))")
 
   // ---- ANSI error entries: (label, sql, expected error condition) ------
   private val ansiErrors: Seq[(String, String, String)] = Seq(
