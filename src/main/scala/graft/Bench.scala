@@ -168,6 +168,8 @@ object Bench {
     val set = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "full") match {
       case "tpch" => tpch
       case "pipeline" => pipeline
+      case s if s.startsWith("only:") => // local iteration aid
+        s.stripPrefix("only:").split(",").toSeq.filter(_.nonEmpty)
       case _ => headline
     }
     val withVanilla = sys.env.getOrElse("SPARK_GRAFT_BENCH_VANILLA", "1") != "0"

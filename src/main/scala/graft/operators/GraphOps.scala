@@ -30,14 +30,26 @@ object GraphOps {
   private val iters = 5
 
   // bipartite user↔prop-key graph from the events stream, symmetrized so
-  // every node has out-edges (no dangling-mass correction needed)
+  // every node has out-edges (no dangling-mass correction needed).
+  // Node ids are LONGS — user u ↦ 2u, prop-key k ↦ 2k+1 (disjoint
+  // namespaces by parity): every iteration of the graph algorithms
+  // shuffles these keys 5+ times, and an 8-byte long key hashes,
+  // compares and serializes several times cheaper than the previous
+  // 'u123'/'k7' strings. The DuckDB oracles mirror the same encoding.
   private def edgeList(s: SparkSession, dir: String): DataFrame = {
     val base = load(s, dir, "events")
-      .select(concat(lit("u"), col("user_id")).as("src"),
-        concat(lit("k"), get_json_object(col("props"), "$.k")).as("dst"))
+      .select((col("user_id") * 2).as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") * 2 + 1).as("dst"))
       .distinct()
     base.union(base.select(col("dst").as("src"), col("src").as("dst")))
   }
+
+  private val edgeListSql =
+    """base AS (
+      |  SELECT DISTINCT user_id * 2 AS src,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 + 1 AS dst
+      |  FROM events),
+      |edges AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)""".stripMargin
 
   private val pagerank: Q = (s, dir) => {
     val edges = edgeList(s, dir).cache()
@@ -48,23 +60,30 @@ object GraphOps {
     // that never changes. The od column rides along so the contribution
     // stays the textbook pr/od (bit-identical to the oracle's arithmetic;
     // pre-inverting to pr*(1/od) could drift an ulp across the 6-dp gate).
+    // pre-partitioned on the join key and cached: every iteration joins
+    // `out` on src, and the cached InMemoryRelation keeps the hash
+    // partitioning, so iterations re-shuffle only the (small) rank table
     val out = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("od")).cache()
+      .select(col("src"), col("dst"), col("od"))
+      .repartition(col("src")).cache()
     val nodes = out.select(col("src").as("id")).distinct().cache()
     val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("id"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 0 until iters) {
-      val contribs = out
+      // the graph is SYMMETRIZED, so every node has in-edges and the
+      // contribution aggregate already covers every node — the original
+      // nodes-left-join re-anchor was a redundant extra shuffle join per
+      // iteration (the oracle's LEFT JOIN is equivalent on this graph)
+      ranks = out
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("pr") / col("od")).as("contrib"))
-      ranks = nodes.join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(nDf))
-        .select(col("id"),
+        .select(col("dst").as("id"),
           ((lit(1.0) - damping) / col("n") +
-            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("pr"))
+            lit(damping) * col("contrib")).as("pr"))
     }
-    ranks.filter(col("id").startsWith("k"))
+    ranks.filter(col("id") % 2 === 1)
       .select(col("id"), round(col("pr"), 6).as("pr"))
       .orderBy(col("id"))
   }
@@ -78,16 +97,13 @@ object GraphOps {
        |             JOIN r${k - 1} r ON e.src = r.id GROUP BY 1) c ON nodes.id = c.id)""".stripMargin
 
   private val pagerankSql =
-    s"""WITH base AS (
-       |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
-       |    'k' || json_extract_string(props, '$$.k') AS dst FROM events),
-       |edges AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    s"""WITH $edgeListSql,
        |deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
        |r0 AS (SELECT id, 1.0e0 / nn.n AS pr FROM nodes CROSS JOIN nn),
        |${(1 to iters).map(iterCte).mkString(",\n")}
-       |SELECT id, ROUND(pr, 6) AS pr FROM r$iters WHERE id LIKE 'k%'
+       |SELECT id, ROUND(pr, 6) AS pr FROM r$iters WHERE id % 2 = 1
        |ORDER BY id""".stripMargin
 
   /** degree-distribution profile of the same graph: out-degree per node
@@ -96,19 +112,18 @@ object GraphOps {
   private val degreeStats: Q = (s, dir) => {
     val deg = edgeList(s, dir)
       .groupBy(col("src")).agg(count(lit(1)).as("degree"))
-    deg.select(substring(col("src"), 1, 1).as("node_class"), col("degree"))
+    deg.select(when(col("src") % 2 === 0, "u").otherwise("k").as("node_class"),
+      col("degree"))
       .groupBy(col("node_class"), col("degree"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("node_class"), col("degree"))
   }
 
   private val degreeStatsSql =
-    s"""WITH base AS (
-       |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
-       |    'k' || json_extract_string(props, '$$.k') AS dst FROM events),
-       |edges AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    s"""WITH $edgeListSql,
        |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY 1)
-       |SELECT substr(src, 1, 1) AS node_class, degree, COUNT(*) AS n_nodes
+       |SELECT CASE WHEN src % 2 = 0 THEN 'u' ELSE 'k' END AS node_class,
+       |  degree, COUNT(*) AS n_nodes
        |FROM deg GROUP BY 1, 2 ORDER BY node_class, degree""".stripMargin
 
   /** Triangle counting + global clustering coefficient over the prop-key
@@ -127,7 +142,7 @@ object GraphOps {
   private val triangleCount: Q = (s, dir) => {
     val uk = load(s, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("d"),
-        get_json_object(col("props"), "$.k").as("kk"))
+        get_json_object(col("props"), "$.k").cast("int").as("kk"))
       .distinct()
     val edges = uk.as("a")
       .join(uk.as("b"),
@@ -165,7 +180,7 @@ object GraphOps {
   private val triangleCountSql =
     """WITH uk AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
-      |    json_extract_string(props, '$.k') AS kk FROM events),
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS kk FROM events),
       |edges AS (
       |  SELECT DISTINCT a.kk AS ka, b.kk AS kb
       |  FROM uk a JOIN uk b
@@ -214,16 +229,24 @@ object GraphOps {
     // the dense bipartite graph converges to ONE component within the
     // fixed rounds, so the final partition alone would be a 1-row gate;
     // exporting the distinct-label count AFTER EVERY round pins each
-    // round's full label state (any drift in round k changes n_k)
+    // round's full label state (any drift in round k changes n_k).
+    // Each round's label table is CACHED: the per-round count branches
+    // and round k+1 both consume round k, and without materialization
+    // every branch re-derives the whole lineage from scratch — O(k²)
+    // shuffle stages (measured 32 s vs 2 s at sf0.1). Same per-round
+    // materialization discipline as DedupOps.connectedComponents'
+    // localCheckpoint.
     var roundCounts = Seq.empty[DataFrame]
     for (k <- 1 to lpIters) {
-      val nbrMin = edges
+      // least(own, min-over-neighbors) == min over (neighbor labels ∪
+      // own label): the self-loop union folds the own-label re-join into
+      // the SAME groupBy — one shuffle per round instead of three
+      labels = edges
         .join(labels.select(col("id").as("src"), col("lbl")), "src")
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
-      labels = labels
-        .join(nbrMin.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .select(col("dst").as("id"), col("lbl"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .cache()
       roundCounts = roundCounts :+
         labels.agg(countDistinct(col("lbl")).as(s"n_labels_r$k"))
     }
@@ -243,10 +266,7 @@ object GraphOps {
        |  ON m.id = n.id)""".stripMargin
 
   private val labelPropagationSql =
-    s"""WITH base AS (
-       |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
-       |    'k' || json_extract_string(props, '$$.k') AS dst FROM events),
-       |edges AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    s"""WITH $edgeListSql,
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |l0 AS (SELECT id, id AS lbl FROM nodes),
        |${(1 to lpIters).map(lpIterCte).mkString(",\n")},
@@ -276,7 +296,7 @@ object GraphOps {
   private val linkPrediction: Q = (s, dir) => {
     val uk = load(s, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("d"),
-        get_json_object(col("props"), "$.k").as("kk"))
+        get_json_object(col("props"), "$.k").cast("int").as("kk"))
       .distinct()
     val edges = uk.as("a")
       .join(uk.as("b"),
@@ -310,7 +330,7 @@ object GraphOps {
   private val linkPredictionSql =
     """WITH uk AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
-      |    json_extract_string(props, '$.k') AS kk FROM events),
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS kk FROM events),
       |edges AS (
       |  SELECT DISTINCT a.kk AS ka, b.kk AS kb
       |  FROM uk a JOIN uk b
