@@ -98,7 +98,9 @@ object Bench {
     "docs_pipeline_e2e", "docs_lm_quality_buckets",
     "text_quality_classifier",
     "sim_ann_brute_topk", "sim_ann_lsh", "sim_ann_ivf",
-    "graph_triangle_count", "text_bpe_merges", "dedup_substring_windows")
+    "graph_triangle_count", "text_bpe_merges", "dedup_substring_windows",
+    "graph_label_propagation", "text_pmi_collocations",
+    "ev_markov_transitions", "ev_rolling_drift")
 
   /** needs the graft as-of planner strategy or the graft lake catalog —
     * cannot plan on a stock session */

@@ -1909,6 +1909,64 @@ object RelationalOps {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** Time-series resampling onto a regular hourly grid with
+    * forward-fill — the gap-filling step before any windowed feature
+    * extraction over irregular event streams. The dense grid is built
+    * WITHOUT a driver loop: one broadcast 1-row (min, max) aggregate ×
+    * the distinct type vocabulary, `sequence()` exploded into hourly
+    * slots; actual hourly means left-join onto the grid and holes
+    * forward-fill via IGNORE-NULLS `last` over the per-type window. Two
+    * small shuffles (hourly agg, per-type window); the grid explode is
+    * linear in (types × hours), never in events. Hourly means come from
+    * the exact 0.0025-grid quantization (see [[evAbTestWelch]]). */
+  private val evResampleFfill: Q = (s, dir) => {
+    val ev = load(s, dir, "events")
+    val hourly = ev
+      .withColumn("vq", round(col("value") * 400).cast("long"))
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("h"))
+      .agg((sum(col("vq")).cast("double") / count(lit(1)) / 400).as("mean_v"))
+    val bounds = ev.agg(date_trunc("HOUR", min(col("ts"))).as("h0"),
+      date_trunc("HOUR", max(col("ts"))).as("h1"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL '1' HOUR"))).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("filled", col("mean_v").isNull)
+      .withColumn("v", last(col("mean_v"), ignoreNulls = true).over(w))
+      .filter(col("v").isNotNull) // leading holes before the first sample
+      .select(col("event_type"), col("h").cast("string").as("h"),
+        round(col("v"), 6).as("v"), col("filled"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  private val evResampleFfillSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(SUM(CAST(round(value * 400) AS BIGINT)) AS DOUBLE)
+      |      / COUNT(*) / 400 AS mean_v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+      |             date_trunc('hour', MAX(ts)) AS h1 FROM events),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN b, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)),
+      |j AS (
+      |  SELECT g.event_type, g.h, hourly.mean_v,
+      |    hourly.mean_v IS NULL AS filled,
+      |    last_value(hourly.mean_v IGNORE NULLS)
+      |      OVER (PARTITION BY g.event_type ORDER BY g.h
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      |  FROM grid g LEFT JOIN hourly
+      |    ON hourly.event_type = g.event_type AND hourly.h = g.h)
+      |SELECT event_type, CAST(h AS VARCHAR) AS h, ROUND(v, 6) AS v, filled
+      |FROM j WHERE v IS NOT NULL
+      |ORDER BY event_type, h""".stripMargin
+
   /** A/B experiment readout — Welch's unequal-variance t-test per
     * metric: users are deterministically split into two arms by a hash
     * of user_id (the assignment function an experimentation platform
@@ -2213,6 +2271,7 @@ object RelationalOps {
     ("ev_attribution_last_touch" -> evAttributionLastTouch, evAttributionLastTouchSql),
     ("ev_markov_transitions" -> evMarkovTransitions, evMarkovTransitionsSql),
     ("ev_ab_test_welch" -> evAbTestWelch, evAbTestWelchSql),
+    ("ev_resample_ffill" -> evResampleFfill, evResampleFfillSql),
     ("ev_rolling_drift" -> evRollingDrift, evRollingDriftSql),
     ("ev_dpo_pairs" -> evDpoPairs, evDpoPairsSql),
     ("api_stat_freqitems" -> apiStatFreqItems, apiStatFreqItemsSql),
