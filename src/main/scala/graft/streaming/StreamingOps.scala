@@ -240,4 +240,35 @@ object StreamingOps {
       .transformWithState(new TimerSessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** per-key running count whose state carries a processing-time TTL —
+    * the knob that keeps a 100 TB stream's keyed state BOUNDED: an idle
+    * key's state is evicted by the store after `ttlMs` instead of
+    * accumulating forever (the unbounded-key-cardinality failure mode of
+    * TTL-less running aggregates). After eviction the key restarts from
+    * zero — observable, so a spec can pin the eviction semantics. */
+  class TtlCounterProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, ValueIn, RunningOut] {
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(key: Long, rows: Iterator[ValueIn],
+        timers: TimerValues): Iterator[RunningOut] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      var lastV = 0.0
+      rows.foreach { r => n += 1; lastV = r.value }
+      seen.update(n)
+      Iterator.single(RunningOut(key, lastV, lastV, n))
+    }
+  }
+
+  def ttlCounts(events: Dataset[ValueIn], ttlMs: Long): Dataset[RunningOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlCounterProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 }

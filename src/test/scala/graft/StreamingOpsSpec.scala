@@ -310,4 +310,46 @@ class StreamingOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("state TTL evicts an idle key's counter (bounded keyed state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamingOps.ValueIn]
+      def ev(u: Long, v: Double) = StreamingOps.ValueIn(u, ts(0), v)
+      // paced trigger + no-data batches OFF: ProcessingTime TimeMode with
+      // the default 0 ms trigger runs a CONTINUOUS no-data micro-batch
+      // loop (each committing RocksDB state) — a busy-loop, not a test.
+      // TTL itself is enforced lazily at state access, so eviction is
+      // still observable without no-data batches.
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val q = StreamingOps.ttlCounts(in.toDS(), ttlMs = 8000L)
+        .writeStream.format("memory").queryName("ttl_counts")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(ev(1, 1.0), ev(1, 2.0))
+        q.processAllAvailable()
+        in.addData(ev(1, 3.0)) // within TTL: builds on state, n -> 3
+        q.processAllAvailable()
+        Thread.sleep(10000) // > TTL: the key sits idle past expiry
+        in.addData(ev(1, 4.0))
+        q.processAllAvailable()
+        val ns = spark.table("ttl_counts").orderBy("n_seen")
+          .collect().map(_.getLong(3)).toSeq
+        // batch1 n=2, batch2 n=3 (state survived), batch3 n=1 (evicted)
+        assert(ns == Seq(1L, 2L, 3L),
+          s"expected TTL eviction to reset the counter: $ns")
+      } finally q.stop()
+    } finally {
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
