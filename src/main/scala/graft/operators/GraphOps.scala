@@ -230,12 +230,14 @@ object GraphOps {
     // fixed rounds, so the final partition alone would be a 1-row gate;
     // exporting the distinct-label count AFTER EVERY round pins each
     // round's full label state (any drift in round k changes n_k).
-    // Each round's label table is CACHED: the per-round count branches
-    // and round k+1 both consume round k, and without materialization
-    // every branch re-derives the whole lineage from scratch — O(k²)
-    // shuffle stages (measured 32 s vs 2 s at sf0.1). Same per-round
-    // materialization discipline as DedupOps.connectedComponents'
-    // localCheckpoint.
+    // Each round eagerly `localCheckpoint`s — the per-round count
+    // branches and round k+1 both consume round k, and without
+    // materialization every branch re-derives the whole lineage from
+    // scratch (O(k²) shuffle stages, measured 32 s vs ~6 s at sf0.1);
+    // checkpointing (vs cache) ALSO truncates the logical plan, which
+    // otherwise grows ~5 MB of nested crossJoined lineage by round 4
+    // and trips the library-wide 1 MB plan-string guard. Same
+    // discipline as DedupOps.connectedComponents.
     var roundCounts = Seq.empty[DataFrame]
     for (k <- 1 to lpIters) {
       // least(own, min-over-neighbors) == min over (neighbor labels ∪
@@ -246,7 +248,7 @@ object GraphOps {
         .select(col("dst").as("id"), col("lbl"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .cache()
+        .localCheckpoint()
       roundCounts = roundCounts :+
         labels.agg(countDistinct(col("lbl")).as(s"n_labels_r$k"))
     }

@@ -1909,6 +1909,64 @@ object RelationalOps {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** Linear multi-touch attribution — the complement of
+    * [[evAttributionLastTouch]]: every click/view PRECEDING a purchase
+    * (same user, same day) shares the purchase's revenue equally. One
+    * windowed pass tags each touch with the count of touches seen so
+    * far; the purchase row reads that running count and its revenue
+    * splits 1/n to each preceding touch's channel — implemented as a
+    * second window (sum of per-purchase shares per channel would need a
+    * join; instead each purchase's value/n_touches is distributed by
+    * joining purchases back to the day's touches, a per-(user, day)
+    * equi-join that shuffles once on the session key). Revenue stays on
+    * the exact decimal path; shares are n-way divisions of exact
+    * decimals, 4-dp rounded. */
+  private val evAttributionLinear: Q = (s, dir) => {
+    val ev = load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("ts"),
+        col("event_id"), col("event_type"), col("value"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("d"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("channel"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("d"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), dec(col("value")).as("revenue"))
+    val credited = purchases.join(touches, Seq("user_id", "d"))
+      .filter(col("t_ts") < col("p_ts") ||
+        (col("t_ts") === col("p_ts") && col("t_id") < col("p_id")))
+    val wn = Window.partitionBy(col("p_id"))
+    credited
+      .withColumn("n_touches", count(lit(1)).over(wn))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum(col("revenue").cast("double") / col("n_touches")), 4)
+          .as("attributed_revenue"))
+      .orderBy(col("channel"))
+  }
+
+  private val evAttributionLinearSql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, event_type, value
+      |  FROM events),
+      |t AS (SELECT user_id, d, ts AS t_ts, event_id AS t_id,
+      |             event_type AS channel
+      |      FROM ev WHERE event_type IN ('click','view')),
+      |p AS (SELECT user_id, d, ts AS p_ts, event_id AS p_id,
+      |             CAST(value AS DECIMAL(12,2)) AS revenue
+      |      FROM ev WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT p.p_id, t.channel, p.revenue
+      |  FROM p JOIN t ON p.user_id = t.user_id AND p.d = t.d
+      |  WHERE t.t_ts < p.p_ts OR (t.t_ts = p.p_ts AND t.t_id < p.p_id)),
+      |n AS (
+      |  SELECT p_id, channel, revenue,
+      |    COUNT(*) OVER (PARTITION BY p_id) AS n_touches
+      |  FROM c)
+      |SELECT channel, COUNT(*) AS n_credits,
+      |  ROUND(SUM(CAST(revenue AS DOUBLE) / n_touches), 4)
+      |    AS attributed_revenue
+      |FROM n GROUP BY channel ORDER BY channel""".stripMargin
+
   /** Time-series resampling onto a regular hourly grid with
     * forward-fill — the gap-filling step before any windowed feature
     * extraction over irregular event streams. The dense grid is built
@@ -2272,6 +2330,7 @@ object RelationalOps {
     ("ev_markov_transitions" -> evMarkovTransitions, evMarkovTransitionsSql),
     ("ev_ab_test_welch" -> evAbTestWelch, evAbTestWelchSql),
     ("ev_resample_ffill" -> evResampleFfill, evResampleFfillSql),
+    ("ev_attribution_linear" -> evAttributionLinear, evAttributionLinearSql),
     ("ev_rolling_drift" -> evRollingDrift, evRollingDriftSql),
     ("ev_dpo_pairs" -> evDpoPairs, evDpoPairsSql),
     ("api_stat_freqitems" -> apiStatFreqItems, apiStatFreqItemsSql),
