@@ -187,6 +187,57 @@ object MultimodalOps {
       |  1 AS channels, CAST(SUM(v) AS BIGINT) AS sum_px
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  /** REAL nearest-neighbor resize: decode the PNG, resample the raster
+    * onto a fixed 8×4 grid (src pixel = (x'·w)/W', (y'·h)/H' integer
+    * floor — the textbook NN kernel), re-encode nothing (the feature
+    * extractor consumes raster samples). Sum of the resized raster has
+    * a closed form over the generator, so the DuckDB oracle recomputes
+    * it from scratch — proving the decode → resample chain touches the
+    * exact pixels NN says it should. Same narrow per-row map-partition
+    * shape as [[mmDecodePng]]; payload bytes never shuffle. */
+  private def resizeNN(m: MediaBytes, tw: Int, th: Int): PngMeta = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+    val r = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        sum += r.getSample((tx * w) / tw, (ty * h) / th, 0)
+        tx += 1
+      }
+      ty += 1
+    }
+    PngMeta(m.doc_id, tw, th, 1, sum)
+  }
+
+  private val mmResizeNn: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    load(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBytes(id, encodePng(id))))
+      .mapPartitions(_.map(resizeNN(_, 8, 4)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmResizeNnSql =
+    """WITH d AS (
+      |  SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      |  FROM documents WHERE doc_id < 100),
+      |px AS (
+      |  SELECT doc_id,
+      |    (doc_id * 31 + ((tx.x * d.w) // 8) * 7 + ((ty.y * d.h) // 4) * 13)
+      |      % 251 AS v
+      |  FROM d,
+      |    LATERAL (SELECT unnest(generate_series(0, 7)) AS x) tx,
+      |    LATERAL (SELECT unnest(generate_series(0, 3)) AS y) ty)
+      |SELECT doc_id, 8 AS width, 4 AS height, 1 AS channels,
+      |  CAST(SUM(v) AS BIGINT) AS sum_px
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // deterministic frame sampling from a fake video payload
   private val mmFrameSample: Q = (s, dir) =>
     load(s, dir, "documents").filter(col("doc_id") < 50)
@@ -241,6 +292,7 @@ object MultimodalOps {
   val queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_decode_png" -> mmDecodePng,
+    "mm_resize_nn" -> mmResizeNn,
     "mm_decode_bmp" -> mmDecodeBmp,
     "mm_frame_sample" -> mmFrameSample,
     "mm_chunk_payload" -> mmChunk,
@@ -249,6 +301,7 @@ object MultimodalOps {
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_decode_png" -> mmDecodePngSql,
+    "mm_resize_nn" -> mmResizeNnSql,
     "mm_decode_bmp" -> mmDecodeBmpSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_chunk_payload" -> mmChunkSql,
