@@ -640,7 +640,33 @@ class SparkSemanticsSpec extends AnyFunSuite {
     "rand_randstr_seeded" -> "SELECT randstr(8, 42)",
     "rand_uniform_seeded" -> "SELECT uniform(0, 100, 42), uniform(0.0e0, 1.0e0, 7)",
     "utf8_validation_family" ->
-      "SELECT is_valid_utf8(x'80'), is_valid_utf8('ok'), try_validate_utf8(x'80'), hex(CAST(make_valid_utf8(x'80') AS BINARY))")
+      "SELECT is_valid_utf8(x'80'), is_valid_utf8('ok'), try_validate_utf8(x'80'), hex(CAST(make_valid_utf8(x'80') AS BINARY))",
+
+    // join null-key semantics (the three-valued-logic corners that
+    // differ between = joins, <=> joins, and NOT IN rewrites)
+    "joinnull_equi_drops_null_keys" ->
+      """SELECT count(*) FROM VALUES (1),(CAST(NULL AS INT)) a(k)
+        |JOIN VALUES (1),(CAST(NULL AS INT)) b(k) ON a.k = b.k""".stripMargin,
+    "joinnull_null_safe_eq_matches_nulls" ->
+      """SELECT count(*) FROM VALUES (1),(CAST(NULL AS INT)) a(k)
+        |JOIN VALUES (1),(CAST(NULL AS INT)) b(k) ON a.k <=> b.k""".stripMargin,
+    "joinnull_anti_keeps_null_probe" ->
+      """SELECT a.k FROM VALUES (1),(2),(CAST(NULL AS INT)) a(k)
+        |ANTI JOIN VALUES (1) b(k) ON a.k = b.k ORDER BY a.k NULLS FIRST""".stripMargin,
+    "joinnull_not_in_empties_on_null_build" ->
+      """SELECT count(*) FROM VALUES (1),(2) a(k)
+        |WHERE a.k NOT IN (SELECT k FROM VALUES (1),(CAST(NULL AS INT)) b(k))""".stripMargin,
+    "joinnull_semi_ignores_null_probe" ->
+      """SELECT a.k FROM VALUES (1),(CAST(NULL AS INT)) a(k)
+        |SEMI JOIN VALUES (1),(CAST(NULL AS INT)) b(k) ON a.k = b.k""".stripMargin,
+    "joinnull_full_outer_pads_both" ->
+      """SELECT a.k, b.k FROM VALUES (1),(2) a(k)
+        |FULL OUTER JOIN VALUES (2),(3) b(k) ON a.k = b.k
+        |ORDER BY a.k NULLS LAST, b.k NULLS LAST""".stripMargin,
+    "joinnull_left_join_filter_vs_on" ->
+      """SELECT a.k, b.k FROM VALUES (1),(2) a(k)
+        |LEFT JOIN VALUES (1) b(k) ON a.k = b.k AND b.k > 99
+        |ORDER BY a.k""".stripMargin)
 
   // ---- ANSI error entries: (label, sql, expected error condition) ------
   private val ansiErrors: Seq[(String, String, String)] = Seq(
