@@ -880,7 +880,71 @@ object DedupOps {
       |FROM win w JOIN cnt c ON c.wh = w.wh
       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 
+  /** URL canonicalization dedup — the standard FIRST dedup pass over a
+    * crawled corpus (before any content hashing): case-fold scheme/host,
+    * strip the default port, drop the fragment, strip tracking query
+    * params (utm_* and ref) while KEEPING meaningful ones, trim trailing
+    * slashes, then collapse to one kept doc per canonical URL. Pure
+    * per-row canonicalization (parse_url + array filter, all codegen
+    * built-ins, no UDF) followed by ONE hash-agg shuffle on the
+    * canonical string — the exact-dedup shape at any scale. The messy
+    * URL is derived deterministically from (source, lang, doc_id) since
+    * the corpus carries no URL column; the derivation IS part of the
+    * oracled contract (DuckDB builds the identical string and mirrors
+    * the canonicalization with regexes). */
+  private val dedupUrl: Q = (s, dir) => {
+    val raw = load(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("HTTPS://"), upper(col("source")), lit(".Example.COM:443/"),
+        col("lang"), lit("/page/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&id="), (col("doc_id") % 40).cast("string"),
+            lit("&utm_campaign=x")))
+          .when(col("doc_id") % 3 === 1, lit("/"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("#section-2")).otherwise(lit("")))
+        .as("url"))
+    val canon = raw
+      .withColumn("host", lower(parse_url(col("url"), lit("HOST"))))
+      .withColumn("path", regexp_replace(parse_url(col("url"), lit("PATH")), "/+$", ""))
+      .withColumn("kept", filter(
+        split(coalesce(parse_url(col("url"), lit("QUERY")), lit("")), "&"),
+        p => !(p.rlike("^(utm_[a-z]+|ref)=") || p === "")))
+      .withColumn("canonical_url", concat(
+        lit("https://"), col("host"), col("path"),
+        when(size(col("kept")) > 0,
+          concat(lit("?"), array_join(col("kept"), "&"))).otherwise(lit(""))))
+    canon.groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc"))
+      .orderBy(col("canonical_url"))
+  }
+
+  private val dedupUrlSql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    'HTTPS://' || upper(source) || '.Example.COM:443/' || lang ||
+      |    '/page/' || CAST(doc_id % 40 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR) || '&utm_campaign=x'
+      |         WHEN doc_id % 3 = 1 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '#section-2' ELSE '' END AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    'https://' || lower(regexp_extract(url, 'HTTPS://([^/:]+)', 1)) ||
+      |    rtrim(regexp_extract(url, '://[^/]+(/[^?#]*)', 1), '/') ||
+      |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+      |      AS canonical_url
+      |  FROM (
+      |    SELECT doc_id, url,
+      |      list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |        p -> NOT regexp_matches(p, '^(utm_[a-z]+|ref)=') AND p <> '') AS kept
+      |    FROM raw))
+      |SELECT canonical_url, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc
+      |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_url" -> dedupUrl,
     "dedup_cluster_groups" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
     "dedup_embedding_lsh" -> dedupEmbeddingLshGate,
@@ -897,6 +961,7 @@ object DedupOps {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "dedup_url" -> dedupUrlSql,
     "dedup_cluster_groups" -> dedupClustersSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_leakage_safe_split" -> leakageSafeSplitSql,

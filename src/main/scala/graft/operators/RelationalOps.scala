@@ -1000,6 +1000,37 @@ object RelationalOps {
     """SELECT CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr, event_type, COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin
 
+  /** Native HOPPING time windows (`window(ts, "2 hours", "1 hour")`):
+    * every event lands in exactly two overlapping epoch-aligned windows
+    * — the batch face of the streaming windowed-agg operator, and the
+    * standard rolling-load report. The window assignment is a pure
+    * projection (Spark expands the slide arithmetic inline, no
+    * Generate), so the whole query is one hash-agg shuffle keyed on
+    * (window, type) — the same bounded shape as [[evHourly]] at any
+    * scale. Oracle: DuckDB unnests the two hour-truncated starts each
+    * event belongs to. */
+  private val evHopping: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("total"))
+      // string-render the window start like [[evResampleFfill]]: the
+      // session-tz TIMESTAMP type would otherwise dump as tz-adjusted
+      // parquet while the oracle's is naive — same instants, different
+      // physical type
+      .select(col("w.start").cast("string").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val evHoppingSql =
+    """WITH ws AS (
+      |  SELECT unnest([date_trunc('hour', ts),
+      |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+      |    event_type, value
+      |  FROM events)
+      |SELECT CAST(win_start AS VARCHAR) AS win_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM ws GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   private val evTopUsers: Q = (s, dir) =>
     load(s, dir, "events").filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
@@ -2408,6 +2439,7 @@ object RelationalOps {
     ("ev_daily_active_users" -> evDau, evDauSql),
     ("ev_value_buckets" -> evValueBuckets, evValueBucketsSql),
     ("ev_hourly_load" -> evHourly, evHourlySql),
+    ("ev_hopping_windows" -> evHopping, evHoppingSql),
     ("ev_top_users" -> evTopUsers, evTopUsersSql),
     ("ev_uniq_users_by_type_day" -> evUniqUsers, evUniqUsersSql),
     ("ev_value_percentiles" -> evP90, evP90Sql),

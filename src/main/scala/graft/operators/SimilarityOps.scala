@@ -143,6 +143,72 @@ object SimilarityOps {
       |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, cos FROM r WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
 
+  /** Exact k-NN majority-vote classification (k=5): the classic
+    * label-propagation-from-a-seed-set step of a curation pipeline —
+    * every 1-in-5 held-out vector is labelled by the majority label of
+    * its 5 nearest labelled neighbors by cosine. Distribution shape:
+    * the unit-normalized corpus streams once past the BROADCAST
+    * held-out batch (at 100 TB you classify in bounded query batches,
+    * exactly like [[annBrute]]); votes then aggregate per (query,
+    * label) — a tiny shuffle bounded by 5·|batch|. Ties break to the
+    * smallest label, neighbor ties to the smallest id, so the result
+    * is deterministic and fully ORACLED (DuckDB mirrors the float
+    * normalize-then-double-dot arithmetic of [[annUnitTopk]]). */
+  private val knnClassify: Q = (s, dir) => {
+    val e = load(s, dir, "embeddings")
+      .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))))
+      .withColumn("unit", transform(col("embedding"),
+        x => (x.cast("double") / col("nrm")).cast("float")))
+    val test = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("actual"),
+        col("unit").as("q_unit"))
+    val train = e.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("cid"), col("label").as("lbl"),
+        col("unit").as("c_unit"))
+    val wn = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val nn = train.crossJoin(broadcast(test))
+      .withColumn("cos", round(GraftExpressions.dot_product(col("q_unit"), col("c_unit")), 6))
+      .withColumn("rnk", row_number().over(wn))
+      .filter(col("rnk") <= 5)
+    val wv = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("lbl"))
+    nn.groupBy(col("qid"), col("actual"), col("lbl"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("actual"), col("lbl").as("predicted"),
+        (col("lbl") === col("actual")).as("correct"))
+      .orderBy(col("qid"))
+  }
+
+  private val knnClassifySql =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT)) AS unit
+      |  FROM n),
+      |e AS (SELECT vec_id, generate_subscripts(unit, 1) AS i, CAST(unnest(unit) AS DOUBLE) AS x FROM u),
+      |lab AS (SELECT vec_id, label FROM u),
+      |dt AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+      |  FROM e q JOIN e c ON q.i = c.i AND q.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+      |  GROUP BY q.vec_id, c.vec_id),
+      |r AS (SELECT qid, cid,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot, 6) DESC, cid) AS rnk
+      |      FROM dt),
+      |v AS (SELECT r.qid, lc.label AS lbl, COUNT(*) AS votes
+      |      FROM r JOIN lab lc ON lc.vec_id = r.cid WHERE r.rnk <= 5 GROUP BY 1, 2),
+      |p AS (SELECT qid, lbl,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, lbl) AS vr
+      |      FROM v)
+      |SELECT p.qid, la.label AS actual, p.lbl AS predicted,
+      |  (p.lbl = la.label) AS correct
+      |FROM p JOIN lab la ON la.vec_id = p.qid
+      |WHERE p.vr = 1
+      |ORDER BY qid""".stripMargin
+
   /** deterministic pseudo-random hyperplane weight for (dim i, plane j):
     * xxhash64 of the index pair, mapped to [-0.5, 0.5). No RNG state —
     * every executor derives the same hyperplanes. */
@@ -378,10 +444,15 @@ object SimilarityOps {
       .select(col("vec_id"), transform(col("embedding"),
         x => (x.cast("double") / col("nrm")).cast("float")).as("embedding"))
     val sub = e.select(size(col("embedding"))).head.getInt(0) / m
-    // long format: one row per (vector, subspace) — ALL m codebooks
-    // train/encode in the SAME scans instead of m sequential k-means
-    // runs (the per-subspace loop was 3m jobs; this is 3 total)
-    val svecs = e.select(col("vec_id"), explode(transform(
+    // TRAINING SAMPLE, long format: one row per (vector, subspace) — ALL
+    // m codebooks train in the SAME scans instead of m sequential
+    // k-means runs. Codebooks are m×k×sub ≈ 4 KB of state; fitting them
+    // never needs the full corpus, so the Lloyd's scans run over a
+    // deterministic 1-in-4 id slice (seed ids always included) — at
+    // 100 TB this is the difference between two corpus-wide shuffles
+    // and two sample-sized ones, and the recall gate polices fit quality
+    val svecs = e.filter(col("vec_id") % 4 === 0 || col("vec_id") < 16)
+      .select(col("vec_id"), explode(transform(
         sequence(lit(0), lit(m - 1)),
         i => struct(i.as("sp"), slice(col("embedding"), i * sub + 1, lit(sub)).as("sv")))).as("x"))
       .select(col("vec_id"), col("x.sp").as("sp"), col("x.sv").as("sv"))
@@ -412,28 +483,41 @@ object SimilarityOps {
     def ip(a: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, c, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    // corpus codes, long format (at 100 TB: the 4-byte column you persist)
-    val codes = svecs.filter(col("vec_id") >= 10)
-      .withColumn("code", codeCol)
-      .select(col("vec_id").as("cid"), col("sp"), col("code"))
-    // query-side INNER-PRODUCT tables (ADC dot ≈ cosine on unit vectors);
-    // tiny — broadcast into the codes scan, ADC = one (qid,cid) sum
-    val qtab = svecs.filter(col("vec_id") < 10)
-      .withColumn("tab", transform(element_at(booksLit, col("sp") + 1), c => ip(col("sv"), c)))
-      .select(col("vec_id").as("qid"), col("sp"), col("tab"))
+    // corpus ENCODING: one codegen scan producing the m nibble codes as
+    // an array<int> column — the 8-byte-per-vector column you persist at
+    // 100 TB. No explode, no shuffle: the code array replaces the old
+    // long-format (vec_id, sp, code) relation entirely.
+    def codesCol = transform(sequence(lit(0), lit(m - 1)), i => {
+      val d = transform(element_at(booksLit, i + 1),
+        c => sqDist(slice(col("embedding"), i * sub + 1, lit(sub)), c))
+      array_position(d, array_min(d)).cast("int")
+    })
+    val codes = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), codesCol.as("codes"))
+    // query-side INNER-PRODUCT tables (ADC dot ≈ cosine on unit vectors):
+    // per query an m×k lookup table, tiny — broadcast over the codes scan
+    val qtab = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        transform(sequence(lit(0), lit(m - 1)), i =>
+          transform(element_at(booksLit, i + 1),
+            c => ip(slice(col("embedding"), i * sub + 1, lit(sub)), c))).as("tab"))
     // ADC shortlist (top-32 by approximate dot, codes only — the cheap
-    // pass), then exact re-rank of just the shortlist against the full
-    // vectors (the standard IVFADC+refine pipeline: exact FLOPs touch 32
-    // candidates per query, not the corpus)
+    // pass): score = Σ_sp tab[sp][code[sp]], a pure per-row lookup sum
+    // against the broadcast tables. The previous shape shuffled
+    // |corpus|·m·|Q| long-format rows into a (qid,cid) aggregate; this
+    // one shuffles nothing until the final per-query top-k. Then exact
+    // re-rank of just the shortlist against the full vectors (the
+    // standard ADC+refine pipeline: exact FLOPs touch 32 candidates per
+    // query, not the corpus).
     val ws = Window.partitionBy(col("qid")).orderBy(col("ad").desc, col("cid"))
-    val shortlist = codes.join(broadcast(qtab), Seq("sp"))
-      .select(col("qid"), col("cid"), element_at(col("tab"), col("code")).as("pd"))
-      .groupBy(col("qid"), col("cid")).agg(round(sum(col("pd")), 6).as("ad"))
+    val shortlist = codes.crossJoin(broadcast(qtab.select(col("qid"), col("tab"))))
+      .select(col("qid"), col("cid"),
+        round(aggregate(zip_with(col("tab"), col("codes"),
+          (t, c) => element_at(t, c)), lit(0.0), (a, v) => a + v), 6).as("ad"))
       .withColumn("srk", row_number().over(ws))
       .filter(col("srk") <= 32)
       .select(col("qid"), col("cid"))
-      .join(e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")), "qid")
+      .join(broadcast(qtab.select(col("qid"), col("q_emb"))), "qid")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
@@ -807,6 +891,93 @@ object SimilarityOps {
       .orderBy(col("dim"))
   }
 
+  /** Top-2 principal directions: [[powerIteration]]'s distributed
+    * matrix-free loop (driver state = one 64-float vector, data touched
+    * only through score-project scans) plus HOTELLING DEFLATION for the
+    * second component — each vector is re-expressed as x − (x·v1)·v1 on
+    * the fly (a pure projection, nothing materialized), and the same
+    * 3-iteration loop runs over the deflated column. Float-truncation
+    * points (score rounded 6 dp, per-dim sums cast to float) are
+    * mirrored by the unrolled DuckDB CTE chain, so the gate is exact —
+    * the same discipline as [[powerIteration]]. */
+  private val pcaTop2: Q = (s, dir) => {
+    val e0 = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    def topEig(df: DataFrame, emb: String): (Seq[Float], Double) = {
+      var v: Seq[Float] = Seq.fill(64)(0.125f)
+      var eig = 0.0
+      for (_ <- 0 until 3) {
+        val vArr = array(v.map(lit(_)): _*)
+        val sCol = round(aggregate(zip_with(col(emb), vArr,
+          (x, vi) => x.cast("double") * vi.cast("double")),
+          lit(0.0), (acc, p) => acc + p), 6)
+        val u = df.withColumn("s", sCol)
+          .select(col("s"), posexplode(col(emb)).as(Seq("dim", "x")))
+          .groupBy(col("dim"))
+          .agg(sum(col("x").cast("double") * col("s")).cast("float").as("u"))
+          .collect().sortBy(_.getInt(0)).map(_.getFloat(1))
+        eig = math.sqrt(u.map(x => x.toDouble * x.toDouble).sum)
+        v = u.map(x => (x / eig).toFloat).toSeq
+      }
+      (v, eig)
+    }
+    val (v1, eig1) = topEig(e0, "embedding")
+    val v1Arr = array(v1.map(lit(_)): _*)
+    val deflated = e0
+      .withColumn("sc", round(aggregate(zip_with(col("embedding"), v1Arr,
+        (x, vi) => x.cast("double") * vi.cast("double")),
+        lit(0.0), (acc, p) => acc + p), 6))
+      .select(col("vec_id"), zip_with(col("embedding"), v1Arr,
+        (x, vi) => (x.cast("double") - col("sc") * vi.cast("double"))
+          .cast("float")).as("emb2"))
+    val (v2, eig2) = topEig(deflated, "emb2")
+    val spark = s
+    import spark.implicits._
+    (v1.zipWithIndex.map { case (l, i) => (1, i + 1,
+        math.rint(l.toDouble * 1e6) / 1e6, math.rint(eig1 * 1e4) / 1e4) } ++
+      v2.zipWithIndex.map { case (l, i) => (2, i + 1,
+        math.rint(l.toDouble * 1e6) / 1e6, math.rint(eig2 * 1e4) / 1e4) })
+      .toDF("component", "dim", "loading", "eigenvalue")
+      .orderBy(col("component"), col("dim"))
+  }
+
+  private def pcaIterCtes(src: String, tag: String): String =
+    s"""s${tag}1 AS (SELECT vec_id, round(SUM(x * 0.125e0), 6) AS s FROM $src GROUP BY vec_id),
+       |u${tag}1 AS (SELECT dim, CAST(CAST(SUM(e.x * s.s) AS FLOAT) AS DOUBLE) AS u
+       |       FROM $src e JOIN s${tag}1 s USING (vec_id) GROUP BY dim),
+       |n${tag}1 AS (SELECT sqrt(SUM(u * u)) AS nrm FROM u${tag}1),
+       |v${tag}1 AS (SELECT dim, CAST(CAST(u / nrm AS FLOAT) AS DOUBLE) AS v FROM u${tag}1, n${tag}1),
+       |s${tag}2 AS (SELECT e.vec_id, round(SUM(e.x * v.v), 6) AS s
+       |       FROM $src e JOIN v${tag}1 v USING (dim) GROUP BY e.vec_id),
+       |u${tag}2 AS (SELECT dim, CAST(CAST(SUM(e.x * s.s) AS FLOAT) AS DOUBLE) AS u
+       |       FROM $src e JOIN s${tag}2 s USING (vec_id) GROUP BY dim),
+       |n${tag}2 AS (SELECT sqrt(SUM(u * u)) AS nrm FROM u${tag}2),
+       |v${tag}2 AS (SELECT dim, CAST(CAST(u / nrm AS FLOAT) AS DOUBLE) AS v FROM u${tag}2, n${tag}2),
+       |s${tag}3 AS (SELECT e.vec_id, round(SUM(e.x * v.v), 6) AS s
+       |       FROM $src e JOIN v${tag}2 v USING (dim) GROUP BY e.vec_id),
+       |u${tag}3 AS (SELECT dim, CAST(CAST(SUM(e.x * s.s) AS FLOAT) AS DOUBLE) AS u
+       |       FROM $src e JOIN s${tag}3 s USING (vec_id) GROUP BY dim),
+       |n${tag}3 AS (SELECT sqrt(SUM(u * u)) AS nrm FROM u${tag}3),
+       |v${tag}3 AS (SELECT dim, CAST(CAST(u / nrm AS FLOAT) AS DOUBLE) AS v FROM u${tag}3, n${tag}3)""".stripMargin
+
+  private val pcaTop2Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |${pcaIterCtes("e", "a")},
+       |sc AS (SELECT e.vec_id, round(SUM(e.x * v.v), 6) AS s
+       |       FROM e JOIN va3 v USING (dim) GROUP BY e.vec_id),
+       |e2 AS (SELECT e.vec_id, e.dim,
+       |         CAST(CAST(e.x - sc.s * v.v AS FLOAT) AS DOUBLE) AS x
+       |       FROM e JOIN sc USING (vec_id) JOIN va3 v USING (dim)),
+       |${pcaIterCtes("e2", "b")}
+       |SELECT 1 AS component, CAST(dim AS INTEGER) AS dim, round(v, 6) AS loading,
+       |  round((SELECT nrm FROM na3), 4) AS eigenvalue FROM va3
+       |UNION ALL
+       |SELECT 2, CAST(dim AS INTEGER), round(v, 6),
+       |  round((SELECT nrm FROM nb3), 4) FROM vb3
+       |ORDER BY component, dim""".stripMargin
+
   private val powerIterationSql =
     """WITH e AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -935,12 +1106,14 @@ object SimilarityOps {
     "sim_mmr_diversify" -> mmrDiversify,
     "sim_standardize_dims" -> standardizeDims,
     "sim_power_iteration" -> powerIteration,
+    "sim_pca_top2" -> pcaTop2,
     "sim_margin_mining" -> marginMining,
     "dedup_semantic" -> dedupSemantic,
     "sim_quantize_int8" -> quantize,
     "sim_ann_brute_topk" -> annBrute,
     "sim_hard_negatives" -> hardNegatives,
     "sim_ann_unit_topk" -> annUnitTopk,
+    "sim_knn_classify" -> knnClassify,
     "sim_ann_lsh" -> annLshGate,
     "sim_ann_ivf" -> annIvfGate,
     "sim_ann_ivf_kmeans" -> annIvfKmeansGate,
@@ -966,12 +1139,14 @@ object SimilarityOps {
     "sim_mmr_diversify" -> mmrDiversifySql,
     "sim_standardize_dims" -> standardizeDimsSql,
     "sim_power_iteration" -> powerIterationSql,
+    "sim_pca_top2" -> pcaTop2Sql,
     "sim_margin_mining" -> marginMiningSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_quantize_int8" -> quantizeSql,
     "sim_ann_brute_topk" -> annBruteSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_ann_unit_topk" -> annUnitTopkSql,
+    "sim_knn_classify" -> knnClassifySql,
     "sim_ann_lsh" -> annGateSql,
     "sim_ann_ivf" -> annGateSql,
     "sim_ann_ivf_kmeans" -> annGateSql,

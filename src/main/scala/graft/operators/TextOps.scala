@@ -1158,7 +1158,70 @@ object TextOps {
       |  CAST(MAX(k) AS BIGINT) AS n_sources
       |FROM p""".stripMargin
 
+  /** Greedy longest-match vocabulary tokenization — the APPLY side of a
+    * trained tokenizer ([[textBpeMerges]] is the training side): every
+    * distinct word is segmented by repeatedly taking the longest vocab
+    * unit that prefixes the remainder, single characters as fallback
+    * (so coverage is total and reconstruction is exact). The loop is a
+    * pure `aggregate` higher-order expression with bounded trip count
+    * (max word length) over a literal vocab — per-row, shuffle-free,
+    * stays in the row pipeline at any corpus size; a real tokenizer
+    * swaps the literal for a broadcast vocab. ORACLED: DuckDB mirrors
+    * the greedy loop as a recursive CTE with the same
+    * longest-then-lexicographic match priority. */
+  private val greedyVocab: Seq[String] =
+    Seq("value", "query", "table", "scan", "hash", "part", "join",
+      "row", "agg", "er", "an", "in", "le", "ta", "sc", "va")
+      .sortBy(v => (-v.length, v))
+
+  private val textGreedyTokenize: Q = (s, dir) => {
+    val vocabArr = array(greedyVocab.map(lit(_)): _*)
+    val words = load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .distinct()
+    val toks = aggregate(
+      sequence(lit(1), lit(30)),
+      struct(col("word").as("rem"),
+        array().cast("array<string>").as("toks")),
+      (acc, _) => {
+        val rem = acc.getField("rem")
+        val hits = filter(vocabArr, v => rem.startsWith(v))
+        val tok = when(size(hits) > 0, element_at(hits, 1))
+          .otherwise(substring(rem, 1, 1))
+        when(length(rem) === 0, acc).otherwise(struct(
+          rem.substr(length(tok) + 1, length(rem)).as("rem"),
+          concat(acc.getField("toks"), array(tok)).as("toks")))
+      },
+      acc => acc.getField("toks"))
+    words.select(col("word"),
+        size(toks).as("n_tokens"),
+        array_join(toks, "|").as("tokens"))
+      .orderBy(col("word"))
+  }
+
+  private val textGreedyTokenizeSql = {
+    val vocabList = greedyVocab.map("'" + _ + "'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
+       |vocab AS (SELECT unnest($vocabList) AS v),
+       |step AS (
+       |  SELECT word, word AS rem, CAST([] AS VARCHAR[]) AS toks FROM words
+       |  UNION ALL
+       |  SELECT word, substr(rem, length(tok) + 1), list_append(toks, tok)
+       |  FROM (
+       |    SELECT word, rem, toks,
+       |      coalesce((SELECT v FROM vocab WHERE starts_with(rem, v)
+       |                ORDER BY length(v) DESC, v LIMIT 1),
+       |               substr(rem, 1, 1)) AS tok
+       |    FROM step WHERE length(rem) > 0))
+       |SELECT word, CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  array_to_string(toks, '|') AS tokens
+       |FROM step WHERE length(rem) = 0
+       |ORDER BY word""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_greedy_tokenize" -> textGreedyTokenize,
     "text_zipf_fit" -> textZipfFit,
     "docs_source_entropy" -> docsSourceEntropy,
     "text_pmi_collocations" -> textPmiCollocations,
@@ -1191,6 +1254,7 @@ object TextOps {
     "text_top_words_sketch" -> textTopWords)
 
   val oracles: Map[String, String] = Map(
+    "text_greedy_tokenize" -> textGreedyTokenizeSql,
     "text_zipf_fit" -> textZipfFitSql,
     "docs_source_entropy" -> docsSourceEntropySql,
     "text_pmi_collocations" -> textPmiCollocationsSql,
