@@ -201,6 +201,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("greedy tokenizer reconstructs every word exactly and stays in-vocab") {
+    // total-coverage contract of text_greedy_tokenize: concatenating the
+    // emitted tokens reproduces the word byte-for-byte, and every
+    // multi-char token is an actual vocab unit (single chars are the
+    // declared fallback). A vocab/priority regression breaks one of the
+    // two immediately.
+    val rows = operators.TextOps.queries("text_greedy_tokenize")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val vocab = Set("value", "query", "table", "scan", "hash", "part",
+      "join", "row", "agg", "er", "an", "in", "le", "ta", "sc", "va")
+    rows.foreach { r =>
+      val word = r.getString(0)
+      val toks = r.getString(2).split('|').filter(_.nonEmpty)
+      assert(toks.mkString == word, s"tokens ${toks.toSeq} != word '$word'")
+      assert(r.getInt(1) == toks.length)
+      toks.filter(_.length > 1).foreach(t =>
+        assert(vocab(t), s"non-vocab multi-char token '$t' in '$word'"))
+    }
+  }
+
   test("merged complete-mode aggregate equals two-phase on random groupings") {
     val rnd = new Random(19)
     val data = Seq.fill(2000)((rnd.nextInt(40).toLong, rnd.nextInt(1000), rnd.nextDouble()))

@@ -642,6 +642,64 @@ class SparkSemanticsSpec extends AnyFunSuite {
     "utf8_validation_family" ->
       "SELECT is_valid_utf8(x'80'), is_valid_utf8('ok'), try_validate_utf8(x'80'), hex(CAST(make_valid_utf8(x'80') AS BINARY))",
 
+    // round-5b extension: coercion/rendering/ordering corners not yet
+    // pinned — double rendering, NaN aggregation order, array group
+    // keys, named windows, interval aggregation, regex lookaround
+    "render_double_fp_artifact" -> "SELECT CAST(0.1e0 + 0.2e0 AS STRING)",
+    "render_float_to_string_shortest" -> "SELECT CAST(CAST('1.1' AS FLOAT) AS STRING)",
+    "coerce_string_int_comparison" -> "SELECT '10' = 10, '1.5' = 1.5e0",
+    "coerce_string_number_concat" -> "SELECT 'a' || 1",
+    "coerce_date_string_comparison" -> "SELECT DATE '2020-01-01' = '2020-01-01'",
+    "coerce_union_by_position_not_name" ->
+      "SELECT a, b FROM (SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y') ORDER BY a",
+    "coerce_bool_cast_from_nonzero_int" ->
+      "SELECT CAST(2 AS BOOLEAN), CAST(0 AS BOOLEAN)",
+    "order_nan_sorts_after_infinity" ->
+      "SELECT x FROM VALUES (double('NaN')),(1e0),(double('Infinity')) t(x) ORDER BY x",
+    "order_boolean_false_before_true" ->
+      "SELECT x FROM VALUES (true),(false) t(x) ORDER BY x",
+    "order_string_binary_collation_upper_first" ->
+      "SELECT min(x), max(x) FROM VALUES ('a'),('B') t(x)",
+    "nan_greatest_prefers_nan_least_does_not" ->
+      "SELECT greatest(double('NaN'), 1e0), least(double('NaN'), 1e0)",
+    "agg_group_by_array_key" ->
+      "SELECT x, count(*) FROM VALUES (array(1,2)),(array(1,2)),(array(3)) t(x) GROUP BY x ORDER BY x",
+    "agg_sum_avg_of_interval" ->
+      "SELECT sum(x), avg(x) FROM VALUES (INTERVAL '1' DAY),(INTERVAL '2' DAY) t(x)",
+    "agg_array_agg_alias" ->
+      "SELECT array_agg(x) FROM VALUES (1),(2) t(x)",
+    "agg_collect_set_dedups_sorted" ->
+      "SELECT sort_array(collect_set(x)) FROM VALUES (2),(1),(2) t(x)",
+    "agg_stddev_pop_single_row_zero" ->
+      "SELECT stddev_pop(x), var_pop(x) FROM VALUES (5e0) t(x)",
+    "agg_approx_percentile_exact_small" ->
+      "SELECT approx_percentile(x, 0.5) FROM VALUES (1),(2),(3) t(x)",
+    "win_named_window_clause" ->
+      """SELECT x, sum(x) OVER w FROM VALUES (1),(2) t(x)
+        |WINDOW w AS (ORDER BY x) ORDER BY x""".stripMargin,
+    "win_lead_ignore_nulls" ->
+      """SELECT x, lead(x, 1) IGNORE NULLS OVER (ORDER BY coalesce(x, 2))
+        |FROM VALUES (1),(NULL),(3) t(x) ORDER BY coalesce(x, 2)""".stripMargin,
+    "gen_explode_map_two_columns" ->
+      "SELECT k, v FROM (SELECT explode(map('a', 1)) AS (k, v))",
+    "gen_lateral_view_outer_empty" ->
+      """SELECT t.id, e.x FROM VALUES (1) t(id)
+        |LATERAL VIEW OUTER explode(CAST(array() AS ARRAY<INT>)) e AS x""".stripMargin,
+    "regex_lookahead_supported" -> "SELECT 'foobar' RLIKE 'foo(?=bar)'",
+    "regex_dot_excludes_newline" -> "SELECT 'a\nb' RLIKE 'a.b'",
+    "regex_like_underscore_single_char" ->
+      "SELECT 'abc' LIKE 'a_c', 'abbc' LIKE 'a_c'",
+    "ts_subtraction_yields_day_time_interval" ->
+      "SELECT TIMESTAMP '2020-01-02 00:00:00' - TIMESTAMP '2020-01-01 23:00:00'",
+    "ts_sequence_hour_step" ->
+      """SELECT sequence(TIMESTAMP '2020-01-01 00:00:00',
+        |TIMESTAMP '2020-01-01 02:00:00', INTERVAL '1' HOUR)""".stripMargin,
+    "literal_hex_binary_typing" -> "SELECT typeof(x'0A'), hex(x'0A')",
+    "literal_exponent_is_double" -> "SELECT typeof(1E2)",
+    // Spark 4 newly supports grouping by MAP keys (it errored through 3.5)
+    "agg_group_by_map_key_supported" ->
+      "SELECT m, count(*) FROM (SELECT map('a', 1) AS m UNION ALL SELECT map('a', 1)) GROUP BY m",
+
     // join null-key semantics (the three-valued-logic corners that
     // differ between = joins, <=> joins, and NOT IN rewrites)
     "joinnull_equi_drops_null_keys" ->
@@ -693,7 +751,16 @@ class SparkSemanticsSpec extends AnyFunSuite {
     ("ansi_pmod_by_zero_errors", "SELECT pmod(7, 0)",
       "REMAINDER_BY_ZERO"),
     ("ansi_interval_divide_by_zero_errors", "SELECT INTERVAL '1' DAY / 0",
-      "INTERVAL_DIVIDED_BY_ZERO"))
+      "INTERVAL_DIVIDED_BY_ZERO"),
+    // round-5b: ANSI turns the zero-variance corr denominator into a
+    // hard error (non-ANSI engines return NULL/NaN here)
+    ("ansi_corr_zero_variance_errors",
+      "SELECT corr(x, y) FROM VALUES (1e0, 2e0),(1e0, 3e0) t(x, y)",
+      "DIVIDE_BY_ZERO"),
+    // the week-based pattern is a hard analysis-time contract
+    ("analysis_week_based_year_pattern_errors",
+      "SELECT date_format(DATE '2020-01-01', 'YYYY')",
+      "_PATTERN"))
 
   /** canonical rendering: dtypes :: rows (stable across JVMs) */
   private def render(sql: String): String = {
