@@ -78,6 +78,7 @@ object Bench {
     "graph_triangle_count", "text_bpe_merges", "ev_pref_bradley_terry",
     "dedup_substring_windows",
     "graph_label_propagation", "text_pmi_collocations", "ev_markov_transitions",
+    "dedup_url", "sim_knn_classify", "text_greedy_tokenize",
     "lake_time_travel", "lake_merge", "lake_cdf_scan", "lake_zorder_skip",
     "lake_branch_wap")
 
@@ -98,6 +99,7 @@ object Bench {
     "docs_pipeline_e2e", "docs_lm_quality_buckets",
     "text_quality_classifier",
     "sim_ann_brute_topk", "sim_ann_lsh", "sim_ann_ivf",
+    "dedup_url", "sim_knn_classify", "text_greedy_tokenize",
     "graph_triangle_count", "text_bpe_merges", "dedup_substring_windows",
     "graph_label_propagation", "text_pmi_collocations",
     "ev_markov_transitions", "ev_rolling_drift")

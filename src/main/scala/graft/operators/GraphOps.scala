@@ -67,9 +67,14 @@ object GraphOps {
       .select(col("src"), col("dst"), col("od"))
       .repartition(col("src")).cache()
     val nodes = out.select(col("src").as("id")).distinct().cache()
-    val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
-    var ranks = nodes.crossJoin(broadcast(nDf))
-      .select(col("id"), (lit(1.0) / col("n")).as("pr"))
+    // |V| collapses to ONE driver double up front (a count over the
+    // cached node table — bounded, like the k-means centroid state):
+    // the previous per-iteration crossJoin(broadcast(nDf)) embedded six
+    // broadcast-exchange subtrees into the iterated plan for a value
+    // that never changes. Same arithmetic bit-for-bit (1.0/n and
+    // (1-d)/n over the identical double), so the oracle is unaffected.
+    val n = nodes.count().toDouble
+    var ranks = nodes.select(col("id"), (lit(1.0) / lit(n)).as("pr"))
     for (_ <- 0 until iters) {
       // the graph is SYMMETRIZED, so every node has in-edges and the
       // contribution aggregate already covers every node — the original
@@ -78,9 +83,8 @@ object GraphOps {
       ranks = out
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("pr") / col("od")).as("contrib"))
-        .crossJoin(broadcast(nDf))
         .select(col("dst").as("id"),
-          ((lit(1.0) - damping) / col("n") +
+          (lit((1.0 - damping) / n) +
             lit(damping) * col("contrib")).as("pr"))
     }
     ranks.filter(col("id") % 2 === 1)

@@ -1802,6 +1802,42 @@ object RelationalOps {
       |  MIN(val) AS min_val, MAX(val) AS max_val
       |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  /** Spark 4.0 `DataFrame.transpose()` — rows↔columns flip of a small
+    * report (the API face of the pivot family): per-language doc/char
+    * totals transposed so each measure becomes a row keyed `key` and
+    * each language a bigint column. Transpose collects the index values
+    * to name the output columns, so it is a REPORT-GRAIN operator by
+    * contract (column count = distinct index values — bounded by the
+    * lang vocabulary here); the heavy lifting (the groupBy) stays
+    * distributed. Oracle: conditional aggregation builds the identical
+    * transposed table. */
+  private val apiTranspose: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("lang"))
+      .transpose()
+      .orderBy(col("key"))
+
+  private val apiTransposeSql =
+    """WITH m AS (
+      |  SELECT 'n_docs' AS key,
+      |    count(*) FILTER (WHERE lang = 'de') AS de,
+      |    count(*) FILTER (WHERE lang = 'en') AS en,
+      |    count(*) FILTER (WHERE lang = 'es') AS es,
+      |    count(*) FILTER (WHERE lang = 'fr') AS fr,
+      |    count(*) FILTER (WHERE lang = 'zh') AS zh
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'n_chars',
+      |    CAST(sum(n_chars) FILTER (WHERE lang = 'de') AS BIGINT),
+      |    CAST(sum(n_chars) FILTER (WHERE lang = 'en') AS BIGINT),
+      |    CAST(sum(n_chars) FILTER (WHERE lang = 'es') AS BIGINT),
+      |    CAST(sum(n_chars) FILTER (WHERE lang = 'fr') AS BIGINT),
+      |    CAST(sum(n_chars) FILTER (WHERE lang = 'zh') AS BIGINT)
+      |  FROM documents)
+      |SELECT * FROM m ORDER BY key""".stripMargin
+
   /** Bradley-Terry preference aggregation — the reward-model data-prep
     * step of an RLHF pipeline: pairwise duels (here: a user's top event
     * type on a day beats the runner-up, ranked (count desc, type) for
@@ -2368,6 +2404,7 @@ object RelationalOps {
     ("api_stat_sampleby" -> apiStatSampleBy, apiStatSampleBySql),
     ("ev_anomaly_mad" -> evAnomalyMad, evAnomalyMadSql),
     ("api_profile_columns" -> apiProfileColumns, apiProfileColumnsSql),
+    ("api_transpose" -> apiTranspose, apiTransposeSql),
     ("ev_pref_bradley_terry" -> evPrefBradleyTerry, evPrefBradleyTerrySql),
     ("sql_scripting" -> sqlScripting, sqlScriptingSql),
     ("ev_funnel_conversion" -> evFunnel, evFunnelSql),

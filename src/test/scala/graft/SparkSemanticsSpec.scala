@@ -694,6 +694,9 @@ class SparkSemanticsSpec extends AnyFunSuite {
     "ts_sequence_hour_step" ->
       """SELECT sequence(TIMESTAMP '2020-01-01 00:00:00',
         |TIMESTAMP '2020-01-01 02:00:00', INTERVAL '1' HOUR)""".stripMargin,
+    "sqlrel_execute_immediate" -> "EXECUTE IMMEDIATE 'SELECT 41 + 1 AS x'",
+    "sqlrel_execute_immediate_using_param" ->
+      "EXECUTE IMMEDIATE 'SELECT ? * 2 AS x' USING 21",
     "literal_hex_binary_typing" -> "SELECT typeof(x'0A'), hex(x'0A')",
     "literal_exponent_is_double" -> "SELECT typeof(1E2)",
     // Spark 4 newly supports grouping by MAP keys (it errored through 3.5)
