@@ -135,6 +135,49 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits the null-padded row only after the watermark expires it") {
+    // the semantics that distinguish outer stream-stream joins from
+    // inner: an unmatched left row CANNOT be emitted when it arrives (a
+    // match may still come) — it is held in state and emitted
+    // null-padded only once the watermark proves no match can arrive.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val c = clicks.toDF()
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "5 minutes")
+    val p = purchases.toDF()
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "5 minutes")
+    val joined = c.join(p,
+      col("p_user") === col("c_user") && col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 10 minutes"),
+      "leftOuter")
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_left_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // click 1 will be matched; click 2 never matches
+      clicks.addData(Ev(1, ts(5), 1, "click", 1.0, "{}"), Ev(2, ts(6), 2, "click", 1.0, "{}"))
+      purchases.addData(Ev(10, ts(12), 1, "purchase", 9.0, "{}"))
+      q.processAllAvailable()
+      val matched = spark.table("ss_left_join").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      // the unmatched click is NOT yet emitted — state still open
+      assert(matched == Set((1L, Some(10L))), s"got $matched")
+      // advance both watermarks far past click 2's join window
+      clicks.addData(Ev(3, ts(120), 9, "click", 1.0, "{}"))
+      purchases.addData(Ev(11, ts(120), 9, "purchase", 1.0, "{}"))
+      q.processAllAvailable()
+      val after = spark.table("ss_left_join").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(after.contains((2L, None)),
+        s"expired unmatched click should emit null-padded; got $after")
+    } finally q.stop()
+  }
+
   test("parquet sink with checkpoint: dedup state survives a query restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
