@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *  - `mm_decode_bmp` is a second real codec round-trip through the
   *    same plumbing: 3-channel color BMP (lossless, `javax.imageio`),
   *    oracled against the closed-form per-channel pixel sum — proving
-  *    the decode pipeline is codec-generic, not PNG-shaped.
+  *    the decode pipeline is codec-generic, not PNG-shaped;
+  *  - `mm_decode_wav` extends the same two-stage shape to AUDIO: real
+  *    RIFF/WAV PCM16 payloads (`javax.sound.sampled`) decoded back to
+  *    exact integer features (Σ|s|, peak, zero-crossings) — the
+  *    screeners an audio-curation pass runs first, oracled closed-form.
   */
 object MultimodalOps {
 
@@ -289,7 +293,96 @@ object MultimodalOps {
       |      FROM documents WHERE doc_id < 200)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** typed decoded-audio record: exact integer features (no float drift) */
+  final case class WavMeta(doc_id: Long, n_samples: Int, sample_rate: Int,
+      sum_abs: Long, peak: Int, zero_cross: Int)
+
+  /** deterministic per-doc mono 16-bit PCM waveform, encoded as REAL
+    * RIFF/WAV bytes through the JDK codec (`javax.sound.sampled`, no
+    * external libs; runs on executors) */
+  private def encodeWav(id: Long): Array[Byte] = {
+    val n = (256 + id % 64).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((id * 37 + i * 11) % 2048) - 1024).toInt
+      data(2 * i) = (v & 0xff).toByte        // little-endian PCM16
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** real WAV parse (header + PCM16 samples) → exact audio features:
+    * sample count/rate, Σ|s|, peak |s|, and zero-crossing count — the
+    * speech-vs-noise screeners a 100 TB audio-curation pass runs first */
+  private def decodeWav(m: MediaBytes): WavMeta = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(m.payload))
+    val fmt = ais.getFormat
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    var sumAbs = 0L; var peak = 0; var zc = 0; var prevNeg = false
+    var i = 0
+    while (i < n) {
+      val v = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      val a = math.abs(v)
+      sumAbs += a
+      if (a > peak) peak = a
+      val neg = v < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      i += 1
+    }
+    WavMeta(m.doc_id, n, fmt.getSampleRate.toInt, sumAbs, peak, zc)
+  }
+
+  /** Real AUDIO decode through the same two-stage plumbing as the image
+    * codecs: stage 1 encodes genuine RIFF/WAV payloads per document
+    * (JDK codec, executor-side), stage 2 parses the container back and
+    * extracts exact integer features. WAV PCM16 is lossless, so the
+    * features must equal the closed form of the sample generator —
+    * which the DuckDB oracle recomputes from scratch (a fake or wrong
+    * decode cannot reproduce Σ|s| / peak / zero-crossings). Narrow
+    * per-row map partitions; payload bytes never shuffle. */
+  private val mmDecodeWav: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    load(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBytes(id, encodeWav(id))))
+      .mapPartitions(_.map(decodeWav))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodeWavSql =
+    """WITH d AS (
+      |  SELECT doc_id, 256 + doc_id % 64 AS n FROM documents WHERE doc_id < 100),
+      |s AS (
+      |  SELECT doc_id, n, t.i,
+      |    ((doc_id * 37 + t.i * 11) % 2048) - 1024 AS v
+      |  FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) t),
+      |z AS (
+      |  SELECT doc_id, n, v,
+      |    CASE WHEN i > 0 AND ((v < 0) <>
+      |           (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0))
+      |         THEN 1 ELSE 0 END AS c
+      |  FROM s)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_samples, 8000 AS sample_rate,
+      |  CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+      |  CAST(MAX(abs(v)) AS INTEGER) AS peak,
+      |  CAST(SUM(c) AS INTEGER) AS zero_cross
+      |FROM z GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_decode_wav" -> mmDecodeWav,
     "mm_meta" -> mmMeta,
     "mm_decode_png" -> mmDecodePng,
     "mm_resize_nn" -> mmResizeNn,
@@ -299,6 +392,7 @@ object MultimodalOps {
     "mm_base64" -> mmBase64)
 
   val oracles: Map[String, String] = Map(
+    "mm_decode_wav" -> mmDecodeWavSql,
     "mm_meta" -> mmMetaSql,
     "mm_decode_png" -> mmDecodePngSql,
     "mm_resize_nn" -> mmResizeNnSql,
