@@ -578,6 +578,51 @@ object RelationalOps {
       |  true AS union_within_5pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** EXACT distinct counting via mergeable roaring-style bitmaps
+    * (`bitmap_construct_agg` / `bitmap_or_agg`, Spark 3.5+) — the
+    * ClickHouse/Druid bitmap-index pattern: ids shard into 32768-bit
+    * buckets (`bitmap_bucket_number`), each (group, bucket) aggregates
+    * one bitmap, and distinct = Σ `bitmap_count`. The payoff is the
+    * ROLLUP: per-type totals OR-merge the already-built per-day bitmaps
+    * — exact, associative, no rescan of the fact table (the persisted-
+    * sketch pattern of [[aggHllSketch]] but with zero error), which is
+    * how a 100 TB pipeline serves exact distincts at query time. Both
+    * grains fully ORACLED against DuckDB's direct COUNT(DISTINCT). */
+  private val aggBitmapDistinct: Q = (s, dir) => {
+    val ev = load(s, dir, "events")
+    // shard bitmaps: one per (type, day, bucket)
+    val shards = ev.select(col("event_type"), to_date(col("ts")).as("d"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("d"), col("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .cache()
+    val daily = shards.groupBy(col("event_type"), col("d"))
+      .agg(sum(expr("bitmap_count(bm)")).as("daily_users"))
+    // rollup WITHOUT touching events again: OR-merge day shards per bucket
+    val total = shards.groupBy(col("event_type"), col("bkt"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("total_users"))
+    daily.join(total, "event_type")
+      .select(col("event_type"), col("d").cast("string").as("d"),
+        col("daily_users"), col("total_users"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  private val aggBitmapDistinctSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    COUNT(DISTINCT user_id) AS daily_users
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS total_users
+      |  FROM events GROUP BY 1)
+      |SELECT daily.event_type, CAST(daily.d AS VARCHAR) AS d,
+      |  daily.daily_users, tot.total_users
+      |FROM daily JOIN tot USING (event_type)
+      |ORDER BY event_type, d""".stripMargin
+
   // histogram_numeric (NumericHistogram / Hive GenericUDAFHistogramNumeric
   // shape): engine-specific bin centers, but exact invariants — bin count,
   // total mass == row count, centers inside the data range — gate it.
@@ -2044,6 +2089,53 @@ object RelationalOps {
     * small shuffles (hourly agg, per-type window); the grid explode is
     * linear in (types × hours), never in events. Hourly means come from
     * the exact 0.0025-grid quantization (see [[evAbTestWelch]]). */
+  /** Exponential smoothing (EWMA, α=0.3) over per-type daily means —
+    * the classic metric-smoothing pass next to [[evRollingDrift]]'s
+    * z-gate. The recurrence s_i = α·x_i + (1−α)·s_{i−1} (seeded
+    * s_1 = x_1) is inherently sequential, so it runs as a bounded
+    * `aggregate` HOF over the day-sorted per-type series (the day
+    * vocabulary is calendar-bounded — ~30 elements — regardless of
+    * corpus size; the unbounded dimension, events per day, was already
+    * collapsed by the daily mean shuffle). Every step rounds at 6 dp so
+    * both engines walk the identical double sequence; DuckDB mirrors
+    * the fold with `list_reduce` over `list_slice` prefixes. */
+  private val evEwma: Q = (s, dir) => {
+    val alpha = 0.3
+    val daily = load(s, dir, "events")
+      .withColumn("vq", round(col("value") * 400).cast("long"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg((sum(col("vq")).cast("double") / count(lit(1)) / 400).as("m"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("sv"))
+      .withColumn("ms", transform(col("sv"), x => round(x.getField("m"), 6)))
+    series
+      .select(col("event_type"), col("ms"),
+        posexplode(col("sv")).as(Seq("i0", "e")))
+      .select(col("event_type"), col("e.d").cast("string").as("d"),
+        round(col("e.m"), 6).as("mean_v"),
+        aggregate(slice(col("ms"), lit(2), col("i0")), element_at(col("ms"), 1),
+          (acc, x) => round(lit(alpha) * x + lit(1 - alpha) * acc, 6))
+          .as("ewma"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  private val evEwmaSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(round(value * 400) AS BIGINT)) AS DOUBLE)
+      |      / COUNT(*) / 400 AS m
+      |  FROM events GROUP BY 1, 2),
+      |series AS (
+      |  SELECT event_type,
+      |    list(CAST(d AS VARCHAR) ORDER BY d) AS ds,
+      |    list(round(m, 6) ORDER BY d) AS ms
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, ds[i] AS d, ms[i] AS mean_v,
+      |  list_reduce(list_slice(ms, 1, i),
+      |    (acc, x) -> round(0.3e0 * x + 0.7e0 * acc, 6)) AS ewma
+      |FROM series, unnest(generate_series(1, len(ms))) AS t(i)
+      |ORDER BY event_type, d""".stripMargin
+
   private val evResampleFfill: Q = (s, dir) => {
     val ev = load(s, dir, "events")
     val hourly = ev
@@ -2397,6 +2489,7 @@ object RelationalOps {
     ("ev_markov_transitions" -> evMarkovTransitions, evMarkovTransitionsSql),
     ("ev_ab_test_welch" -> evAbTestWelch, evAbTestWelchSql),
     ("ev_resample_ffill" -> evResampleFfill, evResampleFfillSql),
+    ("ev_ewma_smoothing" -> evEwma, evEwmaSql),
     ("ev_attribution_linear" -> evAttributionLinear, evAttributionLinearSql),
     ("ev_rolling_drift" -> evRollingDrift, evRollingDriftSql),
     ("ev_dpo_pairs" -> evDpoPairs, evDpoPairsSql),
@@ -2525,6 +2618,7 @@ object RelationalOps {
     "agg_approx_top_k" -> aggApproxTopK,
     "agg_approx_sketch" -> aggApprox,
     "agg_hll_sketch" -> aggHllSketch,
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_histogram_numeric" -> aggHistogram,
     "sample_bernoulli" -> sampleBernoulli)
 
@@ -2532,6 +2626,7 @@ object RelationalOps {
     "agg_approx_top_k" -> aggApproxTopKSql,
     "agg_approx_sketch" -> aggApproxSql,
     "agg_hll_sketch" -> aggHllSketchSql,
+    "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_histogram_numeric" -> aggHistogramSql,
     "sample_bernoulli" -> sampleBernoulliSql)
 }
