@@ -943,8 +943,55 @@ object DedupOps {
       |SELECT canonical_url, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc
       |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
 
+  /** Bloom-PREFILTERED incremental exact dedup — the batch-vs-corpus
+    * membership shape at its cheapest: the corpus's content fingerprints
+    * aggregate into ONE bloom filter (`bloom_filter_agg`, a few KB —
+    * broadcast as a 1-row relation), the new batch drops every row the
+    * bloom rejects in a shuffle-free scan, and only the might-contain
+    * survivors pay the exact fingerprint join. Blooms have NO false
+    * negatives, so the prefilter is semantics-preserving and the final
+    * verdicts are EXACTLY the unfiltered semi-join's — fully ORACLED
+    * (DuckDB computes the plain text-equality join). At 100 TB this is
+    * the difference between shuffling the whole batch into a join and
+    * shuffling only the ~dup fraction; false positives cost one wasted
+    * probe each, never a wrong answer. */
+  private val dedupIncrementalBloom: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("fp"))
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    // might_contain requires a CONSTANT bloom: the aggregated filter (a
+    // few KB — the same bounded state a broadcast would ship) is pulled
+    // to the driver once and planted as a literal, so the batch scan is
+    // a pure shuffle-free filter
+    val bfBytes = corpus.agg(expr("bloom_filter_agg(fp, 1000L, 8000L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val survivors = batch
+      .filter(call_function("might_contain", lit(bfBytes), col("fp")))
+      .select(col("doc_id"), col("fp"))
+    val matched = survivors
+      .join(corpus.select(col("fp"), col("doc_id").as("dup_of")), "fp")
+      .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+    batch.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNotNull, "drop").otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupIncrementalBloomSql =
+    """WITH m AS (
+      |  SELECT b.doc_id, MIN(c.doc_id) AS dup_of
+      |  FROM documents b JOIN documents c
+      |    ON b.text = c.text AND b.doc_id >= 400 AND c.doc_id < 400
+      |  GROUP BY 1)
+      |SELECT b.doc_id, m.dup_of,
+      |  CASE WHEN m.dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict
+      |FROM documents b LEFT JOIN m ON m.doc_id = b.doc_id
+      |WHERE b.doc_id >= 400 ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_url" -> dedupUrl,
+    "dedup_incremental_bloom" -> dedupIncrementalBloom,
     "dedup_cluster_groups" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
     "dedup_embedding_lsh" -> dedupEmbeddingLshGate,
@@ -962,6 +1009,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_url" -> dedupUrlSql,
+    "dedup_incremental_bloom" -> dedupIncrementalBloomSql,
     "dedup_cluster_groups" -> dedupClustersSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_leakage_safe_split" -> leakageSafeSplitSql,

@@ -220,6 +220,27 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("ANALYZE TABLE feeds CBO: column stats exist and shrink filter estimates") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS cbo_probe")
+    spark.range(0, 10000).select(col("id"), (col("id") % 100).as("k"))
+      .write.saveAsTable("cbo_probe")
+    try {
+      withConf("spark.sql.cbo.enabled" -> "true") {
+        def plan = spark.table("cbo_probe").filter(col("k") === 1)
+          .queryExecution.optimizedPlan
+        spark.sql("ANALYZE TABLE cbo_probe COMPUTE STATISTICS FOR ALL COLUMNS")
+        val stats = plan.stats
+        assert(stats.rowCount.isDefined, "CBO stats should carry a row count")
+        // equality on a 100-distinct-value column: the estimate must
+        // reflect ~1% selectivity, not the unfiltered table
+        val est = stats.rowCount.get.toLong
+        assert(est < 1000, s"filter estimate $est should be ~100 of 10000 rows")
+        assert(est > 0)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS cbo_probe")
+  }
+
   private def withConf[A](entries: (String, String)*)(f: => A): A = {
     val old = entries.map { case (k, _) => k -> spark.conf.getOption(k) }
     entries.foreach { case (k, v) => spark.conf.set(k, v) }
