@@ -62,6 +62,42 @@ object PlanHealth {
   def detach(spark: SparkSession, l: Listener): Unit =
     spark.listenerManager.unregister(l)
 
+  /** Runtime operator metrics — the SQLMetrics half of the reference's
+    * per-operator metrics UI: after a query executes, every physical
+    * node's populated metric values (numOutputRows, shuffle
+    * records/bytes written, spill sizes, peak memory, …) keyed by node
+    * name. Plan-shape counters above say what the plan IS; these say
+    * what it DID — the pair a fleet dashboard ingests per query. */
+  final case class OpMetric(node: String, metric: String, value: Long)
+
+  def runtimeMetrics(qe: QueryExecution): Seq[OpMetric] = {
+    // walk through AQE wrappers to the final executed tree
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          s +: walk(s.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+    walk(qe.executedPlan).flatMap { p =>
+      p.metrics.toSeq.map { case (k, m) => OpMetric(p.nodeName, k, m.value) }
+    }
+  }
+
+  /** aggregated headline numbers from [[runtimeMetrics]] */
+  def runtimeSummary(qe: QueryExecution): Map[String, Long] = {
+    val ms = runtimeMetrics(qe)
+    def sumOf(pred: String => Boolean): Long =
+      ms.filter(m => pred(m.metric)).map(_.value).sum
+    // metric KEYS are camelCase identifiers (display names differ)
+    Map(
+      "output_rows" -> sumOf(_ == "numOutputRows"),
+      "shuffle_records_written" -> sumOf(_ == "shuffleRecordsWritten"),
+      "shuffle_bytes_written" -> sumOf(_ == "shuffleBytesWritten"),
+      "spill_bytes" -> sumOf(_ == "spillSize"))
+  }
+
   /** one-line textual report per record */
   def report(l: Listener): Seq[String] = l.records.synchronized {
     l.records.map { r =>

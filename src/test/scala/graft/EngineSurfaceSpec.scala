@@ -48,6 +48,22 @@ class EngineSurfaceSpec extends AnyFunSuite {
     } finally PlanHealth.detach(spark, l)
   }
 
+  test("runtime SQLMetrics surface actual rows and shuffle volume per operator") {
+    val df = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    df.collect()
+    val qe = df.queryExecution
+    val metrics = PlanHealth.runtimeMetrics(qe)
+    assert(metrics.nonEmpty)
+    // the aggregate actually produced rows, and the shuffle actually moved bytes
+    val agg = metrics.filter(m =>
+      m.node.contains("HashAggregate") && m.metric == "numOutputRows")
+    assert(agg.nonEmpty && agg.map(_.value).sum > 0, s"agg metrics: $agg")
+    val sum = PlanHealth.runtimeSummary(qe)
+    assert(sum("output_rows") > 0)
+    assert(sum("shuffle_bytes_written") > 0, s"summary: $sum")
+  }
+
   test("approx_count_distinct within its documented error bound") {
     val li = Tables.load(spark, dir, "lineitem")
     val row = li.agg(
