@@ -703,6 +703,50 @@ class SparkSemanticsSpec extends AnyFunSuite {
     "agg_group_by_map_key_supported" ->
       "SELECT m, count(*) FROM (SELECT map('a', 1) AS m UNION ALL SELECT map('a', 1)) GROUP BY m",
 
+    // round-5c extension: deeper cast/ordering/temporal/string corners
+    "cast_decimal_to_int_truncates" -> "SELECT CAST(CAST(2.9 AS DECIMAL(3,1)) AS INT)",
+    "cast_char_type_pads" ->
+      "SELECT CAST('a' AS CHAR(3)) = 'a', length(CAST('a' AS CHAR(3)))",
+    "cast_fractional_ts_to_double_epoch" ->
+      "SELECT CAST(TIMESTAMP '1970-01-01 00:00:00.5' AS DOUBLE)",
+    "cmp_no_trailing_space_padding" -> "SELECT 'a' = 'a ', 'a' < 'a '",
+    "cmp_array_lexicographic" ->
+      "SELECT array(1,2) < array(1,3), array(1,2) < array(1,2,0)",
+    "cmp_array_equality_with_nulls" ->
+      "SELECT array(1, NULL) = array(1, NULL), array(1, NULL) = array(1, 2)",
+    "cmp_interval_cross_unit" -> "SELECT INTERVAL '1' DAY > INTERVAL '23' HOUR",
+    "render_negative_interval" -> "SELECT CAST(-INTERVAL '1' DAY AS STRING)",
+    "render_year_month_interval" -> "SELECT CAST(INTERVAL '1-2' YEAR TO MONTH AS STRING)",
+    "render_day_second_interval" ->
+      "SELECT CAST(INTERVAL '1 02:03:04' DAY TO SECOND AS STRING)",
+    "unicode_emoji_length_utf16" -> "SELECT length('👍'), octet_length('👍')",
+    "rand_seeded_reproducible" -> "SELECT round(rand(42), 6)",
+    "tz_current_timezone_utc" -> "SELECT current_timezone()",
+    "dt_to_date_defaults_1970" -> "SELECT to_date('02-03', 'MM-dd')",
+    "dt_unix_seconds_whole" ->
+      "SELECT unix_seconds(TIMESTAMP '1970-01-01 00:00:01')",
+    "dt_timestampadd_quarter_clamps" ->
+      "SELECT timestampadd(QUARTER, 1, TIMESTAMP '2020-01-31 00:00:00')",
+    "dt_months_between_31_day_divisor" ->
+      "SELECT months_between(DATE '2020-03-14', DATE '2020-02-28')",
+    "dt_date_minus_second_is_timestamp" ->
+      "SELECT DATE '2020-01-01' - INTERVAL '1' SECOND",
+    "dt_trunc_invalid_format_null" -> "SELECT trunc(DATE '2020-02-15', 'bogus')",
+    "dt_date_format_quarter_pattern" ->
+      "SELECT date_format(DATE '2020-05-05', 'QQQ')",
+    "str_levenshtein_threshold_exceeded" ->
+      "SELECT levenshtein('kitten', 'sitting', 2)",
+    "str_substring_past_end_empty" -> "SELECT substring('ab', 5, 3)",
+    "str_ascii_empty_zero" -> "SELECT ascii('')",
+    "str_hex_of_string" -> "SELECT hex('ab')",
+    "math_log_with_base" -> "SELECT log(2, 8)",
+    "math_getbit" -> "SELECT getbit(11, 0), getbit(11, 2)",
+    "math_shiftright_unsigned" -> "SELECT shiftrightunsigned(-1, 60)",
+    "math_width_bucket_below_range_zero" ->
+      "SELECT width_bucket(-5e0, 0.2e0, 10.6e0, 5)",
+    "gen_posexplode_outer_null_array" ->
+      "SELECT pos, v FROM (SELECT posexplode_outer(CAST(NULL AS ARRAY<INT>)) AS (pos, v))",
+
     // join null-key semantics (the three-valued-logic corners that
     // differ between = joins, <=> joins, and NOT IN rewrites)
     "joinnull_equi_drops_null_keys" ->
@@ -755,6 +799,11 @@ class SparkSemanticsSpec extends AnyFunSuite {
       "REMAINDER_BY_ZERO"),
     ("ansi_interval_divide_by_zero_errors", "SELECT INTERVAL '1' DAY / 0",
       "INTERVAL_DIVIDED_BY_ZERO"),
+    // round-5c: more hard-error contracts
+    ("ansi_cast_nan_to_int_errors", "SELECT CAST(double('NaN') AS INT)",
+      "CAST_OVERFLOW"),
+    ("analysis_map_equality_unorderable_errors",
+      "SELECT map('a', 1) = map('a', 1)", "DATATYPE_MISMATCH"),
     // round-5b: ANSI turns the zero-variance corr denominator into a
     // hard error (non-ANSI engines return NULL/NaN here)
     ("ansi_corr_zero_variance_errors",
