@@ -623,6 +623,32 @@ object RelationalOps {
       |FROM daily JOIN tot USING (event_type)
       |ORDER BY event_type, d""".stripMargin
 
+  /** Per-group top-k through the custom EXACT bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]]): top-3 events by value per type
+    * WITHOUT a rank window — the window shuffles every row of a group
+    * to one task, the aggregate ships k rows per (group × partition)
+    * and merges associatively. ORACLED against DuckDB's rank window
+    * (same (score desc, id asc) total order), proving heap == window
+    * semantics exactly. */
+  private val aggTopkHeap: Q = (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("value"), col("event_id"), 3).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("event_type"), (col("i") + 1).as("rnk"),
+        col("e.id").as("event_id"), col("e.score").as("value"))
+      .orderBy(col("event_type"), col("rnk"))
+
+  private val aggTopkHeapSql =
+    """WITH r AS (
+      |  SELECT event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |                       ORDER BY value DESC, event_id) AS rnk
+      |  FROM events)
+      |SELECT event_type, CAST(rnk AS INTEGER) AS rnk, event_id, value
+      |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
+
   // histogram_numeric (NumericHistogram / Hive GenericUDAFHistogramNumeric
   // shape): engine-specific bin centers, but exact invariants — bin count,
   // total mass == row count, centers inside the data range — gate it.
@@ -2619,6 +2645,7 @@ object RelationalOps {
     "agg_approx_sketch" -> aggApprox,
     "agg_hll_sketch" -> aggHllSketch,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
+    "agg_topk_heap" -> aggTopkHeap,
     "agg_histogram_numeric" -> aggHistogram,
     "sample_bernoulli" -> sampleBernoulli)
 
@@ -2627,6 +2654,7 @@ object RelationalOps {
     "agg_approx_sketch" -> aggApproxSql,
     "agg_hll_sketch" -> aggHllSketchSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
+    "agg_topk_heap" -> aggTopkHeapSql,
     "agg_histogram_numeric" -> aggHistogramSql,
     "sample_bernoulli" -> sampleBernoulliSql)
 }

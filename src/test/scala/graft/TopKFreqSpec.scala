@@ -42,4 +42,22 @@ class TopKFreqSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("x", 2L)))
   }
+
+  test("top_k_by_score equals the rank window on random data across partitions") {
+    import graft.functions.TopKByScore.top_k_by_score
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 2000L).map(id => (s"g${id % 5}", rnd.nextInt(50).toDouble, id))
+    val df = rows.toDF("g", "s", "id").repartition(8)
+    val heap = df.groupBy($"g").agg(top_k_by_score($"s", $"id", 4).as("t"))
+      .select($"g", explode($"t").as("e")).select($"g", $"e.score", $"e.id")
+      .as[(String, Double, Long)].collect().toSet
+    val win = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"g").orderBy($"s".desc, $"id")
+      df.withColumn("r", org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"r" <= 4).select($"g", $"s", $"id")
+        .as[(String, Double, Long)].collect().toSet
+    }
+    assert(heap == win, "bounded-heap aggregate must match window top-k exactly")
+  }
 }
