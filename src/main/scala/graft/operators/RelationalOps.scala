@@ -2162,6 +2162,71 @@ object RelationalOps {
       |FROM series, unnest(generate_series(1, len(ms))) AS t(i)
       |ORDER BY event_type, d""".stripMargin
 
+  /** CUSUM changepoint detection (Page 1954) over per-type daily means
+    * — completes the monitoring family next to [[evEwma]] (smoothing),
+    * `ev_rolling_drift` (z-gate) and `ev_anomaly_mad` (robust gate):
+    * c_i = max(0, c_{i−1} + x_i − μ − 0.5σ), alarm when c_i > 4σ —
+    * the sequential statistic that catches small sustained shifts a
+    * per-point z-test misses. Same scale shape as EWMA: the recurrence
+    * folds over the calendar-bounded day series via `aggregate`, with
+    * μ/σ derived from the same bounded list; every step rounds 6 dp so
+    * the DuckDB `list_reduce` mirror walks identical doubles. */
+  private val evCusum: Q = (s, dir) => {
+    val daily = load(s, dir, "events")
+      .withColumn("vq", round(col("value") * 400).cast("long"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg((sum(col("vq")).cast("double") / count(lit(1)) / 400).as("m"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("sv"))
+      .withColumn("ms", transform(col("sv"), x => round(x.getField("m"), 6)))
+      .withColumn("mu", round(aggregate(col("ms"), lit(0.0), (a, x) => a + x) /
+        size(col("ms")), 6))
+      .withColumn("sd", round(sqrt(
+        aggregate(col("ms"), lit(0.0),
+          (a, x) => a + (x - col("mu")) * (x - col("mu"))) /
+          (size(col("ms")) - 1)), 6))
+    series
+      .select(col("event_type"), col("ms"), col("mu"), col("sd"),
+        posexplode(col("sv")).as(Seq("i0", "e")))
+      .withColumn("cusum", aggregate(
+        slice(col("ms"), lit(1), col("i0") + 1), lit(0.0),
+        (acc, x) => round(greatest(lit(0.0),
+          acc + x - col("mu") - lit(0.5) * col("sd")), 6)))
+      .select(col("event_type"), col("e.d").cast("string").as("d"),
+        round(col("e.m"), 6).as("mean_v"), col("cusum"),
+        (round(col("cusum") - lit(4.0) * col("sd"), 6) > 0).as("alarm"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  private val evCusumSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(round(value * 400) AS BIGINT)) AS DOUBLE)
+      |      / COUNT(*) / 400 AS m
+      |  FROM events GROUP BY 1, 2),
+      |series AS (
+      |  SELECT event_type,
+      |    list(CAST(d AS VARCHAR) ORDER BY d) AS ds,
+      |    list(round(m, 6) ORDER BY d) AS ms
+      |  FROM daily GROUP BY 1),
+      |stats AS (
+      |  SELECT event_type, ds, ms,
+      |    round(list_sum(ms) / len(ms), 6) AS mu
+      |  FROM series),
+      |stats2 AS (
+      |  SELECT event_type, ds, ms, mu,
+      |    round(sqrt(list_sum(list_transform(ms, x -> (x - mu) * (x - mu)))
+      |               / (len(ms) - 1)), 6) AS sd
+      |  FROM stats)
+      |SELECT event_type, ds[i] AS d, ms[i] AS mean_v,
+      |  list_reduce(list_prepend(0.0e0, list_slice(ms, 1, i)),
+      |    (acc, x) -> round(greatest(0.0e0, acc + x - mu - 0.5e0 * sd), 6)) AS cusum,
+      |  round(list_reduce(list_prepend(0.0e0, list_slice(ms, 1, i)),
+      |    (acc, x) -> round(greatest(0.0e0, acc + x - mu - 0.5e0 * sd), 6))
+      |    - 4.0e0 * sd, 6) > 0 AS alarm
+      |FROM stats2, unnest(generate_series(1, len(ms))) AS t(i)
+      |ORDER BY event_type, d""".stripMargin
+
   private val evResampleFfill: Q = (s, dir) => {
     val ev = load(s, dir, "events")
     val hourly = ev
@@ -2516,6 +2581,7 @@ object RelationalOps {
     ("ev_ab_test_welch" -> evAbTestWelch, evAbTestWelchSql),
     ("ev_resample_ffill" -> evResampleFfill, evResampleFfillSql),
     ("ev_ewma_smoothing" -> evEwma, evEwmaSql),
+    ("ev_cusum_changepoint" -> evCusum, evCusumSql),
     ("ev_attribution_linear" -> evAttributionLinear, evAttributionLinearSql),
     ("ev_rolling_drift" -> evRollingDrift, evRollingDriftSql),
     ("ev_dpo_pairs" -> evDpoPairs, evDpoPairsSql),
