@@ -747,6 +747,28 @@ class SparkSemanticsSpec extends AnyFunSuite {
     "gen_posexplode_outer_null_array" ->
       "SELECT pos, v FROM (SELECT posexplode_outer(CAST(NULL AS ARRAY<INT>)) AS (pos, v))",
 
+    // round-5d extension: complex-type casts, struct null-field
+    // comparison, TVF/DDL faces, Spark-4 function aliases
+    "cast_array_int_to_string_array" -> "SELECT CAST(array(1,2) AS ARRAY<STRING>)",
+    "cast_map_value_widening" -> "SELECT CAST(map('a',1) AS MAP<STRING,DOUBLE>)",
+    "cast_struct_field_retype" -> "SELECT CAST(named_struct('a',1) AS STRUCT<a: STRING>)",
+    "cmp_struct_null_field_equality" ->
+      "SELECT named_struct('a', CAST(NULL AS INT)) = named_struct('a', CAST(NULL AS INT))",
+    "cmp_struct_null_field_ordering" ->
+      "SELECT struct(CAST(NULL AS INT)) < struct(1)",
+    "ddl_describe_query_schema" -> "DESCRIBE QUERY SELECT 1 AS x, 'a' AS y",
+    "ddl_show_functions_like" -> "SHOW FUNCTIONS LIKE 'xxhash64'",
+    "sqlrel_explode_as_tvf" -> "SELECT * FROM explode(array(10, 20))",
+    "str_printf_alias" -> "SELECT printf('%03d', 7)",
+    "str_len_alias" -> "SELECT len('abc'), len(x'0102')",
+    "dt_dayname_monthname" ->
+      "SELECT dayname(DATE '2020-01-05'), monthname(DATE '2020-01-05')",
+    "math_try_mod_by_zero" -> "SELECT try_mod(7, 0)",
+    "json_variant_array_index" ->
+      "SELECT variant_get(parse_json('[1,2,3]'), '$[2]', 'int')",
+    "hof_transform_nested_arrays" ->
+      "SELECT transform(array(array(1,2)), xs -> transform(xs, x -> x + 1))",
+
     // join null-key semantics (the three-valued-logic corners that
     // differ between = joins, <=> joins, and NOT IN rewrites)
     "joinnull_equi_drops_null_keys" ->
