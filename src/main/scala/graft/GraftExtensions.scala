@@ -66,6 +66,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "might_contain"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    // the engine's typed-imperative aggregates, exposed to SQL users
+    // (k must be a foldable literal, like Spark's own sketch aggs)
+    ext.injectFunction((
+      new FunctionIdentifier("topk_freq"),
+      new ExpressionInfo(classOf[graft.functions.TopKFreq].getName, "topk_freq"),
+      (exprs: Seq[Expression]) => graft.functions.TopKFreq(
+        exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "top_k_by_score"),
+      (exprs: Seq[Expression]) => graft.functions.TopKByScore(
+        exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
     ext.injectOptimizerRule(_ => EliminateRedundantToDate)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectQueryStagePrepRule(graft.plans.MergeTwoPhaseAggregate.apply)

@@ -37,4 +37,16 @@ class BloomFilterSqlSpec extends AnyFunSuite {
       .head().getAs[Array[Byte]](0)
     assert(bf.nonEmpty)
   }
+
+  test("custom typed aggregates are SQL-callable (topk_freq, top_k_by_score)") {
+    val freq = spark.sql(
+      """SELECT topk_freq(w, 4) FROM VALUES ('a'),('b'),('a') t(w)""").head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+    assert(freq == Seq(("a", 2L), ("b", 1L)))
+    val top = spark.sql(
+      """SELECT top_k_by_score(s, id, 2)
+        |FROM VALUES (1.0d, 1L),(3.0d, 2L),(2.0d, 3L) t(s, id)""".stripMargin).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(top == Seq((3.0, 2L), (2.0, 3L)))
+  }
 }
