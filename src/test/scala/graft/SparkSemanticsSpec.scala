@@ -769,6 +769,20 @@ class SparkSemanticsSpec extends AnyFunSuite {
     "hof_transform_nested_arrays" ->
       "SELECT transform(array(array(1,2)), xs -> transform(xs, x -> x + 1))",
 
+    // round-5e: modern relational SQL forms
+    "sqlrel_having_without_group_by" ->
+      "SELECT count(*) FROM VALUES (1),(2) t(x) HAVING count(*) > 1",
+    "sqlrel_order_by_all" ->
+      "SELECT x, y FROM VALUES (2, 'b'),(1, 'a'),(1, 'c') t(x, y) ORDER BY ALL",
+    "sqlrel_group_by_all_infers_keys" ->
+      "SELECT x, count(*) AS n FROM VALUES (1),(1),(2) t(x) GROUP BY ALL ORDER BY x",
+    "sqlrel_star_except_column" ->
+      "SELECT * EXCEPT (b) FROM (SELECT 1 AS a, 2 AS b, 3 AS c)",
+    "sqlrel_limit_all" ->
+      "SELECT x FROM VALUES (1),(2) t(x) ORDER BY x LIMIT ALL",
+    "sqlrel_select_distinct_rows" ->
+      "SELECT DISTINCT x, y FROM VALUES (1, 'a'),(1, 'a'),(2, 'b') t(x, y) ORDER BY x",
+
     // join null-key semantics (the three-valued-logic corners that
     // differ between = joins, <=> joins, and NOT IN rewrites)
     "joinnull_equi_drops_null_keys" ->
