@@ -19,6 +19,33 @@ import org.apache.spark.sql.types.DateType
   * Activate with `spark.sql.extensions=graft.GraftExtensions` or
   * through [[GraftSession.builder]].
   */
+object GraftExtensions {
+  /** Resolve the `k` argument of a sketch-style aggregate at function-
+    * resolution time. Mirrors Spark's own sketch-agg builders: k must
+    * be a non-null foldable integral literal, anything else is a clean
+    * `AnalysisException` instead of an obscure eval-time failure. */
+  private[graft] def literalK(fn: String, e: Expression): Int = {
+    def fail(why: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+        Map(
+          "sqlExpr" -> s"\"$fn\"",
+          "inputName" -> "`k` (k must be an integer literal)",
+          "inputType" -> "\"INT\"",
+          "inputExpr" -> s"\"${e.sql} ($why)\""),
+        None)
+    if (!e.foldable) fail(s"got non-foldable ${e.sql}")
+    e.eval() match {
+      case null => fail("got NULL")
+      case n: java.lang.Integer => n.intValue()
+      case n: java.lang.Long if n >= Int.MinValue && n <= Int.MaxValue => n.intValue()
+      case n: java.lang.Short => n.intValue()
+      case n: java.lang.Byte => n.intValue()
+      case other => fail(s"got ${other.getClass.getSimpleName} ${e.sql}")
+    }
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -72,13 +99,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("topk_freq"),
       new ExpressionInfo(classOf[graft.functions.TopKFreq].getName, "topk_freq"),
       (exprs: Seq[Expression]) => graft.functions.TopKFreq(
-        exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+        exprs(0), GraftExtensions.literalK("topk_freq", exprs(1)))
         .toAggregateExpression()))
     ext.injectFunction((
       new FunctionIdentifier("top_k_by_score"),
       new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "top_k_by_score"),
       (exprs: Seq[Expression]) => graft.functions.TopKByScore(
-        exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Number].intValue())
+        exprs(0), exprs(1), GraftExtensions.literalK("top_k_by_score", exprs(2)))
         .toAggregateExpression()))
     ext.injectOptimizerRule(_ => EliminateRedundantToDate)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

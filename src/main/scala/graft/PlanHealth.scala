@@ -68,7 +68,7 @@ object PlanHealth {
     * records/bytes written, spill sizes, peak memory, …) keyed by node
     * name. Plan-shape counters above say what the plan IS; these say
     * what it DID — the pair a fleet dashboard ingests per query. */
-  final case class OpMetric(node: String, metric: String, value: Long)
+  final case class OpMetric(node: String, metric: String, value: Long, accumId: Long = -1L)
 
   def runtimeMetrics(qe: QueryExecution): Seq[OpMetric] = {
     // walk through AQE wrappers to the final executed tree
@@ -81,13 +81,18 @@ object PlanHealth {
         case other => other +: other.children.flatMap(walk)
       }
     walk(qe.executedPlan).flatMap { p =>
-      p.metrics.toSeq.map { case (k, m) => OpMetric(p.nodeName, k, m.value) }
+      p.metrics.toSeq.map { case (k, m) => OpMetric(p.nodeName, k, m.value, m.id) }
     }
   }
 
-  /** aggregated headline numbers from [[runtimeMetrics]] */
+  /** Aggregated headline numbers from [[runtimeMetrics]]. Reused
+    * exchanges / reused query stages share the ORIGINAL node's
+    * SQLMetric accumulators, and the plan walk visits each occurrence —
+    * summing naively would double-count data movement, so each
+    * accumulator id contributes once. */
   def runtimeSummary(qe: QueryExecution): Map[String, Long] = {
     val ms = runtimeMetrics(qe)
+      .groupBy(_.accumId).map(_._2.head).toSeq // dedupe shared accumulators
     def sumOf(pred: String => Boolean): Long =
       ms.filter(m => pred(m.metric)).map(_.value).sum
     // metric KEYS are camelCase identifiers (display names differ)

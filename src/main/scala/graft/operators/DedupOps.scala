@@ -951,13 +951,17 @@ object DedupOps {
     * survivors pay the exact fingerprint join. Blooms have NO false
     * negatives, so the prefilter is semantics-preserving and the final
     * verdicts are EXACTLY the unfiltered semi-join's — fully ORACLED
-    * (DuckDB computes the plain text-equality join). At 100 TB this is
+    * (DuckDB computes the plain text-equality join). The exact join
+    * shuffles on the 8-byte fingerprint but VERIFIES on text equality
+    * (the residual predicate below), so even a 64-bit fp collision
+    * between different texts cannot flip a keep to drop — the bloom
+    * and the fp are both pure accelerators. At 100 TB this is
     * the difference between shuffling the whole batch into a join and
     * shuffling only the ~dup fraction; false positives cost one wasted
     * probe each, never a wrong answer. */
   private val dedupIncrementalBloom: Q = (s, dir) => {
     val docs = load(s, dir, "documents")
-      .select(col("doc_id"), xxhash64(col("text")).as("fp"))
+      .select(col("doc_id"), col("text"), xxhash64(col("text")).as("fp"))
     val corpus = docs.filter(col("doc_id") < 400)
     val batch = docs.filter(col("doc_id") >= 400)
     // might_contain requires a CONSTANT bloom: the aggregated filter (a
@@ -968,9 +972,13 @@ object DedupOps {
       .head.getAs[Array[Byte]]("bf")
     val survivors = batch
       .filter(call_function("might_contain", lit(bfBytes), col("fp")))
-      .select(col("doc_id"), col("fp"))
+      .select(col("doc_id"), col("text"), col("fp"))
+    // equi-key = fp (cheap 8-byte shuffle key); residual = text equality
+    // (the actual verdict predicate, collision-proof)
+    val corpusSide = corpus
+      .select(col("fp").as("c_fp"), col("text").as("c_text"), col("doc_id").as("dup_of"))
     val matched = survivors
-      .join(corpus.select(col("fp"), col("doc_id").as("dup_of")), "fp")
+      .join(corpusSide, col("fp") === col("c_fp") && col("text") === col("c_text"))
       .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
     batch.join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),

@@ -153,11 +153,17 @@ object SimilarityOps {
     * grows — classification at 100 TB happens in bounded batches, and
     * each batch's cost is linear in the corpus (the 10x ScaleUp run
     * measured the unbounded variant at ~n²; the bounded one is the
-    * shipped contract). Votes aggregate per (query, label) — a tiny
-    * shuffle bounded by 5·|batch|. Ties break to the smallest label,
-    * neighbor ties to the smallest id, so the result is deterministic
-    * and fully ORACLED (DuckDB mirrors the float
-    * normalize-then-double-dot arithmetic of [[annUnitTopk]]). */
+    * shipped contract). Neighbor selection is the engine's
+    * [[graft.functions.TopKByScore]] mergeable bounded-heap aggregate —
+    * NOT a rank window (a window would shuffle all |corpus|x|batch|
+    * scored rows into |batch| partitions before ranking; the aggregate's
+    * map-side partials carry at most 5 pairs per (query x partition), so
+    * the shuffle is 5*|batch|*parts rows of 16 bytes regardless of
+    * corpus size). Neighbor labels attach via a second corpus scan past
+    * the BROADCAST 5*|batch|-row neighbor list — shuffle-free. Ties
+    * break to the smallest label, neighbor ties to the smallest id, so
+    * the result is deterministic and fully ORACLED (DuckDB mirrors the
+    * float normalize-then-double-dot arithmetic of [[annUnitTopk]]). */
   private val knnClassify: Q = (s, dir) => {
     val e = load(s, dir, "embeddings")
       .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
@@ -170,13 +176,20 @@ object SimilarityOps {
     val train = e.filter(col("vec_id") % 5 =!= 0)
       .select(col("vec_id").as("cid"), col("label").as("lbl"),
         col("unit").as("c_unit"))
-    val wn = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    val nn = train.crossJoin(broadcast(test))
+    // (score desc, id asc) heap order == the old window's
+    // (cos desc, cid) rank order, so results are bit-identical
+    val topk = train.crossJoin(broadcast(test))
       .withColumn("cos", round(GraftExpressions.dot_product(col("q_unit"), col("c_unit")), 6))
-      .withColumn("rnk", row_number().over(wn))
-      .filter(col("rnk") <= 5)
+      .groupBy(col("qid"), col("actual"))
+      .agg(graft.functions.TopKByScore.top_k_by_score(col("cos"), col("cid"), 5).as("nn"))
+    val nn = topk
+      .select(col("qid"), col("actual"), explode(col("nn")).as("e"))
+      .select(col("qid"), col("actual"), col("e.id").as("cid"))
+    // corpus streams past the broadcast tiny neighbor list to pick up labels
+    val voted = train.select(col("cid"), col("lbl"))
+      .join(broadcast(nn), "cid")
     val wv = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("lbl"))
-    nn.groupBy(col("qid"), col("actual"), col("lbl"))
+    voted.groupBy(col("qid"), col("actual"), col("lbl"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(wv))
       .filter(col("vr") === 1)

@@ -1179,8 +1179,11 @@ object TextOps {
     val words = load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .distinct()
+    // trip count from the word itself (each iteration consumes >= 1
+    // char, so length(word) steps always empty the remainder) — a fixed
+    // cap would silently truncate words longer than it
     val toks = aggregate(
-      sequence(lit(1), lit(30)),
+      sequence(lit(1), greatest(length(col("word")), lit(1))),
       struct(col("word").as("rem"),
         array().cast("array<string>").as("toks")),
       (acc, _) => {

@@ -60,4 +60,21 @@ class TopKFreqSpec extends AnyFunSuite {
     }
     assert(heap == win, "bounded-heap aggregate must match window top-k exactly")
   }
+
+  test("SQL k argument: non-literal / NULL / non-integral k is a clean AnalysisException") {
+    Seq("x" -> "a", "y" -> "b").toDF("w", "g").createOrReplaceTempView("tkf_in")
+    // bad k shapes that previously surfaced as eval-time NPE/CCE
+    val bad = Seq(
+      "SELECT topk_freq(w, g) FROM tkf_in",            // column reference
+      "SELECT topk_freq(w, NULL) FROM tkf_in",         // NULL
+      "SELECT topk_freq(w, 'three') FROM tkf_in",      // string literal
+      "SELECT top_k_by_score(1.0, 1L, w) FROM tkf_in") // column reference
+    bad.foreach { q =>
+      val ex = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(ex.getMessage.contains("k must be an integer literal"), s"for $q got: ${ex.getMessage}")
+    }
+    // good: a plain literal still works
+    val ok = spark.sql("SELECT topk_freq(w, 2) AS s FROM tkf_in").collect()
+    assert(ok.length == 1)
+  }
 }
