@@ -18,10 +18,12 @@ import org.apache.spark.sql.SparkSession
   * Queries that need a graft-only operator (the custom as-of join
   * strategy) or the graft catalog cannot run on vanilla and are listed
   * in `vanilla_skipped`. The JSON also carries
-  * `plan_changed_by_rules`: headline queries whose physical plan is
-  * altered by the default-on custom rules (A/B of the rule conf inside
-  * the graft session, expr-ids normalized away) — the queries where
-  * graft-vs-vanilla is a rule comparison, not noise.
+  * `plan_changed_by_rules` (queries whose normalized graft plan
+  * differs from the normalized VANILLA plan) and `plan_delta_causes`
+  * (per query, WHICH tuned conf or injected rule causes the delta,
+  * found by bisecting each tuned conf to the vanilla session's actual
+  * value) — so a graft-vs-vanilla time delta is attributable, never
+  * hand-waved as noise.
   *
   * Fairness protocol (per-query interleave): BOTH engines live as two
   * sessions over ONE SparkContext (extensions and every tuned SQL conf
@@ -135,25 +137,65 @@ object Bench {
     dt
   }
 
-  /** headline queries whose physical plan the default-on custom rules
-    * change (A/B of the rule confs, expr-ids stripped before compare) */
-  private def planAudit(spark: SparkSession, sfDir: String,
-      names: Seq[String]): Seq[String] = {
+  /** Every conf the graft session tunes away from stock defaults, plus
+    * the gates of the default-on injected rules — the bisection
+    * candidates for plan-delta attribution. */
+  private val tunedConfKeys: Seq[String] = Seq(
+    "spark.sql.join.preferSortMergeJoin",
+    "spark.sql.parquet.aggregatePushdown",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled",
+    "spark.sql.optimizer.nestedSchemaPruning.enabled",
+    "spark.graft.mergeTwoPhaseAgg.enabled")
+
+  /** Truthful plan-delta attribution: each query's normalized
+    * graft-session plan is diffed against the normalized
+    * VANILLA-session plan (both sessions exist — no proxy A/B). For a
+    * differing query, every tuned conf is bisected: flipped in the
+    * graft session to the vanilla session's ACTUAL value; the confs
+    * whose flip changes the graft plan are the causes. A delta no
+    * tuned conf explains is attributed to the always-on injected
+    * rules ("injected-rules"). Returns (query, causes) for every
+    * query whose plans differ. */
+  private def planAudit(graft: SparkSession, vanilla: Option[SparkSession],
+      sfDir: String, names: Seq[String]): Seq[(String, Seq[String])] = {
     val qs = SparkEntry.queries
     // normalize expr ids, plan ids AND lambda-variable counters — the
     // lambda counter is session-global, so two plan builds of the same
     // query differ in `lambda x_4` vs `lambda x_8` (a false "changed")
-    def normPlan(name: String): String =
-      qs(name)(spark, sfDir).queryExecution.executedPlan.toString
+    def normPlan(s: SparkSession, name: String): String =
+      qs(name)(s, sfDir).queryExecution.executedPlan.toString
         .replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "plan_id=")
         .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_")
+    // the vanilla session has no graft rules: conceptually the rule
+    // gate is off there
+    def vanillaValue(v: SparkSession, key: String): String =
+      if (key.startsWith("spark.graft.")) "false"
+      else v.conf.getOption(key).getOrElse("")
     names.filter(qs.contains).filterNot(graftOnly.contains).flatMap { name =>
       try {
-        val on = normPlan(name)
-        spark.conf.set("spark.graft.mergeTwoPhaseAgg.enabled", "false")
-        val off = try normPlan(name)
-        finally spark.conf.unset("spark.graft.mergeTwoPhaseAgg.enabled")
-        if (on != off) Some(name) else None
+        val g = normPlan(graft, name)
+        vanilla match {
+          case None => None
+          case Some(v) if normPlan(v, name) == g => None
+          case Some(v) =>
+            val causes = tunedConfKeys.filter { key =>
+              val orig = graft.conf.getOption(key)
+              graft.conf.set(key, vanillaValue(v, key))
+              val flipped = try normPlan(graft, name)
+              finally orig.fold(graft.conf.unset(key))(graft.conf.set(key, _))
+              flipped != g
+            }
+            // flip ALL tuned confs at once: if the plans still differ,
+            // the residual is the injected optimizer/physical rules
+            val origs = tunedConfKeys.map(k => k -> graft.conf.getOption(k))
+            tunedConfKeys.foreach(k => graft.conf.set(k, vanillaValue(v, k)))
+            val allFlipped = try normPlan(graft, name)
+            finally origs.foreach { case (k, o) =>
+              o.fold(graft.conf.unset(k))(graft.conf.set(k, _)) }
+            val residual =
+              if (allFlipped != normPlan(v, name)) Seq("injected-rules") else Nil
+            Some(name -> (causes ++ residual))
+        }
       } catch { case _: Throwable => None }
     }
   }
@@ -216,30 +258,46 @@ object Bench {
 
     val qs = SparkEntry.queries
     val names = set.filter(qs.contains)
-    var gTimes = Map.empty[String, Double]
-    var vTimes = Map.empty[String, Double]
+    var gSamples = Map.empty[String, List[Double]].withDefaultValue(Nil)
+    var vSamples = Map.empty[String, List[Double]].withDefaultValue(Nil)
     warmup(graft, sfDir)
     if (withVanilla) warmup(vanilla, sfDir)
+    def timePair(name: String, graftFirst: Boolean): Unit = {
+      def g(): Unit =
+        gSamples += (name -> (timeOne(graft, sfDir, name) :: gSamples(name)))
+      def v(): Unit = if (withVanilla && !graftOnly.contains(name))
+        vSamples += (name -> (timeOne(vanilla, sfDir, name) :: vSamples(name)))
+      if (graftFirst) { g(); v() } else { v(); g() }
+    }
     for (round <- 1 to rounds) {
       // flip within-pair order each round; min-of-rounds absorbs the
       // residual first-in-pair page-cache effect
-      val graftFirst = round % 2 == 1
-      for (name <- names) {
-        def g(): Unit = {
-          val t = timeOne(graft, sfDir, name)
-          gTimes += (name -> math.min(t, gTimes.getOrElse(name, Double.MaxValue)))
-        }
-        def v(): Unit = if (withVanilla && !graftOnly.contains(name)) {
-          val t = timeOne(vanilla, sfDir, name)
-          vTimes += (name -> math.min(t, vTimes.getOrElse(name, Double.MaxValue)))
-        }
-        if (graftFirst) { g(); v() } else { v(); g() }
-      }
+      for (name <- names) timePair(name, graftFirst = round % 2 == 1)
     }
+    // Noise hardening (checkpoint/cache-heavy queries are uniquely
+    // sensitive to neighbor pressure — round-5 published a 1.99x
+    // artifact for a query that measures 0.94x isolated): any query
+    // whose round-to-round spread exceeds 30% on either engine, or
+    // whose engine ratio lands >= 1.3 either way, gets two extra
+    // adjacent-pair rounds before the minimum is taken, so a stray
+    // GC/JIT hiccup cannot survive as the published number.
+    def spread(xs: List[Double]): Double =
+      if (xs.size < 2 || xs.min <= 0) 0.0 else xs.max / xs.min - 1.0
+    if (rounds > 1 && withVanilla) {
+      val noisy = names.filter { n =>
+        val gs = gSamples(n); val vs = vSamples(n)
+        val ratio = if (vs.nonEmpty && vs.min > 0) gs.min / vs.min else 1.0
+        spread(gs) > 0.3 || spread(vs) > 0.3 || ratio >= 1.3 || ratio <= (1 / 1.3)
+      }
+      for (round <- 1 to 2; name <- noisy) timePair(name, graftFirst = round % 2 == 1)
+    }
+    val gTimes: Map[String, Double] = gSamples.map { case (k, v) => k -> v.min }.toMap
+    val vTimes: Map[String, Double] = vSamples.map { case (k, v) => k -> v.min }.toMap
     val results: Seq[(String, Double)] = names.map(n => n -> gTimes(n))
     val vanillaResults: Seq[(String, Double)] =
       names.filter(vTimes.contains).map(n => n -> vTimes(n))
-    val changed: Seq[String] = planAudit(graft, sfDir, set)
+    val deltas: Seq[(String, Seq[String])] =
+      planAudit(graft, if (withVanilla) Some(vanilla) else None, sfDir, set)
     graft.stop(); freshSession()
 
     val total = results.map(_._2).sum
@@ -261,7 +319,12 @@ object Bench {
         f""","vanilla":${toJson(vanillaResults)},"vanilla_total":$vTotal%.3f""" +
           f""","graft_vs_vanilla_ratio":$ratio%.3f,"vanilla_skipped":$skipped""")
     } else ("", "")
-    val changedJson = changed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // back-compat list (queries with ANY plan delta vs vanilla) + the
+    // per-query attribution object
+    val changedJson = deltas.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val causesJson = deltas.map { case (n, cs) =>
+      "\"" + n + "\":" + cs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // The driver records only the last ~2000 bytes of stdout, and sbt's
     // trailing "[success] Total time…" line spends ~80 of them — the
     // round-4 compact line (2.0 KB) was still front-truncated and the
@@ -285,7 +348,8 @@ object Bench {
     }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)}""" +
-        vanillaFull + s""","plan_changed_by_rules":$changedJson,"sf":"$sfDir"}"""
+        vanillaFull + s""","plan_changed_by_rules":$changedJson""" +
+        s""","plan_delta_causes":$causesJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     println(line)

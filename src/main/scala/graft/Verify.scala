@@ -51,8 +51,13 @@ object Verify {
     if (only.isEmpty) {
       try {
         val gates = graft.tools.QualityGates.measure(spark, sfDir)
-        Files.writeString(Paths.get(s"$outDir/recall_gates.json"),
-          graft.tools.QualityGates.toJson(gates))
+        val gatesJson = graft.tools.QualityGates.toJson(gates)
+        Files.writeString(Paths.get(s"$outDir/recall_gates.json"), gatesJson)
+        // reviewable round artifact next to CORRECTNESS_r{N}: the
+        // approximate-path floors belong in the repo, not only in the
+        // driver's scratch dir
+        try Files.writeString(Paths.get("RECALL.json"), gatesJson)
+        catch { case _: Throwable => () }
         gates.foreach(g => System.err.println(
           f"[gates] ${g.query}%-22s ${g.metric}%-34s ${g.value}%.4f (bound ${g.bound}%.2f) ${if (g.pass) "ok" else "FAIL"}"))
       } catch { case e: Throwable =>

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   *  - `mm_decode_wav` extends the same two-stage shape to AUDIO: real
   *    RIFF/WAV PCM16 payloads (`javax.sound.sampled`) decoded back to
   *    exact integer features (Σ|s|, peak, zero-crossings) — the
-  *    screeners an audio-curation pass runs first, oracled closed-form.
+  *    screeners an audio-curation pass runs first, oracled closed-form;
+  *  - `mm_decode_jpeg` adds the LOSSY tier real pipelines live on:
+  *    genuine JPEG payloads round-tripped and gated with tolerance
+  *    bands (exact dims, mean within ±1, pixels within ±16 of the
+  *    pre-encode raster) instead of exact equality.
   */
 object MultimodalOps {
 
@@ -381,7 +385,93 @@ object MultimodalOps {
       |  CAST(SUM(c) AS INTEGER) AS zero_cross
       |FROM z GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  /** typed lossy-decode gate record: exact dims + tolerance booleans */
+  final case class JpegGate(doc_id: Long, width: Int, height: Int,
+      n_px: Int, mean_ok: Boolean, pixel_ok: Boolean)
+
+  /** smooth per-doc grayscale plane (JPEG-friendly by design: a linear
+    * gradient concentrates energy in the DC/low-AC coefficients, so the
+    * lossy round-trip error is small and BOUNDED — the property the
+    * tolerance gate pins) */
+  private def jpegExpected(id: Long, x: Int, y: Int): Int =
+    (id % 100).toInt + 2 * x + 3 * y
+
+  /** deterministic grayscale raster → REAL JPEG bytes (JDK `javax.imageio`
+    * lossy codec, executor-side) */
+  private def encodeJpeg(id: Long): Array[Byte] = {
+    val w = (16 + id % 16).toInt
+    val h = (8 + id % 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, jpegExpected(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** real JPEG parse + tolerance-banded comparison against the
+    * PRE-ENCODE raster: dims must be exact; the per-image mean must sit
+    * within ±1.0 of the closed-form mean and every pixel within ±16 of
+    * the generator (lossy codecs preserve means far better than
+    * pixels — both bands hold for smooth content at default quality) */
+  private def decodeJpeg(m: MediaBytes): JpegGate = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+    val w = img.getWidth; val h = img.getHeight
+    val r = img.getRaster
+    var sumDec = 0L; var sumExp = 0L; var maxAbs = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val dec = r.getSample(x, y, 0)
+        val exp = jpegExpected(m.doc_id, x, y)
+        sumDec += dec; sumExp += exp
+        val d = math.abs(dec - exp)
+        if (d > maxAbs) maxAbs = d
+        x += 1
+      }
+      y += 1
+    }
+    val n = w * h
+    JpegGate(m.doc_id, w, h, n,
+      mean_ok = math.abs(sumDec.toDouble / n - sumExp.toDouble / n) <= 1.0,
+      pixel_ok = maxAbs <= 16)
+  }
+
+  /** LOSSY codec through the same two-stage decode plumbing: stage 1
+    * encodes genuine JPEG payloads per document, stage 2 decodes and
+    * gates the raster against the pre-encode generator with tolerance
+    * bands (exact equality is impossible by construction — that is the
+    * point of including a lossy format). ORACLED as a gate face: dims
+    * and n_px are exact-recomputable, the tolerance verdicts must be
+    * uniformly true; DuckDB recomputes the former and pins the latter. */
+  private val mmDecodeJpeg: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    load(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBytes(id, encodeJpeg(id))))
+      .mapPartitions(_.map(decodeJpeg))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodeJpegSql =
+    """SELECT doc_id,
+      |  CAST(16 + doc_id % 16 AS INTEGER) AS width,
+      |  CAST(8 + doc_id % 8 AS INTEGER) AS height,
+      |  CAST((16 + doc_id % 16) * (8 + doc_id % 8) AS INTEGER) AS n_px,
+      |  TRUE AS mean_ok, TRUE AS pixel_ok
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_decode_jpeg" -> mmDecodeJpeg,
     "mm_decode_wav" -> mmDecodeWav,
     "mm_meta" -> mmMeta,
     "mm_decode_png" -> mmDecodePng,
@@ -392,6 +482,7 @@ object MultimodalOps {
     "mm_base64" -> mmBase64)
 
   val oracles: Map[String, String] = Map(
+    "mm_decode_jpeg" -> mmDecodeJpegSql,
     "mm_decode_wav" -> mmDecodeWavSql,
     "mm_meta" -> mmMetaSql,
     "mm_decode_png" -> mmDecodePngSql,

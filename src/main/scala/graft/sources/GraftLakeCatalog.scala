@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedRe
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -144,17 +145,19 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
 
   /** OPTIMIZE-style compaction: rewrite the table so each partition value
     * holds one data file in the CURRENT schema layout (stats recomputed),
-    * committed as a snapshot — history stays readable. In this in-memory
-    * stand-in the merge runs on the driver; the production shape is a
-    * distributed rewrite job feeding the same replace-commit. */
+    * committed as a snapshot — history stays readable. The merge streams
+    * file-by-file on the driver; the production shape is a distributed
+    * rewrite job feeding the same replace-commit. */
   def compact(ident: Identifier): Unit = {
     val st = state(ident)
     val snap = st.current
     val sch = snap.schema
     val ids = snap.fieldIds
     val types: IndexedSeq[DataType] = sch.fields.map(_.dataType).toIndexedSeq
+    val bundle = LakeFileStore.writerBundle(ids, types)
     val merged = snap.files.groupBy(_.partition).map { case (part, fs) =>
-      val rows = fs.flatMap { f =>
+      val out = new LakeOpenFile(bundle, part, ids, types)
+      fs.foreach { f =>
         // re-layout each file's rows into the current schema by field id
         val proj = UnsafeProjection.create(ids.indices.map { i =>
           f.fieldIds.indexOf(ids(i)) match {
@@ -162,10 +165,9 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
             case ord => BoundReference(ord, f.types(ord), nullable = true)
           }
         })
-        f.rows.map(r => proj(r).copy(): InternalRow)
-      }.toArray
-      LakeDataFile(part, rows, ids, types, LakeStats.collect(rows, types),
-        LakeBloom.collect(rows, types))
+        f.readRows().foreach(r => out.add(proj(r)))
+      }
+      out.finish()
     }.toSeq
     st.replace(snap.files, merged)
   }
@@ -283,7 +285,7 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
                   case ord => BoundReference(ord, f.types(ord), nullable = true)
                 }
               })
-              f.rows.foreach { r =>
+              f.readRows().foreach { r =>
                 val p = proj(r).copy() // own buffer: string getters stay valid
                 out += (types.indices.map(i => p.get(i, types(i))) ++
                   Seq(UTF8String.fromString(tag), v)).toArray
@@ -355,15 +357,22 @@ object LakePartField {
   * FIELD ID (the Iceberg model), so renames never detach the spec */
 case class LakePartSpec(fieldId: Int, bucket: Int)
 
-/** immutable data file: partition tuple + UnsafeRow payloads laid out in
+/** Immutable data file MANIFEST ENTRY: partition tuple + the path of a
+  * parquet file on disk (see [[LakeFileStore]]) holding rows laid out in
   * the WRITE-TIME schema, identified by per-column field ids (schema
   * evolution: readers map the current schema onto each file by id).
   * `stats(i)` = (min, max) of column i over the file's non-null values —
-  * the manifest-level pruning stats Iceberg/Delta keep per data file. */
-case class LakeDataFile(partition: IndexedSeq[Any], rows: Array[InternalRow],
+  * the manifest-level pruning stats Iceberg/Delta keep per data file.
+  * Only this entry lives in the catalog; row payloads stay on disk and
+  * are streamed by readers. */
+case class LakeDataFile(partition: IndexedSeq[Any], path: String, rowCount: Long,
     fieldIds: IndexedSeq[Int], types: IndexedSeq[DataType],
     stats: IndexedSeq[Option[(Any, Any)]] = IndexedSeq.empty,
-    blooms: IndexedSeq[Option[Array[Long]]] = IndexedSeq.empty)
+    blooms: IndexedSeq[Option[Array[Long]]] = IndexedSeq.empty) {
+  /** driver-side streaming read in the file's own layout (maintenance:
+    * compaction, CDF derivation) */
+  def readRows(): Iterator[InternalRow] = LakeFileStore.readAll(path, fieldIds, types)
+}
 
 /** Per-file, per-column bloom filters — the manifest-level equality
   * skipping Parquet column blooms / Iceberg puffin files provide for
@@ -399,7 +408,10 @@ object LakeBloom {
     case b: java.lang.Boolean => if (b) 1L else 0L
     case other => other.hashCode().toLong
   }
-  private def set(bits: Array[Long], v: Any): Unit = {
+  /** fixed-size bit array for STREAMING writers (row count unknown up
+    * front): the same cap [[collect]] reaches for files over ~8k rows */
+  private[sources] def streamBits(): Array[Long] = new Array[Long]((1 << 16) >> 6)
+  private[sources] def set(bits: Array[Long], v: Any): Unit = {
     val h0 = baseHash(v); val m = bits.length * 64
     var i = 0
     while (i < HashCount) {
@@ -489,7 +501,7 @@ object LakeStats {
 
 case class LakeSnapshot(version: Long, timestampMs: Long, files: Vector[LakeDataFile],
     schema: StructType, fieldIds: IndexedSeq[Int]) {
-  def rowCount: Long = files.map(_.rows.length.toLong).sum
+  def rowCount: Long = files.map(_.rowCount).sum
 }
 
 /** all mutation = one synchronized snapshot append (commit protocol);
@@ -903,53 +915,87 @@ class LakeScan(state: LakeTableState, snapshot: LakeSnapshot,
       s"ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
 
-  /** per-file ordinal map, resolved by FIELD ID (schema evolution):
-    * required column → its position in the file's write-time layout;
-    * -1 = `_partition` metadata; -2 = column added after this file was
-    * written (reads as typed null) */
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map { f =>
-      val ordinals = required.fields.map { rf =>
+  /** Per-file read plan, resolved by FIELD ID (schema evolution):
+    * each required column maps to a position in the file's PRUNED
+    * parquet read schema (only the needed columns are requested from
+    * the file — pushdown reaches the parquet footer); -1 = `_partition`
+    * metadata constant; -2 = column added after this file was written
+    * (reads as typed null). One serializable parquet reader function is
+    * built per distinct (file layout, pruned subset) pair and shipped
+    * once in the reader factory; partitions carry only the path and the
+    * binding table. */
+  private lazy val planned: (Array[InputPartition], Array[PartitionedFile => Iterator[InternalRow]]) = {
+    val funcs = mutable.ArrayBuffer[PartitionedFile => Iterator[InternalRow]]()
+    val funcIdx = mutable.HashMap[(String, String), Int]()
+    val parts = files.map { f =>
+      val fileSchema = LakeFileStore.syntheticSchema(f.fieldIds, f.types)
+      // required column → ordinal in the file's write-time layout
+      val fileOrds = required.fields.map { rf =>
         if (rf.name == "_partition") -1
         else {
           val id = snapshot.fieldIds(snapshot.schema.fieldIndex(rf.name))
           f.fieldIds.indexOf(id) match { case -1 => -2; case ord => ord }
         }
       }
-      LakeFilePartition(f.rows, ordinals, f.types.toArray,
+      // the pruned subset this scan actually reads from the file
+      val neededOrds = fileOrds.filter(_ >= 0).distinct.sorted
+      val prunedSchema = StructType(neededOrds.map(fileSchema(_)))
+      val bindings = fileOrds.map { ord =>
+        if (ord >= 0) neededOrds.indexOf(ord) else ord
+      }
+      val prunedTypes: Array[DataType] = neededOrds.map(o => f.types(o))
+      val key = (fileSchema.catalogString, prunedSchema.catalogString)
+      val readerId = funcIdx.getOrElseUpdate(key, {
+        funcs += LakeFileStore.readerFunc(fileSchema, prunedSchema)
+        funcs.length - 1
+      })
+      LakeFilePartition(f.path, readerId, bindings, prunedTypes,
         f.partition.mkString("/")): InputPartition
     }.toArray
+    (parts, funcs.toArray)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = planned._1
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val requiredTypes = required.fields.map(_.dataType)
+    val readerFuncs = planned._2
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val fp = p.asInstanceOf[LakeFilePartition]
-        // column pruning: bind the projection to the file's stored
-        // layout; `_partition` binds to the file's constant label and
-        // post-file columns bind to typed nulls
-        val proj = UnsafeProjection.create(fp.ordinals.toIndexedSeq.zipWithIndex.map {
-          case (ord, ri) =>
-            if (ord >= 0) BoundReference(ord, fp.types(ord), nullable = true)
-            else if (ord == -1) CatalystLiteral(UTF8String.fromString(fp.partLabel), StringType)
+        // bind the output projection over the PRUNED parquet row:
+        // `_partition` binds to the file's constant label and post-file
+        // columns bind to typed nulls
+        val proj = UnsafeProjection.create(fp.bindings.toIndexedSeq.zipWithIndex.map {
+          case (pos, ri) =>
+            if (pos >= 0) BoundReference(pos, fp.prunedTypes(pos), nullable = true)
+            else if (pos == -1) CatalystLiteral(UTF8String.fromString(fp.partLabel), StringType)
             else CatalystLiteral(null, requiredTypes(ri))
         })
+        val it = readerFuncs(fp.readerId)(LakeFileStore.partitionedFile(fp.path))
         new PartitionReader[InternalRow] {
-          private val it = fp.rows.iterator
           private var cur: InternalRow = _
           override def next(): Boolean = {
             val h = it.hasNext; if (h) cur = proj(it.next()); h
           }
           override def get(): InternalRow = cur
-          override def close(): Unit = ()
+          override def close(): Unit = it match {
+            case c: java.io.Closeable => c.close()
+            case _ => ()
+          }
         }
       }
     }
   }
 }
 
-case class LakeFilePartition(rows: Array[InternalRow], ordinals: Array[Int],
-    types: Array[DataType], partLabel: String) extends InputPartition
+/** manifest-entry partition: parquet path + output binding table
+  * (readerId indexes the factory's shared reader functions) */
+case class LakeFilePartition(path: String, readerId: Int, bindings: Array[Int],
+    prunedTypes: Array[DataType], partLabel: String) extends InputPartition
+
+/** driver-local fixed row set (metadata tables, procedure outputs) */
+case class LakeRowsPartition(rows: Array[InternalRow]) extends InputPartition
 
 case class LakeCommit(files: Array[LakeDataFile]) extends WriterCommitMessage
 
@@ -984,7 +1030,7 @@ object LakeMetaTable {
       .add("columns", IntegerType)
     make(s"${st.tableName}$$files", schema, st.current.files.map(f => Array[Any](
       UTF8String.fromString(f.partition.mkString("/")),
-      f.rows.length.toLong, f.fieldIds.length)))
+      f.rowCount, f.fieldIds.length)))
   }
 
   /** fixed row set → Scan (shared by metadata tables + procedures) */
@@ -996,12 +1042,11 @@ object LakeMetaTable {
       override def readSchema(): StructType = tableSchema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        Array(LakeFilePartition(rows, tableSchema.indices.toArray,
-          tableSchema.fields.map(_.dataType), ""))
+        Array(LakeRowsPartition(rows))
       override def createReaderFactory(): PartitionReaderFactory =
         new PartitionReaderFactory {
           override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-            val it = p.asInstanceOf[LakeFilePartition].rows.iterator
+            val it = p.asInstanceOf[LakeRowsPartition].rows.iterator
             new PartitionReader[InternalRow] {
               private var cur: InternalRow = _
               override def next(): Boolean = {
@@ -1120,19 +1165,26 @@ object LakeMetadataDelete {
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 }
 
-/** task-side writer: routes each row to its partition-addressed buffer;
-  * one data file per (task, partition value) — the manifest-entry shape */
+/** Task-side writer: routes each row to its partition-addressed
+  * parquet output; one data file per (task, partition value) — the
+  * manifest-entry shape. Constructed ON THE DRIVER (captures the
+  * [[LakeFileStore.WriterBundle]] there), executed task-side: each
+  * buffered partition streams to its own parquet file at commit and the
+  * commit message carries only manifest entries, never row payloads —
+  * the executors-write-files / driver-commits-manifest split of a real
+  * lakehouse write. */
 class LakeWriterFactory(schema: StructType, fieldIds: IndexedSeq[Int],
     partFields: IndexedSeq[LakePartField]) extends DataWriterFactory {
+  private val bundle = LakeFileStore.writerBundle(fieldIds, schema.fields.map(_.dataType).toIndexedSeq)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val proj = UnsafeProjection.create(schema)
       private val types: IndexedSeq[DataType] = schema.fields.map(_.dataType).toIndexedSeq
-      private val buffers =
-        mutable.LinkedHashMap[IndexedSeq[Any], mutable.ArrayBuffer[InternalRow]]()
+      private val open = mutable.LinkedHashMap[IndexedSeq[Any], LakeOpenFile]()
       override def write(record: InternalRow): Unit = {
         val key: IndexedSeq[Any] = partFields.map(_.eval(record))
-        buffers.getOrElseUpdate(key, mutable.ArrayBuffer[InternalRow]()) += proj(record).copy()
+        open.getOrElseUpdate(key,
+          new LakeOpenFile(bundle, key, fieldIds, types)).add(proj(record))
       }
       /** metadata-projection write path (row-level rewrites): the data
         * row is already table-schema shaped; re-route by its own
@@ -1140,11 +1192,8 @@ class LakeWriterFactory(schema: StructType, fieldIds: IndexedSeq[Int],
       override def write(metadata: InternalRow, record: InternalRow): Unit =
         write(record)
       override def commit(): WriterCommitMessage =
-        LakeCommit(buffers.map { case (k, rows) =>
-          LakeDataFile(k, rows.toArray, fieldIds, types,
-            LakeStats.collect(rows, types),
-            LakeBloom.collect(rows, types)) }.toArray)
-      override def abort(): Unit = buffers.clear()
+        LakeCommit(open.values.map(_.finish()).toArray)
+      override def abort(): Unit = { open.values.foreach(_.abortQuietly()); open.clear() }
       override def close(): Unit = ()
     }
 }
