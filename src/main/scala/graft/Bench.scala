@@ -296,6 +296,21 @@ object Bench {
     val results: Seq[(String, Double)] = names.map(n => n -> gTimes(n))
     val vanillaResults: Seq[(String, Double)] =
       names.filter(vTimes.contains).map(n => n -> vTimes(n))
+    // Optional per-query runtime telemetry (SPARK_GRAFT_BENCH_TELEMETRY=1):
+    // one extra untimed execution per query on the graft session, reading
+    // the populated SQLMetrics — the spill/shuffle volumes that prove (or
+    // disprove) memory-pressure behavior at big SFs. Untimed by design:
+    // metrics collection must never perturb the published timings.
+    val telemetry = sys.env.getOrElse("SPARK_GRAFT_BENCH_TELEMETRY", "0") == "1"
+    val telem: Seq[(String, Map[String, Long])] = if (telemetry) names.flatMap { n =>
+      try {
+        val df = qs(n)(graft, sfDir)
+        df.queryExecution.toRdd.foreach(_ => ())
+        val m = PlanHealth.runtimeSummary(df.queryExecution)
+        graft.catalog.clearCache()
+        Some(n -> m)
+      } catch { case _: Throwable => graft.catalog.clearCache(); None }
+    } else Nil
     val deltas: Seq[(String, Seq[String])] =
       planAudit(graft, if (withVanilla) Some(vanilla) else None, sfDir, set)
     graft.stop(); freshSession()
@@ -346,10 +361,17 @@ object Bench {
       kept = kept.filterNot(_._1 == cheapest)
       line = compactLine(kept, results.size - kept.size)
     }
+    val telemJson =
+      if (telem.isEmpty) ""
+      else telem.map { case (n, m) =>
+        f""""$n":{"output_rows":${m("output_rows")},"shuffle_records":${m(
+            "shuffle_records_written")},"shuffle_mb":${m("shuffle_bytes_written") / 1e6}%.2f,"spill_mb":${m(
+            "spill_bytes") / 1e6}%.2f}"""
+      }.mkString(""","telemetry":{""", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)}""" +
         vanillaFull + s""","plan_changed_by_rules":$changedJson""" +
-        s""","plan_delta_causes":$causesJson,"sf":"$sfDir"}"""
+        s""","plan_delta_causes":$causesJson$telemJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     println(line)
