@@ -46,11 +46,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **column pruning**: readers project stored full-schema rows down
   *    to the scan's required columns.
   *
-  * Data lives in driver memory (the sandbox's stand-in for object
-  * storage) but every protocol step — task-side buffering, commit
-  * messages, driver-side atomic snapshot swap — is the cluster-correct
-  * shape: executors never share state, and a commit is one reference
-  * swap.
+  * Data files are REAL PARQUET ON LOCAL DISK ([[LakeFileStore]], the
+  * sandbox's stand-in for object storage): tasks stream rows straight
+  * into per-partition parquet files, commit messages carry only
+  * manifest entries (path + stats + blooms), and the driver-side
+  * atomic snapshot swap touches metadata only — the cluster-correct
+  * executors-write-files / driver-commits-manifest split. Tables
+  * larger than the JVM heap write and read fine (LakeScaleSpec).
   *
   * Enable: `spark.sql.catalog.lake=graft.sources.GraftLakeCatalog`.
   */
