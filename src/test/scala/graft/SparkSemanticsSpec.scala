@@ -1406,7 +1406,124 @@ class SparkSemanticsSpec extends AnyFunSuite {
     // syntax — the equivalent scalar-subquery rewrite is the pin
     "subquery_scalar_in_where_comparison" ->
       """SELECT k FROM VALUES (1),(3) t(k)
-        |WHERE k > (SELECT max(v) FROM VALUES (1),(2) s(v)) ORDER BY k""".stripMargin)
+        |WHERE k > (SELECT max(v) FROM VALUES (1),(2) s(v)) ORDER BY k""".stripMargin,
+
+    // ---- wave 6e: GlutenDSV2CharVarcharTestSuite faces ----------------
+    "charvarchar_char_comparison_pads" ->
+      "SELECT CAST('ab' AS CHAR(4)) = CAST('ab' AS CHAR(6)), CAST('ab' AS CHAR(4)) = 'ab'",
+    "charvarchar_char_cast_no_runtime_pad" ->
+      "SELECT length(CAST('ab' AS CHAR(4))), length(rtrim(CAST('ab' AS CHAR(4))))",
+    "charvarchar_varchar_fits_unpadded" ->
+      "SELECT length(CAST('ab' AS VARCHAR(4))), CAST('ab' AS VARCHAR(4)) = 'ab'",
+    "charvarchar_varchar_cast_no_runtime_length_check" ->
+      "SELECT try_cast('abcdef' AS VARCHAR(3))",
+    "charvarchar_concat_shows_no_runtime_pad" ->
+      "SELECT concat(CAST('a' AS CHAR(3)), '|')",
+    "charvarchar_upper_shows_no_runtime_pad" -> "SELECT upper(CAST('a' AS CHAR(3))) = 'A  '",
+
+    // ---- wave 6e: GlutenDataFramePivotSuite / GlutenDatasetUnpivotSuite (SQL faces)
+    "pivotsql_basic_sum" ->
+      """SELECT * FROM (SELECT k, v FROM VALUES ('a', 1),('a', 2),('b', 3) t(k, v))
+        |PIVOT (sum(v) FOR k IN ('a', 'b'))""".stripMargin,
+    "pivotsql_multi_agg_names" ->
+      """SELECT * FROM (SELECT k, v FROM VALUES ('a', 1),('a', 2) t(k, v))
+        |PIVOT (sum(v) AS s, count(v) AS c FOR k IN ('a' AS x))""".stripMargin,
+    "pivotsql_missing_cell_null" ->
+      """SELECT * FROM (SELECT k, g, v FROM VALUES ('a', 1, 10),('b', 2, 20) t(k, g, v))
+        |PIVOT (sum(v) FOR k IN ('a', 'b')) ORDER BY g""".stripMargin,
+    "unpivotsql_basic" ->
+      """SELECT * FROM (SELECT 1 AS id, 10 AS x, 20 AS y)
+        |UNPIVOT (val FOR metric IN (x, y)) ORDER BY metric""".stripMargin,
+    "unpivotsql_nulls_excluded_by_default" ->
+      """SELECT count(*) FROM (SELECT 1 AS id, 10 AS x, CAST(NULL AS INT) AS y)
+        |UNPIVOT (val FOR metric IN (x, y))""".stripMargin,
+    "unpivotsql_include_nulls" ->
+      """SELECT count(*) FROM (SELECT 1 AS id, 10 AS x, CAST(NULL AS INT) AS y)
+        |UNPIVOT INCLUDE NULLS (val FOR metric IN (x, y))""".stripMargin,
+
+    // ---- wave 6e: GlutenDataFrameTimeWindowingSuite / SessionWindowing (batch SQL faces)
+    "timewindow_tumbling_group_by" ->
+      """SELECT CAST(window.start AS STRING) AS ws, sum(v) AS s
+        |FROM VALUES (TIMESTAMP '2020-01-01 00:01:00', 1),
+        |            (TIMESTAMP '2020-01-01 00:04:00', 2),
+        |            (TIMESTAMP '2020-01-01 00:11:00', 4) t(ts, v)
+        |GROUP BY window(ts, '10 minutes') ORDER BY ws""".stripMargin,
+    "timewindow_sliding_overlaps" ->
+      """SELECT count(*) FROM (
+        |  SELECT window FROM VALUES (TIMESTAMP '2020-01-01 00:05:00', 1) t(ts, v)
+        |  GROUP BY window(ts, '10 minutes', '5 minutes'))""".stripMargin,
+    "timewindow_window_time_is_end_minus_1us" ->
+      """SELECT CAST(any_value(window_time(window)) AS STRING)
+        |FROM VALUES (TIMESTAMP '2020-01-01 00:01:00', 1) t(ts, v)
+        |GROUP BY window(ts, '10 minutes')""".stripMargin,
+    "timewindow_session_window_batch_merge" ->
+      """SELECT count(*) FROM (
+        |  SELECT session_window(ts, '5 minutes'), sum(v)
+        |  FROM VALUES (TIMESTAMP '2020-01-01 00:00:00', 1),
+        |              (TIMESTAMP '2020-01-01 00:03:00', 2),
+        |              (TIMESTAMP '2020-01-01 00:20:00', 4) t(ts, v)
+        |  GROUP BY session_window(ts, '5 minutes'))""".stripMargin,
+
+    // ---- wave 6e: GlutenUnwrapCastInComparisonEndToEndSuite faces -----
+    "unwrapcast_int_vs_double_literal" ->
+      "SELECT count(*) FROM VALUES (1),(2) t(v) WHERE v = 1.0e0",
+    "unwrapcast_int_vs_fractional_literal_no_match" ->
+      "SELECT count(*) FROM VALUES (1),(2) t(v) WHERE v = 1.5e0",
+    "unwrapcast_tinyint_vs_out_of_range_literal" ->
+      "SELECT count(*) FROM VALUES (CAST(1 AS TINYINT)) t(v) WHERE v < 1000",
+    "unwrapcast_tinyint_gt_out_of_range_empty" ->
+      "SELECT count(*) FROM VALUES (CAST(1 AS TINYINT)) t(v) WHERE v > 1000",
+    "unwrapcast_string_col_vs_int_literal" ->
+      "SELECT count(*) FROM VALUES ('10'),('9') t(v) WHERE v > 9",
+    "unwrapcast_date_vs_timestamp_literal" ->
+      "SELECT DATE '2020-01-02' > TIMESTAMP '2020-01-01 23:00:00'",
+
+    // ---- wave 6e: identifiers / resolution (GlutenColumnExpressionSuite faces)
+    "identifiers_backtick_with_space" ->
+      "SELECT `a b` FROM (SELECT 1 AS `a b`)",
+    "identifiers_case_insensitive_resolution" ->
+      "SELECT COL FROM (SELECT 1 AS col)",
+    "identifiers_identifier_clause_function" -> "SELECT IDENTIFIER('abs')(-7)",
+    "identifiers_qualified_star_subquery" ->
+      "SELECT t.* FROM (SELECT 1 AS a, 2 AS b) t",
+    "identifiers_duplicate_output_names_allowed" ->
+      "SELECT 1 AS x, 2 AS x",
+
+    // ---- wave 6e: TVFs / VALUES typing (GlutenDataFrameRangeSuite faces)
+    "tvf_range_step" -> "SELECT * FROM range(2, 10, 3)",
+    "tvf_range_negative_step" -> "SELECT * FROM range(3, 0, -1)",
+    "tvf_range_type_is_bigint" -> "SELECT typeof(id) FROM range(1)",
+    "values_type_widening_across_rows" ->
+      "SELECT typeof(v) FROM VALUES (1),(2.5) t(v) LIMIT 1",
+    "values_string_and_null_typing" ->
+      "SELECT typeof(v) FROM VALUES ('a'),(NULL) t(v) LIMIT 1",
+    "tablesample_hundred_percent_all" ->
+      "SELECT count(*) FROM (SELECT * FROM VALUES (1),(2),(3) t(v)) TABLESAMPLE (100 PERCENT)",
+
+    // ---- wave 6e: numeric-literal typing edges (GlutenLiteralExpressionSuite)
+    "literal_int_overflow_promotes_bigint" -> "SELECT typeof(2147483648)",
+    "literal_long_overflow_promotes_decimal" -> "SELECT typeof(9223372036854775808)",
+    "literal_decimal_vs_double_forms" -> "SELECT typeof(1.5), typeof(1.5e0), typeof(1.5d)",
+    "literal_tinyint_smallint_suffix_bounds" ->
+      "SELECT 127Y, -128Y, 32767S",
+    "literal_float_suffix" -> "SELECT typeof(1.5f)",
+    "literal_unicode_escape" -> "SELECT 'a\\u0062c'",
+    "literal_double_quoted_string" -> "SELECT \"double quoted\"",
+
+    // ---- wave 6e: LATERAL VIEW (GlutenGeneratorFunctionSuite faces) ---
+    "lateralview_explode_basic" ->
+      """SELECT id, w FROM (SELECT 1 AS id, array('a', 'b') AS ws)
+        |LATERAL VIEW explode(ws) t AS w ORDER BY w""".stripMargin,
+    "lateralview_outer_keeps_empty" ->
+      """SELECT id, w FROM (SELECT 1 AS id, CAST(array() AS ARRAY<STRING>) AS ws)
+        |LATERAL VIEW OUTER explode(ws) t AS w""".stripMargin,
+    "lateralview_posexplode_pairs" ->
+      """SELECT p, w FROM (SELECT array('x', 'y') AS ws)
+        |LATERAL VIEW posexplode(ws) t AS p, w ORDER BY p""".stripMargin,
+    "lateralview_two_generators_cross" ->
+      """SELECT a, b FROM (SELECT array(1, 2) AS xs, array('p') AS ys)
+        |LATERAL VIEW explode(xs) t1 AS a
+        |LATERAL VIEW explode(ys) t2 AS b ORDER BY a""".stripMargin)
 
   // ---- non-ANSI duplication (GlutenCastSuite / Gluten*AnsiOff faces) --
   // Spark 4 runs ANSI-on by default; the reference's gluten-ut matrix
@@ -1513,7 +1630,43 @@ class SparkSemanticsSpec extends AnyFunSuite {
     // the week-based pattern is a hard analysis-time contract
     ("analysis_week_based_year_pattern_errors",
       "SELECT date_format(DATE '2020-01-01', 'YYYY')",
-      "_PATTERN"))
+      "_PATTERN"),
+    // round-6: compilation/parsing error contracts
+    // (GlutenQueryCompilationErrorsSuite / GlutenQueryParsingErrorsSuite faces)
+    ("analysis_unresolved_column_suggests",
+      "SELECT nonexistent FROM VALUES (1) t(v)", "UNRESOLVED_COLUMN"),
+    ("analysis_unresolved_routine",
+      "SELECT no_such_function(1)", "UNRESOLVED_ROUTINE"),
+    ("parse_syntax_error",
+      "SELEC 1", "PARSE_SYNTAX_ERROR"),
+    ("analysis_union_num_columns_mismatch",
+      "SELECT 1 UNION ALL SELECT 1, 2", "NUM_COLUMNS_MISMATCH"),
+    ("analysis_union_incompatible_types",
+      "SELECT array(1) AS v UNION ALL SELECT 'x'", "INCOMPATIBLE_COLUMN_TYPE"),
+    ("analysis_ambiguous_reference",
+      "SELECT x FROM (SELECT 1 AS x, 2 AS x)", "AMBIGUOUS_REFERENCE"),
+    ("analysis_group_by_position_range",
+      "SELECT v FROM VALUES (1) t(v) GROUP BY 5", "GROUP_BY_POS_OUT_OF_RANGE"),
+    ("analysis_order_by_position_range",
+      "SELECT v FROM VALUES (1) t(v) ORDER BY 9", "ORDER_BY_POS_OUT_OF_RANGE"),
+    ("analysis_missing_aggregation",
+      "SELECT k, count(*) FROM VALUES (1, 2) t(k, v) GROUP BY v", "MISSING_AGGREGATION"),
+    // no-format to_timestamp routes through CAST, so ANSI raises the
+    // cast condition (CANNOT_PARSE_TIMESTAMP is the with-format path)
+    ("ansi_to_timestamp_malformed_cast_errors",
+      "SELECT to_timestamp('not a time')", "CAST_INVALID_INPUT"),
+    ("ansi_to_timestamp_format_parse_errors",
+      "SELECT to_timestamp('nope', 'yyyy-MM-dd')", "CANNOT_PARSE_TIMESTAMP"),
+    ("ansi_datetime_field_overflow_errors",
+      "SELECT timestampadd(YEAR, 999999, TIMESTAMP '2020-01-01 00:00:00')",
+      "DATETIME"),
+    ("analysis_nested_aggregate_rejected",
+      "SELECT max(count(*)) FROM VALUES (1) t(v)", "NESTED_AGGREGATE_FUNCTION"),
+    ("analysis_window_function_without_over",
+      "SELECT row_number()", "WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE"),
+    ("analysis_generator_outside_select_rejected",
+      "SELECT v FROM VALUES (1) t(v) WHERE explode(array(1)) = 1",
+      "UNSUPPORTED_GENERATOR"))
 
   /** canonical rendering: dtypes :: rows (stable across JVMs) */
   private def render(sql: String): String = {
