@@ -255,6 +255,11 @@ object Bench {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .getOrCreate()
+    // experiment knob: comma-separated k=v session-conf overrides for the
+    // GRAFT session only (time-bisecting a plan-delta cause found by the
+    // audit, e.g. SPARK_GRAFT_BENCH_CONF=spark.sql.join.preferSortMergeJoin=true)
+    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(',').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); graft.conf.set(k, v) })
 
     val qs = SparkEntry.queries
     val names = set.filter(qs.contains)
@@ -289,6 +294,11 @@ object Bench {
         val ratio = if (vs.nonEmpty && vs.min > 0) gs.min / vs.min else 1.0
         spread(gs) > 0.3 || spread(vs) > 0.3 || ratio >= 1.3 || ratio <= (1 / 1.3)
       }
+      // GC fence before the re-measure pass: the flagged queries are by
+      // construction the pressure-sensitive ones (hash builds, checkpoint
+      // materialization), and the extra rounds exist to measure THEM, not
+      // the heap debt their session neighbors left behind
+      if (noisy.nonEmpty) { System.gc(); Thread.sleep(500) }
       for (round <- 1 to 2; name <- noisy) timePair(name, graftFirst = round % 2 == 1)
     }
     val gTimes: Map[String, Double] = gSamples.map { case (k, v) => k -> v.min }.toMap
