@@ -157,20 +157,31 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
     val ids = snap.fieldIds
     val types: IndexedSeq[DataType] = sch.fields.map(_.dataType).toIndexedSeq
     val bundle = LakeFileStore.writerBundle(ids, types)
-    val merged = snap.files.groupBy(_.partition).map { case (part, fs) =>
-      val out = new LakeOpenFile(bundle, part, ids, types)
-      fs.foreach { f =>
-        // re-layout each file's rows into the current schema by field id
-        val proj = UnsafeProjection.create(ids.indices.map { i =>
-          f.fieldIds.indexOf(ids(i)) match {
-            case -1 => CatalystLiteral(null, types(i))
-            case ord => BoundReference(ord, f.types(ord), nullable = true)
-          }
-        })
-        f.readRows().foreach(r => out.add(proj(r)))
-      }
-      out.finish()
-    }.toSeq
+    // On any mid-merge failure, abort every file opened so far (finished
+    // ones included — they are uncommitted until st.replace) so no open
+    // writers or orphaned half-written parquet files linger until exit.
+    val opened = scala.collection.mutable.ArrayBuffer.empty[LakeOpenFile]
+    val merged = try {
+      snap.files.groupBy(_.partition).map { case (part, fs) =>
+        val out = new LakeOpenFile(bundle, part, ids, types)
+        opened += out
+        fs.foreach { f =>
+          // re-layout each file's rows into the current schema by field id
+          val proj = UnsafeProjection.create(ids.indices.map { i =>
+            f.fieldIds.indexOf(ids(i)) match {
+              case -1 => CatalystLiteral(null, types(i))
+              case ord => BoundReference(ord, f.types(ord), nullable = true)
+            }
+          })
+          f.readRows().foreach(r => out.add(proj(r)))
+        }
+        out.finish()
+      }.toSeq
+    } catch {
+      case e: Throwable =>
+        opened.foreach(_.abortQuietly())
+        throw e
+    }
     st.replace(snap.files, merged)
   }
 
@@ -387,10 +398,6 @@ case class LakeDataFile(partition: IndexedSeq[Any], path: String, rowCount: Long
   * positive only costs a wasted file read, never a wrong result. */
 object LakeBloom {
   private val HashCount = 3
-  private def sizeBits(n: Int): Int = {
-    val want = math.max(512, n * 8)
-    math.min(Integer.highestOneBit(math.max(1, want - 1)) * 2, 1 << 16)
-  }
   // splitmix64 finalizer — deterministic across JVMs/runs
   private def mix(h0: Long, i: Int): Long = {
     var h = h0 + 0x9E3779B97F4A7C15L * (i + 1)
@@ -431,26 +438,6 @@ object LakeBloom {
     }
     true
   }
-  /** one pass per supported column → bloom over the file's non-null
-    * values (values normalized exactly like the min/max stats, so
-    * pushed filter literals hash identically) */
-  def collect(rows: Iterable[InternalRow],
-      types: IndexedSeq[DataType]): IndexedSeq[Option[Array[Long]]] = {
-    val n = rows.size
-    types.zipWithIndex.map { case (dt, i) =>
-      if (!LakeStats.supported(dt)) None
-      else {
-        val bits = new Array[Long](sizeBits(n) >> 6)
-        var any = false
-        rows.foreach { r =>
-          if (!r.isNullAt(i)) {
-            set(bits, LakePartField.normalize(r.get(i, dt))); any = true
-          }
-        }
-        if (any) Some(bits) else None
-      }
-    }
-  }
 }
 
 object LakeStats {
@@ -478,27 +465,6 @@ object LakeStats {
          org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.BooleanType => true
     case _ => false
   }
-
-  /** one pass over a file's rows → per-column (min, max) of non-null
-    * values; None for unsupported types or all-null columns (both are
-    * "never skip") */
-  def collect(rows: Iterable[InternalRow],
-      types: IndexedSeq[DataType]): IndexedSeq[Option[(Any, Any)]] =
-    types.zipWithIndex.map { case (dt, i) =>
-      if (!supported(dt)) None
-      else {
-        var mn: Any = null
-        var mx: Any = null
-        rows.foreach { r =>
-          if (!r.isNullAt(i)) {
-            val v = LakePartField.normalize(r.get(i, dt))
-            if (mn == null || compare(v, mn).exists(_ < 0)) mn = v
-            if (mx == null || compare(v, mx).exists(_ > 0)) mx = v
-          }
-        }
-        if (mn == null) None else Some((mn, mx))
-      }
-    }
 }
 
 case class LakeSnapshot(version: Long, timestampMs: Long, files: Vector[LakeDataFile],
@@ -981,9 +947,15 @@ class LakeScan(state: LakeTableState, snapshot: LakeSnapshot,
             val h = it.hasNext; if (h) cur = proj(it.next()); h
           }
           override def get(): InternalRow = cur
+          // Vectorized reads hand back the RecordReaderIterator itself
+          // (Closeable). The non-vectorized fallback wraps it in a .map
+          // that hides the Closeable; RecordReaderIterator closes its
+          // file handle when hasNext turns false, so draining releases
+          // the handle deterministically even on early termination
+          // (LIMIT) instead of leaking it until task/JVM end.
           override def close(): Unit = it match {
             case c: java.io.Closeable => c.close()
-            case _ => ()
+            case _ => while (it.hasNext) { it.next(): Unit }
           }
         }
       }

@@ -38,14 +38,19 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object LakeFileStore {
 
-  /** one warehouse directory per JVM (shared "object store" for all
-    * catalog instances), removed on exit */
+  /** One warehouse directory per JVM (shared "object store" for all
+    * catalog instances). The delete-on-exit hook is registered ONLY for
+    * the auto-generated tmpdir default: a user-supplied
+    * `-Dgraft.lake.warehouse` path may be a pre-existing directory with
+    * unrelated contents, and recursively deleting it at JVM exit would
+    * silently destroy it — user-named warehouses are left on disk. */
   lazy val warehouseDir: File = {
-    val d = new File(
-      sys.props.getOrElse("graft.lake.warehouse",
-        new File(System.getProperty("java.io.tmpdir"), s"graft-lake-${UUID.randomUUID()}").getPath))
+    val userPath = sys.props.get("graft.lake.warehouse")
+    val d = new File(userPath.getOrElse(
+      new File(System.getProperty("java.io.tmpdir"), s"graft-lake-${UUID.randomUUID()}").getPath))
     d.mkdirs()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(d)))
+    if (userPath.isEmpty)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(d)))
     d
   }
 
@@ -77,6 +82,12 @@ object LakeFileStore {
     val spark = SparkSession.active
     val schema = syntheticSchema(fieldIds, types)
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    // The old in-memory lake stored pre-1582 dates/timestamps verbatim;
+    // ParquetFileFormat would inherit rebaseModeInWrite=EXCEPTION and
+    // throw SparkUpgradeException on them. CORRECTED preserves the old
+    // store-what-you-were-given behavior (proleptic Gregorian on disk).
+    job.getConfiguration.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    job.getConfiguration.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
     val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
     WriterBundle(factory, new SerializableConfiguration(job.getConfiguration),
       warehouseDir.getAbsolutePath, schema.json)
@@ -141,8 +152,7 @@ object LakeFileStore {
   * stats and equality blooms accumulate incrementally. `finish()`
   * closes the file and returns its manifest entry. Streaming blooms are
   * fixed at the [[LakeBloom]] size cap (8 KB/column) because the row
-  * count is unknown until the end — the same cap [[LakeBloom.collect]]
-  * reaches for any file over ~8k rows. */
+  * count is unknown until the end. */
 final class LakeOpenFile(bundle: LakeFileStore.WriterBundle,
     partition: IndexedSeq[Any], fieldIds: IndexedSeq[Int],
     types: IndexedSeq[DataType]) {
