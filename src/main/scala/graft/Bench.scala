@@ -235,8 +235,11 @@ object Bench {
     // conf would leak the graft extensions into the vanilla session);
     // graft's extensions are injected programmatically per-session and
     // its tuned SQL confs are all session-scoped.
-    val vanilla = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[n,c,mem] benches across real
+    // executor JVMs; both sessions share the one (cluster) context
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val vanilla = GraftSession.withClusterConf(SparkSession.builder(), master)
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -247,7 +250,7 @@ object Bench {
     vanilla.sparkContext.setLogLevel("WARN")
     freshSession()
     val graft = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .withExtensions(new GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

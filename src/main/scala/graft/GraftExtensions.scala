@@ -134,8 +134,28 @@ object EliminateRedundantToDate extends Rule[LogicalPlan] {
   * AQE with skew handling, hash-join preference, nested pruning,
   * runtime bloom-filter join pruning. */
 object GraftSession {
+  /** Static confs that make a `local-cluster[n,cores,mem]` master work
+    * outside spark-submit: executors are REAL separate JVMs launched by
+    * the in-process standalone worker, so they need (a) the driver's
+    * classpath (sbt's forked-run classpath carries both the Spark jars
+    * and the engine's compiled classes — spark-submit would instead
+    * ship an application jar) and (b) the JDK-17 --add-opens set that
+    * spark-submit normally injects. `spark.executor.memory` is pinned
+    * to the worker's memory so each worker hosts exactly one executor.
+    * A plain `local[...]` master passes through untouched. */
+  def withClusterConf(b: SparkSession.Builder, master: String): SparkSession.Builder =
+    if (!master.startsWith("local-cluster")) b
+    else {
+      val memMb = master.stripPrefix("local-cluster[").stripSuffix("]")
+        .split(",")(2).trim.toInt
+      b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.memory", s"${memMb}m")
+        .config("spark.executor.extraJavaOptions",
+          org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+    }
+
   def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+    withClusterConf(SparkSession.builder(), master)
       .master(master)
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

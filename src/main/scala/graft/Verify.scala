@@ -11,11 +11,20 @@ object Verify {
     // the driver always calls with exactly two args = full dump)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    // SPARK_GRAFT_MASTER=local-cluster[4,8,4096] runs the battery across
+    // real separate executor JVMs (cross-process serialization evidence);
+    // default stays the single-JVM local master
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = graft.GraftSession.builder(master, cpus.toInt)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SQL_CONF=k=v[,k=v...]: session-conf overrides for
+    // mode-matrix passes (e.g. spark.sql.ansi.enabled=false re-runs the
+    // whole battery under non-ANSI semantics)
+    sys.env.get("SPARK_GRAFT_SQL_CONF").foreach(_.split(',').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

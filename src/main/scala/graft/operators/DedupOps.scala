@@ -206,6 +206,15 @@ object DedupOps {
     val smallSets = maxSets > 0 && docs.count() <= maxSets
     val maskA = masks.select(col("gid").as("gid_a"), col("mask").as("mask_a"))
     val maskB = masks.select(col("gid").as("gid_b"), col("mask").as("mask_b"))
+    // Per-band-hit verify, collapse AFTER: a near-threshold pair (0.78
+    // Jaccard under the 0.9 threshold, 3-row bands) collides in ~7-8 of
+    // 16 bands, so the broadcast path re-verifies such a pair that many
+    // times — but measured at 10x adversarial replicas, a distinct
+    // BEFORE the mask joins is strictly worse (1.9x slower): it breaks
+    // the scan→join→filter WholeStageCodegen pipeline with an exchange +
+    // two hash aggregates over the full candidate volume, while the
+    // redundant bitmap verifies stream at codegen speed and the final
+    // distinct only shuffles the tiny survivor set.
     val crossGroup =
       if (smallSets) {
         cand
@@ -213,14 +222,13 @@ object DedupOps {
           .join(broadcast(maskB), Seq("gid_b"))
           .withColumn("jaccard", GraftExpressions.bitmap_jaccard(col("mask_a"), col("mask_b")))
           .filter(col("jaccard") >= threshold)
-          // multi-band hits collapse here — at the *set-pair* level the
-          // surviving list is tiny, so the distinct shuffle is negligible
           .select(col("gid_a"), col("gid_b"), col("jaccard"))
           .distinct()
       } else {
-        // shuffle-join path: collapse multi-band hits BEFORE the mask
-        // joins (one verification per unique set pair instead of one per
-        // band hit), then join by gid — masks never leave the executors
+        // shuffle-join path: the mask join itself forces a shuffle of the
+        // candidate list anyway, so here the distinct IS worth its cost
+        // (one verification per unique set pair); masks never leave the
+        // executors
         cand.distinct()
           .join(maskA, Seq("gid_a"))
           .join(maskB, Seq("gid_b"))
@@ -398,17 +406,38 @@ object DedupOps {
     val sigs = load(s, dir, "documents")
       .select(col("doc_id"),
         GraftExpressions.simhash64(array_distinct(split(col("text"), " "))).as("sig"))
-    val bands = sigs.select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
+    val rawBands = sigs
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_bits", expr("shiftright(sig, band * 16)").bitwiseAND(lit(0xFFFFL)))
+    // same hot-bucket cap as the MinHash band join (one conf governs the
+    // whole banding family): a 16-bit band bucket packed with
+    // near-identical signatures is quadratic in its size; capped, each
+    // bucket keeps its `cap` smallest doc_ids and drops are logged
+    val cap = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshBucketCap)
+    val bands = if (cap > 0) {
+      val (kept, dropped) = capBandBuckets(
+        rawBands.withColumnRenamed("band_bits", "band_key")
+          .withColumnRenamed("doc_id", "gid"), cap)
+      val nDropped = dropped.count()
+      if (nDropped > 0)
+        System.err.println(s"[graft] SimHash bucket cap=$cap dropped $nDropped " +
+          "band candidates (recall may be reduced for hot buckets)")
+      kept.withColumnRenamed("band_key", "band_bits").withColumnRenamed("gid", "doc_id")
+    } else rawBands
     val a = bands.select(col("band").as("band_a"), col("band_bits").as("bits_a"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bands.select(col("band").as("band_b"), col("band_bits").as("bits_b"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    // hamming filter BEFORE the dedup shuffle: the per-row bit_count is
+    // ~free, and dropping far pairs first means only true near-dup rows
+    // (not every band collision) pay the distinct's shuffle — the volume
+    // term that dominates on a near-threshold-dense corpus
     a.join(b, col("band_a") === col("band_b") && col("bits_a") === col("bits_b") &&
         col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sig_a ^ sig_b)").as("hamming")).distinct()
+        expr("bit_count(sig_a ^ sig_b)").as("hamming"))
       .filter(col("hamming") <= 8)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -536,35 +565,71 @@ object DedupOps {
       ranked.filter(col("rn") > cap).drop("rn"))
   }
 
-  /** Min-label propagation to fixpoint over an undirected pair graph.
-    * Each round is one shuffle on doc_id; every round ends in an EAGER
-    * `localCheckpoint()` so the next round's plan references a
-    * materialized RDD leaf, not the previous round's plan. Without the
-    * checkpoint the logical plan references `labels` twice per round and
-    * doubles every iteration — round 20 would be a ~2^20-node tree (a
-    * 1.9 GB plan string was observed in practice); with it the plan is
-    * constant-size per round at any iteration count. `pairs` must be
-    * materialized (checkpointed/cached) by the caller. */
+  /** Connected components over an undirected pair graph via alternating
+    * LARGE-STAR / SMALL-STAR rounds (the MapReduce CC formulation of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the scale-path replacement for naive min-label
+    * propagation. Min-label propagation reshuffles the FULL edge set
+    * every round for O(diameter) rounds; on a dup-dense corpus (many
+    * large near-clique components) that made the 10× adversarial run
+    * 4.9× slower. Star rounds instead REWRITE the edge set: each round
+    * hangs nodes directly off their component's current minimum, so
+    * parallel edges collapse under `distinct()` and the working set
+    * shrinks geometrically while round count is O(log² n) worst-case
+    * (2-3 rounds for near-clique dedup graphs).
+    *
+    *   large-star(n): m = min({n} ∪ Γ(n)); every neighbor v > n
+    *     re-attaches as (v, m) — components contract toward minima
+    *     without ever creating an edge pointing "up".
+    *   small-star(n): over the resulting larger→smaller edges,
+    *     m = min(Γ(n) ∪ {n}); n and its smaller neighbors all attach
+    *     to m — flattens chains into stars.
+    *
+    * Fixpoint = a (large, small) round leaves the edge set unchanged;
+    * the final edges are exactly (node → component-min) stars. Every
+    * round ends in an EAGER `localCheckpoint()` so the next round's
+    * plan references a materialized RDD leaf — without it the logical
+    * plan doubles per round (a 1.9 GB plan string was observed under
+    * the old propagation loop). Returns (doc_id, label) for ALL docs;
+    * singletons label themselves. `pairs` must be materialized
+    * (checkpointed/cached) by the caller. */
   private[graft] def propagateMinLabels(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-    var changed = 1L
+    var edges = pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prevCnt = edges.count()
+    var converged = prevCnt == 0L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val neighborMin = edges.join(labels, col("dst") === col("doc_id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
-      // eager: materializes this round and truncates lineage in one pass
-      val updated = labels.join(neighborMin, col("doc_id") === col("src"), "left_outer")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"),
-          (col("nb_label").isNotNull && col("nb_label") < col("label")).as("chg"))
-        .localCheckpoint()
-      changed = updated.filter(col("chg")).count()
-      labels = updated.select(col("doc_id"), col("label"))
+    while (!converged && rounds < 25) {
+      // LARGE-STAR over the symmetrized edges: one groupBy shuffle for
+      // the per-node minimum, one join to re-attach larger neighbors
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val bigMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(bigMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      // SMALL-STAR on the larger→smaller edges large-star guarantees
+      val smallMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(smallMin, "u")
+        .select(col("v").as("x"), col("m"))
+        .union(smallMin.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      val cnt = small.count()
+      // cheap count gate first; exact set equality only when counts match
+      converged = cnt == prevCnt && small.except(edges).isEmpty
+      prevCnt = cnt
+      edges = small
       rounds += 1
     }
-    labels
+    // stars: u → component min; roots and singletons label themselves
+    docs.select(col("doc_id"))
+      .join(edges.select(col("u").as("doc_id"), col("v").as("star_lbl")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("star_lbl"), col("doc_id")).as("label"))
   }
 
   private val dedupClustersSql =

@@ -237,4 +237,35 @@ class PropertySpec extends AnyFunSuite {
       assert(fused == plain)
     } finally spark.sql("DROP TABLE prop_bucketed")
   }
+
+  test("large-star/small-star CC equals driver union-find on random graphs") {
+    val rnd = new Random(23)
+    // shapes that stress different round counts: sparse random graphs
+    // (many small components), a long path (max diameter), near-cliques
+    // (the dedup regime), and a star colliding with a chain
+    val shapes: Seq[Seq[(Long, Long)]] = Seq(
+      Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)),
+      (0L until 63L).map(i => (i, i + 1)),
+      (for (c <- 0 until 5; i <- 0 until 12; j <- i + 1 until 12)
+        yield ((c * 100 + i).toLong, (c * 100 + j).toLong)),
+      (1L to 40L).map(i => (0L, i)) ++ (40L until 80L).map(i => (i, i + 1)))
+    for (edges <- shapes) {
+      val nodes = (edges.flatMap(e => Seq(e._1, e._2)).distinct ++
+        Seq(9999L)).distinct // 9999 = a guaranteed singleton
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = nodes.map(n => n -> find(find(n))).toMap
+        .map { case (n, r) => n -> nodes.filter(m => find(m) == r).min }
+      val pairs = edges.toDF("doc_a", "doc_b").localCheckpoint()
+      val docs = nodes.toDF("doc_id")
+      val got = operators.DedupOps.propagateMinLabels(pairs, docs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"CC labels diverge on a ${edges.size}-edge graph")
+    }
+  }
 }

@@ -1523,7 +1523,248 @@ class SparkSemanticsSpec extends AnyFunSuite {
     "lateralview_two_generators_cross" ->
       """SELECT a, b FROM (SELECT array(1, 2) AS xs, array('p') AS ys)
         |LATERAL VIEW explode(xs) t1 AS a
-        |LATERAL VIEW explode(ys) t2 AS b ORDER BY a""".stripMargin)
+        |LATERAL VIEW explode(ys) t2 AS b ORDER BY a""".stripMargin,
+
+    // ---- wave 7a: join semantics (GlutenJoinSuite / GlutenOuterJoinSuite
+    // / GlutenInnerJoinSuite / GlutenExistenceJoinSuite shapes) ----------
+    // null keys never equi-match on any side
+    "joinpin_inner_null_keys_never_match" ->
+      """SELECT count(*) FROM VALUES (1),(NULL) a(x)
+        |JOIN VALUES (1),(NULL) b(x) ON a.x = b.x""".stripMargin,
+    "joinpin_null_safe_join_matches_nulls" ->
+      """SELECT a.x, b.x FROM VALUES (1),(NULL) a(x)
+        |JOIN VALUES (1),(NULL) b(x) ON a.x <=> b.x ORDER BY a.x""".stripMargin,
+    "joinpin_inner_duplicate_keys_multiply" ->
+      """SELECT count(*) FROM VALUES (1),(1) a(x)
+        |JOIN VALUES (1),(1),(1) b(x) ON a.x = b.x""".stripMargin,
+    "joinpin_left_outer_null_padding" ->
+      """SELECT a.x, b.y FROM VALUES (1),(2) a(x)
+        |LEFT JOIN VALUES (1, 'm') b(x, y) ON a.x = b.x ORDER BY a.x""".stripMargin,
+    // predicate in ON keeps unmatched left rows; same predicate in WHERE
+    // turns the join inner — the classic ON-vs-WHERE outer-join gotcha
+    "joinpin_left_outer_filter_in_on_keeps_rows" ->
+      """SELECT a.x, b.x FROM VALUES (1),(2) a(x)
+        |LEFT JOIN VALUES (1),(2) b(x) ON a.x = b.x AND b.x > 1 ORDER BY a.x""".stripMargin,
+    "joinpin_left_outer_filter_in_where_drops_rows" ->
+      """SELECT a.x, b.x FROM VALUES (1),(2) a(x)
+        |LEFT JOIN VALUES (1),(2) b(x) ON a.x = b.x WHERE b.x > 1""".stripMargin,
+    "joinpin_right_outer_null_padding" ->
+      """SELECT a.y, b.x FROM VALUES (1, 'm') a(x, y)
+        |RIGHT JOIN VALUES (1),(2) b(x) ON a.x = b.x ORDER BY b.x""".stripMargin,
+    "joinpin_full_outer_pads_both_sides" ->
+      """SELECT a.x, b.x FROM VALUES (1),(2) a(x)
+        |FULL JOIN VALUES (2),(3) b(x) ON a.x = b.x ORDER BY coalesce(a.x, b.x)""".stripMargin,
+    "joinpin_full_outer_null_keys_kept_unmatched" ->
+      """SELECT a.x, b.x FROM VALUES (NULL) a(x)
+        |FULL JOIN VALUES (NULL) b(x) ON a.x = b.x ORDER BY a.x NULLS FIRST, b.x""".stripMargin,
+    // semi joins never multiply rows; anti keeps null-key rows (no match)
+    "joinpin_left_semi_no_multiplication" ->
+      """SELECT a.x FROM VALUES (1),(2) a(x)
+        |LEFT SEMI JOIN VALUES (1),(1),(1) b(x) ON a.x = b.x ORDER BY a.x""".stripMargin,
+    "joinpin_left_semi_null_key_no_match" ->
+      """SELECT a.x FROM VALUES (1),(NULL) a(x)
+        |LEFT SEMI JOIN VALUES (1),(NULL) b(x) ON a.x = b.x""".stripMargin,
+    "joinpin_left_anti_keeps_nonmatch_and_null" ->
+      """SELECT a.x FROM VALUES (1),(2),(NULL) a(x)
+        |LEFT ANTI JOIN VALUES (1) b(x) ON a.x = b.x ORDER BY a.x NULLS FIRST""".stripMargin,
+    "joinpin_semi_keeps_left_duplicates" ->
+      """SELECT a.x FROM VALUES (1),(1) a(x)
+        |LEFT SEMI JOIN VALUES (1) b(x) ON a.x = b.x""".stripMargin,
+    // NULL-aware anti join: NOT IN with a NULL in the subquery = empty
+    "joinpin_not_in_with_null_rhs_empty" ->
+      """SELECT x FROM VALUES (1),(2) t(x)
+        |WHERE x NOT IN (SELECT y FROM VALUES (1),(NULL) s(y))""".stripMargin,
+    "joinpin_not_exists_unaffected_by_null" ->
+      """SELECT x FROM VALUES (1),(2) t(x) WHERE NOT EXISTS
+        |(SELECT 1 FROM VALUES (1),(NULL) s(y) WHERE s.y = t.x) ORDER BY x""".stripMargin,
+    "joinpin_in_subquery_null_probe_filtered" ->
+      """SELECT x FROM VALUES (1),(NULL) t(x)
+        |WHERE x IN (SELECT y FROM VALUES (1),(NULL) s(y))""".stripMargin,
+    // existence-join shape: IN inside a disjunction cannot be a semi join
+    "joinpin_existence_in_disjunction" ->
+      """SELECT x FROM VALUES (1),(2),(5) t(x)
+        |WHERE x IN (SELECT y FROM VALUES (1) s(y)) OR x = 5 ORDER BY x""".stripMargin,
+    "joinpin_cross_join_count" ->
+      "SELECT count(*) FROM VALUES (1),(2),(3) a(x) CROSS JOIN VALUES (1),(2) b(y)",
+    "joinpin_join_on_true_is_cross" ->
+      """SELECT a.x, b.y FROM VALUES (1),(2) a(x)
+        |JOIN VALUES ('p') b(y) ON true ORDER BY a.x""".stripMargin,
+    // NATURAL / USING key-column handling
+    "joinpin_natural_join_single_key_col" ->
+      """SELECT * FROM VALUES (1, 'a') t1(k, v1)
+        |NATURAL JOIN VALUES (1, 'b') t2(k, v2)""".stripMargin,
+    "joinpin_using_join_output_one_key" ->
+      """SELECT * FROM VALUES (1, 'a') t1(k, v1)
+        |JOIN VALUES (1, 'b') t2(k, v2) USING (k)""".stripMargin,
+    "joinpin_using_full_outer_coalesced_key" ->
+      """SELECT k FROM VALUES (1) t1(k)
+        |FULL JOIN VALUES (2) t2(k) USING (k) ORDER BY k""".stripMargin,
+    "joinpin_self_join_aliases" ->
+      """SELECT l.x, r.x FROM VALUES (1),(2) l(x)
+        |JOIN VALUES (1),(2) r(x) ON l.x = r.x - 1""".stripMargin,
+    "joinpin_non_equi_range" ->
+      """SELECT a.x, b.y FROM VALUES (1),(5) a(x)
+        |JOIN VALUES (0),(3),(9) b(y) ON b.y BETWEEN a.x AND a.x + 3
+        |ORDER BY a.x, b.y""".stripMargin,
+    "joinpin_inequality_only_condition" ->
+      """SELECT a.x, b.y FROM VALUES (1),(2) a(x)
+        |JOIN VALUES (1),(2) b(y) ON a.x < b.y ORDER BY a.x, b.y""".stripMargin,
+    "joinpin_composite_key" ->
+      """SELECT count(*) FROM VALUES (1, 'a'),(1, 'b') l(k1, k2)
+        |JOIN VALUES (1, 'a'),(1, 'c') r(k1, k2) ON l.k1 = r.k1 AND l.k2 = r.k2""".stripMargin,
+    "joinpin_string_keys_case_sensitive" ->
+      """SELECT count(*) FROM VALUES ('A'),('a') l(k)
+        |JOIN VALUES ('a') r(k) ON l.k = r.k""".stripMargin,
+    // numeric key normalization: NaN equals NaN, -0.0 equals 0.0 in joins
+    "joinpin_nan_keys_match" ->
+      """SELECT count(*) FROM VALUES (double('NaN')) l(k)
+        |JOIN VALUES (double('NaN')) r(k) ON l.k = r.k""".stripMargin,
+    "joinpin_negzero_matches_poszero" ->
+      """SELECT count(*) FROM VALUES (CAST('-0.0' AS DOUBLE)) l(k)
+        |JOIN VALUES (CAST('0.0' AS DOUBLE)) r(k) ON l.k = r.k""".stripMargin,
+    // implicit cast in the join condition (int vs string widens to bigint/
+    // string comparison per type-coercion rules)
+    "joinpin_mixed_type_key_coercion" ->
+      """SELECT count(*) FROM VALUES (1) l(k)
+        |JOIN VALUES ('1') r(k) ON l.k = r.k""".stripMargin,
+    "joinpin_decimal_int_key_coercion" ->
+      """SELECT count(*) FROM VALUES (CAST(1.00 AS DECIMAL(5,2))) l(k)
+        |JOIN VALUES (1) r(k) ON l.k = r.k""".stripMargin,
+    "joinpin_left_outer_empty_right" ->
+      """SELECT a.x, b.x FROM VALUES (1) a(x)
+        |LEFT JOIN (SELECT x FROM VALUES (1) t(x) WHERE x > 9) b ON a.x = b.x""".stripMargin,
+    "joinpin_inner_empty_side_empty" ->
+      """SELECT count(*) FROM VALUES (1) a(x)
+        |JOIN (SELECT x FROM VALUES (1) t(x) WHERE x > 9) b ON a.x = b.x""".stripMargin,
+    "joinpin_three_way_chain" ->
+      """SELECT a.x, b.y, c.z FROM VALUES (1) a(x)
+        |JOIN VALUES (1, 2) b(x, y) ON a.x = b.x
+        |JOIN VALUES (2, 3) c(y, z) ON b.y = c.y""".stripMargin,
+    // join strategy hints must not change results
+    "joinpin_broadcast_hint_same_result" ->
+      """SELECT /*+ BROADCAST(b) */ a.x, b.x FROM VALUES (1),(2) a(x)
+        |JOIN VALUES (1) b(x) ON a.x = b.x""".stripMargin,
+    "joinpin_merge_hint_same_result" ->
+      """SELECT /*+ MERGE(b) */ a.x, b.x FROM VALUES (1),(2) a(x)
+        |JOIN VALUES (1) b(x) ON a.x = b.x""".stripMargin,
+    "joinpin_shuffle_hash_hint_same_result" ->
+      """SELECT /*+ SHUFFLE_HASH(b) */ a.x, b.x FROM VALUES (1),(2) a(x)
+        |JOIN VALUES (1) b(x) ON a.x = b.x""".stripMargin,
+    "joinpin_lateral_correlated" ->
+      """SELECT t.x, l.doubled FROM VALUES (1),(2) t(x),
+        |LATERAL (SELECT t.x * 2 AS doubled) l ORDER BY t.x""".stripMargin,
+    "joinpin_left_join_lateral_empty_padded" ->
+      """SELECT t.x, l.y FROM VALUES (1),(2) t(x)
+        |LEFT JOIN LATERAL (SELECT 10 AS y WHERE t.x > 1) l ON true ORDER BY t.x""".stripMargin,
+    "joinpin_anti_empty_subquery_keeps_all" ->
+      """SELECT x FROM VALUES (1),(2) t(x) WHERE NOT EXISTS
+        |(SELECT 1 FROM VALUES (1) s(y) WHERE 1 = 0) ORDER BY x""".stripMargin,
+    "joinpin_outer_join_coalesced_agg" ->
+      """SELECT a.x, count(b.x) FROM VALUES (1),(2) a(x)
+        |LEFT JOIN VALUES (1) b(x) ON a.x = b.x GROUP BY a.x ORDER BY a.x""".stripMargin,
+    "joinpin_full_outer_using_both_vals" ->
+      """SELECT k, v1, v2 FROM VALUES (1, 'a') t1(k, v1)
+        |FULL JOIN VALUES (2, 'b') t2(k, v2) USING (k) ORDER BY k""".stripMargin,
+    "joinpin_nested_loop_with_or_condition" ->
+      """SELECT a.x, b.y FROM VALUES (1),(4) a(x)
+        |JOIN VALUES (1),(5) b(y) ON a.x = b.y OR a.x + b.y = 9
+        |ORDER BY a.x, b.y""".stripMargin,
+    "joinpin_semi_via_intersect_distinct" ->
+      """SELECT x FROM VALUES (1),(1),(2) t(x)
+        |INTERSECT SELECT y FROM VALUES (1),(3) s(y)""".stripMargin,
+    "joinpin_boolean_key_join" ->
+      """SELECT count(*) FROM VALUES (true),(false) l(k)
+        |JOIN VALUES (true) r(k) ON l.k = r.k""".stripMargin,
+    "joinpin_date_key_join" ->
+      """SELECT l.k FROM VALUES (DATE '2020-01-01') l(k)
+        |JOIN VALUES (DATE '2020-01-01') r(k) ON l.k = r.k""".stripMargin,
+    "joinpin_timestamp_vs_date_key_coercion" ->
+      """SELECT count(*) FROM VALUES (DATE '2020-01-01') l(k)
+        |JOIN VALUES (TIMESTAMP '2020-01-01 00:00:00') r(k) ON l.k = r.k""".stripMargin,
+    "joinpin_struct_key_join" ->
+      """SELECT count(*) FROM VALUES (named_struct('a', 1)) l(k)
+        |JOIN VALUES (named_struct('a', 1)) r(k) ON l.k = r.k""".stripMargin,
+    "joinpin_array_key_join" ->
+      """SELECT count(*) FROM VALUES (array(1, 2)) l(k)
+        |JOIN VALUES (array(1, 2)) r(k) ON l.k = r.k""".stripMargin,
+
+    // ---- wave 7a: subquery semantics (GlutenSubquerySuite additions) ---
+    "subq7_scalar_empty_is_null" ->
+      "SELECT (SELECT x FROM VALUES (1) t(x) WHERE x > 9)",
+    "subq7_scalar_in_select_list" ->
+      "SELECT x + (SELECT max(y) FROM VALUES (10),(20) s(y)) FROM VALUES (1) t(x)",
+    "subq7_correlated_scalar_agg" ->
+      """SELECT x, (SELECT sum(y) FROM VALUES (1, 10),(1, 20),(2, 5) s(k, y)
+        |WHERE s.k = t.x) FROM VALUES (1),(2),(3) t(x) ORDER BY x""".stripMargin,
+    // the classic COUNT bug: correlated COUNT over an empty group is 0,
+    // never NULL — a rewrite that breaks the left-outer+coalesce shape
+    // regresses exactly here
+    "subq7_correlated_count_empty_group_is_zero" ->
+      """SELECT x, (SELECT count(*) FROM VALUES (1) s(k) WHERE s.k = t.x)
+        |FROM VALUES (1),(5) t(x) ORDER BY x""".stripMargin,
+    "subq7_tuple_in_subquery" ->
+      """SELECT x, y FROM VALUES (1, 'a'),(2, 'b') t(x, y)
+        |WHERE (x, y) IN (SELECT 1, 'a')""".stripMargin,
+    "subq7_exists_limit_zero_false" ->
+      "SELECT x FROM VALUES (1) t(x) WHERE EXISTS (SELECT 1 LIMIT 0)",
+    "subq7_scalar_orderby_limit" ->
+      "SELECT (SELECT y FROM VALUES (3),(1),(2) s(y) ORDER BY y DESC LIMIT 1)",
+    "subq7_not_in_empty_rhs_keeps_all" ->
+      """SELECT x FROM VALUES (1),(NULL) t(x)
+        |WHERE x NOT IN (SELECT y FROM VALUES (1) s(y) WHERE 1 = 0)
+        |ORDER BY x NULLS FIRST""".stripMargin,
+    "subq7_in_against_duplicate_rhs" ->
+      """SELECT x FROM VALUES (1),(1),(2) t(x)
+        |WHERE x IN (SELECT y FROM VALUES (1),(1) s(y)) ORDER BY x""".stripMargin,
+    "subq7_correlated_exists_two_columns" ->
+      """SELECT x, y FROM VALUES (1, 10),(2, 20) t(x, y) WHERE EXISTS
+        |(SELECT 1 FROM VALUES (1, 10),(2, 99) s(a, b)
+        | WHERE s.a = t.x AND s.b = t.y)""".stripMargin,
+    "subq7_in_case_when" ->
+      """SELECT CASE WHEN x IN (SELECT y FROM VALUES (1) s(y)) THEN 'hit'
+        |ELSE 'miss' END FROM VALUES (1),(2) t(x) ORDER BY 1""".stripMargin,
+    "subq7_correlated_in_having" ->
+      """SELECT k, count(*) FROM VALUES (1),(1),(2) t(k) GROUP BY k
+        |HAVING count(*) > (SELECT max(y) FROM VALUES (1) s(y)) ORDER BY k""".stripMargin,
+    "subq7_nested_two_levels" ->
+      """SELECT x FROM VALUES (1),(2),(3) t(x) WHERE x IN
+        |(SELECT y FROM VALUES (1),(2) s(y) WHERE y IN
+        |  (SELECT z FROM VALUES (2) u(z))) ORDER BY x""".stripMargin,
+    "subq7_scalar_subquery_in_agg" ->
+      "SELECT max(x) + (SELECT 10) FROM VALUES (1),(2) t(x)",
+
+    // ---- wave 7a: window frame additions (GlutenDataFrameWindowFrames) -
+    "winfr7_lead_lag_defaults" ->
+      """SELECT x, lag(x) OVER (ORDER BY x), lead(x, 1, -1) OVER (ORDER BY x)
+        |FROM VALUES (1),(2),(3) t(x) ORDER BY x""".stripMargin,
+    "winfr7_nth_value_from_first" ->
+      """SELECT x, nth_value(x, 2) OVER (ORDER BY x
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |FROM VALUES (10),(20),(30) t(x) ORDER BY x""".stripMargin,
+    "winfr7_first_value_ignore_nulls" ->
+      """SELECT x, first_value(v) IGNORE NULLS OVER (ORDER BY x)
+        |FROM VALUES (1, NULL),(2, 'a'),(3, 'b') t(x, v) ORDER BY x""".stripMargin,
+    "winfr7_range_frame_desc" ->
+      """SELECT x, sum(x) OVER (ORDER BY x DESC RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+        |FROM VALUES (1),(2),(3) t(x) ORDER BY x""".stripMargin,
+    "winfr7_range_frame_includes_peers" ->
+      """SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |FROM VALUES (1),(1),(2) t(x) ORDER BY x""".stripMargin,
+    "winfr7_rows_frame_excludes_peers" ->
+      """SELECT x, sum(x) OVER (ORDER BY x, rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |FROM VALUES (1, 1),(1, 2),(2, 3) t(x, rn) ORDER BY x, rn""".stripMargin,
+    "winfr7_cume_dist_percent_rank" ->
+      """SELECT x, cume_dist() OVER (ORDER BY x), percent_rank() OVER (ORDER BY x)
+        |FROM VALUES (1),(2),(2),(3) t(x) ORDER BY x""".stripMargin,
+    "winfr7_ntile_uneven" ->
+      """SELECT x, ntile(3) OVER (ORDER BY x)
+        |FROM VALUES (1),(2),(3),(4),(5) t(x) ORDER BY x""".stripMargin,
+    "winfr7_window_order_nulls_first_running_count" ->
+      """SELECT x, count(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |FROM VALUES (NULL),(1),(2) t(x) ORDER BY x NULLS FIRST""".stripMargin,
+    "winfr7_dense_rank_vs_rank_gaps" ->
+      """SELECT x, rank() OVER (ORDER BY x), dense_rank() OVER (ORDER BY x)
+        |FROM VALUES (1),(2),(2),(3) t(x) ORDER BY x""".stripMargin)
 
   // ---- non-ANSI duplication (GlutenCastSuite / Gluten*AnsiOff faces) --
   // Spark 4 runs ANSI-on by default; the reference's gluten-ut matrix
@@ -1589,7 +1830,47 @@ class SparkSemanticsSpec extends AnyFunSuite {
     "nonansi_duplicate_map_key_last_wins_conf" -> "SELECT map('a', 1)['a']",
     "nonansi_parse_url_invalid_null" -> "SELECT parse_url('not a url', 'HOST')",
     "nonansi_csv_malformed_permissive" ->
-      "SELECT from_csv('a,not_int', 'x STRING, y INT').y")
+      "SELECT from_csv('a,not_int', 'x STRING, y INT').y",
+
+    // ---- wave 7a: non-ANSI duplication beyond cast/overflow — type
+    // coercion, joins, aggregates, datetime parsing (the reference's
+    // both-modes matrix covers these suites too) -------------------------
+    // union/in coercion: non-ANSI silently widens int vs string to string
+    "nonansi_union_int_string_widens_string" ->
+      "SELECT typeof(v) FROM (SELECT 1 AS v UNION ALL SELECT 'x') LIMIT 1",
+    "nonansi_in_list_int_string_coerces" -> "SELECT 1 IN ('1', '2')",
+    "nonansi_if_branches_int_string_coerce" ->
+      "SELECT typeof(if(true, 1, 'x'))",
+    "nonansi_join_int_string_key_coercion" ->
+      """SELECT count(*) FROM VALUES (1) l(k)
+        |JOIN VALUES ('1x') r(k) ON l.k = r.k""".stripMargin,
+    // aggregates over hazard inputs
+    "nonansi_sum_long_overflow_wraps" ->
+      "SELECT sum(v) FROM VALUES (9223372036854775807), (1) t(v)",
+    "nonansi_avg_interval_no_error" ->
+      "SELECT avg(v) FROM VALUES (INTERVAL '1' DAY),(INTERVAL '3' DAY) t(v)",
+    // datetime parsing/arithmetic hazards
+    "nonansi_date_add_huge_overflows_silently" ->
+      "SELECT try_cast(date_add(DATE '2020-01-01', 2147483647) AS STRING) IS NOT NULL",
+    "nonansi_timestampadd_overflow_behavior" ->
+      "SELECT timestampadd(YEAR, 5, TIMESTAMP '2020-01-01 00:00:00')",
+    "nonansi_date_format_week_year_pattern" ->
+      "SELECT date_format(DATE '2019-12-31', 'yyyy')",
+    "nonansi_string_date_comparison_coerces" ->
+      "SELECT DATE '2020-01-02' > '2020-01-01'",
+    // collection/string edge behavior under non-ANSI
+    "nonansi_substr_oob_empty_not_error" -> "SELECT substr('ab', 5, 2)",
+    "nonansi_left_negative_len_empty" -> "SELECT left('hello', -1)",
+    "nonansi_array_insert_negative_index" ->
+      "SELECT array_insert(array(1, 2), -1, 99)",
+    "nonansi_elt_index_oob_null" -> "SELECT elt(5, 'a', 'b')",
+    "nonansi_space_negative_empty" -> "SELECT space(-3)",
+    // implicit numeric narrowing in function args
+    "nonansi_round_scale_from_double_arg" -> "SELECT round(2.345, 2)",
+    "nonansi_string_to_double_arith_coerces" -> "SELECT '1.5' + 1",
+    "nonansi_string_minus_int_coerces" -> "SELECT '10' - 1",
+    "nonansi_boolean_string_compare_coerces" -> "SELECT true = 'true'",
+    "nonansi_hex_string_arith_null" -> "SELECT '0x1A' + 0")
 
   // ---- ANSI error entries: (label, sql, expected error condition) ------
   private val ansiErrors: Seq[(String, String, String)] = Seq(
@@ -1666,10 +1947,23 @@ class SparkSemanticsSpec extends AnyFunSuite {
       "SELECT row_number()", "WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE"),
     ("analysis_generator_outside_select_rejected",
       "SELECT v FROM VALUES (1) t(v) WHERE explode(array(1)) = 1",
-      "UNSUPPORTED_GENERATOR"))
+      "UNSUPPORTED_GENERATOR"),
+    // wave 7a: subquery/join error contracts
+    ("runtime_scalar_subquery_multi_row_errors",
+      "SELECT (SELECT y FROM VALUES (1),(2) s(y))",
+      "SCALAR_SUBQUERY_TOO_MANY_ROWS"),
+    ("analysis_using_column_missing_errors",
+      """SELECT * FROM VALUES (1) a(x) JOIN VALUES (1) b(y) USING (zz)""",
+      "UNRESOLVED_USING_COLUMN_FOR_JOIN"),
+    ("analysis_natural_cross_join_rejected",
+      "SELECT * FROM VALUES (1) a(x) NATURAL CROSS JOIN VALUES (1) b(x)",
+      "INCOMPATIBLE_JOIN_TYPES"),
+    ("analysis_lateral_forward_reference",
+      "SELECT * FROM LATERAL (SELECT t.x) , VALUES (1) t(x)",
+      "UNRESOLVED_COLUMN"))
 
   /** canonical rendering: dtypes :: rows (stable across JVMs) */
-  private def render(sql: String): String = {
+  private def renderDf(df: org.apache.spark.sql.DataFrame): String = {
     def lit(v: Any): String = v match {
       case null => "NULL"
       case s: String => "'" + s + "'"
@@ -1681,11 +1975,12 @@ class SparkSemanticsSpec extends AnyFunSuite {
       case b: Array[Byte] => b.map("%02x".format(_)).mkString
       case other => other.toString
     }
-    val df = spark.sql(sql)
     val schema = df.schema.map(_.dataType.simpleString).mkString(",")
     val rows = df.collect().map(_.toSeq.map(lit).mkString("|")).mkString(";")
     s"$schema :: $rows"
   }
+
+  private def render(sql: String): String = renderDf(spark.sql(sql))
 
   /** render under `spark.sql.ansi.enabled=false`, restoring after */
   private def renderNonAnsi(sql: String): String = {
@@ -1696,10 +1991,184 @@ class SparkSemanticsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.ansi.enabled", _))
   }
 
-  /** every golden-pinned entry with its renderer */
+  // ---- wave 7a: DataFrame-API pins (GlutenDataFrameSuite /
+  // GlutenDataFrameNaFunctionsSuite / GlutenDataFrameSetOperationsSuite /
+  // GlutenDataFramePivotSuite / GlutenDataFrameStatSuite API faces) ------
+  // These behaviors have no single-SQL rendering (na.*, unionByName,
+  // exceptAll/intersectAll multiplicities, stat.*, typed Dataset ops), so
+  // the pin is a DataFrame program; output is golden-pinned identically.
+  private val apiPinned: Seq[(String, org.apache.spark.sql.SparkSession =>
+      org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.{functions => F}
+    Seq(
+      ("dfapi_union_by_name_reorders", s => {
+        import s.implicits._
+        val a = Seq((1, "x")).toDF("id", "v")
+        val b = Seq(("y", 2)).toDF("v", "id")
+        a.unionByName(b).orderBy("id")
+      }),
+      ("dfapi_union_by_name_allow_missing_nulls", s => {
+        import s.implicits._
+        val a = Seq((1, "x")).toDF("id", "v")
+        val b = Seq(2).toDF("id")
+        a.unionByName(b, allowMissingColumns = true).orderBy("id")
+      }),
+      ("dfapi_except_all_keeps_multiplicity", s => {
+        import s.implicits._
+        Seq(1, 1, 1, 2).toDF("v")
+          .exceptAll(Seq(1).toDF("v")).orderBy("v")
+      }),
+      ("dfapi_intersect_all_min_multiplicity", s => {
+        import s.implicits._
+        Seq(1, 1, 2).toDF("v")
+          .intersectAll(Seq(1, 1, 1).toDF("v")).orderBy("v")
+      }),
+      ("dfapi_drop_duplicates_subset", s => {
+        import s.implicits._
+        // duplicate rows are FULLY identical so the kept row is unique
+        Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+          .dropDuplicates("k").orderBy("k")
+      }),
+      ("dfapi_na_fill_per_column_map", s => {
+        import s.implicits._
+        Seq((Some(1), Option.empty[String]), (None, Some("x")))
+          .toDF("i", "s").na.fill(Map("i" -> -1, "s" -> "?")).orderBy("i")
+      }),
+      ("dfapi_na_drop_how_all", s => {
+        import s.implicits._
+        Seq((Option.empty[Int], Option.empty[Int]), (Some(1), Option.empty[Int]))
+          .toDF("a", "b").na.drop("all").orderBy("a")
+      }),
+      ("dfapi_na_drop_thresh", s => {
+        import s.implicits._
+        Seq((Some(1), Some(2), Option.empty[Int]), (Some(1), None, None))
+          .toDF("a", "b", "c").na.drop(2).orderBy("a")
+      }),
+      ("dfapi_na_replace_values", s => {
+        import s.implicits._
+        Seq("unknown", "ok").toDF("v")
+          .na.replace("v", Map("unknown" -> "?")).orderBy("v")
+      }),
+      ("dfapi_with_columns_renamed", s => {
+        import s.implicits._
+        Seq((1, 2)).toDF("a", "b")
+          .withColumnsRenamed(Map("a" -> "x", "b" -> "y"))
+      }),
+      ("dfapi_with_column_replaces_existing", s => {
+        import s.implicits._
+        Seq(1).toDF("v").withColumn("v", F.col("v") * 10)
+      }),
+      ("dfapi_drop_missing_column_noop", s => {
+        import s.implicits._
+        Seq(1).toDF("v").drop("no_such_col")
+      }),
+      ("dfapi_unpivot_melt", s => {
+        import s.implicits._
+        Seq((1, 10.0, 20.0)).toDF("id", "m1", "m2")
+          .unpivot(Array(F.col("id")), Array(F.col("m1"), F.col("m2")),
+            "metric", "value").orderBy("metric")
+      }),
+      ("dfapi_pivot_explicit_values", s => {
+        import s.implicits._
+        Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 3)).toDF("k", "p", "v")
+          .groupBy("k").pivot("p", Seq("x", "y")).sum("v").orderBy("k")
+      }),
+      ("dfapi_stat_corr_pearson", s => {
+        import s.implicits._
+        val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+        Seq(df.stat.corr("x", "y")).toDF("corr")
+      }),
+      ("dfapi_stat_cov_sample", s => {
+        import s.implicits._
+        val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+        Seq(df.stat.cov("x", "y")).toDF("cov")
+      }),
+      ("dfapi_crosstab_counts", s => {
+        import s.implicits._
+        Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
+          .stat.crosstab("k", "v").orderBy("k_v")
+      }),
+      ("dfapi_describe_stats", s => {
+        import s.implicits._
+        Seq(1, 2, 3).toDF("v").describe("v").orderBy("summary")
+      }),
+      ("dfapi_summary_percentiles", s => {
+        import s.implicits._
+        Seq(1, 2, 3, 4).toDF("v").summary("min", "25%", "50%", "max")
+          .orderBy("summary")
+      }),
+      ("dfapi_col_regex_select", s => {
+        import s.implicits._
+        val df = Seq((1, 2, 3)).toDF("ab1", "ab2", "cd")
+        df.select(df.colRegex("`ab.*`"))
+      }),
+      ("dfapi_typed_map_filter_groupby", s => {
+        import s.implicits._
+        Seq(1, 2, 3, 4).toDS()
+          .filter(_ % 2 == 0).map(_ * 10)
+          .groupByKey(_ => "all").count().toDF("k", "n")
+      }),
+      ("dfapi_to_json_struct", s => {
+        import s.implicits._
+        Seq((1, "a")).toDF("id", "v")
+          .select(F.to_json(F.struct(F.col("id"), F.col("v"))).as("js"))
+      }),
+      ("dfapi_from_json_schema", s => {
+        import s.implicits._
+        Seq("""{"a": 5, "b": "x"}""").toDF("js")
+          .select(F.from_json(F.col("js"),
+            org.apache.spark.sql.types.StructType.fromDDL("a INT, b STRING")).as("st"))
+          .select("st.a", "st.b")
+      }),
+      ("dfapi_select_expr_struct_star", s => {
+        import s.implicits._
+        Seq((1, 2)).toDF("a", "b").selectExpr("struct(*) AS st")
+          .select("st.*")
+      }),
+      ("dfapi_rollup_api_counts", s => {
+        import s.implicits._
+        Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+          .rollup("k").count().orderBy(F.col("k").asc_nulls_first)
+      }),
+      ("dfapi_cube_api_counts", s => {
+        import s.implicits._
+        Seq(("a", 1), ("b", 1)).toDF("k", "g")
+          .cube("k", "g").count()
+          .orderBy(F.col("k").asc_nulls_first, F.col("g").asc_nulls_first)
+      }),
+      ("dfapi_agg_map_form", s => {
+        import s.implicits._
+        Seq((1, 10), (2, 20)).toDF("k", "v")
+          .agg(Map("v" -> "sum", "k" -> "max"))
+      }),
+      ("dfapi_sample_by_stratified_seed", s => {
+        import s.implicits._
+        // fractions 0 and 1 make stratified sampling deterministic at any
+        // partitioning: keep every 'a', drop every 'b'
+        Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+          .stat.sampleBy("k", Map("a" -> 1.0, "b" -> 0.0), 42L).orderBy("v")
+      }),
+      ("dfapi_freq_items_single_dominant", s => {
+        import s.implicits._
+        // one value >75% support: the sketch must report it regardless of
+        // partition layout; render sorted for stability
+        Seq(7, 7, 7, 7, 7, 7, 7, 1).toDF("v")
+          .stat.freqItems(Array("v"), 0.75)
+          .select(F.array_sort(F.col("v_freqItems")).as("items"))
+      }),
+      ("dfapi_offset_then_limit", s => {
+        import s.implicits._
+        Seq(1, 2, 3, 4, 5).toDF("v").orderBy("v").offset(2).limit(2)
+      }))
+  }
+
+  /** every golden-pinned entry with its renderer; the "sql" column for
+    * API pins is the label itself (shown on failure instead of SQL) */
   private val allPinned: Seq[(String, String, String => String)] =
     pinned.map { case (l, s) => (l, s, render(_)) } ++
-      nonAnsiPinned.map { case (l, s) => (l, s, renderNonAnsi(_)) }
+      nonAnsiPinned.map { case (l, s) => (l, s, renderNonAnsi(_)) } ++
+      apiPinned.map { case (l, f) =>
+        (l, s"<DataFrame program $l>", (_: String) => renderDf(f(spark))) }
 
   if (sys.env.contains("GRAFT_REGEN_GOLDEN")) {
     test("REGENERATE golden file (review the diff — it IS the semantics change)") {
