@@ -26,6 +26,11 @@ object SpillAtScale {
       .appName("graft-spill-at-scale")
       .config("spark.ui.enabled", "false")
       .config("spark.memory.fraction", frac)
+      // under starvation, keep the storage region evictable-small so an
+      // in-query cache() cannot pin memory the aggregation maps need —
+      // at real scale the cache would degrade to recompute, not OOM
+      .config("spark.memory.storageFraction",
+        sys.env.getOrElse("SPARK_GRAFT_STORAGE_FRACTION", "0.5"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
