@@ -1764,7 +1764,242 @@ class SparkSemanticsSpec extends AnyFunSuite {
         |FROM VALUES (NULL),(1),(2) t(x) ORDER BY x NULLS FIRST""".stripMargin,
     "winfr7_dense_rank_vs_rank_gaps" ->
       """SELECT x, rank() OVER (ORDER BY x), dense_rank() OVER (ORDER BY x)
-        |FROM VALUES (1),(2),(2),(3) t(x) ORDER BY x""".stripMargin)
+        |FROM VALUES (1),(2),(2),(3) t(x) ORDER BY x""".stripMargin,
+
+    // ---- wave 7b: string-function edges (GlutenStringFunctionsSuite) ---
+    "strexpr7_initcap_mixed" -> "SELECT initcap('hELLO wORLD_x')",
+    "strexpr7_translate_maps_chars" -> "SELECT translate('ababab', 'ab', 'xy')",
+    "strexpr7_translate_short_to_deletes" -> "SELECT translate('abc', 'abc', 'xy')",
+    "strexpr7_overlay_replaces_span" -> "SELECT overlay('Spark SQL' PLACING '_' FROM 6)",
+    "strexpr7_overlay_with_len" -> "SELECT overlay('Spark SQL' PLACING 'ANSI ' FROM 7 FOR 0)",
+    "strexpr7_sentences_splits" -> "SELECT sentences('Hi there. How are you?')",
+    "strexpr7_format_number_grouping" -> "SELECT format_number(1234567.891, 2)",
+    "strexpr7_format_number_zero_decimals" -> "SELECT format_number(1234.5, 0)",
+    "strexpr7_format_string_printf" -> "SELECT format_string('%d-%s-%05.1f', 7, 'x', 2.5e0)",
+    "strexpr7_locate_from_position" -> "SELECT locate('l', 'hello', 4)",
+    "strexpr7_position_three_arg" -> "SELECT position('l', 'hello', 4)",
+    "strexpr7_ascii_first_char" -> "SELECT ascii('Abc')",
+    "strexpr7_chr_from_code" -> "SELECT chr(65.2)",
+    "strexpr7_char_alias" -> "SELECT char(97)",
+    "strexpr7_base64_roundtrip" -> "SELECT base64('spark'), unbase64(base64('spark'))",
+    "strexpr7_encode_decode_utf8" -> "SELECT decode(encode('héllo', 'UTF-8'), 'UTF-8')",
+    "strexpr7_soundex_code" -> "SELECT soundex('Robert'), soundex('Rupert')",
+    "strexpr7_levenshtein_basic" -> "SELECT levenshtein('kitten', 'sitting')",
+    "strexpr7_levenshtein_with_bound" -> "SELECT levenshtein('kitten', 'sitting', 2)",
+    "strexpr7_char_vs_octet_length" -> "SELECT char_length('héllo'), octet_length('héllo')",
+    "strexpr7_bit_length_utf8" -> "SELECT bit_length('héllo')",
+    "strexpr7_find_in_set_position" -> "SELECT find_in_set('b', 'a,b,c')",
+    "strexpr7_find_in_set_miss_zero" -> "SELECT find_in_set('z', 'a,b,c')",
+    "strexpr7_substring_index_positive" -> "SELECT substring_index('a.b.c', '.', 2)",
+    "strexpr7_substring_index_negative" -> "SELECT substring_index('a.b.c', '.', -1)",
+    "strexpr7_regexp_replace_groups" ->
+      "SELECT regexp_replace('a1b2', '([a-z])([0-9])', '$2$1')",
+    "strexpr7_regexp_replace_from_pos" ->
+      "SELECT regexp_replace('aaa', 'a', 'b', 2)",
+    "strexpr7_rlike_partial_match" -> "SELECT 'abc123' rlike '[0-9]+'",
+    "strexpr7_like_escape_clause" -> "SELECT '50%' LIKE '50!%' ESCAPE '!'",
+    "strexpr7_ilike_case_insensitive" -> "SELECT 'ABC' ilike 'a%'",
+    "strexpr7_startswith_endswith_contains" ->
+      "SELECT startswith('spark', 'sp'), endswith('spark', 'rk'), contains('spark', 'ar')",
+    "strexpr7_btrim_custom_chars" -> "SELECT btrim('xxhixx', 'x')",
+    "strexpr7_trim_leading_trailing_sql" ->
+      "SELECT trim(LEADING 'x' FROM 'xxax'), trim(TRAILING 'x' FROM 'xxax')",
+    "strexpr7_luhn_check_valid" -> "SELECT luhn_check('4111111111111111')",
+    "strexpr7_luhn_check_invalid" -> "SELECT luhn_check('4111111111111112')",
+    "strexpr7_mask_defaults" -> "SELECT mask('AbCd-123')",
+    "strexpr7_mask_custom_chars" -> "SELECT mask('AbCd-123', 'X', 'x', '#', '*')",
+    "strexpr7_split_with_limit" -> "SELECT split('a,b,c,d', ',', 2)",
+    "strexpr7_split_part_one_based" -> "SELECT split_part('a,b,c', ',', 2)",
+    "strexpr7_split_part_negative" -> "SELECT split_part('a,b,c', ',', -1)",
+    "strexpr7_replace_all_occurrences" -> "SELECT replace('aaa', 'a', 'b')",
+    "strexpr7_reverse_string" -> "SELECT reverse('abc')",
+    "strexpr7_concat_ws_array_args" -> "SELECT concat_ws('-', array('a','b'), 'c')",
+    "strexpr7_to_varchar_numeric" -> "SELECT to_varchar(78.12, '$99.99')",
+    "strexpr7_is_valid_utf8_and_try_validate" ->
+      "SELECT is_valid_utf8('ok'), try_validate_utf8('ok')",
+    "strexpr7_quote_literal" -> "SELECT quote(\"Don't\")",
+
+    // ---- wave 7b: datetime extras (GlutenDateFunctionsSuite) -----------
+    "dt7_to_char_timestamp_pattern" ->
+      "SELECT to_char(TIMESTAMP '2020-03-01 14:05:09', 'yyyy/MM/dd HH:mm')",
+    "dt7_date_part_field_names" ->
+      "SELECT date_part('YEAR', DATE '2020-03-01'), date_part('DOY', DATE '2020-03-01')",
+    "dt7_trunc_date_to_month" -> "SELECT trunc(DATE '2020-03-17', 'MM')",
+    "dt7_trunc_invalid_fmt_null" -> "SELECT trunc(DATE '2020-03-17', 'bogus')",
+    "dt7_date_trunc_hour" ->
+      "SELECT date_trunc('HOUR', TIMESTAMP '2020-03-01 14:35:09')",
+    "dt7_dayname_monthname" ->
+      "SELECT dayname(DATE '2020-01-05'), monthname(DATE '2020-01-05')",
+    "dt7_quarter_of_date" -> "SELECT quarter(DATE '2020-08-14')",
+    "dt7_weekday_monday_zero" -> "SELECT weekday(DATE '2020-01-06')",
+    "dt7_make_timestamp_fractional" ->
+      "SELECT make_timestamp(2020, 2, 29, 23, 59, 59.123456)",
+    "dt7_make_timestamp_ltz_tz_arg" ->
+      "SELECT make_timestamp_ltz(2020, 1, 1, 12, 0, 0, 'UTC')",
+    "dt7_make_ym_interval" -> "SELECT make_ym_interval(1, 14)",
+    "dt7_make_dt_interval" -> "SELECT make_dt_interval(1, 2, 3, 4.5)",
+    "dt7_timestamp_seconds_millis_micros" ->
+      "SELECT timestamp_seconds(86400), timestamp_millis(1500), timestamp_micros(1500000)",
+    "dt7_unix_date_days" -> "SELECT unix_date(DATE '1970-01-03')",
+    "dt7_unix_micros_of_ts" -> "SELECT unix_micros(TIMESTAMP '1970-01-01 00:00:01')",
+    "dt7_from_unixtime_format" -> "SELECT from_unixtime(86400, 'yyyy-MM-dd HH:mm')",
+    "dt7_date_format_day_of_week_text" ->
+      "SELECT date_format(DATE '2020-01-05', 'EEEE')",
+    "dt7_date_format_am_pm" ->
+      "SELECT date_format(TIMESTAMP '2020-01-05 13:01:00', 'h:mm a')",
+    "dt7_date_format_day_of_year" ->
+      "SELECT date_format(DATE '2020-02-01', 'D')",
+    "dt7_next_day_from_saturday" -> "SELECT next_day(DATE '2020-01-04', 'MON')",
+    "dt7_months_between_exact_day_matches" ->
+      "SELECT months_between(DATE '2020-03-15', DATE '2020-01-15')",
+    "dt7_months_between_roundoff_arg" ->
+      "SELECT months_between(TIMESTAMP '2020-03-14 12:00:00', DATE '2020-01-15', false)",
+    "dt7_datediff_negative" -> "SELECT datediff(DATE '2020-01-01', DATE '2020-01-05')",
+    "dt7_date_sub_function" -> "SELECT date_sub(DATE '2020-01-01', 1)",
+    "dt7_dateadd_alias" -> "SELECT dateadd(DAY, 3, DATE '2020-02-27')",
+    "dt7_datepart_alias" -> "SELECT datepart('MONTH', DATE '2020-08-14')",
+    "dt7_timestampdiff_months" ->
+      "SELECT timestampdiff(MONTH, TIMESTAMP '2020-01-31 00:00:00', TIMESTAMP '2020-03-30 23:59:59')",
+    "dt7_convert_timezone_three_arg" ->
+      "SELECT convert_timezone('UTC', 'America/Los_Angeles', TIMESTAMP_NTZ '2020-06-01 12:00:00')",
+    "dt7_extract_seconds_fractional" ->
+      "SELECT extract(SECONDS FROM TIMESTAMP '1970-01-01 00:01:30.5')",
+    "dt7_last_day_non_leap" -> "SELECT last_day(DATE '2019-02-10')",
+
+    // ---- wave 7b: math/bitwise extras (GlutenMathExpressionsSuite) -----
+    "math7_conv_binary_to_decimal" -> "SELECT conv('1010', 2, 10)",
+    "math7_conv_decimal_to_hex" -> "SELECT conv('255', 10, 16)",
+    "math7_conv_negative_base" -> "SELECT conv('-10', 10, -16)",
+    "math7_hex_of_long_and_string" -> "SELECT hex(255), hex('ab')",
+    "math7_unhex_roundtrip" -> "SELECT decode(unhex('4142'), 'UTF-8')",
+    "math7_shiftleft_overflow_wraps" -> "SELECT shiftleft(1073741824, 2)",
+    "math7_shiftright_sign_extends" -> "SELECT shiftright(-8, 1)",
+    "math7_shiftrightunsigned_zero_fills" -> "SELECT shiftrightunsigned(-8, 1)",
+    "math7_bit_get_positions" -> "SELECT bit_get(5, 0), bit_get(5, 1), getbit(5, 2)",
+    "math7_bit_count_of_long" -> "SELECT bit_count(255)",
+    "math7_factorial_20_max" -> "SELECT factorial(20)",
+    "math7_factorial_21_null" -> "SELECT factorial(21)",
+    "math7_hypot_345" -> "SELECT hypot(3.0, 4.0)",
+    "math7_bin_of_negative" -> "SELECT bin(-1)",
+    "math7_bround_negative_scale" -> "SELECT bround(25, -1), round(25, -1)",
+    "math7_rint_half_even" -> "SELECT rint(2.5e0), rint(3.5e0)",
+    "math7_pow_zero_zero_is_one" -> "SELECT pow(0, 0)",
+    "math7_mod_doubles_sign" -> "SELECT mod(7.5e0, -2.0e0)",
+    "math7_width_bucket_edges" ->
+      "SELECT width_bucket(5, 0, 10, 5), width_bucket(10, 0, 10, 5), width_bucket(-1, 0, 10, 5)",
+    "math7_log_with_base" -> "SELECT log(2, 8)",
+    "math7_log_zero_null_ansi_off_guard" -> "SELECT try_divide(0, 0), ln(1)",
+    "math7_negative_and_positive_fn" -> "SELECT negative(5), positive(-5)",
+    "math7_sign_of_values" -> "SELECT sign(-2.5e0), signum(0.0e0), sign(7)",
+    "math7_trunc_numeric_alias" -> "SELECT ceiling(2.1e0), floor(-2.1e0)",
+    "math7_e_and_pi_reprs" -> "SELECT round(e(), 6), round(pi(), 6)",
+
+    // ---- wave 7b: aggregate extras (GlutenDataFrameAggregateSuite) -----
+    "aggfn7_count_if_predicate" ->
+      "SELECT count_if(x % 2 = 0) FROM VALUES (1),(2),(4),(NULL) t(x)",
+    "aggfn7_any_some_every" ->
+      "SELECT any(x), some(x), every(x) FROM VALUES (true),(false) t(x)",
+    "aggfn7_bool_and_or" ->
+      "SELECT bool_and(x), bool_or(x) FROM VALUES (true),(false) t(x)",
+    "aggfn7_first_last_ignore_nulls" ->
+      """SELECT first(x) IGNORE NULLS, last(x) IGNORE NULLS
+        |FROM (SELECT x FROM VALUES (NULL),(1),(2),(NULL) t(x) ORDER BY x NULLS FIRST)""".stripMargin,
+    "aggfn7_sum_distinct_dedups" ->
+      "SELECT sum(DISTINCT x) FROM VALUES (1),(1),(2) t(x)",
+    "aggfn7_avg_distinct" -> "SELECT avg(DISTINCT x) FROM VALUES (1),(1),(4) t(x)",
+    "aggfn7_max_by_min_by" ->
+      "SELECT max_by(name, v), min_by(name, v) FROM VALUES ('a', 1),('b', 9),('c', 5) t(name, v)",
+    "aggfn7_collect_set_sorted_face" ->
+      "SELECT sort_array(collect_set(x)) FROM VALUES (2),(1),(2) t(x)",
+    "aggfn7_corr_exact" ->
+      "SELECT corr(x, y) FROM VALUES (1e0, 2e0),(2e0, 4e0),(3e0, 6e0) t(x, y)",
+    "aggfn7_covar_pop_vs_samp" ->
+      "SELECT covar_pop(x, y), covar_samp(x, y) FROM VALUES (1e0, 2e0),(2e0, 4e0) t(x, y)",
+    "aggfn7_var_pop_vs_samp" ->
+      "SELECT var_pop(x), var_samp(x) FROM VALUES (1e0),(3e0) t(x)",
+    "aggfn7_regr_slope_intercept" ->
+      "SELECT regr_slope(y, x), regr_intercept(y, x) FROM VALUES (1e0, 3e0),(2e0, 5e0) t(x, y)",
+    "aggfn7_regr_count_r2" ->
+      "SELECT regr_count(y, x), regr_r2(y, x) FROM VALUES (1e0, 3e0),(2e0, 5e0),(NULL, 1e0) t(x, y)",
+    "aggfn7_percentile_disc_vs_cont" ->
+      """SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x),
+        |percentile_disc(0.5) WITHIN GROUP (ORDER BY x)
+        |FROM VALUES (1),(2),(3),(4) t(x)""".stripMargin,
+    "aggfn7_approx_percentile_exact_accuracy" ->
+      "SELECT approx_percentile(x, 0.5, 10000) FROM VALUES (1),(2),(3) t(x)",
+    "aggfn7_try_sum_no_overflow" ->
+      "SELECT try_sum(x) FROM VALUES (9223372036854775807), (1) t(x)",
+    "aggfn7_try_avg_ok" -> "SELECT try_avg(x) FROM VALUES (1),(2) t(x)",
+    "aggfn7_grouping_sets_grouping_fn" ->
+      """SELECT k, grouping(k), count(*) FROM VALUES ('a'),(NULL) t(k)
+        |GROUP BY GROUPING SETS ((k), ()) ORDER BY k NULLS FIRST, 2""".stripMargin,
+    "aggfn7_count_min_sketch_face" ->
+      "SELECT length(count_min_sketch(x, 0.1d, 0.9d, 1)) > 0 FROM VALUES (1),(2) t(x)",
+    "aggfn7_array_agg_alias" ->
+      "SELECT sort_array(array_agg(x)) FROM VALUES (2),(1) t(x)",
+
+    // ---- wave 7b: complex-type extras (GlutenCollectionExpressionsSuite)
+    "coll7_map_zip_with_merges" ->
+      "SELECT map_zip_with(map('a', 1), map('a', 10), (k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0))",
+    "coll7_map_entries_struct_list" -> "SELECT map_entries(map('a', 1, 'b', 2))",
+    "coll7_array_compact_drops_nulls" -> "SELECT array_compact(array(1, NULL, 2, NULL))",
+    "coll7_array_repeat_builds" -> "SELECT array_repeat('x', 3)",
+    "coll7_arrays_zip_field_names" ->
+      "SELECT arrays_zip(array(1, 2), array('a', 'b'))",
+    "coll7_array_except_dedups_left" ->
+      "SELECT array_except(array(1, 1, 2, 3), array(3))",
+    "coll7_arrays_overlap_with_null" ->
+      "SELECT arrays_overlap(array(1, NULL), array(2)), arrays_overlap(array(1, NULL), array(1))",
+    "coll7_get_zero_based_vs_element_at" ->
+      "SELECT get(array(10, 20), 0), element_at(array(10, 20), 1)",
+    "coll7_get_oob_null_even_ansi" -> "SELECT get(array(10), 5)",
+    "coll7_map_from_arrays_pairs" -> "SELECT map_from_arrays(array('k1','k2'), array(1, 2))",
+    "coll7_cardinality_alias" -> "SELECT cardinality(array(1, 2, 3)), cardinality(map('a', 1))",
+    "coll7_array_insert_positive" -> "SELECT array_insert(array(1, 2, 4), 3, 3)",
+    "coll7_array_remove_all_matches" -> "SELECT array_remove(array(1, 2, 1, 3), 1)",
+    "coll7_array_distinct_keeps_first_order" -> "SELECT array_distinct(array(3, 1, 3, 2, 1))",
+    "coll7_array_min_max_skip_null" ->
+      "SELECT array_min(array(2, NULL, 1)), array_max(array(2, NULL, 3))",
+    "coll7_array_join_null_replacement" ->
+      "SELECT array_join(array('a', NULL, 'b'), ',', '?')",
+    "coll7_named_struct_field_access_case" ->
+      "SELECT named_struct('Field', 1).field",
+    "coll7_struct_comparison_lexicographic" ->
+      "SELECT named_struct('a', 1, 'b', 2) < named_struct('a', 1, 'b', 3)",
+    "coll7_map_contains_key_fn" ->
+      "SELECT map_contains_key(map('a', 1), 'a'), map_contains_key(map('a', 1), 'z')",
+    "coll7_array_prepend_append" ->
+      "SELECT array_prepend(array(2, 3), 1), array_append(array(1, 2), 3)",
+    "coll7_array_size_fn" -> "SELECT array_size(array(1, 2, 3))",
+    "coll7_shuffle_deterministic_size" ->
+      "SELECT size(shuffle(array(1, 2, 3)))",
+
+    // ---- wave 7b: JSON/CSV/URL extras (GlutenJsonFunctionsSuite) -------
+    "json7_array_length" -> "SELECT json_array_length('[1, 2, 3]')",
+    "json7_object_keys" -> "SELECT json_object_keys('{\"a\": 1, \"b\": 2}')",
+    "json7_get_json_object_nested" ->
+      "SELECT get_json_object('{\"a\": {\"b\": [1, 2]}}', '$.a.b[1]')",
+    "json7_get_json_object_missing_null" ->
+      "SELECT get_json_object('{\"a\": 1}', '$.z')",
+    "json7_json_tuple_multi" ->
+      "SELECT json_tuple('{\"a\": 1, \"b\": \"x\"}', 'a', 'b')",
+    "json7_schema_of_json_infers" -> "SELECT schema_of_json('{\"a\": [1], \"b\": \"x\"}')",
+    "json7_from_json_corrupt_null_fields" ->
+      "SELECT from_json('not json', 'a INT, b STRING')",
+    "json7_to_json_with_date" ->
+      "SELECT to_json(named_struct('d', DATE '2020-01-02'))",
+    "json7_from_json_array_of_struct" ->
+      "SELECT from_json('[{\"a\": 1}, {\"a\": 2}]', 'ARRAY<STRUCT<a: INT>>')",
+    "csv7_schema_of_csv" -> "SELECT schema_of_csv('1,x,true')",
+    "csv7_to_csv_roundtrip" ->
+      "SELECT to_csv(named_struct('a', 1, 'b', 'x')), from_csv('1,x', 'a INT, b STRING')",
+    "url7_encode_decode_roundtrip" ->
+      "SELECT url_encode('a b&c=d'), url_decode(url_encode('a b&c=d'))",
+    "url7_try_url_decode_invalid_null" -> "SELECT try_url_decode('%zz')",
+    "url7_parse_url_query_key" ->
+      "SELECT parse_url('http://h/p?k1=v1&k2=v2', 'QUERY', 'k2')",
+    "url7_parse_url_parts" ->
+      "SELECT parse_url('https://u@host:8080/path?q=1#frag', 'HOST'), parse_url('https://u@host:8080/path?q=1#frag', 'PATH')")
 
   // ---- non-ANSI duplication (GlutenCastSuite / Gluten*AnsiOff faces) --
   // Spark 4 runs ANSI-on by default; the reference's gluten-ut matrix
