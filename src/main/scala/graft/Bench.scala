@@ -84,6 +84,7 @@ object Bench {
     "graph_triangle_count", "text_bpe_merges", "ev_pref_bradley_terry",
     "dedup_substring_windows",
     "graph_label_propagation", "text_pmi_collocations", "ev_markov_transitions",
+    "graph_connected_components",
     "dedup_url", "sim_knn_classify", "text_greedy_tokenize",
     "lake_time_travel", "lake_merge", "lake_cdf_scan", "lake_zorder_skip",
     "lake_branch_wap")
@@ -108,7 +109,8 @@ object Bench {
     "dedup_url", "sim_knn_classify", "text_greedy_tokenize",
     "graph_triangle_count", "text_bpe_merges", "dedup_substring_windows",
     "graph_label_propagation", "text_pmi_collocations",
-    "ev_markov_transitions", "ev_rolling_drift")
+    "ev_markov_transitions", "ev_rolling_drift",
+    "graph_connected_components")
 
   /** needs the graft as-of planner strategy or the graft lake catalog —
     * cannot plan on a stock session */

@@ -363,17 +363,67 @@ object GraphOps {
       |JOIN deg da ON da.node = u.ka JOIN deg db ON db.node = u.kb
       |ORDER BY ka, kb""".stripMargin
 
+  /** Connected components as a first-class graph operator — the identity-
+    * stitching primitive (same user across devices/keys) every large
+    * curation pipeline needs. Graph: users co-purchasing the same prop-key
+    * within the same calendar hour belong together; each (k, hour) bucket
+    * is chained by consecutive-user edges (LINEAR edge count with the same
+    * components as the full clique — the standard trick that keeps a hot
+    * bucket from emitting its quadratic pair set). Components resolve via
+    * the shared large-star/small-star CC ([[DedupOps.propagateMinLabels]]),
+    * so the edge set contracts geometrically per round. Oracle: DuckDB
+    * recursive-CTE transitive closure over the identical edge list. */
+  private val connectedComponents: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"), col("hr")).orderBy(col("user_id"))
+    val buckets = load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        date_trunc("HOUR", col("ts")).as("hr"))
+      .distinct()
+    val pairs = buckets.withColumn("prev", lag(col("user_id"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("doc_a"), col("user_id").as("doc_b"))
+      .localCheckpoint()
+    val users = load(s, dir, "events").select(col("user_id").as("doc_id")).distinct()
+    DedupOps.propagateMinLabels(pairs, users)
+      .groupBy(col("label").as("component_rep"))
+      .agg(count(lit(1)).as("n_users"), max(col("doc_id")).as("max_user"))
+      .orderBy(col("component_rep"))
+  }
+
+  private val connectedComponentsSql =
+    """WITH RECURSIVE ev AS (SELECT DISTINCT user_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |    date_trunc('hour', ts) AS hr
+      |  FROM events WHERE event_type = 'purchase'),
+      |ch AS (SELECT k, hr, user_id,
+      |    lag(user_id) OVER (PARTITION BY k, hr ORDER BY user_id) AS prev FROM ev),
+      |pairs AS (SELECT prev AS a, user_id AS b FROM ch WHERE prev IS NOT NULL),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |reach(a, b) AS (
+      |  SELECT user_id, user_id FROM users
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |labels AS (SELECT a AS user_id, MIN(b) AS label FROM reach GROUP BY a)
+      |SELECT label AS component_rep, COUNT(*) AS n_users, MAX(user_id) AS max_user
+      |FROM labels GROUP BY label ORDER BY component_rep""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> pagerank,
     "graph_degree_stats" -> degreeStats,
     "graph_triangle_count" -> triangleCount,
     "graph_label_propagation" -> labelPropagation,
-    "graph_link_prediction" -> linkPrediction)
+    "graph_link_prediction" -> linkPrediction,
+    "graph_connected_components" -> connectedComponents)
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
     "graph_degree_stats" -> degreeStatsSql,
     "graph_triangle_count" -> triangleCountSql,
     "graph_label_propagation" -> labelPropagationSql,
-    "graph_link_prediction" -> linkPredictionSql)
+    "graph_link_prediction" -> linkPredictionSql,
+    "graph_connected_components" -> connectedComponentsSql)
 }
