@@ -2235,7 +2235,8 @@ class SparkSemanticsSpec extends AnyFunSuite {
   private val apiPinned: Seq[(String, org.apache.spark.sql.SparkSession =>
       org.apache.spark.sql.DataFrame)] = {
     import org.apache.spark.sql.{functions => F}
-    Seq(
+    val base: Seq[(String, org.apache.spark.sql.SparkSession =>
+        org.apache.spark.sql.DataFrame)] = Seq(
       ("dfapi_union_by_name_reorders", s => {
         import s.implicits._
         val a = Seq((1, "x")).toDF("id", "v")
@@ -2394,6 +2395,153 @@ class SparkSemanticsSpec extends AnyFunSuite {
       ("dfapi_offset_then_limit", s => {
         import s.implicits._
         Seq(1, 2, 3, 4, 5).toDF("v").orderBy("v").offset(2).limit(2)
+      }))
+    base ++ dsv2Pinned
+  }
+
+  // ---- wave 7c: DSv2 SQL faces (GlutenDataSourceV2SQLSuite analog) ----
+  // DDL/DML programs against the engine's own DSv2 catalogs (the lake
+  // catalog = the table-format connector analog, the memory catalog =
+  // the plain TableCatalog). Each pin creates its own uniquely-named
+  // table, runs the SQL face under test, and returns a deterministic
+  // SELECT; outputs are golden-pinned like every other entry.
+  private def dsv2Pinned: Seq[(String, org.apache.spark.sql.SparkSession =>
+      org.apache.spark.sql.DataFrame)] = {
+    def lake(s: org.apache.spark.sql.SparkSession): Unit =
+      s.conf.set("spark.sql.catalog.lake", classOf[graft.sources.GraftLakeCatalog].getName)
+    def mem(s: org.apache.spark.sql.SparkSession): Unit =
+      s.conf.set("spark.sql.catalog.mem", classOf[graft.sources.GraftMemoryCatalog].getName)
+    Seq(
+      ("dsv2sql_create_insert_select", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_a")
+        s.sql("CREATE TABLE lake.dsv2pin_a (id BIGINT, v STRING)")
+        s.sql("INSERT INTO lake.dsv2pin_a VALUES (2, 'b'), (1, 'a')")
+        s.sql("SELECT id, v FROM lake.dsv2pin_a ORDER BY id")
+      }),
+      ("dsv2sql_insert_overwrite_replaces", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_b")
+        s.sql("CREATE TABLE lake.dsv2pin_b (id BIGINT)")
+        s.sql("INSERT INTO lake.dsv2pin_b VALUES (1), (2)")
+        s.sql("INSERT OVERWRITE lake.dsv2pin_b VALUES (9)")
+        s.sql("SELECT id FROM lake.dsv2pin_b ORDER BY id")
+      }),
+      ("dsv2sql_alter_add_column_null_pads", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_c")
+        s.sql("CREATE TABLE lake.dsv2pin_c (id BIGINT)")
+        s.sql("INSERT INTO lake.dsv2pin_c VALUES (1)")
+        s.sql("ALTER TABLE lake.dsv2pin_c ADD COLUMN tag STRING")
+        s.sql("INSERT INTO lake.dsv2pin_c VALUES (2, 'new')")
+        s.sql("SELECT id, tag FROM lake.dsv2pin_c ORDER BY id")
+      }),
+      ("dsv2sql_alter_rename_column_keeps_data", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_d")
+        s.sql("CREATE TABLE lake.dsv2pin_d (id BIGINT, old_name STRING)")
+        s.sql("INSERT INTO lake.dsv2pin_d VALUES (1, 'x')")
+        s.sql("ALTER TABLE lake.dsv2pin_d RENAME COLUMN old_name TO new_name")
+        s.sql("SELECT id, new_name FROM lake.dsv2pin_d")
+      }),
+      ("dsv2sql_time_travel_version_as_of", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_e")
+        s.sql("CREATE TABLE lake.dsv2pin_e (id BIGINT)")
+        s.sql("INSERT INTO lake.dsv2pin_e VALUES (1)")
+        s.sql("INSERT INTO lake.dsv2pin_e VALUES (2)")
+        s.sql("""SELECT (SELECT count(*) FROM lake.dsv2pin_e VERSION AS OF 1) AS at_v1,
+                 (SELECT count(*) FROM lake.dsv2pin_e) AS current""")
+      }),
+      ("dsv2sql_delete_where_partition", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_f")
+        s.sql("CREATE TABLE lake.dsv2pin_f (id BIGINT, region STRING) PARTITIONED BY (region)")
+        s.sql("INSERT INTO lake.dsv2pin_f VALUES (1, 'eu'), (2, 'us')")
+        s.sql("DELETE FROM lake.dsv2pin_f WHERE region = 'eu'")
+        s.sql("SELECT id, region FROM lake.dsv2pin_f ORDER BY id")
+      }),
+      ("dsv2sql_update_set_rewrites", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_g")
+        s.sql("CREATE TABLE lake.dsv2pin_g (id BIGINT, v DOUBLE)")
+        s.sql("INSERT INTO lake.dsv2pin_g VALUES (1, 1.0), (2, 2.0)")
+        s.sql("UPDATE lake.dsv2pin_g SET v = v * 10 WHERE id = 2")
+        s.sql("SELECT id, v FROM lake.dsv2pin_g ORDER BY id")
+      }),
+      ("dsv2sql_merge_upsert", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_h")
+        s.sql("CREATE TABLE lake.dsv2pin_h (id BIGINT, v STRING)")
+        s.sql("INSERT INTO lake.dsv2pin_h VALUES (1, 'keep'), (2, 'old')")
+        s.sql("""MERGE INTO lake.dsv2pin_h t
+                 USING (SELECT * FROM VALUES (2, 'updated'), (3, 'inserted') src(id, v)) s
+                 ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+        s.sql("SELECT id, v FROM lake.dsv2pin_h ORDER BY id")
+      }),
+      ("dsv2sql_describe_table_columns", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_i")
+        s.sql("CREATE TABLE lake.dsv2pin_i (id BIGINT, v STRING)")
+        s.sql("DESCRIBE TABLE lake.dsv2pin_i")
+          .select("col_name", "data_type").orderBy("col_name")
+      }),
+      ("dsv2sql_show_tables_pattern", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_j")
+        s.sql("CREATE TABLE lake.dsv2pin_j (id BIGINT)")
+        s.sql("SHOW TABLES IN lake LIKE 'dsv2pin_j*'")
+      }),
+      ("dsv2sql_history_metadata_versions", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_k")
+        s.sql("CREATE TABLE lake.dsv2pin_k (id BIGINT)")
+        s.sql("INSERT INTO lake.dsv2pin_k VALUES (1)")
+        s.sql("INSERT INTO lake.dsv2pin_k VALUES (2)")
+        s.sql("SELECT version, row_count FROM lake.`dsv2pin_k$history` ORDER BY version")
+      }),
+      ("dsv2sql_files_per_partition_value", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_l")
+        s.sql("CREATE TABLE lake.dsv2pin_l (id BIGINT, p STRING) PARTITIONED BY (p)")
+        s.sql("INSERT INTO lake.dsv2pin_l VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+        s.sql("SELECT count(*) AS n_files FROM lake.`dsv2pin_l$files`")
+      }),
+      ("dsv2sql_branch_isolation_then_publish", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_m")
+        s.sql("CREATE TABLE lake.dsv2pin_m (id BIGINT)")
+        s.sql("INSERT INTO lake.dsv2pin_m VALUES (1)")
+        s.sql("CALL lake.system.create_branch('dsv2pin_m', 'audit')")
+        s.sql("INSERT INTO lake.`dsv2pin_m$branch$audit` VALUES (2)")
+        val staged = s.sql("SELECT count(*) FROM lake.dsv2pin_m VERSION AS OF 'audit'").head.getLong(0)
+        val mainBefore = s.sql("SELECT count(*) FROM lake.dsv2pin_m").head.getLong(0)
+        s.sql("CALL lake.system.fast_forward('dsv2pin_m', 'audit')")
+        val mainAfter = s.sql("SELECT count(*) FROM lake.dsv2pin_m").head.getLong(0)
+        import s.implicits._
+        Seq((staged, mainBefore, mainAfter)).toDF("staged", "main_before", "main_after")
+      }),
+      ("dsv2sql_mem_catalog_roundtrip", s => {
+        mem(s)
+        s.sql("DROP TABLE IF EXISTS mem.dsv2pin_n")
+        s.sql("CREATE TABLE mem.dsv2pin_n (id BIGINT, v STRING)")
+        s.sql("INSERT INTO mem.dsv2pin_n VALUES (1, 'x'), (2, 'y')")
+        s.sql("SELECT id, v FROM mem.dsv2pin_n ORDER BY id")
+      }),
+      ("dsv2sql_ctas_lake", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_o")
+        s.sql("CREATE TABLE lake.dsv2pin_o AS SELECT 1L AS id, 'a' AS v")
+        s.sql("SELECT id, v FROM lake.dsv2pin_o")
+      }),
+      ("dsv2sql_partition_pruning_filter", s => {
+        lake(s)
+        s.sql("DROP TABLE IF EXISTS lake.dsv2pin_p")
+        s.sql("CREATE TABLE lake.dsv2pin_p (id BIGINT, p STRING) PARTITIONED BY (p)")
+        s.sql("INSERT INTO lake.dsv2pin_p VALUES (1, 'a'), (2, 'b'), (3, 'b')")
+        s.sql("SELECT id FROM lake.dsv2pin_p WHERE p = 'b' ORDER BY id")
       }))
   }
 
