@@ -28,12 +28,25 @@ object GraftConf {
       "tables exceed it use shuffle joins on gid instead (AQE may still " +
       "convert at runtime from observed sizes — that conversion is " +
       "stats-driven and safe, unlike an unconditional broadcast hint)")
-  val DedupLshBucketCap: Entry[Int] = Entry("spark.graft.dedup.lsh.bucketCandidateMax", 0,
+  val DedupLshBucketCap: Entry[Int] = Entry("spark.graft.dedup.lsh.bucketCandidateMax", -1,
     "per-(band, bucket) candidate cap for the LSH band join: a degenerate " +
       "hot bucket (many distinct-but-near-identical sets) is quadratic in " +
       "its size; when > 0, each bucket keeps at most this many sets " +
-      "(smallest gid first — deterministic) and the drop count is logged, " +
-      "never silent. 0 (default) = unbounded, exact banding semantics")
+      "(smallest gid first — deterministic) and the drop count is logged " +
+      "and surfaced via DedupOps.lastCapDrops, never silent. " +
+      "-1 (default) = AUTO: cap only buckets larger than " +
+      "spark.graft.dedup.lsh.bucketAutoThreshold — corpora whose largest " +
+      "bucket fits the threshold get exact banding BY CONSTRUCTION, while " +
+      "a dup-dense corpus can no longer make the band join quadratic " +
+      "under default conf. 0 = explicit opt-in unbounded exact banding")
+  val DedupLshBucketAutoThreshold: Entry[Int] = Entry("spark.graft.dedup.lsh.bucketAutoThreshold", 512,
+    "bucket size above which the AUTO mode of bucketCandidateMax engages " +
+      "(buckets at or below it are never touched; above it, the bucket " +
+      "keeps this many smallest gids). 512 sits above the oracle corpus's " +
+      "largest band bucket (sf0.01 max = 310, BandBucketProbe), so the " +
+      "correctness battery is exact by construction, while a hot bucket's " +
+      "pair emission is bounded at 512*511/2 — sub-quadratic on dup-dense " +
+      "corpora (BENCH_PIPE_SCALING.json near_dup_cap_matrix)")
   val RecursiveBroadcastMaxBytes: Entry[Long] = Entry("spark.graft.recursive.broadcastMaxBytes", 64L * 1024 * 1024,
     "estimated size ceiling for hinting a broadcast of the recursion " +
       "frontier in iterative/recursive-CTE joins; when the worst-case " +
@@ -72,6 +85,7 @@ object GraftConf {
   val entries: Seq[Entry[_]] =
     Seq(DedupLshPerms, DedupLshBands, DedupJaccardThreshold,
       DedupVocabInlineMax, DedupBroadcastMaxBytes, DedupLshBucketCap,
+      DedupLshBucketAutoThreshold,
       RecursiveBroadcastMaxBytes, ForceShuffledHashJoin,
       SkipPartialAggregate, SimTopK, SimLshBits)
 }

@@ -109,21 +109,15 @@ object DedupOps {
       .select(col("gid"), col("sz"), col("band"),
         xxhash64(col("band"),
           slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("band_key"))
-    // Optional hot-bucket cap: pairs within a band bucket are quadratic
-    // in bucket size, and a degenerate bucket (many distinct-but-near-
-    // identical sets hashing to one band key) is unbounded. When the cap
-    // is on, each (band, key) bucket keeps its `cap` smallest gids —
-    // deterministic — and the number of dropped candidates is LOGGED,
-    // never silent. Default off: exact banding semantics (the oracle's).
-    val cap = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshBucketCap)
-    val bandsCapped = if (cap > 0) {
-      val (kept, dropped) = capBandBuckets(bands, cap)
-      val nDropped = dropped.count()
-      if (nDropped > 0)
-        System.err.println(s"[graft] LSH bucket cap=$cap dropped $nDropped " +
-          "band candidates (recall may be reduced for hot buckets)")
-      kept
-    } else bands
+    // Hot-bucket cap: pairs within a band bucket are quadratic in
+    // bucket size, and a degenerate bucket (many distinct-but-near-
+    // identical sets hashing to one band key) is unbounded. Default
+    // AUTO mode caps only buckets above the auto threshold, so a
+    // realistic corpus stays exact while a dup-dense one can't make
+    // this join quadratic; drops are logged and surfaced through
+    // lastCapDrops, never silent. bucketCandidateMax=0 opts into
+    // unbounded exact banding.
+    val bandsCapped = withBucketCap(s, bands, "LSH")
     val cand = bandsCapped.select(col("band").as("band_a"), col("band_key").as("key_a"),
         col("gid").as("gid_a"), col("sz").as("sz_a"))
       .join(bandsCapped.select(col("band").as("band_b"), col("band_key").as("key_b"),
@@ -411,19 +405,12 @@ object DedupOps {
       .withColumn("band_bits", expr("shiftright(sig, band * 16)").bitwiseAND(lit(0xFFFFL)))
     // same hot-bucket cap as the MinHash band join (one conf governs the
     // whole banding family): a 16-bit band bucket packed with
-    // near-identical signatures is quadratic in its size; capped, each
-    // bucket keeps its `cap` smallest doc_ids and drops are logged
-    val cap = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshBucketCap)
-    val bands = if (cap > 0) {
-      val (kept, dropped) = capBandBuckets(
+    // near-identical signatures is quadratic in its size; default AUTO
+    // caps only over-threshold buckets, drops logged + surfaced
+    val bands = withBucketCap(s,
         rawBands.withColumnRenamed("band_bits", "band_key")
-          .withColumnRenamed("doc_id", "gid"), cap)
-      val nDropped = dropped.count()
-      if (nDropped > 0)
-        System.err.println(s"[graft] SimHash bucket cap=$cap dropped $nDropped " +
-          "band candidates (recall may be reduced for hot buckets)")
-      kept.withColumnRenamed("band_key", "band_bits").withColumnRenamed("gid", "doc_id")
-    } else rawBands
+          .withColumnRenamed("doc_id", "gid"), "SimHash")
+      .withColumnRenamed("band_key", "band_bits").withColumnRenamed("gid", "doc_id")
     val a = bands.select(col("band").as("band_a"), col("band_bits").as("bits_a"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bands.select(col("band").as("band_b"), col("band_bits").as("bits_b"),
@@ -557,6 +544,41 @@ object DedupOps {
     * the window sort) and returns (kept, dropped) so callers can count
     * and report the drops. Bounds the band join's worst case to
     * cap·(cap−1)/2 pairs per bucket. */
+  /** Drop accounting for the banding family: candidates dropped by the
+    * most recent capped banding stage in this JVM (0 = that run was
+    * exact). The exactness flag a caller/harness can assert after a
+    * run; the same count is logged per stage, never silent. */
+  val lastCapDrops = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Effective per-bucket cap from conf: >0 fixed, 0 unbounded exact
+    * (explicit opt-in), <0 (default) AUTO = the auto threshold — a cap
+    * of T only touches buckets LARGER than T, so any corpus whose
+    * largest bucket fits the threshold keeps exact banding by
+    * construction while a degenerate hot bucket is bounded. */
+  private def effectiveBucketCap(s: SparkSession): Int = {
+    val conf = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshBucketCap)
+    if (conf >= 0) conf
+    else graft.GraftConf.getInt(s, graft.GraftConf.DedupLshBucketAutoThreshold)
+  }
+
+  /** Shared capping wrapper over [[capBandBuckets]]: resolves the conf,
+    * caps, counts + logs drops, records them in [[lastCapDrops]].
+    * `bands` must carry (band, band_key, gid). */
+  private def withBucketCap(s: SparkSession, bands: DataFrame, tag: String): DataFrame = {
+    val cap = effectiveBucketCap(s)
+    if (cap <= 0) { lastCapDrops.set(0); bands }
+    else {
+      val (kept, dropped) = capBandBuckets(bands, cap)
+      val nDropped = dropped.count()
+      lastCapDrops.set(nDropped)
+      if (nDropped > 0)
+        System.err.println(s"[graft] $tag bucket cap=$cap dropped $nDropped " +
+          "band candidates (recall may be reduced for hot buckets; " +
+          "set spark.graft.dedup.lsh.bucketCandidateMax=0 for exact banding)")
+      kept
+    }
+  }
+
   private[graft] def capBandBuckets(bands: DataFrame, cap: Int): (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_key")).orderBy(col("gid"))
@@ -624,9 +646,16 @@ object DedupOps {
       edges = small
       rounds += 1
     }
-    // stars: u → component min; roots and singletons label themselves
+    // stars: u → component min; roots and singletons label themselves.
+    // If the round cap fired before the star fixpoint, a node may still
+    // hold several outgoing edges — collapse to the minimum so the label
+    // output is always one row per doc_id (duplicate rows here would
+    // silently inflate downstream cluster sizes).
+    val stars =
+      if (converged) edges
+      else edges.groupBy(col("u")).agg(min(col("v")).as("v"))
     docs.select(col("doc_id"))
-      .join(edges.select(col("u").as("doc_id"), col("v").as("star_lbl")),
+      .join(stars.select(col("u").as("doc_id"), col("v").as("star_lbl")),
         Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("star_lbl"), col("doc_id")).as("label"))

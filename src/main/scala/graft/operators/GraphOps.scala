@@ -381,6 +381,10 @@ object GraphOps {
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"),
         date_trunc("HOUR", col("ts")).as("hr"))
+      // events whose props lack k (or carry a non-numeric k → NULL cast)
+      // must not all chain into one spurious (NULL, hour) identity
+      // component — missing keys never create edges
+      .filter(col("k").isNotNull)
       .distinct()
     val pairs = buckets.withColumn("prev", lag(col("user_id"), 1).over(w))
       .filter(col("prev").isNotNull)
@@ -399,7 +403,8 @@ object GraphOps {
       |    date_trunc('hour', ts) AS hr
       |  FROM events WHERE event_type = 'purchase'),
       |ch AS (SELECT k, hr, user_id,
-      |    lag(user_id) OVER (PARTITION BY k, hr ORDER BY user_id) AS prev FROM ev),
+      |    lag(user_id) OVER (PARTITION BY k, hr ORDER BY user_id) AS prev
+      |  FROM ev WHERE k IS NOT NULL),
       |pairs AS (SELECT prev AS a, user_id AS b FROM ch WHERE prev IS NOT NULL),
       |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
       |users AS (SELECT DISTINCT user_id FROM events),

@@ -949,13 +949,18 @@ class LakeScan(state: LakeTableState, snapshot: LakeSnapshot,
           override def get(): InternalRow = cur
           // Vectorized reads hand back the RecordReaderIterator itself
           // (Closeable). The non-vectorized fallback wraps it in a .map
-          // that hides the Closeable; RecordReaderIterator closes its
-          // file handle when hasNext turns false, so draining releases
-          // the handle deterministically even on early termination
-          // (LIMIT) instead of leaking it until task/JVM end.
+          // that hides the Closeable — but inside a task, Spark's own
+          // SPARK-23457 completion listener (registered by
+          // buildReaderWithPartitionValues) closes the file at task end,
+          // so draining here would read and project the REST of the file
+          // just to cancel a LIMIT. Only a driver-side read (no
+          // TaskContext, e.g. compaction/CDF maintenance) drains to
+          // force RecordReaderIterator's hasNext=false close.
           override def close(): Unit = it match {
             case c: java.io.Closeable => c.close()
-            case _ => while (it.hasNext) { it.next(): Unit }
+            case _ =>
+              if (org.apache.spark.TaskContext.get() == null)
+                while (it.hasNext) { it.next(): Unit }
           }
         }
       }

