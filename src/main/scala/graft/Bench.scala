@@ -130,17 +130,18 @@ object Bench {
     spark.catalog.clearCache()
   }
 
-  private def timeOne(spark: SparkSession, sfDir: String, name: String): Double = {
+  private def timeOne(spark: SparkSession, sfDir: String, name: String): (Double, Boolean) = {
     val qs = SparkEntry.queries
     val t0 = System.nanoTime()
-    try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+    val ok =
+      try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
     val dt = (System.nanoTime() - t0) / 1e9
     // release intra-query caches OUTSIDE the timer: a query's persist()
     // is its own cost (timed above), but leaked storage blocks from
     // one query must not squeeze executor memory for the next
     spark.catalog.clearCache()
-    dt
+    (dt, ok)
   }
 
   /** Every conf the graft session tunes away from stock defaults, plus
@@ -220,6 +221,12 @@ object Bench {
     val set = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "full") match {
       case "tpch" => tpch
       case "pipeline" => pipeline
+      // the ENTIRE oracled corpus (every SparkEntry query, incl. the
+      // TPC-DS and ClickBench adaptation packs) — the per-query
+      // graft-vs-vanilla parity sweep; queries that cannot plan or run
+      // on a stock session are detected at run time and reported in
+      // vanilla_skipped alongside the static graftOnly set
+      case "corpus" => SparkEntry.queries.keys.toSeq.sorted
       case s if s.startsWith("only:") => // local iteration aid
         s.stripPrefix("only:").split(",").toSeq.filter(_.nonEmpty)
       case _ => headline
@@ -274,13 +281,21 @@ object Bench {
     val names = set.filter(qs.contains)
     var gSamples = Map.empty[String, List[Double]].withDefaultValue(Nil)
     var vSamples = Map.empty[String, List[Double]].withDefaultValue(Nil)
+    // queries observed to fail on the stock session (undefined graft
+    // SQL function, graft-catalog reference…): excluded from the
+    // vanilla column and ratio, reported as skipped — a failed vanilla
+    // run must not enter the denominator as a near-zero time
+    val vanillaFailed = scala.collection.mutable.Set[String]()
     warmup(graft, sfDir)
     if (withVanilla) warmup(vanilla, sfDir)
     def timePair(name: String, graftFirst: Boolean): Unit = {
       def g(): Unit =
-        gSamples += (name -> (timeOne(graft, sfDir, name) :: gSamples(name)))
-      def v(): Unit = if (withVanilla && !graftOnly.contains(name))
-        vSamples += (name -> (timeOne(vanilla, sfDir, name) :: vSamples(name)))
+        gSamples += (name -> (timeOne(graft, sfDir, name)._1 :: gSamples(name)))
+      def v(): Unit = if (withVanilla && !graftOnly.contains(name) && !vanillaFailed(name)) {
+        val (dt, ok) = timeOne(vanilla, sfDir, name)
+        if (ok) vSamples += (name -> (dt :: vSamples(name)))
+        else { vanillaFailed += name; vSamples -= name }
+      }
       if (graftFirst) { g(); v() } else { v(); g() }
     }
     for (round <- 1 to rounds) {
@@ -347,7 +362,7 @@ object Bench {
       val common = vanillaResults.map(_._1).toSet
       val graftCommon = results.filter(r => common(r._1)).map(_._2).sum
       val ratio = if (vTotal > 0) graftCommon / vTotal else 0.0
-      val skippedNames = set.filter(graftOnly.contains)
+      val skippedNames = set.filter(n => graftOnly.contains(n) || vanillaFailed(n))
       val skipped = skippedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
       // vanilla_skipped_n + comparable_n make the ratio's denominator
       // explicit in the compact line: the ratio covers `comparable_n`
@@ -396,14 +411,20 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)}""" +
         vanillaFull + s""","plan_changed_by_rules":$changedJson""" +
         s""","plan_delta_causes":$causesJson$telemJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // SPARK_GRAFT_BENCH_OUT names the full artifact (default
+    // BENCH_FULL.json); the corpus parity sweep writes its own file so
+    // the headline artifact is never clobbered
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
       (full + "\n").getBytes("UTF-8"))
     // The driver's stdout-tail parser has recorded `parsed: null` three
     // rounds running even with the byte budget; the compact object also
     // goes to a bare standalone file so the round artifact is always
     // machine-readable without stdout scraping. The UNTRUNCATED compact
     // (full 2-dp query map, no stdout byte budget) is what lands here.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_COMPACT.json"),
+    val compactPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(_.replace(".json", "_COMPACT.json")).getOrElse("BENCH_COMPACT.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(compactPath),
       (compactLine(results, 0) + "\n").getBytes("UTF-8"))
     println(line)
   }
