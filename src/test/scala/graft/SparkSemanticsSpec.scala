@@ -5,6 +5,21 @@ import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
 
+// ---- wave 8b fixtures: top-level case classes for the encoderpin_*
+// wave (implicit product-encoder derivation requires stable top-level
+// classes; a class nested in the suite would capture the suite in its
+// closure and fail serialization on executors)
+private[graft] case class EncPinUser(id: Long, name: String, score: Option[Double])
+private[graft] case class EncPinNested(k: Int, u: EncPinUser)
+private[graft] case class EncPinColl(tags: Seq[String], attrs: Map[String, Int], raw: Array[Byte])
+private[graft] case class EncPinNums(bd: BigDecimal, bi: BigInt)
+private[graft] case class EncPinTimes(d: java.sql.Date, ts: java.sql.Timestamp,
+    ld: java.time.LocalDate)
+private[graft] case class EncPinNtz(ldt: java.time.LocalDateTime)
+private[graft] case class EncPinIntervals(dur: java.time.Duration, per: java.time.Period)
+private[graft] case class EncPinOptNested(id: Int, u: Option[EncPinUser])
+private[graft] case class EncPinSeqStruct(id: Int, us: Seq[EncPinUser])
+
 /** The gluten-ut analog, first slice (SURVEY.md §5 layer 3; reference
   * `gluten-ut/spark35/.../VeloxTestSettings.scala:49` re-runs ~273 of
   * Spark's own SQL suites against the offloaded engine). Spark's test
@@ -2001,6 +2016,240 @@ class SparkSemanticsSpec extends AnyFunSuite {
     "url7_parse_url_parts" ->
       "SELECT parse_url('https://u@host:8080/path?q=1#frag', 'HOST'), parse_url('https://u@host:8080/path?q=1#frag', 'PATH')")
 
+  // ---- wave 8a: decimal precision/scale arithmetic
+  // (GlutenDecimalPrecisionSuite face — the reference's own hard part:
+  // `backends-velox/.../VeloxBackend.scala:546` rescaleDecimalArithmetic;
+  // SURVEY.md §7 "decimal precision rescaling"). Every pin fixes BOTH
+  // the derived DecimalType (renderDf's schema column) and the value,
+  // so a rule or conf change that perturbs Spark's promotion algebra
+  // (add: max(s1,s2) + max(p1-s1, p2-s2) + 1; mul: p1+p2+1 / s1+s2;
+  // div: scale max(6, s1+s2+1); precision-loss clamp at 38) fails with
+  // the exact drifted type or digit. ANSI-on is the session default;
+  // overflow-raising forms are pinned through try_* here and as error
+  // contracts below, and the nonansi_decimalpin_* group re-renders the
+  // NULL-on-overflow faces.
+  private val decimalPinned: Seq[(String, String)] = Seq(
+    // -- literal typing ------------------------------------------------
+    "decimalpin_literal_fraction_type" -> "SELECT 0.1",
+    "decimalpin_literal_two_dp" -> "SELECT 123.45",
+    "decimalpin_literal_negative" -> "SELECT -0.05",
+    "decimalpin_literal_trailing_zeros_keep_scale" -> "SELECT 1.500",
+    "decimalpin_literal_no_int_part" -> "SELECT .25",
+    "decimalpin_literal_beyond_long_is_decimal" ->
+      "SELECT 9223372036854775808, typeof(9223372036854775808)",
+    "decimalpin_literal_bd_suffix" -> "SELECT 1.5BD, typeof(1.5BD)",
+    "decimalpin_literal_exact_38_digits" ->
+      "SELECT 99999999999999999999999999999999999999BD",
+    // -- addition / subtraction promotion ------------------------------
+    "decimalpin_add_same_scale_widens_one" ->
+      "SELECT CAST(1.23 AS DECIMAL(5,2)) + CAST(4.56 AS DECIMAL(5,2))",
+    "decimalpin_add_mixed_scale_takes_max" ->
+      "SELECT CAST(1.2 AS DECIMAL(4,1)) + CAST(3.456 AS DECIMAL(6,3))",
+    "decimalpin_add_int_widens_decimal" ->
+      "SELECT CAST(7 AS INT) + CAST(1.25 AS DECIMAL(4,2))",
+    "decimalpin_add_bigint_widens_decimal" ->
+      "SELECT CAST(7 AS BIGINT) + CAST(1.25 AS DECIMAL(4,2))",
+    "decimalpin_sub_negative_result" ->
+      "SELECT CAST(1.00 AS DECIMAL(5,2)) - CAST(2.50 AS DECIMAL(5,2))",
+    "decimalpin_add_38_scale_loss_clamp" ->
+      "SELECT CAST(1 AS DECIMAL(38,18)) + CAST(1 AS DECIMAL(38,18))",
+    "decimalpin_add_38_high_scale_keeps_6_min" ->
+      "SELECT CAST(1.5 AS DECIMAL(38,37)) + CAST(0.25 AS DECIMAL(38,37))",
+    "decimalpin_sub_sym_to_add" ->
+      "SELECT CAST(5.5 AS DECIMAL(10,1)) - CAST(0.25 AS DECIMAL(10,2))",
+    // -- multiplication ------------------------------------------------
+    "decimalpin_mul_scale_is_sum" ->
+      "SELECT CAST(1.5 AS DECIMAL(3,1)) * CAST(2.25 AS DECIMAL(4,2))",
+    "decimalpin_mul_precision_sum_plus_one" ->
+      "SELECT CAST(12.34 AS DECIMAL(10,2)) * CAST(5.678 AS DECIMAL(10,3))",
+    "decimalpin_mul_negative_sign" ->
+      "SELECT CAST(-1.5 AS DECIMAL(3,1)) * CAST(2.0 AS DECIMAL(3,1))",
+    "decimalpin_mul_38_clamp_rounds" ->
+      "SELECT CAST(1.123456789012345678 AS DECIMAL(38,18)) * CAST(1.123456789012345678 AS DECIMAL(38,18))",
+    "decimalpin_mul_int_keeps_exact" ->
+      "SELECT 100 * CAST(0.01 AS DECIMAL(4,2))",
+    // -- division ------------------------------------------------------
+    "decimalpin_div_min_scale_six" ->
+      "SELECT CAST(1 AS DECIMAL(2,0)) / CAST(3 AS DECIMAL(2,0))",
+    "decimalpin_div_rounds_half_up_at_scale" ->
+      "SELECT CAST(2 AS DECIMAL(2,0)) / CAST(3 AS DECIMAL(2,0))",
+    "decimalpin_div_negative_half_up_away" ->
+      "SELECT CAST(-2 AS DECIMAL(2,0)) / CAST(3 AS DECIMAL(2,0))",
+    "decimalpin_div_scale_s1_plus_s2_plus_1" ->
+      "SELECT CAST(1.25 AS DECIMAL(10,2)) / CAST(0.5 AS DECIMAL(10,1))",
+    "decimalpin_div_wide_inputs_precision_loss" ->
+      "SELECT CAST(1 AS DECIMAL(38,18)) / CAST(3 AS DECIMAL(38,18))",
+    "decimalpin_div_exact_terminating" ->
+      "SELECT CAST(1 AS DECIMAL(5,2)) / CAST(8 AS DECIMAL(5,2))",
+    "decimalpin_div_by_decimal_fraction" ->
+      "SELECT CAST(10 AS DECIMAL(4,0)) / CAST(0.25 AS DECIMAL(4,2))",
+    // -- mod / integral div -------------------------------------------
+    "decimalpin_mod_scale_max" ->
+      "SELECT CAST(10.5 AS DECIMAL(4,1)) % CAST(3.25 AS DECIMAL(4,2))",
+    "decimalpin_mod_sign_follows_dividend" ->
+      "SELECT CAST(-10.5 AS DECIMAL(4,1)) % CAST(3 AS DECIMAL(2,0))",
+    "decimalpin_pmod_always_nonnegative" ->
+      "SELECT pmod(CAST(-10.5 AS DECIMAL(4,1)), CAST(3 AS DECIMAL(2,0)))",
+    "decimalpin_integral_div_returns_bigint" ->
+      "SELECT CAST(10.5 AS DECIMAL(4,1)) div CAST(3 AS DECIMAL(2,0))",
+    // -- unary / comparison / equality across scales -------------------
+    "decimalpin_unary_minus_keeps_type" ->
+      "SELECT -CAST(1.25 AS DECIMAL(4,2))",
+    "decimalpin_abs_keeps_type" ->
+      "SELECT abs(CAST(-1.25 AS DECIMAL(4,2)))",
+    "decimalpin_eq_across_scales" ->
+      "SELECT CAST(1.0 AS DECIMAL(2,1)) = CAST(1.00 AS DECIMAL(3,2))",
+    "decimalpin_lt_across_scales" ->
+      "SELECT CAST(0.9 AS DECIMAL(2,1)) < CAST(0.95 AS DECIMAL(3,2))",
+    "decimalpin_distinct_unifies_scales" ->
+      "SELECT DISTINCT v FROM VALUES (CAST(1.0 AS DECIMAL(2,1))), (CAST(1.00 AS DECIMAL(3,2))) t(v)",
+    "decimalpin_least_greatest_promote" ->
+      "SELECT least(CAST(1.5 AS DECIMAL(2,1)), CAST(1.25 AS DECIMAL(3,2))), greatest(CAST(1.5 AS DECIMAL(2,1)), CAST(1.25 AS DECIMAL(3,2)))",
+    "decimalpin_if_branch_promotion" ->
+      "SELECT if(true, CAST(1.5 AS DECIMAL(2,1)), CAST(2.25 AS DECIMAL(3,2)))",
+    "decimalpin_coalesce_promotion" ->
+      "SELECT coalesce(CAST(NULL AS DECIMAL(2,1)), CAST(2.25 AS DECIMAL(3,2)))",
+    "decimalpin_case_branch_promotion" ->
+      "SELECT CASE WHEN false THEN CAST(1 AS DECIMAL(10,0)) ELSE CAST(0.5 AS DECIMAL(2,1)) END",
+    "decimalpin_in_list_decimal_int" ->
+      "SELECT CAST(1.0 AS DECIMAL(2,1)) IN (1, 2)",
+    // -- coercion with other numeric families --------------------------
+    "decimalpin_mul_double_becomes_double" ->
+      "SELECT CAST(1.5 AS DECIMAL(2,1)) * CAST(2 AS DOUBLE)",
+    "decimalpin_add_float_becomes_double" ->
+      "SELECT CAST(1.5 AS DECIMAL(2,1)) + CAST(2 AS FLOAT)",
+    "decimalpin_union_decimal_double" ->
+      "SELECT typeof(v) FROM (SELECT CAST(1.5 AS DECIMAL(2,1)) AS v UNION ALL SELECT 2e0) LIMIT 1",
+    "decimalpin_union_mixed_decimal_scales" ->
+      "SELECT v FROM (SELECT CAST(1.5 AS DECIMAL(2,1)) AS v UNION ALL SELECT CAST(2.25 AS DECIMAL(3,2))) ORDER BY v",
+    "decimalpin_int_to_decimal_widening" ->
+      "SELECT CAST(v AS DECIMAL(10,0)) FROM VALUES (2147483647) t(v)",
+    "decimalpin_string_decimal_comparison_coerces" ->
+      "SELECT CAST(1.50 AS DECIMAL(5,2)) = '1.5'",
+    // -- casts / rescaling ---------------------------------------------
+    "decimalpin_rescale_pads_zeros" ->
+      "SELECT CAST(CAST(1.5 AS DECIMAL(3,1)) AS DECIMAL(8,4))",
+    "decimalpin_rescale_down_rounds_half_up" ->
+      "SELECT CAST(CAST(2.675 AS DECIMAL(6,3)) AS DECIMAL(6,2))",
+    "decimalpin_rescale_down_negative_half_up" ->
+      "SELECT CAST(CAST(-2.675 AS DECIMAL(6,3)) AS DECIMAL(6,2))",
+    "decimalpin_cast_to_int_truncates_toward_zero" ->
+      "SELECT CAST(CAST(-2.9 AS DECIMAL(3,1)) AS INT)",
+    "decimalpin_cast_to_double_exact_repr" ->
+      "SELECT CAST(CAST(0.1 AS DECIMAL(5,2)) AS DOUBLE)",
+    "decimalpin_cast_string_plain_not_sci" ->
+      "SELECT CAST(CAST(0.0000001 AS DECIMAL(10,8)) AS STRING)",
+    "decimalpin_cast_from_double_rounds" ->
+      "SELECT CAST(2.5e0 AS DECIMAL(10,0)), CAST(3.5e0 AS DECIMAL(10,0))",
+    "decimalpin_try_cast_overflow_null" ->
+      "SELECT try_cast(123.45 AS DECIMAL(3,2))",
+    "decimalpin_cast_boolean_rejected_try" ->
+      "SELECT try_cast('x' AS DECIMAL(4,2))",
+    // -- rounding family on decimals -----------------------------------
+    "decimalpin_round_half_up" ->
+      "SELECT round(CAST(2.5 AS DECIMAL(2,1)), 0), round(CAST(3.5 AS DECIMAL(2,1)), 0)",
+    "decimalpin_bround_half_even" ->
+      "SELECT bround(CAST(2.5 AS DECIMAL(2,1)), 0), bround(CAST(3.5 AS DECIMAL(2,1)), 0)",
+    "decimalpin_round_negative_target" ->
+      "SELECT round(CAST(1250 AS DECIMAL(6,0)), -2)",
+    "decimalpin_ceil_floor_scale_arg" ->
+      "SELECT ceil(CAST(1.234 AS DECIMAL(6,3)), 1), floor(CAST(1.236 AS DECIMAL(6,3)), 1)",
+    "decimalpin_truncate_via_cast_vs_round" ->
+      "SELECT CAST(CAST(1.99 AS DECIMAL(4,2)) AS DECIMAL(4,0)), round(CAST(1.99 AS DECIMAL(4,2)), 0)",
+    // -- aggregates ----------------------------------------------------
+    "decimalpin_sum_widens_ten" ->
+      "SELECT sum(v) FROM VALUES (CAST(1.25 AS DECIMAL(5,2))), (CAST(2.75 AS DECIMAL(5,2))) t(v)",
+    "decimalpin_avg_scale_plus_four" ->
+      "SELECT avg(v) FROM VALUES (CAST(1 AS DECIMAL(5,2))), (CAST(2 AS DECIMAL(5,2))) t(v)",
+    "decimalpin_sum_distinct_same_widening" ->
+      "SELECT sum(DISTINCT v) FROM VALUES (CAST(1.5 AS DECIMAL(4,1))), (CAST(1.5 AS DECIMAL(4,1))), (CAST(2.0 AS DECIMAL(4,1))) t(v)",
+    "decimalpin_try_sum_overflow_null" ->
+      "SELECT try_sum(v) FROM VALUES (CAST(9e37 AS DECIMAL(38,0))), (CAST(9e37 AS DECIMAL(38,0))) t(v)",
+    "decimalpin_try_avg_overflow_null" ->
+      "SELECT try_avg(v) FROM VALUES (CAST(9e37 AS DECIMAL(38,0))), (CAST(9e37 AS DECIMAL(38,0))) t(v)",
+    "decimalpin_min_max_keep_type" ->
+      "SELECT min(v), max(v) FROM VALUES (CAST(1.25 AS DECIMAL(5,2))), (CAST(2.75 AS DECIMAL(5,2))) t(v)",
+    "decimalpin_window_sum_running" ->
+      """SELECT v, sum(v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS rs
+        |FROM VALUES (CAST(1.1 AS DECIMAL(3,1))), (CAST(2.2 AS DECIMAL(3,1))) t(v)""".stripMargin,
+    "decimalpin_group_key_scale_identity" ->
+      """SELECT v, count(*) AS n FROM VALUES (CAST(1.50 AS DECIMAL(5,2))), (CAST(1.5 AS DECIMAL(5,2))) t(v)
+        |GROUP BY v ORDER BY v""".stripMargin,
+    "decimalpin_sort_orders_numerically" ->
+      "SELECT v FROM VALUES (CAST(10.5 AS DECIMAL(4,1))), (CAST(9.75 AS DECIMAL(4,2))) t(v) ORDER BY v",
+    // -- try_* arithmetic on decimals ----------------------------------
+    "decimalpin_try_add_overflow_null" ->
+      "SELECT try_add(CAST(9e37 AS DECIMAL(38,0)), CAST(9e37 AS DECIMAL(38,0)))",
+    "decimalpin_try_multiply_overflow_null" ->
+      "SELECT try_multiply(CAST(9e19 AS DECIMAL(38,0)), CAST(9e19 AS DECIMAL(38,0)))",
+    "decimalpin_try_divide_zero_null" ->
+      "SELECT try_divide(CAST(1.5 AS DECIMAL(2,1)), CAST(0 AS DECIMAL(1,0)))",
+    "decimalpin_try_mod_zero_null" ->
+      "SELECT try_mod(CAST(1.5 AS DECIMAL(2,1)), CAST(0 AS DECIMAL(1,0)))",
+    "decimalpin_try_add_ok_same_as_add" ->
+      "SELECT try_add(CAST(1.25 AS DECIMAL(4,2)), CAST(2.5 AS DECIMAL(3,1)))",
+    // -- null propagation ----------------------------------------------
+    "decimalpin_null_operand_propagates" ->
+      "SELECT CAST(NULL AS DECIMAL(5,2)) + CAST(1 AS DECIMAL(5,2))",
+    "decimalpin_null_literal_cast_type" ->
+      "SELECT CAST(NULL AS DECIMAL(20,4))",
+    // -- formatting / string functions over decimals -------------------
+    "decimalpin_format_number_grouping" ->
+      "SELECT format_number(CAST(1234567.891 AS DECIMAL(12,3)), 2)",
+    "decimalpin_to_char_pattern" ->
+      "SELECT to_char(CAST(45.1 AS DECIMAL(4,1)), '000.00')",
+    "decimalpin_concat_uses_plain_string" ->
+      "SELECT concat('v=', CAST(1.50 AS DECIMAL(5,2)))",
+    // -- narrow/wide precision identities ------------------------------
+    "decimalpin_max_precision_identity" ->
+      "SELECT CAST(12345678901234567890.123456789012345678 AS DECIMAL(38,18))",
+    "decimalpin_scale_zero_is_integral" ->
+      "SELECT CAST(42 AS DECIMAL(38,0))",
+    "decimalpin_smallest_decimal_1_0" ->
+      "SELECT CAST(7 AS DECIMAL(1,0))",
+    "decimalpin_positive_exp_literal_type" ->
+      "SELECT 1.23E2BD, typeof(1.23E2BD)",
+    // -- hash / partitioning determinism over scales -------------------
+    "decimalpin_hash_equal_values_equal_scale_norm" ->
+      "SELECT hash(CAST(1.0 AS DECIMAL(2,1))) = hash(CAST(1.0 AS DECIMAL(2,1)))",
+    "decimalpin_array_of_decimal_promotes" ->
+      "SELECT array(CAST(1.5 AS DECIMAL(2,1)), CAST(2.25 AS DECIMAL(3,2)))",
+    "decimalpin_map_value_decimal_promotes" ->
+      "SELECT map('a', CAST(1.5 AS DECIMAL(2,1)), 'b', CAST(2.25 AS DECIMAL(3,2)))",
+    "decimalpin_struct_field_keeps_type" ->
+      "SELECT named_struct('v', CAST(1.25 AS DECIMAL(4,2)))",
+    "decimalpin_sequence_not_supported_int_ok" ->
+      "SELECT sequence(1, 3)",
+    // -- joins on decimal keys -----------------------------------------
+    "decimalpin_join_key_mixed_scale" ->
+      """SELECT l.v FROM VALUES (CAST(1.0 AS DECIMAL(3,1))) l(v)
+        |JOIN VALUES (CAST(1.00 AS DECIMAL(4,2))) r(v) ON l.v = r.v""".stripMargin,
+    "decimalpin_join_key_decimal_vs_int" ->
+      """SELECT count(*) AS n FROM VALUES (CAST(1.0 AS DECIMAL(3,1))) l(v)
+        |JOIN VALUES (1) r(v) ON l.v = r.v""".stripMargin,
+    // -- mixed surfaces: math/stats over decimals, sign edges ----------
+    "decimalpin_sqrt_power_become_double" ->
+      "SELECT sqrt(CAST(2.25 AS DECIMAL(4,2))), power(CAST(2 AS DECIMAL(2,0)), 3)",
+    "decimalpin_stddev_becomes_double" ->
+      "SELECT stddev_samp(v) FROM VALUES (CAST(1 AS DECIMAL(5,2))), (CAST(3 AS DECIMAL(5,2))) t(v)",
+    "decimalpin_percentile_interpolates" ->
+      "SELECT percentile(v, 0.5) FROM VALUES (CAST(1.0 AS DECIMAL(3,1))), (CAST(2.0 AS DECIMAL(3,1))) t(v)",
+    "decimalpin_signum_and_sign_edges" ->
+      "SELECT signum(CAST(-1.5 AS DECIMAL(2,1))), signum(CAST(0.0 AS DECIMAL(2,1)))",
+    "decimalpin_mod_negative_divisor" ->
+      "SELECT CAST(10.5 AS DECIMAL(4,1)) % CAST(-3 AS DECIMAL(2,0))",
+    "decimalpin_width_bucket_decimal_bounds" ->
+      "SELECT width_bucket(CAST(3.5 AS DECIMAL(3,1)), 0, 10, 5)",
+    "decimalpin_min_by_keeps_decimal" ->
+      "SELECT min_by(k, v) FROM VALUES ('a', CAST(2.5 AS DECIMAL(3,1))), ('b', CAST(1.5 AS DECIMAL(3,1))) t(k, v)",
+    "decimalpin_values_union_int_and_decimal" ->
+      "SELECT v FROM VALUES (1), (CAST(2.5 AS DECIMAL(3,1))) t(v) ORDER BY v",
+    "decimalpin_first_value_window_keeps_type" ->
+      """SELECT first_value(v) OVER (ORDER BY v) AS f
+        |FROM VALUES (CAST(2.25 AS DECIMAL(4,2))) t(v)""".stripMargin,
+    "decimalpin_nanvl_not_applicable_double_path" ->
+      "SELECT nanvl(CAST(CAST(1.5 AS DECIMAL(2,1)) AS DOUBLE), 0e0)")
+
   // ---- non-ANSI duplication (GlutenCastSuite / Gluten*AnsiOff faces) --
   // Spark 4 runs ANSI-on by default; the reference's gluten-ut matrix
   // re-runs the cast/overflow suites in BOTH modes
@@ -2105,7 +2354,34 @@ class SparkSemanticsSpec extends AnyFunSuite {
     "nonansi_string_to_double_arith_coerces" -> "SELECT '1.5' + 1",
     "nonansi_string_minus_int_coerces" -> "SELECT '10' - 1",
     "nonansi_boolean_string_compare_coerces" -> "SELECT true = 'true'",
-    "nonansi_hex_string_arith_null" -> "SELECT '0x1A' + 0")
+    "nonansi_hex_string_arith_null" -> "SELECT '0x1A' + 0",
+
+    // ---- wave 8a: ANSI×decimal interaction, non-ANSI face — overflow
+    // returns NULL instead of raising NUMERIC_VALUE_OUT_OF_RANGE ------
+    "nonansi_decimalpin_add_overflow_null" ->
+      "SELECT CAST(9e37 AS DECIMAL(38,0)) + CAST(9e37 AS DECIMAL(38,0))",
+    "nonansi_decimalpin_mul_overflow_null" ->
+      "SELECT CAST(9e19 AS DECIMAL(38,0)) * CAST(9e19 AS DECIMAL(38,0))",
+    "nonansi_decimalpin_cast_narrow_null" ->
+      "SELECT CAST(CAST(123.45 AS DECIMAL(5,2)) AS DECIMAL(3,2))",
+    "nonansi_decimalpin_div_zero_null" ->
+      "SELECT CAST(1.5 AS DECIMAL(2,1)) / CAST(0 AS DECIMAL(1,0))",
+    "nonansi_decimalpin_mod_zero_null" ->
+      "SELECT CAST(1.5 AS DECIMAL(2,1)) % CAST(0 AS DECIMAL(1,0))",
+    "nonansi_decimalpin_sum_overflow_null" ->
+      "SELECT sum(v) FROM VALUES (CAST(9e37 AS DECIMAL(38,0))), (CAST(9e37 AS DECIMAL(38,0))), (CAST(1 AS DECIMAL(38,0))) t(v)",
+    "nonansi_decimalpin_avg_overflow_null" ->
+      "SELECT avg(v) FROM VALUES (CAST(9e37 AS DECIMAL(38,0))), (CAST(9e37 AS DECIMAL(38,0))) t(v)",
+    "nonansi_decimalpin_string_cast_invalid_null" ->
+      "SELECT CAST('1.2.3' AS DECIMAL(5,2))",
+    "nonansi_decimalpin_promotion_same_as_ansi" ->
+      "SELECT CAST(1.2 AS DECIMAL(4,1)) + CAST(3.456 AS DECIMAL(6,3))",
+    "nonansi_decimalpin_div_still_rounds_half_up" ->
+      "SELECT CAST(2 AS DECIMAL(2,0)) / CAST(3 AS DECIMAL(2,0))",
+    "nonansi_decimalpin_rescale_half_up_same" ->
+      "SELECT CAST(CAST(2.675 AS DECIMAL(6,3)) AS DECIMAL(6,2))",
+    "nonansi_decimalpin_int_cast_overflow_null" ->
+      "SELECT CAST(CAST(3e9 AS DECIMAL(12,0)) AS INT)")
 
   // ---- ANSI error entries: (label, sql, expected error condition) ------
   private val ansiErrors: Seq[(String, String, String)] = Seq(
@@ -2195,7 +2471,30 @@ class SparkSemanticsSpec extends AnyFunSuite {
       "INCOMPATIBLE_JOIN_TYPES"),
     ("analysis_lateral_forward_reference",
       "SELECT * FROM LATERAL (SELECT t.x) , VALUES (1) t(x)",
-      "UNRESOLVED_COLUMN"))
+      "UNRESOLVED_COLUMN"),
+    // wave 8a: ANSI×decimal error contracts (the raising faces of the
+    // decimalpin_* value pins; non-ANSI twins return NULL above)
+    ("ansi_decimal_cast_overflow_errors",
+      "SELECT CAST(123.45 AS DECIMAL(3,2))", "NUMERIC_VALUE_OUT_OF_RANGE"),
+    ("ansi_decimal_add_overflow_errors",
+      "SELECT CAST(9e37 AS DECIMAL(38,0)) + CAST(9e37 AS DECIMAL(38,0))",
+      "NUMERIC_VALUE_OUT_OF_RANGE"),
+    ("ansi_decimal_mul_overflow_errors",
+      "SELECT CAST(9e19 AS DECIMAL(38,0)) * CAST(9e19 AS DECIMAL(38,0))",
+      "NUMERIC_VALUE_OUT_OF_RANGE"),
+    ("ansi_decimal_divide_by_zero_errors",
+      "SELECT CAST(1.5 AS DECIMAL(2,1)) / CAST(0 AS DECIMAL(1,0))",
+      "DIVIDE_BY_ZERO"),
+    ("ansi_decimal_mod_by_zero_errors",
+      "SELECT CAST(1.5 AS DECIMAL(2,1)) % CAST(0 AS DECIMAL(1,0))",
+      "REMAINDER_BY_ZERO"),
+    ("ansi_decimal_string_cast_invalid_errors",
+      "SELECT CAST('abc' AS DECIMAL(5,2))", "CAST_INVALID_INPUT"),
+    ("ansi_decimal_sum_overflow_errors",
+      "SELECT sum(v) FROM VALUES (CAST(9e37 AS DECIMAL(38,0))), (CAST(9e37 AS DECIMAL(38,0))), (CAST(1 AS DECIMAL(38,0))) t(v)",
+      "NUMERIC_VALUE_OUT_OF_RANGE"),
+    ("ansi_decimal_cast_int_overflow_errors",
+      "SELECT CAST(CAST(3e9 AS DECIMAL(12,0)) AS INT)", "CAST_OVERFLOW"))
 
   /** canonical rendering: dtypes :: rows (stable across JVMs) */
   private def renderDf(df: org.apache.spark.sql.DataFrame): String = {
@@ -2396,7 +2695,266 @@ class SparkSemanticsSpec extends AnyFunSuite {
         import s.implicits._
         Seq(1, 2, 3, 4, 5).toDF("v").orderBy("v").offset(2).limit(2)
       }))
-    base ++ dsv2Pinned
+    base ++ dsv2Pinned ++ encoderPinned
+  }
+
+  // ---- wave 8b: typed Dataset / encoder pins (GlutenDatasetSuite /
+  // ExpressionEncoderSuite faces — VERDICT r7 named typed-encoder edges
+  // as a biggest-unmapped area). Each program exercises one encoder
+  // derivation or typed-operator path; renderDf pins the derived
+  // schema (struct/array/map/decimal/interval physical types) AND the
+  // round-tripped values, so an encoder regression fails with the
+  // exact drifted type or value.
+  private lazy val encoderPinned: Seq[(String, org.apache.spark.sql.SparkSession =>
+      org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.{functions => F}
+    Seq(
+      // product encoders: schema shape and field order
+      ("encoderpin_tuple2_field_names", s => {
+        import s.implicits._
+        Seq((1, "a"), (2, "b")).toDS().toDF().orderBy("_1")
+      }),
+      ("encoderpin_tuple3_types", s => {
+        import s.implicits._
+        Seq((1L, 2.5, true)).toDS().toDF()
+      }),
+      ("encoderpin_tuple5_arity", s => {
+        import s.implicits._
+        Seq((1, "a", 2.0, false, 9L)).toDS().toDF()
+      }),
+      ("encoderpin_nested_tuple_struct", s => {
+        import s.implicits._
+        Seq((1, ("x", (2.5, 3L)))).toDS().toDF()
+      }),
+      ("encoderpin_case_class_field_order", s => {
+        import s.implicits._
+        Seq(EncPinUser(2, "bob", None), EncPinUser(1, "amy", Some(0.5)))
+          .toDS().toDF().orderBy("id")
+      }),
+      ("encoderpin_nested_case_class_struct", s => {
+        import s.implicits._
+        Seq(EncPinNested(1, EncPinUser(7, "n", Some(1.25)))).toDS().toDF()
+      }),
+      ("encoderpin_option_none_is_null", s => {
+        import s.implicits._
+        Seq(Option(5), None, Option(7)).toDS().toDF().orderBy(F.col("value").asc_nulls_first)
+      }),
+      ("encoderpin_option_nested_struct_null", s => {
+        import s.implicits._
+        Seq(EncPinOptNested(1, None), EncPinOptNested(2, Some(EncPinUser(9, "z", None))))
+          .toDS().toDF().orderBy("id")
+      }),
+      // primitive and boxed element encoders
+      ("encoderpin_primitive_long_ds", s => {
+        import s.implicits._
+        Seq(3L, 1L, 2L).toDS().toDF().orderBy("value")
+      }),
+      ("encoderpin_primitive_byte_short_float", s => {
+        import s.implicits._
+        Seq((1.toByte, 2.toShort, 3.5f)).toDS().toDF()
+      }),
+      ("encoderpin_boxed_integer_nullable", s => {
+        import s.implicits._
+        Seq[java.lang.Integer](1, null, 3).toDS().toDF().orderBy(F.col("value").asc_nulls_first)
+      }),
+      ("encoderpin_string_with_null_element", s => {
+        import s.implicits._
+        Seq("a", null, "c").toDS().toDF().orderBy(F.col("value").asc_nulls_first)
+      }),
+      ("encoderpin_boolean_ds", s => {
+        import s.implicits._
+        Seq(true, false).toDS().toDF().orderBy("value")
+      }),
+      // collection field encoders
+      ("encoderpin_seq_field_is_array", s => {
+        import s.implicits._
+        Seq(EncPinColl(Seq("x", "y"), Map("a" -> 1), Array[Byte](0x0a, 0x0b)))
+          .toDS().toDF()
+      }),
+      ("encoderpin_array_int_primitive", s => {
+        import s.implicits._
+        Seq(Array(1, 2, 3)).toDS().toDF()
+      }),
+      ("encoderpin_set_encodes_as_array", s => {
+        import s.implicits._
+        // sort inside the typed map so the array payload is order-stable
+        Seq(Set(3, 1, 2)).toDS().map(_.toSeq.sorted).toDF()
+      }),
+      ("encoderpin_map_int_to_seq", s => {
+        import s.implicits._
+        Seq(Map(1 -> Seq("a"), 2 -> Seq("b", "c"))).toDS().toDF()
+      }),
+      ("encoderpin_option_seq_field", s => {
+        import s.implicits._
+        Seq(Option(Seq(1, 2)), None).toDS().toDF()
+          .select(F.col("value")).orderBy(F.col("value").asc_nulls_first)
+      }),
+      ("encoderpin_seq_of_case_class", s => {
+        import s.implicits._
+        Seq(EncPinSeqStruct(1, Seq(EncPinUser(1, "a", None), EncPinUser(2, "b", Some(2.0)))))
+          .toDS().toDF()
+      }),
+      // numeric encoders
+      ("encoderpin_bigdecimal_is_38_18", s => {
+        import s.implicits._
+        Seq(EncPinNums(BigDecimal("1.5"), BigInt("12345678901234567890"))).toDS().toDF()
+      }),
+      ("encoderpin_bigint_is_decimal_38_0", s => {
+        import s.implicits._
+        Seq(Tuple1(BigInt(42))).toDS().toDF()
+      }),
+      ("encoderpin_scala_bigdecimal_value_roundtrip", s => {
+        import s.implicits._
+        Seq(BigDecimal("123.456")).toDS().toDF()
+      }),
+      // datetime encoders
+      ("encoderpin_sql_date_timestamp_localdate", s => {
+        import s.implicits._
+        Seq(EncPinTimes(java.sql.Date.valueOf("2020-01-02"),
+          java.sql.Timestamp.valueOf("2020-01-02 03:04:05.123"),
+          java.time.LocalDate.of(2021, 6, 15))).toDS()
+          .select(F.col("d").cast("string"), F.col("ts").cast("string"),
+            F.col("ld").cast("string"))
+      }),
+      ("encoderpin_instant_is_timestamp", s => {
+        import s.implicits._
+        Seq(java.time.Instant.parse("2020-01-02T03:04:05Z")).toDS()
+          .select(F.col("value").cast("string"))
+      }),
+      ("encoderpin_localdatetime_is_ntz", s => {
+        import s.implicits._
+        Seq(EncPinNtz(java.time.LocalDateTime.of(2020, 1, 2, 3, 4, 5))).toDS()
+          .select(F.col("ldt"), F.col("ldt").cast("string").as("ldt_str"))
+      }),
+      ("encoderpin_duration_period_intervals", s => {
+        import s.implicits._
+        Seq(EncPinIntervals(java.time.Duration.ofHours(25),
+          java.time.Period.ofMonths(14))).toDS()
+          .select(F.col("dur").cast("string"), F.col("per").cast("string"))
+      }),
+      // typed transforms
+      ("encoderpin_map_preserves_type", s => {
+        import s.implicits._
+        Seq(1, 2, 3).toDS().map(_ * 10).toDF().orderBy("value")
+      }),
+      ("encoderpin_map_to_case_class", s => {
+        import s.implicits._
+        Seq(1L, 2L).toDS().map(i => EncPinUser(i, s"u$i", Some(i * 0.5)))
+          .toDF().orderBy("id")
+      }),
+      ("encoderpin_filter_typed_predicate", s => {
+        import s.implicits._
+        Seq(1, 2, 3, 4).toDS().filter(_ % 2 == 0).toDF().orderBy("value")
+      }),
+      ("encoderpin_flatmap_words", s => {
+        import s.implicits._
+        Seq("a b", "c").toDS().flatMap(_.split(" ")).toDF().orderBy("value")
+      }),
+      ("encoderpin_mappartitions_typed", s => {
+        import s.implicits._
+        Seq(1, 2, 3).toDS().repartition(1)
+          .mapPartitions(it => Iterator(it.sum)).toDF()
+      }),
+      ("encoderpin_ds_union_typed", s => {
+        import s.implicits._
+        Seq(1, 3).toDS().union(Seq(2).toDS()).toDF().orderBy("value")
+      }),
+      ("encoderpin_distinct_typed", s => {
+        import s.implicits._
+        Seq(1, 1, 2).toDS().distinct().toDF().orderBy("value")
+      }),
+      // groupByKey family
+      ("encoderpin_groupbykey_count_colname", s => {
+        import s.implicits._
+        Seq("a", "b", "a").toDS().groupByKey(identity).count().toDF().orderBy("key")
+      }),
+      ("encoderpin_groupbykey_mapgroups", s => {
+        import s.implicits._
+        Seq((1, 10), (1, 20), (2, 30)).toDS()
+          .groupByKey(_._1).mapGroups((k, it) => (k, it.map(_._2).sum))
+          .toDF().orderBy("_1")
+      }),
+      ("encoderpin_groupbykey_reducegroups", s => {
+        import s.implicits._
+        Seq((1, 10), (1, 20), (2, 30)).toDS()
+          .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+          .toDF().orderBy("key")
+      }),
+      ("encoderpin_groupbykey_flatmapgroups", s => {
+        import s.implicits._
+        Seq((1, "x"), (1, "y"), (2, "z")).toDS()
+          .groupByKey(_._1)
+          .flatMapGroups((k, it) => it.map(v => (k, v._2.toUpperCase)))
+          .toDF().orderBy("_1", "_2")
+      }),
+      ("encoderpin_groupbykey_agg_typed_column", s => {
+        import s.implicits._
+        Seq((1, 2.0), (1, 4.0), (2, 6.0)).toDS()
+          .groupByKey(_._1)
+          .agg(F.sum($"_2").as("s").as[Double])
+          .toDF().orderBy("key")
+      }),
+      // joinWith: tuple-of-struct result shape, outer null sides
+      ("encoderpin_joinwith_inner_struct_pair", s => {
+        import s.implicits._
+        val l = Seq(EncPinUser(1, "a", None), EncPinUser(2, "b", None)).toDS()
+        val r = Seq((1, "x")).toDS()
+        l.joinWith(r, l("id") === r("_1"), "inner").toDF().orderBy("_1.id")
+      }),
+      ("encoderpin_joinwith_left_outer_null_side", s => {
+        import s.implicits._
+        val l = Seq(1, 2).toDS()
+        val r = Seq((1, "x")).toDS()
+        l.joinWith(r, l("value") === r("_1"), "left_outer")
+          .toDF().orderBy("_1")
+      }),
+      // as[] rebinding and row encoders
+      ("encoderpin_df_as_case_class_by_name", s => {
+        import s.implicits._
+        val df = Seq((1L, "a", 0.5)).toDF("id", "name", "score")
+        df.as[EncPinUser].map(u => u.copy(name = u.name + "!")).toDF()
+      }),
+      ("encoderpin_df_as_tuple_by_position_names", s => {
+        import s.implicits._
+        Seq((1, "a")).toDF("_1", "_2").as[(Int, String)]
+          .map { case (i, v) => (i + 1, v) }.toDF()
+      }),
+      ("encoderpin_row_encoder_createdataframe", s => {
+        import org.apache.spark.sql.{Row, types => T}
+        val schema = T.StructType(Seq(
+          T.StructField("k", T.IntegerType), T.StructField("v", T.StringType)))
+        s.createDataFrame(
+          new java.util.ArrayList[Row](java.util.Arrays.asList(Row(1, "x"), Row(2, null))),
+          schema).orderBy("k")
+      }),
+      ("encoderpin_range_as_long", s => {
+        import s.implicits._
+        s.range(3).as[Long].map(_ + 100).toDF().orderBy("value")
+      }),
+      ("encoderpin_select_typed_column", s => {
+        import s.implicits._
+        Seq((1, "a"), (2, "b")).toDF("id", "v")
+          .select($"id".as[Int]).map(_ * 2).toDF().orderBy("value")
+      }),
+      ("encoderpin_binary_field_roundtrip", s => {
+        import s.implicits._
+        Seq(Array[Byte](1, 2, 0x7f)).toDS().toDF()
+      }),
+      ("encoderpin_unit_like_empty_ds_schema", s => {
+        import s.implicits._
+        s.emptyDataset[EncPinUser].toDF()
+      }),
+      ("encoderpin_dropduplicates_typed_then_map", s => {
+        import s.implicits._
+        Seq(EncPinUser(1, "a", None), EncPinUser(1, "a", None), EncPinUser(2, "b", None))
+          .toDS().dropDuplicates("id").map(_.id).toDF().orderBy("value")
+      }),
+      ("encoderpin_typed_head_collect_parity", s => {
+        import s.implicits._
+        // first() on a typed ds yields the case class; re-wrap to pin it
+        val u = Seq(EncPinUser(5, "h", Some(0.5))).toDS().head()
+        Seq(u).toDS().toDF()
+      }))
   }
 
   // ---- wave 7c: DSv2 SQL faces (GlutenDataSourceV2SQLSuite analog) ----
@@ -2548,7 +3106,7 @@ class SparkSemanticsSpec extends AnyFunSuite {
   /** every golden-pinned entry with its renderer; the "sql" column for
     * API pins is the label itself (shown on failure instead of SQL) */
   private val allPinned: Seq[(String, String, String => String)] =
-    pinned.map { case (l, s) => (l, s, render(_)) } ++
+    (pinned ++ decimalPinned).map { case (l, s) => (l, s, render(_)) } ++
       nonAnsiPinned.map { case (l, s) => (l, s, renderNonAnsi(_)) } ++
       apiPinned.map { case (l, f) =>
         (l, s"<DataFrame program $l>", (_: String) => renderDf(f(spark))) }
