@@ -21,6 +21,40 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftExpressions {
 
+  /** Shared element-type dispatch for the float-vector expressions:
+    * they operate natively on array<float> (the embeddings encoding)
+    * but must also accept array<double> — SQL double literals arrive
+    * as array<double>, and blindly calling getFloat on a double array
+    * mis-reads bytes in codegen and ClassCastExceptions in the
+    * interpreted path (caught by the nocodegen_* pin wave). */
+  private def vecTypeCheck(name: String, tps: Seq[DataType])
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = tps.forall {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float> or array<double> arguments, got " +
+        tps.map(_.simpleString).mkString(", "))
+  }
+
+  /** interpreted accessor for a float-or-double array element */
+  private def vecGet(a: ArrayData, tp: DataType, i: Int): Double = tp match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  /** codegen accessor string for a float-or-double array element */
+  private def vecGetCode(arr: String, tp: DataType, i: String): String = tp match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
   /** Cosine similarity between two float vectors, computed in double
     * precision element-wise (matches the SQL-oracle formulation:
     * dot/(||a||*||b||), each element widened to double first).
@@ -34,15 +68,19 @@ object GraftExpressions {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "cosine_similarity"
 
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      vecTypeCheck(prettyName, Seq(left.dataType, right.dataType))
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
+      val (lt, rt) = (elemType(left), elemType(right))
       val n = math.min(x.numElements(), y.numElements())
       var dot = 0.0; var nx = 0.0; var ny = 0.0
       var i = 0
       while (i < n) {
-        val xv = x.getFloat(i).toDouble
-        val yv = y.getFloat(i).toDouble
+        val xv = vecGet(x, lt, i)
+        val yv = vecGet(y, rt, i)
         dot += xv * yv; nx += xv * xv; ny += yv * yv
         i += 1
       }
@@ -60,8 +98,8 @@ object GraftExpressions {
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  double $xv = (double) $a.getFloat($i);
-           |  double $yv = (double) $b.getFloat($i);
+           |  double $xv = ${vecGetCode(a, elemType(left), i)};
+           |  double $yv = ${vecGetCode(b, elemType(right), i)};
            |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
            |}
            |double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
@@ -134,14 +172,18 @@ object GraftExpressions {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "dot_product"
 
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      vecTypeCheck(prettyName, Seq(left.dataType, right.dataType))
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
+      val (lt, rt) = (elemType(left), elemType(right))
       val n = math.min(x.numElements(), y.numElements())
       var dot = 0.0
       var i = 0
       while (i < n) {
-        dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        dot += vecGet(x, lt, i) * vecGet(y, rt, i)
         i += 1
       }
       dot
@@ -155,7 +197,7 @@ object GraftExpressions {
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $dot = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  $dot += ${vecGetCode(a, elemType(left), i)} * ${vecGetCode(b, elemType(right), i)};
            |}
            |${ev.value} = $dot;
            |""".stripMargin

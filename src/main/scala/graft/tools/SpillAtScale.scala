@@ -36,9 +36,22 @@ object SpillAtScale {
     try {
       names.foreach { n =>
         val df = graft.SparkEntry.queries(n)(spark, sfDir)
-        val rows = df.collect().map(_.toString).toSeq
-        val m = graft.PlanHealth.runtimeSummary(df.queryExecution)
-        println(f"SPILL_SCALE $n rows=${rows.length} digest=${SpillProbe.digestOf(rows)} " +
+        // Distributed, order-independent digest: per-row xxhash64 over
+        // the full row struct, summed as DECIMAL (exact, no overflow at
+        // any realistic row count). The old collect()-based digest
+        // pulled the whole result to the driver — a heap OOM the moment
+        // a 100x result set outgrew it; results must be digested where
+        // they live.
+        import org.apache.spark.sql.functions.{col, count, lit, struct, sum, xxhash64}
+        val digestDf = df.select(
+          xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).cast("decimal(20,0)").as("h"))
+          .agg(sum(col("h")).as("hsum"), count(lit(1)).as("n"))
+        // collect(), not head(): head(n) executes a SEPARATE limited
+        // QueryExecution, leaving digestDf's own metrics (the spill
+        // evidence this tool exists for) empty
+        val r = digestDf.collect()(0)
+        val m = graft.PlanHealth.runtimeSummary(digestDf.queryExecution)
+        println(f"SPILL_SCALE $n rows=${r.getLong(1)} digest=${r.getDecimal(0)} " +
           f"spill_mb=${m("spill_bytes") / 1e6}%.1f shuffle_mb=${m("shuffle_bytes_written") / 1e6}%.1f")
         spark.catalog.clearCache()
       }

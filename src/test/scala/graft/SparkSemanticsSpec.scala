@@ -2516,6 +2516,105 @@ class SparkSemanticsSpec extends AnyFunSuite {
 
   private def render(sql: String): String = renderDf(spark.sql(sql))
 
+  /** render with whole-stage codegen AND expression codegen disabled
+    * (interpreted projections/predicates), restoring after — the
+    * gluten-ut matrix's codegen-on/off duplication: Spark evaluates
+    * every expression through both a codegen and an interpreted path,
+    * and a custom expression whose doGenCode and eval disagree shows
+    * up ONLY when the interpreted path runs */
+  private def renderNoCodegen(sql: String): String = {
+    val pairs = Seq(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val origs = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try render(sql)
+    finally origs.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  // ---- wave 8c: codegen-off duplication — the same hazard families
+  // re-rendered with interpreted expression evaluation. Each pin's
+  // golden value is byte-identical to its codegen twin above (verified
+  // at regen review), so a divergence between Tungsten codegen and the
+  // interpreted path in ANY engine-touched expression family fails
+  // here with the drifted value.
+  private val noCodegenPinned: Seq[(String, String)] = Seq(
+    "nocodegen_cast_double_to_int_truncates" -> "SELECT CAST(12.9e0 AS INT)",
+    "nocodegen_try_cast_invalid_int" -> "SELECT try_cast('abc' AS INT)",
+    "nocodegen_decimal_add_promotion" ->
+      "SELECT CAST(1.2 AS DECIMAL(4,1)) + CAST(3.456 AS DECIMAL(6,3))",
+    "nocodegen_decimal_div_half_up" ->
+      "SELECT CAST(2 AS DECIMAL(2,0)) / CAST(3 AS DECIMAL(2,0))",
+    "nocodegen_decimal_mul_38_clamp" ->
+      "SELECT CAST(1.123456789012345678 AS DECIMAL(38,18)) * CAST(1.123456789012345678 AS DECIMAL(38,18))",
+    "nocodegen_decimal_rescale_half_up" ->
+      "SELECT CAST(CAST(2.675 AS DECIMAL(6,3)) AS DECIMAL(6,2))",
+    "nocodegen_try_sum_decimal_overflow" ->
+      "SELECT try_sum(v) FROM VALUES (CAST(9e37 AS DECIMAL(38,0))), (CAST(9e37 AS DECIMAL(38,0))) t(v)",
+    "nocodegen_three_valued_logic" ->
+      "SELECT NULL AND false, NULL OR true, 1 IN (2, NULL)",
+    "nocodegen_null_safe_eq" -> "SELECT NULL <=> NULL, 1 <=> NULL",
+    "nocodegen_string_trim_pad" ->
+      "SELECT btrim('  x  '), lpad('7', 3, '0'), rpad('ab', 4, 'xy')",
+    "nocodegen_string_split_index" ->
+      "SELECT split('a,b,c', ','), substring_index('a.b.c', '.', 2)",
+    "nocodegen_regexp_extract_replace" ->
+      "SELECT regexp_extract('a1b2', '([0-9])', 1), regexp_replace('a1b2', '[0-9]', '#')",
+    "nocodegen_math_domain_edges" ->
+      "SELECT ln(0e0), sqrt(-1e0), power(0e0, 0e0), log(1e0)",
+    "nocodegen_round_vs_bround" ->
+      "SELECT round(2.5, 0), bround(2.5, 0), rint(2.5e0)",
+    "nocodegen_pmod_negative" -> "SELECT pmod(-7, 3), -7 % 3",
+    "nocodegen_datetime_extract" ->
+      "SELECT year(DATE '2020-02-29'), weekofyear(DATE '2020-01-01'), dayofweek(DATE '2020-01-05')",
+    "nocodegen_date_arith_clamp" ->
+      "SELECT add_months(DATE '2020-01-31', 1), last_day(DATE '2020-02-10')",
+    "nocodegen_timestamp_trunc" ->
+      "SELECT date_trunc('HOUR', TIMESTAMP '2020-01-02 03:44:55')",
+    "nocodegen_array_ops" ->
+      "SELECT array_distinct(array(1, 2, 1)), array_position(array(5, 6), 6), element_at(array(1, 2), 2)",
+    "nocodegen_array_sort_nulls" ->
+      "SELECT sort_array(array(3, NULL, 1)), array_sort(array(3, NULL, 1))",
+    "nocodegen_map_ops" ->
+      "SELECT map_concat(map('a', 1), map('b', 2)), map_from_arrays(array('k'), array(9))",
+    "nocodegen_hof_transform_filter" ->
+      "SELECT transform(array(1, 2), x -> x * 10), filter(array(1, 2, 3), x -> x > 1)",
+    "nocodegen_hof_aggregate_lambda" ->
+      "SELECT aggregate(array(1, 2, 3), 0, (acc, x) -> acc + x, acc -> acc * 2)",
+    "nocodegen_hash_family" ->
+      "SELECT hash(42), xxhash64('x'), crc32('x'), md5('x')",
+    "nocodegen_struct_field_access" ->
+      "SELECT named_struct('a', 1, 'b', 'x').a",
+    "nocodegen_json_get" ->
+      "SELECT get_json_object('{\"k\": {\"v\": 7}}', '$.k.v')",
+    "nocodegen_case_when_chain" ->
+      "SELECT CASE WHEN 1 > 2 THEN 'a' WHEN 2 > 1 THEN 'b' ELSE 'c' END",
+    "nocodegen_coalesce_nvl2" -> "SELECT coalesce(NULL, NULL, 3), nvl2(NULL, 1, 2)",
+    "nocodegen_concat_ws_nulls" -> "SELECT concat_ws('-', 'a', NULL, 'b')",
+    "nocodegen_greatest_least_nulls" ->
+      "SELECT greatest(1, NULL, 3), least(1, NULL, 3)",
+    "nocodegen_bitwise_shifts" ->
+      "SELECT shiftleft(1, 3), shiftright(-8, 1), 5 & 3, 5 | 3, 5 ^ 3",
+    "nocodegen_agg_groupby_sum_avg" ->
+      """SELECT k, sum(v) AS s, avg(v) AS a FROM VALUES (1, 10), (1, 20), (2, 30) t(k, v)
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "nocodegen_window_running_sum" ->
+      """SELECT v, sum(v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS rs
+        |FROM VALUES (1), (2), (3) t(v)""".stripMargin,
+    "nocodegen_distinct_normalizes_neg_zero" ->
+      "SELECT DISTINCT v FROM VALUES (0e0), (-0e0) t(v)",
+    "nocodegen_interval_arith" ->
+      "SELECT DATE '2020-01-31' + INTERVAL '1' MONTH, INTERVAL '10' DAY / 4",
+    // graft's own injected expressions through the interpreted path:
+    // exactly the doGenCode-vs-eval parity this wave exists for
+    "nocodegen_custom_simhash64" ->
+      "SELECT simhash64(array('a', 'b', 'c'))",
+    "nocodegen_custom_cosine_dot" ->
+      "SELECT cosine_similarity(array(1e0, 0e0), array(1e0, 0e0)), dot_product(array(1e0, 2e0), array(3e0, 4e0))",
+    "nocodegen_custom_topk_freq" ->
+      "SELECT topk_freq(v, 2) FROM VALUES ('a'), ('a'), ('b'), ('c') t(v)")
+
   /** render under `spark.sql.ansi.enabled=false`, restoring after */
   private def renderNonAnsi(sql: String): String = {
     val orig = spark.conf.getOption("spark.sql.ansi.enabled")
@@ -3107,6 +3206,7 @@ class SparkSemanticsSpec extends AnyFunSuite {
     * API pins is the label itself (shown on failure instead of SQL) */
   private val allPinned: Seq[(String, String, String => String)] =
     (pinned ++ decimalPinned).map { case (l, s) => (l, s, render(_)) } ++
+      noCodegenPinned.map { case (l, s) => (l, s, renderNoCodegen(_)) } ++
       nonAnsiPinned.map { case (l, s) => (l, s, renderNonAnsi(_)) } ++
       apiPinned.map { case (l, f) =>
         (l, s"<DataFrame program $l>", (_: String) => renderDf(f(spark))) }
