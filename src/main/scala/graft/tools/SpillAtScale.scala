@@ -42,9 +42,14 @@ object SpillAtScale {
         // pulled the whole result to the driver — a heap OOM the moment
         // a 100x result set outgrew it; results must be digested where
         // they live.
-        import org.apache.spark.sql.functions.{col, count, lit, struct, sum, xxhash64}
+        import org.apache.spark.sql.functions.{col, count, lit, struct, sum, to_json, xxhash64}
+        // map-typed columns are not hashable by xxhash64 — route them
+        // through their canonical JSON rendering first
+        val cols = df.schema.fields.map { f =>
+          if (graft.tools.SpillAtScale.hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+        }
         val digestDf = df.select(
-          xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).cast("decimal(20,0)").as("h"))
+          xxhash64(struct(cols.toIndexedSeq: _*)).cast("decimal(20,0)").as("h"))
           .agg(sum(col("h")).as("hsum"), count(lit(1)).as("n"))
         // collect(), not head(): head(n) executes a SEPARATE limited
         // QueryExecution, leaving digestDf's own metrics (the spill
@@ -56,6 +61,18 @@ object SpillAtScale {
         spark.catalog.clearCache()
       }
     } finally spark.stop()
+  }
+
+  /** true if the type contains a MapType anywhere (maps are not
+    * xxhash64-hashable and digest via to_json instead) */
+  def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => hasMap(et)
+      case StructType(fs) => fs.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
   }
 
   /** convenience for shell comparison: true iff every query's digest
