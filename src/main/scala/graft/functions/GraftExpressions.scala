@@ -321,6 +321,155 @@ object GraftExpressions {
       sequence(lit(0L), lit(k.toLong - 1)),
       i => array_min(transform(tokens, t => xxhash64(t, i))))
 
+  /** Product-quantization encode: for each of `m` subspaces of length
+    * `sub`, the 1-based index of the L2-nearest centroid in that
+    * subspace's codebook — the corpus-wide pass of the PQ pipeline
+    * (every vector you ever ingest runs it once; at 100 TB it IS the
+    * job). The composed higher-order-function formulation
+    * (transform ∘ aggregate ∘ zip_with) is CodegenFallback in Spark —
+    * every element runs a boxed interpreted lambda — so this native
+    * expression generates primitive loops instead. Arithmetic is
+    * BIT-IDENTICAL to the composed form it replaces: per centroid a
+    * double left-fold of squared diffs in array order, then ONE
+    * half-up round to 6 dp (matching `round(aggregate(zip_with(...)),
+    * 6)`), argmin keeping the FIRST minimum (matching
+    * `array_position(d, array_min(d))`).
+    *
+    * `codebooks` is a driver-held literal (m×k×sub doubles ≈ 4 KB —
+    * the same bounded state the Lloyd's trainer keeps), shipped into
+    * generated code via a reference object.
+    */
+  case class PqEncodeCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+
+    private val m = codebooks.length
+    private val sub = if (m > 0 && codebooks(0).nonEmpty) codebooks(0)(0).length else 0
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "pq_encode"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      vecTypeCheck(prettyName, Seq(child.dataType))
+
+    private def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val tp = elemType(child)
+      val out = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        val cb = codebooks(i)
+        var best = Double.PositiveInfinity
+        var bestC = 0
+        var c = 0
+        while (c < cb.length) {
+          var s = 0.0
+          var j = 0
+          while (j < sub) {
+            val d = vecGet(v, tp, i * sub + j) - cb(c)(j)
+            s += d * d
+            j += 1
+          }
+          val dist = round6(s)
+          if (dist < best) { best = dist; bestC = c }
+          c += 1
+        }
+        out(i) = bestC + 1
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val cbRef = ctx.addReferenceObj("pqBooks", codebooks, "double[][][]")
+        val out = ctx.freshName("out"); val i = ctx.freshName("i")
+        val c = ctx.freshName("c"); val j = ctx.freshName("j")
+        val s = ctx.freshName("s"); val d = ctx.freshName("d")
+        val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
+        val dist = ctx.freshName("dist"); val cb = ctx.freshName("cb")
+        s"""
+           |int[] $out = new int[$m];
+           |for (int $i = 0; $i < $m; $i++) {
+           |  double[][] $cb = $cbRef[$i];
+           |  double $best = Double.POSITIVE_INFINITY; int $bestC = 0;
+           |  for (int $c = 0; $c < $cb.length; $c++) {
+           |    double $s = 0.0;
+           |    for (int $j = 0; $j < $sub; $j++) {
+           |      double $d = ${vecGetCode(v, elemType(child), s"$i * $sub + $j")} - $cb[$c][$j];
+           |      $s += $d * $d;
+           |    }
+           |    double $dist = java.math.BigDecimal.valueOf($s)
+           |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+           |    if ($dist < $best) { $best = $dist; $bestC = $c; }
+           |  }
+           |  $out[$i] = $bestC + 1;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** ADC lookup-sum: Σ_sp tab[sp][code[sp]] rounded half-up to 6 dp —
+    * the per-(query, vector) scoring pass of the PQ pipeline, the other
+    * corpus-scale loop. `tab` is array<array<double>> (the broadcast
+    * per-query distance table), `codes` is the 1-based array<int> from
+    * [[PqEncodeCodes]]. Bit-identical to
+    * `round(aggregate(zip_with(tab, codes, element_at), 0.0, +), 6)`:
+    * the fold runs in subspace order over min(|tab|, |codes|) entries.
+    */
+  case class PqAdcScore(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "pq_adc_score"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val tab = a.asInstanceOf[ArrayData]
+      val codes = b.asInstanceOf[ArrayData]
+      val n = math.min(tab.numElements(), codes.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val row = tab.getArray(i)
+        s += row.getDouble(codes.getInt(i) - 1)
+        i += 1
+      }
+      java.math.BigDecimal.valueOf(s).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getArray($i).getDouble($b.getInt($i) - 1);
+           |}
+           |${ev.value} = java.math.BigDecimal.valueOf($s)
+           |  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodeCodes(ColumnBridge.expression(vec), codebooks))
+
+  def pq_adc_score(tab: Column, codes: Column): Column =
+    ColumnBridge.column(PqAdcScore(ColumnBridge.expression(tab), ColumnBridge.expression(codes)))
+
   /** Register SQL names for the custom expressions. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

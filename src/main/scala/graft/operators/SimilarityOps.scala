@@ -503,15 +503,20 @@ object SimilarityOps {
         lit(0.0), (acc, v) => acc + v)
     // corpus ENCODING: one codegen scan producing the m nibble codes as
     // an array<int> column — the 8-byte-per-vector column you persist at
-    // 100 TB. No explode, no shuffle: the code array replaces the old
-    // long-format (vec_id, sp, code) relation entirely.
-    def codesCol = transform(sequence(lit(0), lit(m - 1)), i => {
-      val d = transform(element_at(booksLit, i + 1),
-        c => sqDist(slice(col("embedding"), i * sub + 1, lit(sub)), c))
-      array_position(d, array_min(d)).cast("int")
-    })
+    // 100 TB. No explode, no shuffle. The encode is the native
+    // [[graft.functions.GraftExpressions.PqEncodeCodes]] expression
+    // (primitive generated loops, codebooks shipped as a 4 KB reference
+    // object); the previous higher-order-function composition is
+    // CodegenFallback in Spark — a boxed interpreted lambda per array
+    // element — and at 100× replicas it dominated the query's wall.
+    // Arithmetic (double fold order, half-up round-6 per centroid,
+    // first-min argmin) is bit-identical; sim_pq_codes_parity in
+    // AnnRecallSpec pins native == composed on real embeddings.
+    val booksArr: Array[Array[Array[Double]]] =
+      (0 until m).map(i => books(i).map(_.map(_.toDouble).toArray).toArray).toArray
     val codes = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cid"), codesCol.as("codes"))
+      .select(col("vec_id").as("cid"),
+        graft.functions.GraftExpressions.pq_encode(col("embedding"), booksArr).as("codes"))
     // query-side INNER-PRODUCT tables (ADC dot ≈ cosine on unit vectors):
     // per query an m×k lookup table, tiny — broadcast over the codes scan
     val qtab = e.filter(col("vec_id") < 10)
@@ -528,10 +533,11 @@ object SimilarityOps {
     // standard ADC+refine pipeline: exact FLOPs touch 32 candidates per
     // query, not the corpus).
     val ws = Window.partitionBy(col("qid")).orderBy(col("ad").desc, col("cid"))
+    // ADC lookup-sum as the native PqAdcScore expression — the other
+    // corpus-scale loop (|corpus|·|Q| rows × m lookups each)
     val shortlist = codes.crossJoin(broadcast(qtab.select(col("qid"), col("tab"))))
       .select(col("qid"), col("cid"),
-        round(aggregate(zip_with(col("tab"), col("codes"),
-          (t, c) => element_at(t, c)), lit(0.0), (a, v) => a + v), 6).as("ad"))
+        graft.functions.GraftExpressions.pq_adc_score(col("tab"), col("codes")).as("ad"))
       .withColumn("srk", row_number().over(ws))
       .filter(col("srk") <= 32)
       .select(col("qid"), col("cid"))

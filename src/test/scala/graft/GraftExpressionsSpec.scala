@@ -99,6 +99,61 @@ class GraftExpressionsSpec extends AnyFunSuite {
   private def load() =
     spark.read.parquet(s"${GraftSparkSession.sfDir}/embeddings.parquet")
 
+  test("PQ native encode and ADC score match the composed-builtins formulation bit-for-bit") {
+    // real embeddings, synthetic-but-deterministic codebooks: the native
+    // expressions replaced the CodegenFallback higher-order composition
+    // on the two corpus-scale passes of sim_ann_pq; this pins that the
+    // arithmetic (double fold order, half-up round-6 per centroid,
+    // first-min argmin, lookup-sum) is identical on every vector
+    val m = 8; val k = 4
+    val e = load().limit(200)
+    val sub = e.select(size(col("embedding"))).head.getInt(0) / m
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m, k, sub) {
+      (i, c, j) => math.sin(i * 31 + c * 7 + j).abs * 0.2
+    }
+    def booksLit = array((0 until m).map { i =>
+      array(books(i).map(c => array(c.map(lit(_)).toIndexedSeq: _*)).toIndexedSeq: _*) }: _*)
+    def sqDist(a: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      round(aggregate(zip_with(a, c,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v), 6)
+    val composedCodes = transform(sequence(lit(0), lit(m - 1)), i => {
+      val d = transform(element_at(booksLit, i + 1),
+        c => sqDist(slice(col("embedding"), i * sub + 1, lit(sub)), c))
+      array_position(d, array_min(d)).cast("int")
+    })
+    val both = e.select(col("vec_id"),
+      pq_encode(col("embedding"), books).as("native"),
+      composedCodes.as("composed"))
+    assert(both.filter(not(col("native") === col("composed"))).count() == 0,
+      "native PQ encode must equal the composed formulation on every vector")
+    // ADC: random-ish per-row tables from the embedding itself
+    val tab = transform(sequence(lit(0), lit(m - 1)), i =>
+      transform(sequence(lit(1), lit(k)), c =>
+        round(element_at(col("embedding"), i + 1).cast("double") * c, 6)))
+    val adc = e.select(
+      pq_adc_score(tab, pq_encode(col("embedding"), books)).as("native"),
+      round(aggregate(zip_with(tab, pq_encode(col("embedding"), books),
+        (t, c) => element_at(t, c)), lit(0.0), (a, v) => a + v), 6).as("composed"))
+    assert(adc.filter(not(col("native") === col("composed"))).count() == 0,
+      "native ADC lookup-sum must equal the composed formulation")
+    // interpreted parity too (the nocodegen lesson): same checks with
+    // codegen fully disabled
+    val orig = (spark.conf.getOption("spark.sql.codegen.wholeStage"),
+      spark.conf.getOption("spark.sql.codegen.factoryMode"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(both.filter(not(col("native") === col("composed"))).count() == 0)
+      assert(adc.filter(not(col("native") === col("composed"))).count() == 0)
+    } finally {
+      orig._1.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+        spark.conf.set("spark.sql.codegen.wholeStage", _))
+      orig._2.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("reference hashes agree with Spark builtins on every tail-length class") {
     import graft.functions.RefHash._
     // lengths 0..40 cross every boundary the algorithms branch on:
