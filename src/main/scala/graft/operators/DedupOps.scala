@@ -947,8 +947,18 @@ object DedupOps {
     val toks = load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= w)
-    val wins = toks.select(col("doc_id"), explode(expr(
-      s"transform(sequence(1, size(w) - ${w - 1}), i -> md5(array_join(slice(w, i, $w), ' ')))")).as("wh"))
+    // explode window START INDICES first, then hash at top level: the
+    // md5(array_join(slice(...))) runs as codegen over each exploded
+    // row, where the previous transform(...)-lambda form evaluated
+    // every window hash through the interpreted higher-order path
+    // (HOFs are CodegenFallback). Same windows, same hashes — the
+    // token array is only duplicated inside the codegen stage pipeline,
+    // never materialized or shuffled.
+    val wins = toks
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(1, size(w) - ${w - 1})")).as("i"))
+      .select(col("doc_id"),
+        md5(expr(s"array_join(slice(w, i, $w), ' ')")).as("wh"))
     val cnt = wins.groupBy(col("wh")).agg(countDistinct(col("doc_id")).as("nd"))
     wins.join(cnt, Seq("wh"))
       .groupBy(col("doc_id"))

@@ -457,6 +457,14 @@ object TextOps {
     // rows instead of |bigram instances| — the grain that matters when
     // the corpus is 100 TB. avg_nll becomes the n-weighted mean (same
     // value; the oracle mirrors the weighted formulation).
+    // NOTE (r8): an explode-indices-then-element_at rewrite (the shape
+    // that won for dedup_substring_windows) was measured and REVERTED
+    // here — 26 s → 31 s at 100×: the per-bigram lambda is two cheap
+    // element_at calls, and carrying the full words array across the
+    // Generate boundary (it is part of Generate's output row until the
+    // downstream project prunes it) cost more than the interpreted
+    // lambda saved. The transform-struct form emits compact (w1, w2)
+    // pairs from the Generate itself.
     val docBg = load(s, dir, "documents")
       .filter(size(words) >= 2)
       .select(col("doc_id"), col("lang"), explode(transform(
