@@ -286,11 +286,18 @@ object Bench {
     // vanilla column and ratio, reported as skipped — a failed vanilla
     // run must not enter the denominator as a near-zero time
     val vanillaFailed = scala.collection.mutable.Set[String]()
+    // symmetric exclusion for the graft column: a failed graft run's
+    // near-zero elapsed time must not enter gSamples and flatter the
+    // ratio — failures are dropped and reported in `graft_failed`
+    val graftFailed = scala.collection.mutable.Set[String]()
     warmup(graft, sfDir)
     if (withVanilla) warmup(vanilla, sfDir)
     def timePair(name: String, graftFirst: Boolean): Unit = {
-      def g(): Unit =
-        gSamples += (name -> (timeOne(graft, sfDir, name)._1 :: gSamples(name)))
+      def g(): Unit = if (!graftFailed(name)) {
+        val (dt, ok) = timeOne(graft, sfDir, name)
+        if (ok) gSamples += (name -> (dt :: gSamples(name)))
+        else { graftFailed += name; gSamples -= name }
+      }
       def v(): Unit = if (withVanilla && !graftOnly.contains(name) && !vanillaFailed(name)) {
         val (dt, ok) = timeOne(vanilla, sfDir, name)
         if (ok) vSamples += (name -> (dt :: vSamples(name)))
@@ -315,8 +322,11 @@ object Bench {
     if (rounds > 1 && withVanilla) {
       val noisy = names.filter { n =>
         val gs = gSamples(n); val vs = vSamples(n)
-        val ratio = if (vs.nonEmpty && vs.min > 0) gs.min / vs.min else 1.0
-        spread(gs) > 0.3 || spread(vs) > 0.3 || ratio >= 1.3 || ratio <= (1 / 1.3)
+        if (gs.isEmpty) false // graft-failed: nothing to re-measure
+        else {
+          val ratio = if (vs.nonEmpty && vs.min > 0) gs.min / vs.min else 1.0
+          spread(gs) > 0.3 || spread(vs) > 0.3 || ratio >= 1.3 || ratio <= (1 / 1.3)
+        }
       }
       // GC fence before the re-measure pass: the flagged queries are by
       // construction the pressure-sensitive ones (hash builds, checkpoint
@@ -327,9 +337,11 @@ object Bench {
     }
     val gTimes: Map[String, Double] = gSamples.map { case (k, v) => k -> v.min }.toMap
     val vTimes: Map[String, Double] = vSamples.map { case (k, v) => k -> v.min }.toMap
-    val results: Seq[(String, Double)] = names.map(n => n -> gTimes(n))
+    val results: Seq[(String, Double)] = names.filter(gTimes.contains).map(n => n -> gTimes(n))
+    // the comparable set (and hence the ratio's numerator AND
+    // denominator) requires BOTH engines to have succeeded on a query
     val vanillaResults: Seq[(String, Double)] =
-      names.filter(vTimes.contains).map(n => n -> vTimes(n))
+      names.filter(n => vTimes.contains(n) && gTimes.contains(n)).map(n => n -> vTimes(n))
     // Optional per-query runtime telemetry (SPARK_GRAFT_BENCH_TELEMETRY=1):
     // one extra untimed execution per query on the graft session, reading
     // the populated SQLMetrics — the spill/shuffle volumes that prove (or
@@ -364,14 +376,22 @@ object Bench {
       val ratio = if (vTotal > 0) graftCommon / vTotal else 0.0
       val skippedNames = set.filter(n => graftOnly.contains(n) || vanillaFailed(n))
       val skipped = skippedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val gFailed = graftFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       // vanilla_skipped_n + comparable_n make the ratio's denominator
       // explicit in the compact line: the ratio covers `comparable_n`
-      // queries; `vanilla_skipped_n` graft-only queries are excluded
+      // queries; `vanilla_skipped_n` graft-only queries are excluded;
+      // graft_failed lists queries dropped from the GRAFT column
+      // (symmetric to vanilla_skipped — never recorded as near-zero)
       (f""","vanilla_total":$vTotal%.3f,"graft_vs_vanilla_ratio":$ratio%.3f""" +
-        s""","comparable_n":${vanillaResults.size},"vanilla_skipped_n":${skippedNames.size}""",
+        s""","comparable_n":${vanillaResults.size},"vanilla_skipped_n":${skippedNames.size}""" +
+        s""","graft_failed_n":${graftFailed.size}""",
         f""","vanilla":${toJson(vanillaResults)},"vanilla_total":$vTotal%.3f""" +
           f""","graft_vs_vanilla_ratio":$ratio%.3f,"vanilla_skipped":$skipped""" +
-          s""","comparable_n":${vanillaResults.size},"vanilla_skipped_n":${skippedNames.size}""")
+          s""","comparable_n":${vanillaResults.size},"vanilla_skipped_n":${skippedNames.size}""" +
+          s""","graft_failed":$gFailed""")
+    } else if (graftFailed.nonEmpty) {
+      val gFailed = graftFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      (s""","graft_failed_n":${graftFailed.size}""", s""","graft_failed":$gFailed""")
     } else ("", "")
     // back-compat list (queries with ANY plan delta vs vanilla) + the
     // per-query attribution object

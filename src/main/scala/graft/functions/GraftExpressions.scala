@@ -55,6 +55,22 @@ object GraftExpressions {
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  /** Half-up round to 6 dp, NaN/Infinity passing through unchanged —
+    * mirrors Spark's `RoundBase` double path, which the composed
+    * `round(..., 6)` these expressions replace goes through.
+    * `BigDecimal.valueOf(NaN)` would throw NumberFormatException, so an
+    * ingested vector containing NaN must bypass the decimal round.
+    */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** codegen twin of [[round6]] */
+  private def round6Code(x: String): String =
+    s"""(Double.isNaN($x) || Double.isInfinite($x))
+       |  ? $x
+       |  : java.math.BigDecimal.valueOf($x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()""".stripMargin
+
   /** Cosine similarity between two float vectors, computed in double
     * precision element-wise (matches the SQL-oracle formulation:
     * dot/(||a||*||b||), each element widened to double first).
@@ -352,11 +368,13 @@ object GraftExpressions {
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       vecTypeCheck(prettyName, Seq(child.dataType))
 
-    private def round6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() < m * sub) {
+        throw new IllegalArgumentException(
+          s"pq_encode: input vector has ${v.numElements()} elements, " +
+            s"codebooks require at least ${m * sub} ($m subspaces x $sub dims)")
+      }
       val tp = elemType(child)
       val out = new Array[Int](m)
       var i = 0
@@ -373,7 +391,7 @@ object GraftExpressions {
             s += d * d
             j += 1
           }
-          val dist = round6(s)
+          val dist = GraftExpressions.round6(s)
           if (dist < best) { best = dist; bestC = c }
           c += 1
         }
@@ -392,6 +410,11 @@ object GraftExpressions {
         val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
         val dist = ctx.freshName("dist"); val cb = ctx.freshName("cb")
         s"""
+           |if ($v.numElements() < ${m * sub}) {
+           |  throw new IllegalArgumentException(
+           |    "pq_encode: input vector has " + $v.numElements() +
+           |    " elements, codebooks require at least ${m * sub} ($m subspaces x $sub dims)");
+           |}
            |int[] $out = new int[$m];
            |for (int $i = 0; $i < $m; $i++) {
            |  double[][] $cb = $cbRef[$i];
@@ -402,8 +425,7 @@ object GraftExpressions {
            |      double $d = ${vecGetCode(v, elemType(child), s"$i * $sub + $j")} - $cb[$c][$j];
            |      $s += $d * $d;
            |    }
-           |    double $dist = java.math.BigDecimal.valueOf($s)
-           |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+           |    double $dist = ${round6Code(s)};
            |    if ($dist < $best) { $best = $dist; $bestC = $c; }
            |  }
            |  $out[$i] = $bestC + 1;
@@ -431,6 +453,18 @@ object GraftExpressions {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "pq_adc_score"
 
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      (left.dataType, right.dataType) match {
+        case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(IntegerType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires (array<array<double>>, array<int>), got " +
+              s"${l.simpleString}, ${r.simpleString}")
+      }
+    }
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val tab = a.asInstanceOf[ArrayData]
       val codes = b.asInstanceOf[ArrayData]
@@ -439,24 +473,36 @@ object GraftExpressions {
       var i = 0
       while (i < n) {
         val row = tab.getArray(i)
-        s += row.getDouble(codes.getInt(i) - 1)
+        val code = codes.getInt(i)
+        if (code < 1 || code > row.numElements()) {
+          throw new IllegalArgumentException(
+            s"pq_adc_score: code $code at subspace $i out of range [1, ${row.numElements()}]")
+        }
+        s += row.getDouble(code - 1)
         i += 1
       }
-      java.math.BigDecimal.valueOf(s).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      GraftExpressions.round6(s)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i"); val n = ctx.freshName("n")
-        val s = ctx.freshName("s")
+        val s = ctx.freshName("s"); val row = ctx.freshName("row")
+        val code = ctx.freshName("code")
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  $s += $a.getArray($i).getDouble($b.getInt($i) - 1);
+           |  org.apache.spark.sql.catalyst.util.ArrayData $row = $a.getArray($i);
+           |  int $code = $b.getInt($i);
+           |  if ($code < 1 || $code > $row.numElements()) {
+           |    throw new IllegalArgumentException(
+           |      "pq_adc_score: code " + $code + " at subspace " + $i +
+           |      " out of range [1, " + $row.numElements() + "]");
+           |  }
+           |  $s += $row.getDouble($code - 1);
            |}
-           |${ev.value} = java.math.BigDecimal.valueOf($s)
-           |  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+           |${ev.value} = ${round6Code(s)};
            |""".stripMargin
       })
 

@@ -510,8 +510,10 @@ object SimilarityOps {
     // CodegenFallback in Spark — a boxed interpreted lambda per array
     // element — and at 100× replicas it dominated the query's wall.
     // Arithmetic (double fold order, half-up round-6 per centroid,
-    // first-min argmin) is bit-identical; sim_pq_codes_parity in
-    // AnnRecallSpec pins native == composed on real embeddings.
+    // first-min argmin) is bit-identical; GraftExpressionsSpec ("PQ
+    // native encode and ADC score match the composed-builtins
+    // formulation bit-for-bit") pins native == composed on real
+    // embeddings.
     val booksArr: Array[Array[Array[Double]]] =
       (0 until m).map(i => books(i).map(_.map(_.toDouble).toArray).toArray).toArray
     val codes = e.filter(col("vec_id") >= 10)

@@ -154,6 +154,83 @@ class GraftExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ expressions: NaN/Infinity propagate like round(); malformed inputs error, not garbage") {
+    // round6 mirrors Spark's RoundBase double path: NaN/Infinity pass
+    // through unchanged (BigDecimal.valueOf(NaN) would throw). A vector
+    // with a NaN element must produce the same result as the composed
+    // round(aggregate(...), 6) form, in both evaluator modes.
+    val m = 2; val k = 2; val sub = 2
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, k, sub)((i, c, j) => i + c * 0.5 + j * 0.25)
+    def booksLit = array((0 until m).map { i =>
+      array(books(i).map(c => array(c.map(lit(_)).toIndexedSeq: _*)).toIndexedSeq: _*) }: _*)
+    def sqDist(a: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      round(aggregate(zip_with(a, c,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v), 6)
+    val composedCodes = transform(sequence(lit(0), lit(m - 1)), i => {
+      val d = transform(element_at(booksLit, i + 1),
+        c => sqDist(slice(col("v"), i * sub + 1, lit(sub)), c))
+      array_position(d, array_min(d)).cast("int")
+    })
+    val rows = Seq(
+      Array(Double.NaN, 1.0, 2.0, 3.0),
+      Array(1.0, Double.PositiveInfinity, 2.0, 3.0),
+      Array(Double.NegativeInfinity, Double.NaN, 0.0, 0.0),
+      Array(0.1, 0.2, 0.3, 0.4)).toDF("v")
+    def check(): Unit = {
+      val both = rows.select(pq_encode(col("v"), books).as("native"),
+        composedCodes.as("composed"))
+      assert(both.filter(not(col("native") === col("composed"))).count() == 0,
+        "NaN/Inf vectors must encode identically to the composed form")
+      // ADC with NaN in the lookup table: sum is NaN, round6 passes it
+      val tab = array(array(lit(Double.NaN), lit(1.0)), array(lit(2.0), lit(3.0)))
+      val adc = rows.select(
+        pq_adc_score(tab, pq_encode(col("v"), books)).as("native"),
+        round(aggregate(zip_with(tab, pq_encode(col("v"), books),
+          (t, c) => element_at(t, c)), lit(0.0), (a, x) => a + x), 6).as("composed"))
+      assert(adc.filter(not(col("native") === col("composed"))).count() == 0,
+        "NaN lookup tables must score identically to the composed form")
+    }
+    check()
+    val orig = (spark.conf.getOption("spark.sql.codegen.wholeStage"),
+      spark.conf.getOption("spark.sql.codegen.factoryMode"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() finally {
+      orig._1.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+        spark.conf.set("spark.sql.codegen.wholeStage", _))
+      orig._2.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+    // malformed inputs: descriptive errors instead of silent garbage
+    // reads against UnsafeArrayData (the advisory's finding)
+    val short = intercept[Exception] {
+      Seq(Array(1.0, 2.0)).toDF("v").select(pq_encode(col("v"), books)).collect()
+    }
+    assert(findMessage(short).contains("pq_encode"), s"got: ${findMessage(short)}")
+    val badCode = intercept[Exception] {
+      Seq((Array(Array(1.0, 2.0), Array(3.0, 4.0)), Array(0, 1)))
+        .toDF("tab", "codes")
+        .select(pq_adc_score(col("tab"), col("codes"))).collect()
+    }
+    assert(findMessage(badCode).contains("pq_adc_score"), s"got: ${findMessage(badCode)}")
+    // wrong-typed inputs fail at analysis, not runtime
+    val badType = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array("x"), Array(1))).toDF("tab", "codes")
+        .select(pq_adc_score(col("tab"), col("codes"))).collect()
+    }
+    assert(badType.getMessage.toLowerCase.contains("pq_adc_score") ||
+      badType.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
+  private def findMessage(e: Throwable): String = {
+    var cur: Throwable = e
+    val sb = new StringBuilder
+    while (cur != null) { sb.append(cur.getMessage).append(' '); cur = cur.getCause }
+    sb.toString
+  }
+
   test("reference hashes agree with Spark builtins on every tail-length class") {
     import graft.functions.RefHash._
     // lengths 0..40 cross every boundary the algorithms branch on:
