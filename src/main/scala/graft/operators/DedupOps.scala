@@ -85,6 +85,23 @@ object DedupOps {
     lshPairsFromSets(s, docs)
   }
 
+  /** distinct() for pair streams with NO map-side reduction: a candidate
+    * pair collides once per BAND, and the band join's output is
+    * partitioned by (band, band_key), so every copy of a pair lands in a
+    * DIFFERENT partition — the map-side partial aggregate that a plain
+    * .distinct() plans holds every input row of the task (zero
+    * reduction) and its hash map grows with partition ROW COUNT, not key
+    * range. Measured at 100x replicas under a 6 GiB JVM / 32-task width
+    * that partial map is an AGGREGATE_OUT_OF_MEMORY hard floor. Hash-
+    * clustering the copies FIRST (a plain streaming exchange — no
+    * operator state) satisfies the distinct's required distribution, so
+    * the aggregate runs post-exchange where its map is bounded by the
+    * task's KEY range (|distinct pairs| / partitions). Same shuffle
+    * volume as the original plan — the partial achieved no reduction —
+    * strictly less memory at any scale. */
+  private def clusteredDistinct(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(cols.map(col): _*).distinct()
+
   /** The staged MinHash-LSH pipeline over ANY (doc_id, words) set table
     * — word sets (the [[dedupMinhashLsh]] default) or w-shingle sets
     * ([[dedupMinhashShingle]]); element strings are opaque to every
@@ -97,10 +114,25 @@ object DedupOps {
     val rowsPerBand = math.max(1, perms / nBands)
     val threshold = graft.GraftConf.getDouble(s, graft.GraftConf.DedupJaccardThreshold)
     // one row per distinct word-set; cached (it feeds 4 downstream stages
-    // and is |distinct sets| rows — small even when the corpus is not)
-    val groups = docs.groupBy(col("words"))
-      .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("members"))
-      .withColumn("sz", size(col("words")))
+    // and is |distinct sets| rows — small even when the corpus is not).
+    // The identical-set collapse groups by a FIXED-WIDTH 128-bit digest
+    // of the set (two independent codegen xxhash64 passes — arrays hash
+    // recursively, element order is canonical because every caller
+    // sort_array's the set) rather than by the raw token array: an
+    // array-keyed hash aggregate stores the full array in every map
+    // entry AND sorts by it when ObjectHashAggregate falls back to
+    // sort-based, a ~450 MB/task floor at 100x replicas (measured:
+    // aborts 32/16-wide under a 6 GiB JVM). The digest key keeps the
+    // map dense at any task width; the array itself rides along via
+    // first(). Collision bound: distinct sets colliding on BOTH 64-bit
+    // hashes ~ n^2/2^129 — ~4e-15 at 10^12 distinct sets, far below
+    // hardware error rates.
+    val groups = docs
+      .groupBy(xxhash64(col("words")).as("wk1"),
+        xxhash64(lit(1), col("words")).as("wk2"))
+      .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("members"),
+        first(col("words")).as("words"))
+      .select(col("gid"), col("members"), col("words"), size(col("words")).as("sz"))
       .cache()
     val sigs = groups.select(col("gid"), col("sz"),
       GraftExpressions.minhash_signature(col("words"), perms).as("sig"))
@@ -222,8 +254,9 @@ object DedupOps {
         // shuffle-join path: the mask join itself forces a shuffle of the
         // candidate list anyway, so here the distinct IS worth its cost
         // (one verification per unique set pair); masks never leave the
-        // executors
-        cand.distinct()
+        // executors. clusteredDistinct: see its doc — the per-band pair
+        // copies give the map-side partial zero reduction
+        clusteredDistinct(cand, "gid_a", "gid_b")
           .join(maskA, Seq("gid_a"))
           .join(maskB, Seq("gid_b"))
           .withColumn("jaccard", GraftExpressions.bitmap_jaccard(col("mask_a"), col("mask_b")))
@@ -419,12 +452,13 @@ object DedupOps {
     // ~free, and dropping far pairs first means only true near-dup rows
     // (not every band collision) pay the distinct's shuffle — the volume
     // term that dominates on a near-threshold-dense corpus
-    a.join(b, col("band_a") === col("band_b") && col("bits_a") === col("bits_b") &&
-        col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sig_a ^ sig_b)").as("hamming"))
-      .filter(col("hamming") <= 8)
-      .distinct()
+    clusteredDistinct(
+      a.join(b, col("band_a") === col("band_b") && col("bits_a") === col("bits_b") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+        .filter(col("hamming") <= 8),
+      "doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -568,7 +602,25 @@ object DedupOps {
     val cap = effectiveBucketCap(s)
     if (cap <= 0) { lastCapDrops.set(0); bands }
     else {
-      val (kept, dropped) = capBandBuckets(bands, cap)
+      // ONE banding pass: rank once, persist the ranked rows (small
+      // fixed-width tuples, captured post-window-shuffle so the cache
+      // keeps the (band, band_key) partitioning the pair join needs),
+      // count drops from the cache, serve the kept side from the SAME
+      // cache. Previously `dropped.count()` ran the full
+      // signature+banding subtree for accounting and the kept side
+      // re-ran it — twice more, once per side of the self-join. The
+      // persist also makes the self-join read cached blocks instead of
+      // recomputing. DISK_ONLY deliberately: MEMORY_AND_DISK blocks sit
+      // in the unified region's PROTECTED storage pool
+      // (spark.memory.storageFraction), which execution cannot evict —
+      // measured at 100x replicas under a 6 GiB JVM it starved the
+      // downstream aggregates into AGGREGATE_OUT_OF_MEMORY. Local-disk
+      // read-back of fixed-width band rows is far cheaper than
+      // recomputing the 128-perm minhash subtree. Harnesses
+      // (Bench/Verify) clearCache() per query; a pipeline user holds
+      // the blocks only for the job's lifetime.
+      val (kept, dropped) = capBandBuckets(
+        bands, cap, persist = Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))
       val nDropped = dropped.count()
       lastCapDrops.set(nDropped)
       if (nDropped > 0)
@@ -579,10 +631,13 @@ object DedupOps {
     }
   }
 
-  private[graft] def capBandBuckets(bands: DataFrame, cap: Int): (DataFrame, DataFrame) = {
+  private[graft] def capBandBuckets(bands: DataFrame, cap: Int,
+      persist: Option[org.apache.spark.storage.StorageLevel] = None)
+      : (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_key")).orderBy(col("gid"))
-    val ranked = bands.withColumn("rn", row_number().over(w))
+    val ranked0 = bands.withColumn("rn", row_number().over(w))
+    val ranked = persist.fold(ranked0)(ranked0.persist)
     (ranked.filter(col("rn") <= cap).drop("rn"),
       ranked.filter(col("rn") > cap).drop("rn"))
   }
@@ -616,9 +671,13 @@ object DedupOps {
     * singletons label themselves. `pairs` must be materialized
     * (checkpointed/cached) by the caller. */
   private[graft] def propagateMinLabels(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    var edges = pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
-        least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // clusteredDistinct: the expanded pair list is unique-ish by
+    // construction, so a plain distinct's map-side partial holds ~every
+    // row of the task (see clusteredDistinct doc; 100x/6 GiB OOM site)
+    var edges = clusteredDistinct(
+      pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v")), "u", "v").localCheckpoint()
     var prevCnt = edges.count()
     var converged = prevCnt == 0L
     var rounds = 0
