@@ -2494,7 +2494,22 @@ class SparkSemanticsSpec extends AnyFunSuite {
       "SELECT sum(v) FROM VALUES (CAST(9e37 AS DECIMAL(38,0))), (CAST(9e37 AS DECIMAL(38,0))), (CAST(1 AS DECIMAL(38,0))) t(v)",
       "NUMERIC_VALUE_OUT_OF_RANGE"),
     ("ansi_decimal_cast_int_overflow_errors",
-      "SELECT CAST(CAST(3e9 AS DECIMAL(12,0)) AS INT)", "CAST_OVERFLOW"))
+      "SELECT CAST(CAST(3e9 AS DECIMAL(12,0)) AS INT)", "CAST_OVERFLOW"),
+    // wave 9b: parse-mode error contracts — FAILFAST raises on malformed
+    // input; DROPMALFORMED is a file-source-only mode that the
+    // from_json/from_csv functions reject at analysis time
+    ("jsonmodepin_failfast_malformed_errors",
+      "SELECT from_json('{bad', 'a INT', map('mode', 'FAILFAST'))",
+      "MALFORMED_RECORD_IN_PARSING"),
+    ("csvmodepin_failfast_malformed_errors",
+      "SELECT from_csv('1,x', 'a INT, b INT', map('mode', 'FAILFAST'))",
+      "MALFORMED_RECORD_IN_PARSING"),
+    ("jsonmodepin_dropmalformed_unsupported_errors",
+      "SELECT from_json('{bad', 'a INT', map('mode', 'DROPMALFORMED'))",
+      "PARSE_MODE_UNSUPPORTED"),
+    ("csvmodepin_dropmalformed_unsupported_errors",
+      "SELECT from_csv('1,x', 'a INT', map('mode', 'DROPMALFORMED'))",
+      "PARSE_MODE_UNSUPPORTED"))
 
   /** canonical rendering: dtypes :: rows (stable across JVMs) */
   private def renderDf(df: org.apache.spark.sql.DataFrame): String = {
@@ -2623,6 +2638,146 @@ class SparkSemanticsSpec extends AnyFunSuite {
     finally orig.fold(spark.conf.unset("spark.sql.ansi.enabled"))(
       spark.conf.set("spark.sql.ansi.enabled", _))
   }
+
+  /** render under a non-UTC session timezone, restoring after — wave 9a:
+    * the reference's test matrix runs the date/time suites under
+    * multiple session zones (`VeloxTestSettings.scala:49+` enables
+    * Spark's datetime suites, which internally sweep zones); every
+    * correctness artifact in this repo runs UTC, so these pins fix the
+    * zone-SENSITIVE behaviors — wall-clock parsing, LTZ rendering, DST
+    * gap/overlap resolution, NTZ↔LTZ casts — under three offset
+    * regimes: US (DST, negative offset), Japan (no DST), Europe (DST,
+    * positive offset), plus a southern-hemisphere zone whose DST
+    * transitions run opposite to the northern ones. */
+  private def renderWithTz(tz: String)(sql: String): String = {
+    val k = "spark.sql.session.timeZone"
+    val orig = spark.conf.getOption(k)
+    spark.conf.set(k, tz)
+    try render(sql)
+    finally orig.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+  }
+
+  // ---- wave 9a: session-timezone pins. Each base SQL is rendered under
+  // every zone; labels are tzpin_<zone>_<behavior>. Fixed instants used:
+  //   1577836800 = 2020-01-01 00:00:00 UTC (date boundary per zone)
+  //   1583661600 = 2020-03-08 10:00:00 UTC = the US spring-forward
+  //                instant (02:00 PST -> 03:00 PDT in Los Angeles)
+  //   1585443600 = 2020-03-29 01:00:00 UTC = the EU spring-forward
+  //                instant (02:00 CET -> 03:00 CEST in Berlin)
+  private val tzZones: Seq[(String, String)] = Seq(
+    "la" -> "America/Los_Angeles",
+    "tokyo" -> "Asia/Tokyo",
+    "berlin" -> "Europe/Berlin",
+    "sydney" -> "Australia/Sydney")
+
+  private val tzBase: Seq[(String, String)] = Seq(
+    "epoch_renders_in_session_zone" -> "SELECT CAST(timestamp_seconds(0) AS STRING)",
+    "current_timezone_reports_session_zone" -> "SELECT current_timezone()",
+    "unix_timestamp_parses_wall_clock" -> "SELECT unix_timestamp('2020-06-01 12:00:00')",
+    "to_unix_timestamp_with_format" ->
+      "SELECT to_unix_timestamp('01/06/2020 12:00', 'dd/MM/yyyy HH:mm')",
+    "from_unixtime_renders_wall_clock" -> "SELECT from_unixtime(1577836800)",
+    "epoch_to_date_crosses_midnight" -> "SELECT CAST(timestamp_seconds(1577836800) AS DATE)",
+    "field_extraction_in_session_zone" ->
+      "SELECT hour(timestamp_seconds(1577836800)), dayofweek(timestamp_seconds(1577836800))",
+    "us_dst_gap_renders_skip_hour" ->
+      "SELECT from_unixtime(1583661599), from_unixtime(1583661600)",
+    "eu_dst_gap_renders_skip_hour" ->
+      "SELECT from_unixtime(1585443599), from_unixtime(1585443600)",
+    "make_timestamp_nonexistent_local_time" ->
+      ("SELECT unix_timestamp(make_timestamp(2020, 3, 8, 2, 30, 0)), " +
+        "CAST(make_timestamp(2020, 3, 8, 2, 30, 0) AS STRING)"),
+    "make_timestamp_ambiguous_local_time" ->
+      ("SELECT unix_timestamp(make_timestamp(2020, 11, 1, 1, 30, 0)), " +
+        "CAST(make_timestamp(2020, 11, 1, 1, 30, 0) AS STRING)"),
+    "make_timestamp_ltz_explicit_zone_ignores_session_for_parse" ->
+      "SELECT CAST(make_timestamp_ltz(2020, 6, 1, 12, 0, 0, 'UTC') AS STRING)",
+    "ntz_to_ltz_cast_applies_session_zone" ->
+      "SELECT unix_timestamp(CAST(TIMESTAMP_NTZ '2020-06-01 12:00:00' AS TIMESTAMP))",
+    "ltz_to_ntz_cast_renders_session_wall_clock" ->
+      "SELECT CAST(CAST(timestamp_seconds(1577836800) AS TIMESTAMP_NTZ) AS STRING)",
+    "from_utc_timestamp_shift_then_render" ->
+      "SELECT CAST(from_utc_timestamp(timestamp_seconds(0), 'Asia/Tokyo') AS STRING)",
+    "to_utc_timestamp_shifts_epoch" ->
+      "SELECT unix_timestamp(to_utc_timestamp(timestamp_seconds(0), 'Asia/Tokyo'))",
+    "date_trunc_day_in_session_zone" ->
+      ("SELECT CAST(date_trunc('DAY', timestamp_seconds(1577840400)) AS STRING), " +
+        "unix_timestamp(date_trunc('DAY', timestamp_seconds(1577840400)))"),
+    "date_format_zone_abbreviation_token" ->
+      "SELECT date_format(timestamp_seconds(0), 'yyyy-MM-dd HH:mm:ss z')",
+    "to_date_of_ltz_in_session_zone" -> "SELECT to_date(timestamp_seconds(1583661600))",
+    "ambiguous_parse_roundtrip" ->
+      "SELECT from_unixtime(unix_timestamp('2020-11-01 01:30:00'))",
+    "timestamp_literal_parsed_in_session_zone" ->
+      "SELECT unix_timestamp(TIMESTAMP '2020-06-01 12:00:00')",
+    "string_cast_into_dst_gap" ->
+      "SELECT unix_timestamp(CAST('2020-03-08 02:30:00' AS TIMESTAMP))",
+    "months_between_uses_session_wall_clocks" ->
+      "SELECT months_between(timestamp_seconds(1583661600), timestamp_seconds(1577836800))")
+
+  private val tzPinned: Seq[(String, String, String => String)] =
+    for { (zl, zid) <- tzZones; (suffix, sql) <- tzBase }
+      yield (s"tzpin_${zl}_$suffix", sql, renderWithTz(zid)(_))
+
+  // ---- wave 9b: CSV/JSON parse-mode pins (the reference enables
+  // Spark's CSV/JSON suites; PERMISSIVE/FAILFAST semantics,
+  // columnNameOfCorruptRecord, and parser options are the behaviors a
+  // custom engine most easily drifts on). from_csv/from_json faces are
+  // plain SQL; file-source faces (DROPMALFORMED, multiLine) live in
+  // apiPinned below because they need files + reader options.
+  private val parseModePinned: Seq[(String, String)] = Seq(
+    // CSV: PERMISSIVE (default) null-fills unparseable fields
+    "csvmodepin_permissive_type_mismatch_field_null" ->
+      "SELECT from_csv('1,x', 'a INT, b INT')",
+    "csvmodepin_permissive_corrupt_record_default_col" ->
+      "SELECT from_csv('1,x', 'a INT, b INT, _corrupt_record STRING')",
+    "csvmodepin_permissive_corrupt_record_custom_col" ->
+      ("SELECT from_csv('1,x', 'a INT, b INT, bad STRING', " +
+        "map('mode', 'PERMISSIVE', 'columnNameOfCorruptRecord', 'bad'))"),
+    "csvmodepin_permissive_missing_trailing_cols_null" ->
+      "SELECT from_csv('1', 'a INT, b INT')",
+    "csvmodepin_permissive_extra_tokens" ->
+      "SELECT from_csv('1,2,3', 'a INT, b INT')",
+    "csvmodepin_failfast_wellformed_ok" ->
+      "SELECT from_csv('1,2', 'a INT, b INT', map('mode', 'FAILFAST'))",
+    "csvmodepin_nullvalue_option" ->
+      "SELECT from_csv('1,NA', 'a INT, b STRING', map('nullValue', 'NA'))",
+    "csvmodepin_custom_sep_with_quote" ->
+      "SELECT from_csv('1|\"x|y\"', 'a INT, b STRING', map('sep', '|'))",
+    "csvmodepin_whitespace_trim_options" ->
+      ("SELECT from_csv(' 1 , x ', 'a INT, b STRING', " +
+        "map('ignoreLeadingWhiteSpace', 'true', 'ignoreTrailingWhiteSpace', 'true'))"),
+    "csvmodepin_dateformat_option" ->
+      "SELECT from_csv('01/02/2020', 'd DATE', map('dateFormat', 'dd/MM/yyyy'))",
+    "csvmodepin_empty_string_field" -> "SELECT from_csv('1,', 'a INT, b STRING')",
+    "csvmodepin_quoted_sep_inside_field" ->
+      "SELECT from_csv('\"a,b\",2', 'a STRING, b INT')",
+    // JSON: PERMISSIVE semantics and parser options
+    "jsonmodepin_permissive_malformed_all_null" ->
+      "SELECT from_json('{\"a\": 1,', 'a INT, b INT')",
+    "jsonmodepin_permissive_corrupt_default_col" ->
+      "SELECT from_json('{bad', 'a INT, _corrupt_record STRING')",
+    "jsonmodepin_permissive_corrupt_custom_col" ->
+      ("SELECT from_json('{bad', 'a INT, oops STRING', " +
+        "map('columnNameOfCorruptRecord', 'oops'))"),
+    "jsonmodepin_permissive_type_mismatch" ->
+      "SELECT from_json('{\"a\": \"xyz\", \"b\": 2}', 'a INT, b INT')",
+    "jsonmodepin_failfast_wellformed_ok" ->
+      "SELECT from_json('{\"a\": 5}', 'a INT', map('mode', 'FAILFAST'))",
+    "jsonmodepin_embedded_newlines_in_document" ->
+      "SELECT from_json('{\n  \"a\": 7\n}', 'a INT')",
+    "jsonmodepin_single_quotes_allowed_by_default" ->
+      "SELECT from_json('{''a'': 3}', 'a INT')",
+    "jsonmodepin_unquoted_field_names_option" ->
+      "SELECT from_json('{a: 4}', 'a INT', map('allowUnquotedFieldNames', 'true'))",
+    "jsonmodepin_allow_comments_option" ->
+      "SELECT from_json('{\"a\": 1 /*c*/}', 'a INT', map('allowComments', 'true'))",
+    "jsonmodepin_missing_field_null" ->
+      "SELECT from_json('{\"b\": 2}', 'a INT, b INT')",
+    "jsonmodepin_nested_struct_partial" ->
+      "SELECT from_json('{\"o\": {\"x\": 1}}', 'o STRUCT<x: INT, y: INT>')",
+    "jsonmodepin_array_root" ->
+      "SELECT from_json('[{\"a\": 1}, {\"a\": 2}]', 'ARRAY<STRUCT<a: INT>>')")
 
   // ---- wave 7a: DataFrame-API pins (GlutenDataFrameSuite /
   // GlutenDataFrameNaFunctionsSuite / GlutenDataFrameSetOperationsSuite /
@@ -2794,7 +2949,69 @@ class SparkSemanticsSpec extends AnyFunSuite {
         import s.implicits._
         Seq(1, 2, 3, 4, 5).toDF("v").orderBy("v").offset(2).limit(2)
       }))
-    base ++ dsv2Pinned ++ encoderPinned
+    // wave 9b file-source faces: DROPMALFORMED and multiLine exist only
+    // on the file reader (from_json/from_csv reject DROPMALFORMED), and
+    // columnNameOfCorruptRecord interacts with schema pruning only
+    // there. Files are (re)written deterministically per run under
+    // target/; results are ordered so the pin is partition-stable.
+    val parseModeFiles: Seq[(String, org.apache.spark.sql.SparkSession =>
+        org.apache.spark.sql.DataFrame)] = {
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      def writeFile(name: String, content: String): String = {
+        val dir = JPaths.get("target", "parse_mode_pins")
+        JFiles.createDirectories(dir)
+        val p = dir.resolve(name)
+        JFiles.write(p, content.getBytes("UTF-8"))
+        p.toString
+      }
+      Seq(
+        ("csvmodepin_read_dropmalformed_keeps_good_rows", s => {
+          val p = writeFile("drop.csv", "1,a\nbad_row_only_one_field_no_int\n3,c\n")
+          s.read.schema("id INT, v STRING").option("mode", "DROPMALFORMED")
+            .csv(p).orderBy("id")
+        }),
+        ("csvmodepin_read_permissive_corrupt_column_captures_raw", s => {
+          val p = writeFile("corrupt.csv", "1,a\nx,y\n3,c\n")
+          s.read.schema("id INT, v STRING, _corrupt_record STRING").csv(p)
+            .orderBy(F.col("id").asc_nulls_last)
+        }),
+        ("csvmodepin_read_multiline_quoted_newline", s => {
+          val p = writeFile("multi.csv", "1,\"line1\nline2\"\n2,plain\n")
+          // fold the embedded newline before rendering: the golden file
+          // is line-per-pin, a raw \n in the value would split the entry
+          s.read.schema("id INT, v STRING").option("multiLine", "true")
+            .csv(p).select(F.col("id"), F.regexp_replace(F.col("v"), "\n", "<NL>").as("v"))
+            .orderBy("id")
+        }),
+        ("csvmodepin_read_header_and_custom_null", s => {
+          val p = writeFile("hdr.csv", "id,v\n1,NA\n2,x\n")
+          s.read.schema("id INT, v STRING").option("header", "true")
+            .option("nullValue", "NA").csv(p).orderBy("id")
+        }),
+        ("jsonmodepin_read_dropmalformed_keeps_good_rows", s => {
+          val p = writeFile("drop.json", "{\"id\": 1}\n{bad\n{\"id\": 3}\n")
+          s.read.schema("id INT").option("mode", "DROPMALFORMED")
+            .json(p).orderBy("id")
+        }),
+        ("jsonmodepin_read_permissive_corrupt_column_captures_raw", s => {
+          val p = writeFile("corrupt.json", "{\"id\": 1}\n{bad\n")
+          s.read.schema("id INT, _corrupt_record STRING").json(p)
+            .orderBy(F.col("id").asc_nulls_last)
+        }),
+        ("jsonmodepin_read_multiline_array_document", s => {
+          val p = writeFile("multi.json", "[\n  {\"id\": 1},\n  {\"id\": 2}\n]\n")
+          s.read.schema("id INT").option("multiLine", "true").json(p).orderBy("id")
+        }),
+        ("jsonmodepin_read_corrupt_column_requires_full_row_select", s => {
+          // selecting ONLY the corrupt column alongside a data column is
+          // the documented way to observe malformed rows; pin the shape
+          val p = writeFile("mixed.json", "{\"id\": 1, \"v\": \"a\"}\nnot json\n")
+          s.read.schema("id INT, v STRING, _corrupt_record STRING").json(p)
+            .select("id", "v", "_corrupt_record")
+            .orderBy(F.col("id").asc_nulls_last)
+        }))
+    }
+    base ++ dsv2Pinned ++ encoderPinned ++ parseModeFiles
   }
 
   // ---- wave 8b: typed Dataset / encoder pins (GlutenDatasetSuite /
@@ -3322,9 +3539,10 @@ class SparkSemanticsSpec extends AnyFunSuite {
   /** every golden-pinned entry with its renderer; the "sql" column for
     * API pins is the label itself (shown on failure instead of SQL) */
   private val allPinned: Seq[(String, String, String => String)] =
-    (pinned ++ decimalPinned).map { case (l, s) => (l, s, render(_)) } ++
+    (pinned ++ decimalPinned ++ parseModePinned).map { case (l, s) => (l, s, render(_)) } ++
       noCodegenPinned.map { case (l, s) => (l, s, renderNoCodegen(_)) } ++
       nonAnsiPinned.map { case (l, s) => (l, s, renderNonAnsi(_)) } ++
+      tzPinned ++
       apiPinned.map { case (l, f) =>
         (l, s"<DataFrame program $l>", (_: String) => renderDf(f(spark))) }
 
