@@ -231,7 +231,8 @@ object Bench {
         s.stripPrefix("only:").split(",").toSeq.filter(_.nonEmpty)
       case _ => headline
     }
-    val withVanilla = sys.env.getOrElse("SPARK_GRAFT_BENCH_VANILLA", "1") != "0"
+    val withVanilla = sys.env.getOrElse("SPARK_GRAFT_BENCH_VANILLA", "1") != "0" &&
+      !sys.env.get("SPARK_GRAFT_BENCH_ENGINE").contains("vanilla")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
 
     def freshSession(): Unit = {
@@ -258,7 +259,14 @@ object Bench {
       .getOrCreate()
     vanilla.sparkContext.setLogLevel("WARN")
     freshSession()
-    val graft = SparkSession.builder()
+    // SPARK_GRAFT_BENCH_ENGINE=vanilla: time the queries on the STOCK
+    // session only (no extensions, stock planner confs) — the solo
+    // vanilla column for scale protocols where hosting both sessions in
+    // one JVM exceeds the memory budget a single engine fits in (each
+    // engine then gets its own JVM invocation under the identical
+    // SPARK_DRIVER_MEM). Implies no interleaved vanilla pass.
+    val engineVanilla = sys.env.get("SPARK_GRAFT_BENCH_ENGINE").contains("vanilla")
+    val graft = if (engineVanilla) vanilla else SparkSession.builder()
       .master(master)
       .withExtensions(new GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", cpus)

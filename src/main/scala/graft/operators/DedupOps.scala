@@ -670,6 +670,21 @@ object DedupOps {
     * the old propagation loop). Returns (doc_id, label) for ALL docs;
     * singletons label themselves. `pairs` must be materialized
     * (checkpointed/cached) by the caller. */
+  /** Release the storage blocks behind a DataFrame's localCheckpoint
+    * leaves. Each star round checkpoints its working edge set
+    * (MEMORY_AND_DISK, heap-deserialized); without explicit retirement
+    * the superseded rounds' blocks survive until the driver GCs the RDD
+    * objects — ~3 checkpoints x O(log n) rounds of edge data, measured
+    * as a Java-heap OOM on the SECOND back-to-back 100x run in one
+    * 6 GiB JVM. An iterative operator must leave the session's storage
+    * the way it found it. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false): Unit
+      case _ =>
+    }
+
   private[graft] def propagateMinLabels(pairs: DataFrame, docs: DataFrame): DataFrame = {
     // clusteredDistinct: the expanded pair list is unique-ish by
     // construction, so a plain distinct's map-side partial holds ~every
@@ -679,6 +694,9 @@ object DedupOps {
           least(col("doc_a"), col("doc_b")).as("v"))
         .filter(col("u") =!= col("v")), "u", "v").localCheckpoint()
     var prevCnt = edges.count()
+    // the input pair list fed only the initial edge set — if the caller
+    // checkpointed it, its blocks are dead weight for the whole loop
+    releaseCheckpoint(pairs)
     var converged = prevCnt == 0L
     var rounds = 0
     while (!converged && rounds < 25) {
@@ -701,6 +719,11 @@ object DedupOps {
       val cnt = small.count()
       // cheap count gate first; exact set equality only when counts match
       converged = cnt == prevCnt && small.except(edges).isEmpty
+      // this round's intermediates and the superseded edge set are done
+      // (the except above was the last reader of the old edges) —
+      // release their checkpoint blocks before the next round allocates
+      releaseCheckpoint(large)
+      releaseCheckpoint(edges)
       prevCnt = cnt
       edges = small
       rounds += 1
