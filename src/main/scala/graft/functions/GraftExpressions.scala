@@ -510,6 +510,207 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /** Squared L2 distance: Σ (a_i − b_i)² folded in array order over
+    * min(|a|, |b|) elements, each side widened to double first — the
+    * raw sum, no rounding (callers compose Spark's round() so the
+    * rounding semantics stay the builtin's). Replaces the
+    * aggregate∘zip_with composition (CodegenFallback — boxed
+    * interpreted lambda per element) on the corpus-scale k-means
+    * assignment / IVF probe / quantization-error passes. Bit-identical
+    * fold order and widening; parity pinned in GraftExpressionsSpec.
+    */
+  case class SqDistance(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sq_distance"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      vecTypeCheck(prettyName, Seq(left.dataType, right.dataType))
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val (lt, rt) = (elemType(left), elemType(right))
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = vecGet(x, lt, i) - vecGet(y, rt, i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val s = ctx.freshName("s"); val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = ${vecGetCode(a, elemType(left), i)} - ${vecGetCode(b, elemType(right), i)};
+           |  $s += $d * $d;
+           |}
+           |${ev.value} = $s;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def sq_distance(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** w-shingles: element i (0-based output) is the space-joined k-gram
+    * `words[i] .. words[i+k-1]`; max(0, n-k+1) shingles. The composed
+    * formulation `transform(sequence(1, n-k+1), i -> concat_ws(' ',
+    * element_at(w, i), ...))` is CodegenFallback (a boxed interpreted
+    * lambda per shingle — the wave-9 FallbackScan's top corpus-wall
+    * hit, `dedup_minhash_shingle`); this native expression generates a
+    * primitive loop over the array. Output strings are byte-identical:
+    * UTF8String.concatWs with a single-space separator over exactly k
+    * consecutive elements in order.
+    */
+  case class WordShingles(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1, "shingle width must be >= 1")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "word_shingles"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${t.simpleString}")
+      }
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val m = math.max(0, n - k + 1)
+      val out = new Array[UTF8String](m)
+      val sep = UTF8String.fromString(" ")
+      var i = 0
+      while (i < m) {
+        val parts = new Array[UTF8String](k)
+        var j = 0
+        while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(sep, parts: _*)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val out = ctx.freshName("out"); val i = ctx.freshName("i")
+        val j = ctx.freshName("j"); val parts = ctx.freshName("parts")
+        val sep = ctx.addReferenceObj("shingleSep", UTF8String.fromString(" "),
+          classOf[UTF8String].getName)
+        val utf8 = classOf[UTF8String].getName
+        s"""
+           |int $n = $v.numElements();
+           |int $m = java.lang.Math.max(0, $n - $k + 1);
+           |$utf8[] $out = new $utf8[$m];
+           |for (int $i = 0; $i < $m; $i++) {
+           |  $utf8[] $parts = new $utf8[$k];
+           |  for (int $j = 0; $j < $k; $j++) { $parts[$j] = $v.getUTF8String($i + $j); }
+           |  $out[$i] = $utf8.concatWs($sep, $parts);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Vocabulary bitmap in one pass: tokens index into a driver-held
+    * word→id map (the inline-vocab branch of the LSH verify stage) and
+    * the result is the array<long> chunk bitmap. The composed
+    * formulation folds the token array once PER CHUNK through an
+    * interpreted aggregate() lambda with a codegen map literal —
+    * O(nChunks x |words|) boxed evals per row; this native expression
+    * is a single O(|words|) primitive loop with a hash lookup.
+    * Bit-identical: absent tokens are ignored (element_at(map, w)
+    * returned null and the when() kept the accumulator), bit =
+    * 1L << (idx % 64) in chunk idx / 64.
+    */
+  case class BitmapFromTokens(child: Expression, vocab: Array[String], nChunks: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bitmap_from_tokens"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${t.simpleString}")
+      }
+    }
+
+    // the map ships ONCE per executor as a reference object (same
+    // bounded-state discipline as the PQ codebooks); UTF8String keys so
+    // probes never materialize java.lang.String
+    @transient private lazy val idx: java.util.HashMap[UTF8String, java.lang.Integer] = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Integer](vocab.length * 2)
+      var i = 0
+      while (i < vocab.length) { m.put(UTF8String.fromString(vocab(i)), i); i += 1 }
+      m
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = new Array[Long](nChunks)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val id = idx.get(arr.getUTF8String(i))
+        if (id != null) out(id / 64) |= 1L << (id % 64)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val mapRef = ctx.addReferenceObj("vocabIdx", idx, "java.util.HashMap")
+        val out = ctx.freshName("out"); val i = ctx.freshName("i")
+        val n = ctx.freshName("n"); val id = ctx.freshName("id")
+        s"""
+           |long[] $out = new long[$nChunks];
+           |int $n = $v.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  java.lang.Integer $id = (java.lang.Integer) $mapRef.get($v.getUTF8String($i));
+           |  if ($id != null) { $out[$id / 64] |= 1L << ($id % 64); }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def word_shingles(words: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(words), k))
+
+  def bitmap_from_tokens(words: Column, vocab: Array[String], nChunks: Int): Column =
+    ColumnBridge.column(BitmapFromTokens(ColumnBridge.expression(words), vocab, nChunks))
+
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncodeCodes(ColumnBridge.expression(vec), codebooks))
 

@@ -178,18 +178,17 @@ object DedupOps {
     val (masks, nChunks) =
       if (probe.length <= inlineMax) {
         // inline path: the whole bitmap is a per-row expression over the
-        // cached groups — zero shuffles, zero extra jobs (the word→bit
-        // map is a codegen literal, chunks folded via aggregate())
+        // cached groups — zero shuffles, zero extra jobs. The word→id
+        // map ships as a reference object into the native
+        // BitmapFromTokens expression: ONE O(|words|) primitive loop
+        // per row. The previous transform∘aggregate composition folded
+        // the token array once per chunk through an interpreted lambda
+        // (CodegenFallback) — O(nChunks x |words|) boxed evals per row.
+        // Bit-identical (absent-token skip, idx/64 chunking); pinned in
+        // GraftExpressionsSpec.
         val nChunks = (probe.length + 63) / 64
-        val idxMap = typedlit(probe.zipWithIndex.toMap)
         val m = groups.select(col("gid"),
-          transform(sequence(lit(0), lit(nChunks - 1)),
-            c => aggregate(col("words"), lit(0L), (m, w) => {
-              val idx = element_at(idxMap, w)
-              when((idx / 64).cast("int") === c,
-                m.bitwiseOR(call_function("shiftleft", lit(1L), (idx % 64).cast("int"))))
-                .otherwise(m)
-            })).as("mask"))
+          GraftExpressions.bitmap_from_tokens(col("words"), probe, nChunks).as("mask"))
         (m, nChunks)
       } else {
         // distributed path: contiguous ids from sortBy+zipWithIndex (no
@@ -396,13 +395,15 @@ object DedupOps {
   private val dedupMinhashShingle: Q = (s, dir) => {
     val toks = load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // shingle construction is the corpus-wide pass (every token of
+    // every document) — the native WordShingles expression generates a
+    // primitive loop; the previous transform∘concat_ws∘element_at
+    // composition was CodegenFallback (a boxed interpreted lambda per
+    // shingle; wave-9 FallbackScan's top corpus-wall hit). Byte-
+    // identical output pinned in GraftExpressionsSpec.
     val sets = toks.select(col("doc_id"),
-      sort_array(array_distinct(transform(
-        sequence(lit(1), greatest(size(col("w")) - 2, lit(0))),
-        i => concat_ws(" ",
-          element_at(col("w"), i),
-          element_at(col("w"), i + 1),
-          element_at(col("w"), i + 2))))).as("words"))
+      sort_array(array_distinct(
+        GraftExpressions.word_shingles(col("w"), 3))).as("words"))
       .filter(size(col("words")) > 0)
     // the set-level cache stays live for the query's execution (like
     // the word-set variant); the Verify/Bench harnesses clear caches

@@ -230,18 +230,32 @@ object SimilarityOps {
   /** deterministic pseudo-random hyperplane weight for (dim i, plane j):
     * xxhash64 of the index pair, mapped to [-0.5, 0.5). No RNG state —
     * every executor derives the same hyperplanes. */
-  private def planeWeight(i: org.apache.spark.sql.Column, j: Int) =
-    pmod(xxhash64(i * 64 + lit(j)), lit(1000L)).cast("double") / 1000.0 - 0.5
+  /** deterministic pseudo-random hyperplane weight for (dim i, plane j)
+    * — driver-side twin of the former column formulation
+    * `pmod(xxhash64(i*64 + j), 1000)/1000.0 - 0.5`, computed by
+    * evaluating the SAME Catalyst XxHash64 expression (seed 42, long
+    * input) so the weights are bit-identical to what every executor
+    * used to derive per row. No RNG state either way. */
+  private[operators] def planeWeightValue(i: Long, j: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(i * 64 + j)), 42L).eval(null).asInstanceOf[Long]
+    val m = h % 1000L
+    val p = if (m < 0) m + 1000L else m
+    p.toDouble / 1000.0 - 0.5
+  }
 
   /** random-hyperplane LSH signature as a bucketing column;
     * `bits` (spark.graft.similarity.lsh.bits) sets the recall/selectivity
-    * trade — fewer planes = bigger buckets = higher recall. */
-  private[operators] def lshBucket(emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    * trade — fewer planes = bigger buckets = higher recall. Each plane's
+    * projection is the native codegen [[GraftExpressions.DotProduct]]
+    * against a 64-double literal (the former aggregate∘zip_with
+    * composition ran a boxed interpreted lambda per element per plane —
+    * a corpus-scale pass; weights and fold order are bit-identical,
+    * pinned in GraftExpressionsSpec). */
+  private[graft] def lshBucket(emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
     (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0L), lit(63L)), (x, i) => x.cast("double") * planeWeight(i, j)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0.0, lit(1 << j)).otherwise(lit(0))
+      val plane = array((0L until 64L).map(i => lit(planeWeightValue(i, j))): _*)
+      when(GraftExpressions.dot_product(emb, plane) > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** approximate top-3 with MULTI-PROBE: each query probes its own LSH
@@ -307,9 +321,7 @@ object SimilarityOps {
     * folded in array order and rounded to 6 dp so Spark and the oracle
     * agree on argmin boundaries */
   private def sqDist(emb: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-    round(aggregate(zip_with(emb, c,
-      (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
-      lit(0.0), (acc, v) => acc + v), 6)
+    round(GraftExpressions.sq_distance(emb, c), 6)
 
   /** map-side cluster assignment: centroids are a driver-held literal
     * (k×64 floats — bounded, the state real distributed k-means keeps on
@@ -668,9 +680,7 @@ object SimilarityOps {
     q.select(col("vec_id"),
         round(col("scale"), 9).as("scale"),
         element_at(col("q8"), 1).as("q0"),
-        round(aggregate(zip_with(col("embedding"), col("deq"),
-          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0), (acc, v) => acc + v), 9).as("sq_err"))
+        round(GraftExpressions.sq_distance(col("embedding"), col("deq")), 9).as("sq_err"))
       .orderBy(col("vec_id"))
   }
 
@@ -897,9 +907,9 @@ object SimilarityOps {
     var eig = 0.0
     for (_ <- 0 until 3) {
       val vArr = array(v.map(lit(_)): _*)
-      val sCol = round(aggregate(zip_with(col("embedding"), vArr,
-        (x, vi) => x.cast("double") * vi.cast("double")),
-        lit(0.0), (acc, p) => acc + p), 6)
+      // native codegen dot against the literal direction (bit-identical
+      // fold; the composed aggregate∘zip_with was CodegenFallback)
+      val sCol = round(GraftExpressions.dot_product(col("embedding"), vArr), 6)
       val u = e.withColumn("s", sCol)
         .select(col("s"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("dim"))
@@ -933,9 +943,7 @@ object SimilarityOps {
       var eig = 0.0
       for (_ <- 0 until 3) {
         val vArr = array(v.map(lit(_)): _*)
-        val sCol = round(aggregate(zip_with(col(emb), vArr,
-          (x, vi) => x.cast("double") * vi.cast("double")),
-          lit(0.0), (acc, p) => acc + p), 6)
+        val sCol = round(GraftExpressions.dot_product(col(emb), vArr), 6)
         val u = df.withColumn("s", sCol)
           .select(col("s"), posexplode(col(emb)).as(Seq("dim", "x")))
           .groupBy(col("dim"))
@@ -949,9 +957,7 @@ object SimilarityOps {
     val (v1, eig1) = topEig(e0, "embedding")
     val v1Arr = array(v1.map(lit(_)): _*)
     val deflated = e0
-      .withColumn("sc", round(aggregate(zip_with(col("embedding"), v1Arr,
-        (x, vi) => x.cast("double") * vi.cast("double")),
-        lit(0.0), (acc, p) => acc + p), 6))
+      .withColumn("sc", round(GraftExpressions.dot_product(col("embedding"), v1Arr), 6))
       .select(col("vec_id"), zip_with(col("embedding"), v1Arr,
         (x, vi) => (x.cast("double") - col("sc") * vi.cast("double"))
           .cast("float")).as("emb2"))

@@ -26,6 +26,12 @@ object FallbackScan {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
+      // AQE off: with it on, executedPlan is an AdaptiveSparkPlanExec
+      // whose input plan is hidden until execution, so every query with
+      // an exchange would scan as fallback-free (first run of this tool
+      // reported exactly that). This is a planning-only tool — the
+      // expression set is identical either way.
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

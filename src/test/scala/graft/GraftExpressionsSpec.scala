@@ -231,6 +231,96 @@ class GraftExpressionsSpec extends AnyFunSuite {
     sb.toString
   }
 
+  test("WordShingles and BitmapFromTokens match their composed-builtins formulations bit-for-bit") {
+    val docs = spark.read.parquet(s"${GraftSparkSession.sfDir}/documents.parquet")
+      .limit(300).select(col("doc_id"), split(col("text"), " ").as("w"))
+    // shingles: native vs transform∘concat_ws∘element_at on real docs
+    def composedShingles(k: Int) = transform(
+      sequence(lit(1), greatest(size(col("w")) - (k - 1), lit(0))),
+      i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*))
+    def checkShingles(): Unit = for (k <- Seq(2, 3, 5)) {
+      val both = docs.select(word_shingles(col("w"), k).as("native"),
+        composedShingles(k).as("composed"))
+      assert(both.filter(not(col("native") === col("composed"))).count() == 0,
+        s"k=$k shingles must be byte-identical to the composed form")
+    }
+    // bitmap: native vs the per-chunk aggregate() fold with a map literal
+    val vocab = docs.select(explode(col("w")).as("t")).distinct()
+      .orderBy(col("t")).limit(500).as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect()
+    val nChunks = (vocab.length + 63) / 64
+    val idxMap = typedlit(vocab.zipWithIndex.toMap)
+    def checkBitmap(): Unit = {
+      val both = docs.select(
+        bitmap_from_tokens(col("w"), vocab, nChunks).as("native"),
+        transform(sequence(lit(0), lit(nChunks - 1)),
+          c => aggregate(col("w"), lit(0L), (m, t) => {
+            val idx = element_at(idxMap, t)
+            when((idx / 64).cast("int") === c,
+              m.bitwiseOR(call_function("shiftleft", lit(1L), (idx % 64).cast("int"))))
+              .otherwise(m)
+          })).as("composed"))
+      assert(both.filter(not(col("native") === col("composed"))).count() == 0,
+        "vocab bitmaps must be bit-identical to the composed per-chunk fold " +
+          "(incl. absent-token skip — the 500-word vocab is a strict subset)")
+    }
+    checkShingles(); checkBitmap()
+    // interpreted parity (the nocodegen discipline)
+    val orig = (spark.conf.getOption("spark.sql.codegen.wholeStage"),
+      spark.conf.getOption("spark.sql.codegen.factoryMode"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try { checkShingles(); checkBitmap() } finally {
+      orig._1.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+        spark.conf.set("spark.sql.codegen.wholeStage", _))
+      orig._2.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
+  test("native-dot LSH buckets and SqDistance match the composed HOF formulations bit-for-bit") {
+    val e = load().limit(300)
+    // the OLD column formulation of the hyperplane projection, kept here
+    // verbatim as the parity oracle for the driver-evaluated weights +
+    // native DotProduct that replaced it
+    def planeWeightCol(i: org.apache.spark.sql.Column, j: Int) =
+      pmod(xxhash64(i * 64 + lit(j)), lit(1000L)).cast("double") / 1000.0 - 0.5
+    def composedBucket(bits: Int) = (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(0L), lit(63L)),
+          (x, i) => x.cast("double") * planeWeightCol(i, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    def check(): Unit = {
+      val both = e.select(
+        graft.operators.SimilarityOps.lshBucket(col("embedding"), 8).as("native"),
+        composedBucket(8).as("composed"))
+      assert(both.filter(not(col("native") === col("composed"))).count() == 0,
+        "native-dot hyperplane buckets must equal the composed formulation on every vector")
+      val sq = e.select(
+        sq_distance(col("embedding"),
+          transform(col("embedding"), x => x.cast("double") * 1.5)).as("native"),
+        aggregate(zip_with(col("embedding"),
+            transform(col("embedding"), x => x.cast("double") * 1.5),
+            (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("composed"))
+      assert(sq.filter(not(col("native") === col("composed"))).count() == 0,
+        "SqDistance must equal the composed (a-b)^2 fold on every vector")
+    }
+    check()
+    val orig = (spark.conf.getOption("spark.sql.codegen.wholeStage"),
+      spark.conf.getOption("spark.sql.codegen.factoryMode"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() finally {
+      orig._1.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+        spark.conf.set("spark.sql.codegen.wholeStage", _))
+      orig._2.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("reference hashes agree with Spark builtins on every tail-length class") {
     import graft.functions.RefHash._
     // lengths 0..40 cross every boundary the algorithms branch on:
