@@ -705,6 +705,131 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** 64-bit token hashes: element i is XXH64(words[i], seed 42) — the
+    * set-element encoding for the large-vocabulary LSH verify path.
+    * Hashing each token ONCE per set row (O(|set|)) replaces the
+    * vocabulary bitmap whose row cost is O(|vocab|/64): a bitmap is
+    * dense in the vocabulary, and a shingle vocabulary grows with the
+    * corpus (measured: 100x shingle corpus → ~2.6M vocab → 40k-chunk
+    * masks, 320 KB per row and 40k interpreted element_at calls —
+    * the whole executor pool spinning in MapFromEntries.eval).
+    */
+  case class TokenHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "token_hashes"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${t.simpleString}")
+      }
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n"); val out = ctx.freshName("out")
+        val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        val utf8 = classOf[UTF8String].getName
+        val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+        s"""
+           |int $n = $v.numElements();
+           |long[] $out = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $utf8 $s = $v.getUTF8String($i);
+           |  $out[$i] = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Exact Jaccard of two SORTED long arrays (set encodings from
+    * [[TokenHashes]]): one merge pass counts |A∩B|, |A∪B| = |A|+|B|−|A∩B|.
+    * O(|A|+|B|), zero allocation — the pair-join verify kernel for
+    * large vocabularies. Equals string-set Jaccard exactly unless two
+    * distinct tokens collide in 64 bits (P ≈ |union|²/2⁶⁵ per pair,
+    * ~1e-15 at 200-token sets; the sf0.01 oracle corpus is verified
+    * collision-free by the DuckDB cross-check).
+    */
+  case class SortedLongJaccard(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_jaccard"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, array<bigint>), got " +
+            s"${l.simpleString}, ${r.simpleString}")
+      }
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { inter += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      val union = nx + ny - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val inter = ctx.freshName("inter"); val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv"); val union = ctx.freshName("uni")
+        s"""
+           |int $nx = $a.numElements(); int $ny = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $nx && $j < $ny) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $inter++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |int $union = $nx + $ny - $inter;
+           |${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def token_hashes(words: Column): Column =
+    ColumnBridge.column(TokenHashes(ColumnBridge.expression(words)))
+
+  def sorted_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def word_shingles(words: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(words), k))
 

@@ -191,25 +191,24 @@ object DedupOps {
           GraftExpressions.bitmap_from_tokens(col("words"), probe, nChunks).as("mask"))
         (m, nChunks)
       } else {
-        // distributed path: contiguous ids from sortBy+zipWithIndex (no
-        // single-partition window at any vocabulary size), then a
-        // two-level chunk aggregation. The word→id join is a plain
-        // shuffle join on w: this branch exists because the vocabulary
-        // outgrew the inline budget, and a web-scale vocabulary is
-        // unbounded, so it must never be broadcast unconditionally
-        // (AQE may still convert from observed runtime sizes).
-        val vocab = vocabWords.as[String].rdd.sortBy(identity).zipWithIndex().toDF("w", "idx")
-        val nChunks = (vocabWords.count().toInt + 63) / 64
-        val m = groups.select(col("gid"), explode(col("words")).as("w"))
-          .join(vocab, Seq("w"))
-          .groupBy(col("gid"), (col("idx") / 64).cast("int").as("chunk"))
-          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT)))").as("m"))
-          .groupBy(col("gid"))
-          .agg(map_from_entries(collect_list(struct(col("chunk"), col("m")))).as("mm"))
-          .select(col("gid"),
-            transform(sequence(lit(0), lit(nChunks - 1)),
-              c => coalesce(element_at(col("mm"), c), lit(0L))).as("mask"))
-        (m, nChunks)
+        // large-vocabulary path: SORTED 64-BIT TOKEN-HASH SETS, not
+        // bitmaps. A bitmap's row cost is O(|vocab|/64) and a shingle
+        // vocabulary grows with the corpus — at 100x replicas the
+        // bitmap path meant ~2.6M vocab → 40k-chunk masks, 320 KB per
+        // row and 40k interpreted element_at calls (the whole executor
+        // pool measured spinning in MapFromEntries.eval), plus a
+        // corpus-token shuffle join and a distributed id-assignment
+        // just to BUILD the ids. Hash sets need no vocabulary
+        // structure at all: one native O(|set|) hash pass per group
+        // row, and pair Jaccard is a zero-allocation merge count over
+        // two sorted long arrays (SortedLongJaccard). Exact set
+        // Jaccard modulo 64-bit token collisions (P ≈ |union|²/2⁶⁵
+        // per pair ≈ 1e-15; the DuckDB oracle cross-check pins the
+        // sf0.01 corpus collision-free). -1 sentinel: no bitmap chunk
+        // count on this path (broadcast sizing uses sampled set size).
+        val m = groups.select(col("gid"),
+          sort_array(GraftExpressions.token_hashes(col("words"))).as("mask"))
+        (m, -1)
       }
     // Both the verify (bitmap) and expand (member-list) joins pair the
     // candidate list against set-level tables with one row per distinct
@@ -223,7 +222,17 @@ object DedupOps {
     // shuffle joins on gid and let AQE downgrade to broadcast only where
     // runtime stats prove a side small.
     val budget = graft.GraftConf.getLong(s, graft.GraftConf.DedupBroadcastMaxBytes)
-    val rowBytes = nChunks * 8L + 32L
+    // bitmap path: nChunks longs per row. hash-set path (nChunks == -1):
+    // |set| longs per row, estimated from a bounded 1k-row sample of the
+    // input (a single-partition scan — never the group pipeline)
+    val rowBytes =
+      if (nChunks > 0) nChunks * 8L + 32L
+      else {
+        val sample = docs.select(size(col("words")).as("n")).limit(1000)
+          .agg(avg(col("n"))).head
+        val avgSz = if (sample.isNullAt(0)) 64.0 else sample.getDouble(0)
+        (avgSz * 8L).toLong + 32L
+      }
     val maxSets = math.min(Int.MaxValue - 1L, budget / rowBytes)
     // the probe counts the INPUT doc table (a free upper bound on
     // distinct sets — column pruning reduces it to a parquet row-count
@@ -231,6 +240,11 @@ object DedupOps {
     val smallSets = maxSets > 0 && docs.count() <= maxSets
     val maskA = masks.select(col("gid").as("gid_a"), col("mask").as("mask_a"))
     val maskB = masks.select(col("gid").as("gid_b"), col("mask").as("mask_b"))
+    // verify kernel per encoding: dense bitmap (inline vocab) vs sorted
+    // hash set (unbounded vocab) — both codegen, both exact set Jaccard
+    def pairJaccard =
+      if (nChunks > 0) GraftExpressions.bitmap_jaccard(col("mask_a"), col("mask_b"))
+      else GraftExpressions.sorted_jaccard(col("mask_a"), col("mask_b"))
     // Per-band-hit verify, collapse AFTER: a near-threshold pair (0.78
     // Jaccard under the 0.9 threshold, 3-row bands) collides in ~7-8 of
     // 16 bands, so the broadcast path re-verifies such a pair that many
@@ -245,7 +259,7 @@ object DedupOps {
         cand
           .join(broadcast(maskA), Seq("gid_a"))
           .join(broadcast(maskB), Seq("gid_b"))
-          .withColumn("jaccard", GraftExpressions.bitmap_jaccard(col("mask_a"), col("mask_b")))
+          .withColumn("jaccard", pairJaccard)
           .filter(col("jaccard") >= threshold)
           .select(col("gid_a"), col("gid_b"), col("jaccard"))
           .distinct()
@@ -258,7 +272,7 @@ object DedupOps {
         clusteredDistinct(cand, "gid_a", "gid_b")
           .join(maskA, Seq("gid_a"))
           .join(maskB, Seq("gid_b"))
-          .withColumn("jaccard", GraftExpressions.bitmap_jaccard(col("mask_a"), col("mask_b")))
+          .withColumn("jaccard", pairJaccard)
           .filter(col("jaccard") >= threshold)
           .select(col("gid_a"), col("gid_b"), col("jaccard"))
       }

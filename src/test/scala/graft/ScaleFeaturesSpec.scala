@@ -97,6 +97,30 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("hash-set verify path (unbounded vocab) equals the inline-bitmap path exactly") {
+    // vocabInlineMax=1 forces the large-vocabulary branch: sorted
+    // 64-bit token-hash sets + SortedLongJaccard merge counting,
+    // replacing the O(|vocab|/64)-per-row bitmap that cannot scale to
+    // corpus-sized shingle vocabularies. The pair outputs (incl. the
+    // jaccard values) must be IDENTICAL to the default inline-bitmap
+    // path on the same corpus.
+    val dir = GraftSparkSession.sfDir
+    val base = operators.DedupOps.queries("dedup_minhash_lsh")(spark, dir).collect()
+    val hashed = withConf(GraftConf.DedupVocabInlineMax.key -> "1") {
+      operators.DedupOps.queries("dedup_minhash_lsh")(spark, dir).collect()
+    }
+    assert(base.length == hashed.length,
+      s"pair counts differ: inline=${base.length} hashset=${hashed.length}")
+    base.zip(hashed).foreach { case (a, b) => assert(a == b, s"row drift: $a vs $b") }
+    // shingle variant too (the vocabulary that actually outgrows bitmaps)
+    val baseSh = operators.DedupOps.queries("dedup_minhash_shingle")(spark, dir).collect()
+    val hashedSh = withConf(GraftConf.DedupVocabInlineMax.key -> "1") {
+      operators.DedupOps.queries("dedup_minhash_shingle")(spark, dir).collect()
+    }
+    assert(baseSh.length == hashedSh.length)
+    baseSh.zip(hashedSh).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("label propagation keeps a constant-size plan across rounds") {
     import spark.implicits._
     // a 16-node path graph forces ~15 propagation rounds — without
