@@ -824,6 +824,65 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /** |A∩B| of two SORTED long arrays — the exact-verification kernel of
+    * the prefix-filtered containment join (sibling of
+    * [[SortedLongJaccard]]; callers derive containment/overlap from the
+    * count and their own denominator). */
+  case class SortedLongIntersect(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_intersect_count"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, array<bigint>), got " +
+            s"${l.simpleString}, ${r.simpleString}")
+      }
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { inter += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      inter
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val inter = ctx.freshName("inter"); val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+           |int $nx = $a.numElements(); int $ny = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $nx && $j < $ny) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $inter++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $inter;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersect(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def token_hashes(words: Column): Column =
     ColumnBridge.column(TokenHashes(ColumnBridge.expression(words)))
 

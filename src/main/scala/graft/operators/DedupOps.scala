@@ -319,32 +319,65 @@ object DedupOps {
     * where posting lists explode is the MinHash-LSH pipeline above with
     * the band-join candidate cap. Output is directional: doc_a is the
     * CONTAINED document. */
+  /** Shingle-containment join, PREFIX-FILTERED (the PPJoin family's
+    * candidate bound, Xiao et al. WWW'08): the naive formulation —
+    * self-join the full posting lists and count matches per pair — has
+    * Σ_g |posting(g)|² intermediate rows, quadratic in the duplication
+    * factor (measured at 100x replicas: >230 GB of shuffle, disk
+    * exhaustion). The prefix lemma makes candidate generation LOSSLESS
+    * and near-linear: order every set by a single global element order
+    * (rarest-first, i.e. ascending document frequency, ties by hash);
+    * if B misses ALL of A's first ⌊(1−t)·|A|⌋+1 elements then
+    * |A∩B| ≤ |A| − (⌊(1−t)|A|⌋+1) < t·|A| — so probing only A's prefix
+    * against the postings finds every pair with C(A,B) ≥ t. Rare-first
+    * ordering means prefix elements have the SHORTEST posting lists,
+    * so join volume collapses from Σ|posting|² to Σ_prefix |posting|.
+    * Verification is then exact per candidate pair: one zero-allocation
+    * merge count over the two sorted 8-byte-hash arrays
+    * ([[GraftExpressions.SortedLongIntersect]]) — no pair-count
+    * aggregation over posting matches at all. Hash values are Spark's
+    * xxhash64 (seed 42) of the shingle string, same as before; a 64-bit
+    * collision (~1e-11 over this vocabulary) would perturb a count and
+    * fail the oracle, so the hash gate itself polices the assumption.
+    */
   private val dedupContainment: Q = (s, dir) => {
+    val t = 0.5
     val toks = load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    // posting list carries an 8-byte xxhash64 of each shingle, not the
-    // ~30-byte string: the self-join's shuffle volume drops ~4x and the
-    // equi-probe compares longs. Deterministic; a 64-bit collision over
-    // this vocabulary (~1e-11) would merge two posting lists and fail
-    // the oracle, so the hash gate itself polices the assumption. The
-    // skinny (doc_id, hash) list is cached — it feeds both join sides
-    // and the length table, and the explode is the expensive part.
-    val sh = toks.select(col("doc_id"), explode(array_distinct(transform(
-      sequence(lit(1), greatest(size(col("w")) - 2, lit(0))),
-      i => concat_ws(" ",
-        element_at(col("w"), i),
-        element_at(col("w"), i + 1),
-        element_at(col("w"), i + 2))))).as("gs"))
-      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+    // one row per doc: sorted distinct shingle-hash set + its size
+    val sh = toks.select(col("doc_id"),
+        sort_array(array_distinct(GraftExpressions.token_hashes(
+          GraftExpressions.word_shingles(col("w"), 3)))).as("hs"))
+      .withColumn("na", size(col("hs")))
+      .filter(col("na") > 0)
       .cache()
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
-    sh.select(col("doc_id").as("da"), col("g"))
-      .join(sh.select(col("doc_id").as("db"), col("g")), Seq("g"))
-      .filter(col("da") =!= col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
-      .join(cnt.withColumnRenamed("doc_id", "da"), "da")
-      .withColumn("containment", round(col("i") / col("na"), 6))
-      .filter(col("containment") >= 0.5)
+    // global rarest-first element order = (document frequency, hash)
+    val dfTab = sh.select(explode(col("hs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = sh.select(col("doc_id"), col("na"), explode(col("hs")).as("g"))
+      .join(dfTab, Seq("g"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= floor(col("na") * (1 - t)) + 1)
+      .select(col("doc_id").as("da"), col("na"), col("g"))
+    val posting = sh.select(col("doc_id").as("db"), col("na").as("nb"),
+      explode(col("hs")).as("g"))
+    // candidates: A-prefix x full postings, plus the free length prune
+    // |B| >= t|A| (|A∩B| <= |B|); duplicates collapse via the
+    // clustered distinct (prefix hits for one pair land in different
+    // g-partitions — zero map-side reduction, see clusteredDistinct)
+    val cand = clusteredDistinct(
+      prefix.join(posting, Seq("g"))
+        .filter(col("da") =!= col("db") && col("nb") * 2 >= col("na"))
+        .select(col("da"), col("db")), "da", "db")
+    // exact verify: merge-count the two sorted hash arrays
+    val hsA = sh.select(col("doc_id").as("da"), col("hs").as("hsa"), col("na"))
+    val hsB = sh.select(col("doc_id").as("db"), col("hs").as("hsb"))
+    cand.join(hsA, Seq("da")).join(hsB, Seq("db"))
+      .withColumn("containment",
+        round(GraftExpressions.sorted_intersect_count(col("hsa"), col("hsb")) / col("na"), 6))
+      .filter(col("containment") >= t)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
