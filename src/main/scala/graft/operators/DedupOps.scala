@@ -364,21 +364,34 @@ object DedupOps {
     val posting = sh.select(col("doc_id").as("db"), col("na").as("nb"),
       explode(col("hs")).as("g"))
     // candidates: A-prefix x full postings, plus the free length prune
-    // |B| >= t|A| (|A∩B| <= |B|); duplicates collapse via the
-    // clustered distinct (prefix hits for one pair land in different
-    // g-partitions — zero map-side reduction, see clusteredDistinct)
+    // |B| >= t|A| (|A∩B| <= |B|). The g join is HINTED sort-merge: on a
+    // duplication-dense corpus both sides are huge and a shuffled-hash
+    // build of a posting partition cannot spill (measured Java-heap
+    // death at 100x under the session's SHJ preference); SMJ spills
+    // gracefully. Candidates dedupe UNORDERED (least/greatest): each
+    // direction's prefix join generates the pair independently, one
+    // merge count serves both containment directions — half the
+    // distinct volume and half the verify joins. Per-band-style copies
+    // land in different g-partitions, so the dedup is the clustered
+    // distinct (zero map-side reduction otherwise).
     val cand = clusteredDistinct(
-      prefix.join(posting, Seq("g"))
+      prefix.join(posting.hint("merge"), Seq("g"))
         .filter(col("da") =!= col("db") && col("nb") * 2 >= col("na"))
-        .select(col("da"), col("db")), "da", "db")
-    // exact verify: merge-count the two sorted hash arrays
-    val hsA = sh.select(col("doc_id").as("da"), col("hs").as("hsa"), col("na"))
-    val hsB = sh.select(col("doc_id").as("db"), col("hs").as("hsb"))
-    cand.join(hsA, Seq("da")).join(hsB, Seq("db"))
-      .withColumn("containment",
-        round(GraftExpressions.sorted_intersect_count(col("hsa"), col("hsb")) / col("na"), 6))
+        .select(least(col("da"), col("db")).as("u"),
+          greatest(col("da"), col("db")).as("v")), "u", "v")
+    // exact verify: ONE merge count per unordered pair, both directions
+    // emitted from it (containment is asymmetric only in denominator)
+    val hsU = sh.select(col("doc_id").as("u"), col("hs").as("hsu"), col("na").as("nu"))
+    val hsV = sh.select(col("doc_id").as("v"), col("hs").as("hsv"), col("na").as("nv"))
+    cand.join(hsU, Seq("u")).join(hsV, Seq("v"))
+      .withColumn("i", GraftExpressions.sorted_intersect_count(col("hsu"), col("hsv")))
+      .select(explode(array(
+        struct(col("u").as("doc_a"), col("v").as("doc_b"),
+          round(col("i") / col("nu"), 6).as("containment")),
+        struct(col("v").as("doc_a"), col("u").as("doc_b"),
+          round(col("i") / col("nv"), 6).as("containment")))).as("r"))
+      .select(col("r.doc_a"), col("r.doc_b"), col("r.containment"))
       .filter(col("containment") >= t)
-      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -734,13 +747,19 @@ object DedupOps {
     }
 
   private[graft] def propagateMinLabels(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    // clusteredDistinct: the expanded pair list is unique-ish by
-    // construction, so a plain distinct's map-side partial holds ~every
-    // row of the task (see clusteredDistinct doc; 100x/6 GiB OOM site)
-    var edges = clusteredDistinct(
-      pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
-          least(col("doc_a"), col("doc_b")).as("v"))
-        .filter(col("u") =!= col("v")), "u", "v").localCheckpoint()
+    // NO initial distinct: the LSH pair lists every dedup caller feeds
+    // in are already distinct by construction, and the star rounds
+    // dedupe their own output every round regardless (duplicate input
+    // edges only inflate round-1 join volume; the round-1 groupBy(min)
+    // REDUCES, so its aggregate map is bounded by node count, not row
+    // count). A 60M-pair distinct here was the last
+    // aggregate-state-per-task floor of the 100x/6 GiB/32-wide run —
+    // callers with genuinely duplicated pair streams dedupe themselves
+    // (see GraphOps' event-bucket caller).
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).localCheckpoint()
     var prevCnt = edges.count()
     // the input pair list fed only the initial edge set — if the caller
     // checkpointed it, its blocks are dead weight for the whole loop

@@ -391,7 +391,11 @@ object GraphOps {
       .select(col("prev").as("doc_a"), col("user_id").as("doc_b"))
       .localCheckpoint()
     val users = load(s, dir, "events").select(col("user_id").as("doc_id")).distinct()
-    DedupOps.propagateMinLabels(pairs, users)
+    // propagateMinLabels no longer pre-dedupes its input (the dedup
+    // callers feed distinct pairs by construction); this caller's
+    // lag-derived pairs repeat per (key, hour) bucket, so dedupe here —
+    // the volume is bucket-bounded, far below the LSH pair scale
+    DedupOps.propagateMinLabels(pairs.distinct(), users)
       .groupBy(col("label").as("component_rep"))
       .agg(count(lit(1)).as("n_users"), max(col("doc_id")).as("max_user"))
       .orderBy(col("component_rep"))
