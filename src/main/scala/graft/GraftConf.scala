@@ -47,6 +47,18 @@ object GraftConf {
       "correctness battery is exact by construction, while a hot bucket's " +
       "pair emission is bounded at 512*511/2 — sub-quadratic on dup-dense " +
       "corpora (BENCH_PIPE_SCALING.json near_dup_cap_matrix)")
+  val DedupContainmentBroadcastMaxBytes: Entry[Long] =
+    Entry("spark.graft.dedup.containment.broadcastMaxBytes", 512L * 1024 * 1024,
+      "estimated size ceiling for broadcasting the distinct-shingle-set " +
+        "table into the containment verify join. The no-broadcast " +
+        "alternative exchanges the candidate-pair stream CARRYING the " +
+        "set arrays — O(pairs x set bytes), measured ~0.5 TB at 100x " +
+        "replicas where the set table itself is ~0.2 GB — so a set " +
+        "table under this budget is strictly cheaper to replicate than " +
+        "the pair stream is to move. Corpora whose distinct-set table " +
+        "exceeds the budget (billions of distinct sets) fall back to " +
+        "shuffle joins, which a multi-executor cluster absorbs; the " +
+        "budget guards a single executor's memory, not correctness")
   val RecursiveBroadcastMaxBytes: Entry[Long] = Entry("spark.graft.recursive.broadcastMaxBytes", 64L * 1024 * 1024,
     "estimated size ceiling for hinting a broadcast of the recursion " +
       "frontier in iterative/recursive-CTE joins; when the worst-case " +
@@ -85,7 +97,7 @@ object GraftConf {
   val entries: Seq[Entry[_]] =
     Seq(DedupLshPerms, DedupLshBands, DedupJaccardThreshold,
       DedupVocabInlineMax, DedupBroadcastMaxBytes, DedupLshBucketCap,
-      DedupLshBucketAutoThreshold,
+      DedupLshBucketAutoThreshold, DedupContainmentBroadcastMaxBytes,
       RecursiveBroadcastMaxBytes, ForceShuffledHashJoin,
       SkipPartialAggregate, SimTopK, SimLshBits)
 }

@@ -186,19 +186,27 @@ object GraftExpressions {
 
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
+    // null even for non-null inputs: length mismatch / null element
+    override def nullable: Boolean = true
     override def prettyName: String = "dot_product"
 
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       vecTypeCheck(prettyName, Seq(left.dataType, right.dataType))
 
+    // zip_with semantics, both evaluator modes (advisor finding r9):
+    // zip_with null-pads the shorter array and the summing fold turns
+    // any null term into a null total — so a length mismatch or a null
+    // element yields NULL, not a silently truncated product
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val (lt, rt) = (elemType(left), elemType(right))
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var dot = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         dot += vecGet(x, lt, i) * vecGet(y, rt, i)
         i += 1
       }
@@ -210,9 +218,11 @@ object GraftExpressions {
         val i = ctx.freshName("i"); val n = ctx.freshName("n")
         val dot = ctx.freshName("dot")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
            |double $dot = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
+           |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  $dot += ${vecGetCode(a, elemType(left), i)} * ${vecGetCode(b, elemType(right), i)};
            |}
            |${ev.value} = $dot;
@@ -524,19 +534,26 @@ object GraftExpressions {
 
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
+    // null even for non-null inputs: length mismatch / null element
+    override def nullable: Boolean = true
     override def prettyName: String = "sq_distance"
 
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       vecTypeCheck(prettyName, Seq(left.dataType, right.dataType))
 
+    // zip_with semantics, both evaluator modes (advisor finding r9):
+    // length mismatch or a null element yields NULL, exactly like the
+    // composed zip_with∘aggregate form this expression replaced
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val (lt, rt) = (elemType(left), elemType(right))
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var s = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val d = vecGet(x, lt, i) - vecGet(y, rt, i)
         s += d * d
         i += 1
@@ -549,9 +566,11 @@ object GraftExpressions {
         val i = ctx.freshName("i"); val n = ctx.freshName("n")
         val s = ctx.freshName("s"); val d = ctx.freshName("d")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
            |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
+           |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  double $d = ${vecGetCode(a, elemType(left), i)} - ${vecGetCode(b, elemType(right), i)};
            |  $s += $d * $d;
            |}
@@ -593,6 +612,11 @@ object GraftExpressions {
       }
     }
 
+    // null elements are SKIPPED inside a shingle window, matching the
+    // composed concat_ws form (ConcatWs drops null inputs) — and
+    // matching it identically in BOTH evaluator modes (UnsafeArrayData
+    // would otherwise silently render a null slot as "" while
+    // GenericArrayData returned null; advisor finding r9)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
@@ -603,7 +627,10 @@ object GraftExpressions {
       while (i < m) {
         val parts = new Array[UTF8String](k)
         var j = 0
-        while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        while (j < k) {
+          parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+          j += 1
+        }
         out(i) = UTF8String.concatWs(sep, parts: _*)
         i += 1
       }
@@ -624,7 +651,9 @@ object GraftExpressions {
            |$utf8[] $out = new $utf8[$m];
            |for (int $i = 0; $i < $m; $i++) {
            |  $utf8[] $parts = new $utf8[$k];
-           |  for (int $j = 0; $j < $k; $j++) { $parts[$j] = $v.getUTF8String($i + $j); }
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    $parts[$j] = $v.isNullAt($i + $j) ? null : $v.getUTF8String($i + $j);
+           |  }
            |  $out[$i] = $utf8.concatWs($sep, $parts);
            |}
            |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
@@ -672,14 +701,19 @@ object GraftExpressions {
       m
     }
 
+    // null tokens are SKIPPED like absent ones, matching the composed
+    // element_at(map, w) form (a null key probes to null and the
+    // when() keeps the accumulator) in both evaluator modes
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val out = new Array[Long](nChunks)
       val n = arr.numElements()
       var i = 0
       while (i < n) {
-        val id = idx.get(arr.getUTF8String(i))
-        if (id != null) out(id / 64) |= 1L << (id % 64)
+        if (!arr.isNullAt(i)) {
+          val id = idx.get(arr.getUTF8String(i))
+          if (id != null) out(id / 64) |= 1L << (id % 64)
+        }
         i += 1
       }
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
@@ -694,8 +728,10 @@ object GraftExpressions {
            |long[] $out = new long[$nChunks];
            |int $n = $v.numElements();
            |for (int $i = 0; $i < $n; $i++) {
-           |  java.lang.Integer $id = (java.lang.Integer) $mapRef.get($v.getUTF8String($i));
-           |  if ($id != null) { $out[$id / 64] |= 1L << ($id % 64); }
+           |  if (!$v.isNullAt($i)) {
+           |    java.lang.Integer $id = (java.lang.Integer) $mapRef.get($v.getUTF8String($i));
+           |    if ($id != null) { $out[$id / 64] |= 1L << ($id % 64); }
+           |  }
            |}
            |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
            |""".stripMargin
@@ -728,32 +764,45 @@ object GraftExpressions {
       }
     }
 
+    // null tokens are SKIPPED (output shrinks), matching the composed
+    // transform∘filter semantics where a null element hashes to null
+    // and set encodings drop it — identical in both evaluator modes
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val out = new Array[Long](n)
       var i = 0
+      var m = 0
       while (i < n) {
-        val s = arr.getUTF8String(i)
-        out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          out(m) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          m += 1
+        }
         i += 1
       }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+      val trimmed = if (m == n) out else java.util.Arrays.copyOf(out, m)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(trimmed)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, v => {
         val n = ctx.freshName("n"); val out = ctx.freshName("out")
         val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        val m = ctx.freshName("m")
         val utf8 = classOf[UTF8String].getName
         val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
         s"""
            |int $n = $v.numElements();
            |long[] $out = new long[$n];
+           |int $m = 0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  $utf8 $s = $v.getUTF8String($i);
-           |  $out[$i] = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+           |  if (!$v.isNullAt($i)) {
+           |    $utf8 $s = $v.getUTF8String($i);
+           |    $out[$m++] = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+           |  }
            |}
+           |if ($m != $n) { $out = java.util.Arrays.copyOf($out, $m); }
            |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
            |""".stripMargin
       })

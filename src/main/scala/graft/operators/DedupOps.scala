@@ -102,6 +102,19 @@ object DedupOps {
   private def clusteredDistinct(df: DataFrame, cols: String*): DataFrame =
     df.repartition(cols.map(col): _*).distinct()
 
+  /** [[clusteredDistinct]] with an explicit partition count, for pair
+    * streams whose volume outgrows `spark.sql.shuffle.partitions`-sized
+    * reduce tasks: the containment prefix join emits ~1.8B candidate
+    * rows at 100x replicas, and 32 reduce partitions put ~55M rows
+    * (and the matching spill-merge fan-in) on every task — a measured
+    * Java-heap death under the 6 GiB protocol. Partition count is the
+    * ONLY safe lever at that point: more, smaller reduce tasks bound
+    * both the aggregate map and the per-task spill fan-in, at identical
+    * total shuffle volume. Callers size it from the corpus (cheap
+    * parquet-footer counts), exactly what a cluster job would do. */
+  private def clusteredDistinct(df: DataFrame, numParts: Int, cols: Seq[String]): DataFrame =
+    df.repartition(numParts, cols.map(col): _*).distinct()
+
   /** The staged MinHash-LSH pipeline over ANY (doc_id, words) set table
     * — word sets (the [[dedupMinhashLsh]] default) or w-shingle sets
     * ([[dedupMinhashShingle]]); element strings are opaque to every
@@ -342,26 +355,47 @@ object DedupOps {
     */
   private val dedupContainment: Q = (s, dir) => {
     val t = 0.5
+    // Candidate-side threshold relaxed by 1e-6 (advisor, r9): the FINAL
+    // gate is round(containment, 6) >= t, which accepts raw values in
+    // [t - 5e-7, t); the prefix length and the |B| >= t|A| prune are
+    // lossless only for raw >= t, so both prune at t' = t - 1e-6 and
+    // the rounded filter remains the single lossy step.
+    val tC = t - 1e-6
     val toks = load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     // one row per doc: sorted distinct shingle-hash set + its size
-    val sh = toks.select(col("doc_id"),
+    val perDoc = toks.select(col("doc_id"),
         sort_array(array_distinct(GraftExpressions.token_hashes(
           GraftExpressions.word_shingles(col("w"), 3)))).as("hs"))
-      .withColumn("na", size(col("hs")))
-      .filter(col("na") > 0)
+      .filter(size(col("hs")) > 0)
+    // IDENTICAL-SET COLLAPSE before the prefix filter (same digest-group
+    // shape as [[lshPairsFromSets]]): on a duplication-dense corpus every
+    // copy of a doc lengthens each posting list by 1, so prefix-join
+    // candidates grow QUADRATICALLY in the duplication factor — the
+    // measured 100x single-node disk floor (~400 GB projected candidate
+    // spill, r9). Grouping to distinct shingle-sets first keeps the
+    // posting/prefix/verify stages at DISTINCT-corpus volume regardless
+    // of duplication; member doc_ids expand only AFTER the exact verify,
+    // where the output rows are genuinely owed. Digest key = two
+    // independent xxhash64 passes over the sorted hash array (collision
+    // bound ~4e-15 at 10^12 distinct sets, policed by the oracle).
+    val groups = perDoc
+      .groupBy(xxhash64(col("hs")).as("k1"), xxhash64(lit(1), col("hs")).as("k2"))
+      .agg(min(col("doc_id")).as("gid"),
+        collect_list(col("doc_id")).as("members"), first(col("hs")).as("hs"))
+      .select(col("gid"), col("members"), col("hs"), size(col("hs")).as("na"))
       .cache()
-    // global rarest-first element order = (document frequency, hash)
-    val dfTab = sh.select(explode(col("hs")).as("g"))
+    // global rarest-first element order = (group frequency, hash)
+    val dfTab = groups.select(explode(col("hs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val prefix = sh.select(col("doc_id"), col("na"), explode(col("hs")).as("g"))
+      .partitionBy(col("gid")).orderBy(col("df"), col("g"))
+    val prefix = groups.select(col("gid"), col("na"), explode(col("hs")).as("g"))
       .join(dfTab, Seq("g"))
       .withColumn("rn", row_number().over(win))
-      .filter(col("rn") <= floor(col("na") * (1 - t)) + 1)
-      .select(col("doc_id").as("da"), col("na"), col("g"))
-    val posting = sh.select(col("doc_id").as("db"), col("na").as("nb"),
+      .filter(col("rn") <= floor(col("na") * (1 - tC)) + 1)
+      .select(col("gid").as("da"), col("na"), col("g"))
+    val posting = groups.select(col("gid").as("db"), col("na").as("nb"),
       explode(col("hs")).as("g"))
     // candidates: A-prefix x full postings, plus the free length prune
     // |B| >= t|A| (|A∩B| <= |B|). The g join is HINTED sort-merge: on a
@@ -374,25 +408,83 @@ object DedupOps {
     // distinct volume and half the verify joins. Per-band-style copies
     // land in different g-partitions, so the dedup is the clustered
     // distinct (zero map-side reduction otherwise).
+    // candidate-distinct width scales with the corpus: ~1 reduce task
+    // per 1k docs (candidate rows grow superlinearly in docs on a
+    // dup-dense corpus; 500k docs → ~1.8B candidates → 500 tasks of
+    // ~3.5M rows). Floor = session shuffle partitions so small corpora
+    // keep their plan; docCount is a parquet-footer count (no scan).
+    val docCount = load(s, dir, "documents").count()
+    val candParts = math.max(
+      s.sessionState.conf.numShufflePartitions, (docCount / 1000L).toInt)
     val cand = clusteredDistinct(
       prefix.join(posting.hint("merge"), Seq("g"))
-        .filter(col("da") =!= col("db") && col("nb") * 2 >= col("na"))
+        .filter(col("da") =!= col("db") && col("nb") >= col("na") * tC)
         .select(least(col("da"), col("db")).as("u"),
-          greatest(col("da"), col("db")).as("v")), "u", "v")
-    // exact verify: ONE merge count per unordered pair, both directions
-    // emitted from it (containment is asymmetric only in denominator)
-    val hsU = sh.select(col("doc_id").as("u"), col("hs").as("hsu"), col("na").as("nu"))
-    val hsV = sh.select(col("doc_id").as("v"), col("hs").as("hsv"), col("na").as("nv"))
-    cand.join(hsU, Seq("u")).join(hsV, Seq("v"))
+          greatest(col("da"), col("db")).as("v")), candParts, Seq("u", "v"))
+    // exact verify: ONE merge count per unordered GROUP pair, both
+    // directions emitted from it (containment is asymmetric only in
+    // denominator); every member combination of the two groups inherits
+    // the group-level containment (identical sets within a group).
+    //
+    // JOIN SHAPE IS THE SCALE DECISION HERE: the candidate stream is
+    // O(pairs) narrow rows (two longs), the set table is O(distinct
+    // sets) wide rows (the sorted hash arrays). A shuffle join attaches
+    // hsu to every pair and then EXCHANGES pairs x set-bytes to meet
+    // the second join's distribution — measured ~0.5 TB of shuffle at
+    // 100x replicas (1.1B pairs x ~450 B), single-node disk death.
+    // Broadcasting the set table instead replicates ~0.2 GB once and
+    // the pair stream never leaves its partitions: both lookups happen
+    // in ONE streaming stage and only verified survivors materialize.
+    // Budget-gated (containment.broadcastMaxBytes): a corpus whose
+    // distinct-set table outgrows the budget falls back to the shuffle
+    // plan, which a multi-executor cluster absorbs — same adaptive
+    // shape as the LSH verify's broadcast gate above.
+    val cBudget = graft.GraftConf.getLong(s, graft.GraftConf.DedupContainmentBroadcastMaxBytes)
+    val avgSetBytes = {
+      val sample = perDoc.select(size(col("hs")).as("n")).limit(1000)
+        .agg(avg(col("n"))).head
+      val avgSz = if (sample.isNullAt(0)) 64.0 else sample.getDouble(0)
+      (avgSz * 8L).toLong + 48L // hs longs + members/na/row overhead
+    }
+    val bcastSets = docCount * avgSetBytes <= cBudget // docCount >= |distinct sets|
+    def gate(df: DataFrame): DataFrame = if (bcastSets) broadcast(df) else df
+    val hsU = gate(groups.select(col("gid").as("u"), col("hs").as("hsu"),
+      col("na").as("nu"), col("members").as("mu")))
+    val hsV = gate(groups.select(col("gid").as("v"), col("hs").as("hsv"),
+      col("na").as("nv"), col("members").as("mv")))
+    val crossPairs = cand.join(hsU, Seq("u")).join(hsV, Seq("v"))
       .withColumn("i", GraftExpressions.sorted_intersect_count(col("hsu"), col("hsv")))
+      .withColumn("ca", round(col("i") / col("nu"), 6))
+      .withColumn("cb", round(col("i") / col("nv"), 6))
+      .filter(col("ca") >= t || col("cb") >= t)
+      // member expansion AFTER the group-level gate: |mu| x |mv| output
+      // rows per surviving pair — owed output, not intermediate state
+      .select(explode(col("mu")).as("a"), col("mv"), col("ca"), col("cb"))
+      .select(col("a"), explode(col("mv")).as("b"), col("ca"), col("cb"))
       .select(explode(array(
-        struct(col("u").as("doc_a"), col("v").as("doc_b"),
-          round(col("i") / col("nu"), 6).as("containment")),
-        struct(col("v").as("doc_a"), col("u").as("doc_b"),
-          round(col("i") / col("nv"), 6).as("containment")))).as("r"))
+        struct(col("a").as("doc_a"), col("b").as("doc_b"), col("ca").as("containment")),
+        struct(col("b").as("doc_a"), col("a").as("doc_b"), col("cb").as("containment")))).as("r"))
       .select(col("r.doc_a"), col("r.doc_b"), col("r.containment"))
       .filter(col("containment") >= t)
-      .orderBy(col("doc_a"), col("doc_b"))
+    // within-group pairs: identical shingle sets => containment 1.0 in
+    // both directions for every ordered member pair
+    val withinPairs = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("containment"))
+    // materialize survivors BEFORE the global sort: orderBy's range
+    // partitioner SAMPLES its input by executing the child plan, so an
+    // unmaterialized verify pipeline runs TWICE (measured at 100x:
+    // two full 1.76B-row aggregate+verify passes, ~5.5 min each). The
+    // checkpoint is survivor-sized (~41M rows at 100x), not
+    // candidate-sized — the cheap side of the asymmetry. DISK_ONLY:
+    // the default deserialized MEMORY_AND_DISK level held 41M rows as
+    // Java objects next to the two verify broadcasts — measured heap
+    // death at 100x/6 GiB; disk read-back of narrow rows is trivial.
+    val survivors = crossPairs.unionByName(withinPairs)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    survivors.orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val dedupContainmentSql =
@@ -627,7 +719,7 @@ object DedupOps {
     val pairs = lsh.select(col("doc_a"), col("doc_b")).localCheckpoint()
     groupsCache.unpersist()
     val docs = load(s, dir, "documents").select(col("doc_id"))
-    val labels = propagateMinLabels(pairs, docs)
+    val labels = propagateMinLabels(pairs, docs, releaseInput = true)
     labels.groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_member"))
       .orderBy(col("cluster_rep"))
@@ -680,8 +772,15 @@ object DedupOps {
       // recomputing the 128-perm minhash subtree. Harnesses
       // (Bench/Verify) clearCache() per query; a pipeline user holds
       // the blocks only for the job's lifetime.
-      val (kept, dropped) = capBandBuckets(
+      // a long-lived session running many capped dedups must not
+      // accumulate DISK_ONLY blocks for its whole lifetime: the
+      // PREVIOUS capped run's cache is retired here (its query has
+      // either executed — blocks consumed — or will transparently
+      // recompute), and releaseCaches() drops the final one
+      releaseCaches()
+      val (kept, dropped, ranked) = capBandBuckets(
         bands, cap, persist = Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      lastCapCache.set(Some(ranked))
       val nDropped = dropped.count()
       lastCapDrops.set(nDropped)
       if (nDropped > 0)
@@ -694,14 +793,28 @@ object DedupOps {
 
   private[graft] def capBandBuckets(bands: DataFrame, cap: Int,
       persist: Option[org.apache.spark.storage.StorageLevel] = None)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_key")).orderBy(col("gid"))
     val ranked0 = bands.withColumn("rn", row_number().over(w))
     val ranked = persist.fold(ranked0)(ranked0.persist)
     (ranked.filter(col("rn") <= cap).drop("rn"),
-      ranked.filter(col("rn") > cap).drop("rn"))
+      ranked.filter(col("rn") > cap).drop("rn"), ranked)
   }
+
+  /** The live capped-banding DISK_ONLY cache, if any — exactly one per
+    * session (withBucketCap retires the previous before persisting the
+    * next). */
+  private val lastCapCache =
+    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+
+  /** Release DedupOps-held persisted blocks (the capped-banding
+    * DISK_ONLY cache). Harnesses that `clearCache()` per query never
+    * accumulate anyway; a long-lived pipeline session calls this when
+    * its dedup work is done. Safe at any time: an unpersisted plan
+    * recomputes transparently if still referenced. */
+  def releaseCaches(): Unit =
+    lastCapCache.getAndSet(None).foreach(_.unpersist(blocking = false))
 
   /** Connected components over an undirected pair graph via alternating
     * LARGE-STAR / SMALL-STAR rounds (the MapReduce CC formulation of
@@ -746,7 +859,14 @@ object DedupOps {
       case _ =>
     }
 
-  private[graft] def propagateMinLabels(pairs: DataFrame, docs: DataFrame): DataFrame = {
+  /** `releaseInput = true` means this function CONSUMES `pairs`: once
+    * the initial edge set is materialized, any localCheckpoint blocks
+    * behind `pairs` are unpersisted (they would otherwise be dead
+    * weight for the whole star loop). Callers that opt in must not
+    * read `pairs` again afterwards — its lineage is truncated and
+    * cannot be recomputed. Default false: caller keeps ownership. */
+  private[graft] def propagateMinLabels(pairs: DataFrame, docs: DataFrame,
+      releaseInput: Boolean = false): DataFrame = {
     // NO initial distinct: the LSH pair lists every dedup caller feeds
     // in are already distinct by construction, and the star rounds
     // dedupe their own output every round regardless (duplicate input
@@ -762,8 +882,8 @@ object DedupOps {
       .filter(col("u") =!= col("v")).localCheckpoint()
     var prevCnt = edges.count()
     // the input pair list fed only the initial edge set — if the caller
-    // checkpointed it, its blocks are dead weight for the whole loop
-    releaseCheckpoint(pairs)
+    // handed over ownership, its checkpoint blocks die here
+    if (releaseInput) releaseCheckpoint(pairs)
     var converged = prevCnt == 0L
     var rounds = 0
     while (!converged && rounds < 25) {
@@ -846,7 +966,7 @@ object DedupOps {
     val (lsh, groupsCache) = minhashLshImpl(s, dir)
     val pairs = lsh.select(col("doc_a"), col("doc_b")).localCheckpoint()
     groupsCache.unpersist()
-    propagateMinLabels(pairs, docs)
+    propagateMinLabels(pairs, docs, releaseInput = true)
   }
 
   private val leakageSafeSplit: Q = (s, dir) => {
@@ -855,7 +975,7 @@ object DedupOps {
     groupsCache.unpersist()
     val docs = load(s, dir, "documents").select(col("doc_id"))
     val h = substring(md5(col("label").cast("string")), 1, 1)
-    propagateMinLabels(pairs, docs)
+    propagateMinLabels(pairs, docs, releaseInput = true)
       .withColumn("split",
         when(h <= "b", "train").when(h <= "d", "val").otherwise("test"))
       .groupBy(col("split"))

@@ -395,7 +395,7 @@ object GraphOps {
     // callers feed distinct pairs by construction); this caller's
     // lag-derived pairs repeat per (key, hour) bucket, so dedupe here —
     // the volume is bucket-bounded, far below the LSH pair scale
-    DedupOps.propagateMinLabels(pairs.distinct(), users)
+    DedupOps.propagateMinLabels(pairs.distinct(), users, releaseInput = true)
       .groupBy(col("label").as("component_rep"))
       .agg(count(lit(1)).as("n_users"), max(col("doc_id")).as("max_user"))
       .orderBy(col("component_rep"))

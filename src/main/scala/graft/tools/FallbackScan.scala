@@ -35,23 +35,10 @@ object FallbackScan {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def fallbacks(plan: SparkPlan): Seq[String] = {
-      val out = mutable.ArrayBuffer[String]()
-      plan.foreach { node =>
-        node.expressions.foreach { root =>
-          root.foreach {
-            case f: CodegenFallback =>
-              out += f.getClass.getSimpleName.stripSuffix("$")
-            case _ =>
-          }
-        }
-        // descend into subquery plans too — a fallback inside a
-        // subquery runs per subquery execution, still corpus-scale
-        // when the subquery scans the corpus
-        node.subqueries.foreach(sq => out ++= fallbacks(sq))
-      }
-      out.toSeq
-    }
+    // shared with the FallbackGateSpec regression gate (descends into
+    // subquery plans too — a fallback inside a subquery runs per
+    // subquery execution, still corpus-scale when it scans the corpus)
+    def fallbacks(plan: SparkPlan): Seq[String] = QualityGates.codegenFallbacks(plan)
 
     val rows = mutable.ArrayBuffer[(String, Map[String, Int])]()
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -19,6 +19,60 @@ object QualityGates {
   final case class Gate(query: String, metric: String, value: Double,
       bound: Double, pass: Boolean)
 
+  /** Every CodegenFallback expression class in a physical plan,
+    * including subquery plans (shared by the FallbackScan tool and the
+    * FallbackGateSpec regression gate). */
+  def codegenFallbacks(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    plan.foreach { node =>
+      node.expressions.foreach { root =>
+        root.foreach {
+          case f: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback =>
+            out += f.getClass.getSimpleName.stripSuffix("$")
+          case _ =>
+        }
+      }
+      node.subqueries.foreach(sq => out ++= codegenFallbacks(sq))
+    }
+    out.toSeq
+  }
+
+  /** CodegenFallback classes ALLOWED in oracled-query plans, each with
+    * the reason it stays interpreted. FallbackGateSpec scans every
+    * query and FAILS on any class not listed — the wave-9 lesson is
+    * that an accidental interpreted lambda in a corpus-scale hot loop
+    * is invisible at oracle SF and dominant at 100x (measured:
+    * sim_ann_pq 43.3→13.7 s after conversion), so new fallback classes
+    * must be an explicit decision, not an accident.
+    *
+    * Groups:
+    *  - TypedImperativeAggregate / object aggregates: evaluated once
+    *    per GROUP through the object-agg path, not per element — no
+    *    per-row interpreted loop to convert (CollectList…TopKFreq).
+    *  - Documented no-win HOFs: per-row lambdas measured at or below
+    *    native rewrites on their actual data shapes (short arrays /
+    *    cold paths; the bigram-LM rewrite was REVERTED as slower, r9).
+    *  - graft's own CodegenFallback expressions: bounded driver-fed
+    *    state where codegen bought nothing measurable (MinHashSignature
+    *    runs once per distinct set row; RefHash is a spec oracle).
+    */
+  val fallbackAllowlist: Set[String] = Set(
+    // object/imperative aggregates (once-per-group, not per-row)
+    "CollectList", "CollectSet", "CollectFrequentItems", "Percentile",
+    "ApproximatePercentile", "HyperLogLogPlusPlus", "HllSketchAgg",
+    "HllSketchEstimate", "HllUnionAgg", "HistogramNumeric", "Mode",
+    "ListAgg", "BitmapOrAgg", "PivotFirst",
+    "ApproxTopK", "ApproxTopKAccumulate", "ApproxTopKEstimate",
+    "TopKFreq", "TopKByScore",
+    // documented no-win / cold-path HOF machinery
+    "NamedLambdaVariable", "LambdaFunction", "ArrayTransform",
+    "ArrayAggregate", "ArrayFilter", "ArraySort", "ArrayForAll",
+    "ArrayExists", "ZipWith",
+    // parser-bound (schema inference path, one row in fn_json)
+    "JsonToStructs",
+    // graft expressions with bounded or once-per-set evaluation
+    "MinHashSignature", "RefHash")
+
   private def topSets(df: DataFrame, k: Int): Map[Long, Set[Long]] =
     df.filter(col("rnk") <= k).select(col("qid"), col("cid")).collect()
       .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }

@@ -339,4 +339,66 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(graft.functions.PureHashes.sha1Hex("abc".getBytes("UTF-8")) ==
       "a9993e364706816aba3e25717850c26c9cd0d89d")
   }
+
+  test("null elements and length mismatches match the composed-builtins semantics (advisor r9)") {
+    // arrays WITH null elements — the case the r9 advisory flagged:
+    // getUTF8String on a null slot diverges between UnsafeArrayData
+    // ("") and GenericArrayData (null), so every expression must route
+    // through isNullAt and match its composed formulation exactly
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array('a', CAST(NULL AS STRING), 'b', 'c'), array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D)),
+        |  (array(CAST(NULL AS STRING), NULL, 'q'), array(CAST(NULL AS DOUBLE), 1.0D), array(2.0D, 3.0D)),
+        |  (array('x', 'y', 'z', NULL, 'w'), array(4.0D, 5.0D), array(6.0D, 7.0D))
+        |AS t(w, va, vb)""".stripMargin)
+    def composedShingles(k: Int) = transform(
+      sequence(lit(1), greatest(size(col("w")) - (k - 1), lit(0))),
+      i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*))
+    def check(): Unit = {
+      // WordShingles: nulls skipped inside the window, like concat_ws
+      for (k <- Seq(2, 3)) {
+        val both = df.select(word_shingles(col("w"), k).as("native"),
+          composedShingles(k).as("composed"))
+        assert(both.filter(not(col("native") === col("composed"))).count() == 0,
+          s"k=$k shingles over null-bearing arrays must match the concat_ws form")
+      }
+      // TokenHashes: null tokens dropped, like the filtered transform
+      val th = df.select(token_hashes(col("w")).as("native"),
+        transform(filter(col("w"), x => x.isNotNull), x => xxhash64(x)).as("composed"))
+      assert(th.filter(not(col("native") === col("composed"))).count() == 0,
+        "token_hashes must drop null tokens exactly like transform∘filter")
+      // BitmapFromTokens: a null token behaves like an absent one
+      val vocab = Array("a", "b", "c", "w", "x")
+      val bm = df.select(
+        bitmap_from_tokens(col("w"), vocab, 1).as("native"),
+        bitmap_from_tokens(filter(col("w"), x => x.isNotNull), vocab, 1).as("composed"))
+      assert(bm.filter(not(col("native") === col("composed"))).count() == 0,
+        "a null token must be ignored like an out-of-vocabulary one")
+      // DotProduct / SqDistance: zip_with semantics — length mismatch
+      // null-pads and the summing fold nulls the total
+      val mism = df.select(dot_product(col("va"), col("vb")).as("d"),
+        sq_distance(col("va"), col("vb")).as("s"),
+        aggregate(zip_with(col("va"), col("vb"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v).as("dc"),
+        aggregate(zip_with(col("va"), col("vb"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v).as("sc"))
+      assert(mism.filter(not(col("d") <=> col("dc")) || not(col("s") <=> col("sc")))
+        .count() == 0,
+        "length-mismatched / null-element vectors must yield NULL like zip_with∘aggregate")
+      // equal-length null-free vectors still produce values
+      val ok = df.select(dot_product(col("vb"), col("vb")).as("d")).filter(col("d").isNull)
+      assert(ok.count() == 0, "well-formed vectors must not regress to null")
+    }
+    check()
+    val orig = (spark.conf.getOption("spark.sql.codegen.wholeStage"),
+      spark.conf.getOption("spark.sql.codegen.factoryMode"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() finally {
+      orig._1.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+        spark.conf.set("spark.sql.codegen.wholeStage", _))
+      orig._2.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
 }

@@ -223,7 +223,7 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     val cold = Seq((200L, 10, 1, 777L), (201L, 10, 1, 777L))
     val bands = (hot ++ cold).toDF("gid", "sz", "band", "band_key")
     val cap = 8
-    val (kept, dropped) = operators.DedupOps.capBandBuckets(bands, cap)
+    val (kept, dropped, _) = operators.DedupOps.capBandBuckets(bands, cap)
     assert(kept.count() == cap + 2, "hot bucket capped to 8, cold bucket intact")
     assert(dropped.count() == 100 - cap, "drops are surfaced for logging, not silent")
     // deterministic keep rule: smallest gids survive
@@ -265,9 +265,32 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     import spark.implicits._
     val hot = (1L to 600L).map(g => (g, 10, 0, 99L)).toDF("gid", "sz", "band", "band_key")
     val thr = GraftConf.getInt(spark, GraftConf.DedupLshBucketAutoThreshold)
-    val (kept, dropped) = operators.DedupOps.capBandBuckets(hot, thr)
+    val (kept, dropped, _) = operators.DedupOps.capBandBuckets(hot, thr)
     assert(thr == 512 && kept.count() == 512 && dropped.count() == 88,
       "auto threshold must bound a degenerate hot bucket")
+  }
+
+  test("back-to-back capped dedups do not accumulate DISK_ONLY cache blocks (advisor r9)") {
+    // a long-lived pipeline session runs many capped dedups without
+    // clearCache(); withBucketCap must retire the PREVIOUS run's ranked
+    // DISK_ONLY persist when the next begins, and releaseCaches() drops
+    // the last one — storage returns to its pre-dedup baseline
+    def diskOnlyBlocks: Int = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel == org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    operators.DedupOps.releaseCaches()
+    val baseline = diskOnlyBlocks
+    withConf(GraftConf.DedupLshBucketCap.key -> "3") {
+      operators.DedupOps.queries("dedup_minhash_lsh")(spark, dir).collect()
+      val afterFirst = diskOnlyBlocks
+      assert(afterFirst <= baseline + 1,
+        s"one capped run may hold at most one live cap cache (got $afterFirst vs baseline $baseline)")
+      operators.DedupOps.queries("dedup_minhash_lsh")(spark, dir).collect()
+      assert(diskOnlyBlocks <= baseline + 1,
+        "the second capped run must retire the first run's cache, not stack on it")
+    }
+    operators.DedupOps.releaseCaches()
+    assert(diskOnlyBlocks == baseline,
+      "releaseCaches() must return storage to the pre-dedup baseline")
   }
 
   test("ANALYZE TABLE feeds CBO: column stats exist and shrink filter estimates") {

@@ -2785,6 +2785,175 @@ class SparkSemanticsSpec extends AnyFunSuite {
   // These behaviors have no single-SQL rendering (na.*, unionByName,
   // exceptAll/intersectAll multiplicities, stat.*, typed Dataset ops), so
   // the pin is a DataFrame program; output is golden-pinned identically.
+  // ---- wave 10a: interval-arithmetic overflow faces (round-9 verdict
+  // item 4; reference runs GlutenIntervalExpressionsSuite /
+  // GlutenIntervalFunctionsSuite — VeloxTestSettings.scala:49+). ANSI
+  // interval types (year-month = int months, day-time = long micros)
+  // overflow-CHECK in every arithmetic op regardless of
+  // spark.sql.ansi.enabled; the raising faces are contracts below
+  // (intervalErrors, asserted under BOTH ANSI modes), the try_ variants
+  // and boundary-exact values are pinned here.
+  private val intervalPinned: Seq[(String, String)] = Seq(
+    // try_* family absorbs interval overflow to NULL
+    "intervalpin_try_add_dt_overflow_null" ->
+      "SELECT try_add(INTERVAL '106751991' DAY, INTERVAL '1' DAY)",
+    "intervalpin_try_add_ym_overflow_null" ->
+      "SELECT try_add(INTERVAL '178956970' YEAR, INTERVAL '1' YEAR)",
+    "intervalpin_try_subtract_dt_overflow_null" ->
+      "SELECT try_subtract(INTERVAL '-106751991' DAY, INTERVAL '1' DAY)",
+    "intervalpin_try_subtract_ym_overflow_null" ->
+      "SELECT try_subtract(INTERVAL '-178956970' YEAR, INTERVAL '1' YEAR)",
+    "intervalpin_try_multiply_dt_overflow_null" ->
+      "SELECT try_multiply(INTERVAL '106751991' DAY, 2)",
+    "intervalpin_try_multiply_ym_overflow_null" ->
+      "SELECT try_multiply(INTERVAL '178956970' YEAR, 2)",
+    "intervalpin_try_divide_dt_by_zero_null" ->
+      "SELECT try_divide(INTERVAL '1' DAY, 0)",
+    "intervalpin_try_divide_ym_by_zero_null" ->
+      "SELECT try_divide(INTERVAL '1' YEAR, 0)",
+    "intervalpin_try_add_in_range_value" ->
+      "SELECT try_add(INTERVAL '1' DAY, INTERVAL '12' HOUR)",
+    "intervalpin_try_multiply_in_range_value" ->
+      "SELECT try_multiply(INTERVAL '2-3' YEAR TO MONTH, 2)",
+    // exact type boundaries parse and survive identity arithmetic
+    "intervalpin_ym_max_literal" ->
+      "SELECT INTERVAL '178956970-7' YEAR TO MONTH",
+    "intervalpin_ym_min_literal" ->
+      "SELECT INTERVAL '-178956970-8' YEAR TO MONTH",
+    "intervalpin_dt_max_literal" ->
+      "SELECT INTERVAL '106751991 04:00:54.775807' DAY TO SECOND",
+    "intervalpin_dt_max_plus_zero" ->
+      "SELECT INTERVAL '106751991 04:00:54.775807' DAY TO SECOND + INTERVAL '0' SECOND",
+    "intervalpin_ym_max_plus_zero" ->
+      "SELECT INTERVAL '178956970-7' YEAR TO MONTH + INTERVAL '0-0' YEAR TO MONTH",
+    // carry/rounding discipline
+    "intervalpin_dt_second_carry_to_day" ->
+      "SELECT INTERVAL '0 23:59:59.999999' DAY TO SECOND + INTERVAL '0.000001' SECOND",
+    "intervalpin_dt_multiply_micro_rounding" ->
+      "SELECT INTERVAL '1' SECOND * 0.0000015",
+    "intervalpin_dt_divide_truncation" ->
+      "SELECT INTERVAL '1' DAY / 3",
+    "intervalpin_ym_multiply_fractional_rounding" ->
+      "SELECT INTERVAL '1' YEAR * 1.5, INTERVAL '1' YEAR * 1.4999999",
+    "intervalpin_negate_max_dt_ok" ->
+      "SELECT -INTERVAL '106751991 04:00:54.775807' DAY TO SECOND",
+    // datetime +/- interval edges (in-range)
+    "intervalpin_date_plus_ym_month_clamp" ->
+      "SELECT DATE'2024-01-31' + INTERVAL '1' MONTH, DATE'2024-02-29' + INTERVAL '1' YEAR",
+    "intervalpin_date_minus_ym" ->
+      "SELECT DATE'2020-03-31' - INTERVAL '1' MONTH",
+    "intervalpin_ts_plus_dt_micros" ->
+      "SELECT TIMESTAMP'2020-01-01 00:00:00' + INTERVAL '0.000001' SECOND",
+    "intervalpin_date_max_reachable" ->
+      "SELECT DATE'9999-12-30' + INTERVAL '1' DAY",
+    // aggregates over ANSI intervals
+    "intervalpin_sum_avg_dt_with_null" ->
+      "SELECT sum(i), avg(i) FROM VALUES (INTERVAL '1' DAY),(INTERVAL '2' DAY),(CAST(NULL AS INTERVAL DAY)) t(i)",
+    "intervalpin_sum_ym" ->
+      "SELECT sum(i) FROM VALUES (INTERVAL '1-1' YEAR TO MONTH),(INTERVAL '2-11' YEAR TO MONTH) t(i)",
+    "intervalpin_min_max_dt" ->
+      "SELECT min(i), max(i) FROM VALUES (INTERVAL '-1' DAY),(INTERVAL '2' HOUR) t(i)",
+    // casts and field width changes
+    "intervalpin_cast_month_to_string" ->
+      "SELECT CAST(INTERVAL '14' MONTH AS STRING)",
+    "intervalpin_cast_ym_to_int_months" ->
+      "SELECT CAST(INTERVAL '1-2' YEAR TO MONTH AS INT)",
+    "intervalpin_cast_dt_second_to_long" ->
+      "SELECT CAST(INTERVAL '1' SECOND AS BIGINT)",
+    "intervalpin_cast_int_to_ym" ->
+      "SELECT CAST(14 AS INTERVAL MONTH)",
+    "intervalpin_extract_negative_fields" ->
+      "SELECT extract(YEAR FROM INTERVAL '-1-7' YEAR TO MONTH), extract(MONTH FROM INTERVAL '-1-7' YEAR TO MONTH)",
+    "intervalpin_compare_mixed_sign" ->
+      "SELECT INTERVAL '-1' DAY < INTERVAL '1' HOUR, INTERVAL '0' DAY = INTERVAL '0' HOUR",
+    "intervalpin_sort_dt_array" ->
+      "SELECT array_sort(array(INTERVAL '2' DAY, INTERVAL '-1' DAY, INTERVAL '3' HOUR))",
+    "intervalpin_make_interval_funcs" ->
+      "SELECT make_ym_interval(1, 14), make_dt_interval(1, 25, 61, 61.5)")
+
+  // the raising faces: ANSI interval overflow errors under BOTH ansi
+  // modes (checked in a dedicated both-modes test below, not ansiErrors,
+  // because ansiErrors runs only under the session default)
+  private val intervalErrors: Seq[(String, String, String)] = Seq(
+    ("intervalpin_dt_add_overflow_errors",
+      "SELECT INTERVAL '106751991' DAY + INTERVAL '1' DAY", "overflow"),
+    ("intervalpin_ym_add_overflow_errors",
+      "SELECT INTERVAL '178956970' YEAR + INTERVAL '1' YEAR", "overflow"),
+    ("intervalpin_dt_subtract_overflow_errors",
+      "SELECT INTERVAL '-106751991' DAY - INTERVAL '2' DAY", "overflow"),
+    ("intervalpin_ym_multiply_overflow_errors",
+      "SELECT INTERVAL '178956970' YEAR * 2", "overflow"),
+    ("intervalpin_dt_multiply_overflow_errors",
+      "SELECT INTERVAL '106751991' DAY * 2", "overflow"),
+    // note: DATE has no year-9999 cap (int days since epoch) — the
+    // raising face is the int-days overflow, not a calendar ceiling
+    ("intervalpin_date_plus_ym_overflow_errors",
+      "SELECT DATE'2020-01-01' + INTERVAL '178956970' YEAR", "overflow"),
+    ("intervalpin_ts_plus_dt_overflow_errors",
+      "SELECT TIMESTAMP'2020-01-01 00:00:00' + INTERVAL '106751991' DAY", ""),
+    ("intervalpin_divide_by_zero_ym_errors",
+      "SELECT INTERVAL '1' YEAR / 0", "INTERVAL_DIVIDED_BY_ZERO"))
+
+  // ---- wave 10b: collation-sensitive comparison/sort/grouping/join
+  // (round-9 verdict item 4; reference runs the collation suites).
+  // UTF8_BINARY is the codepoint baseline; UTF8_LCASE lowercases before
+  // comparing; UNICODE/UNICODE_CI are the ICU root-order faces.
+  private val collatePinned: Seq[(String, String)] = Seq(
+    "collatepin_binary_vs_lcase_equality" ->
+      "SELECT 'GRAFT' = 'graft', 'GRAFT' COLLATE UTF8_LCASE = 'graft'",
+    "collatepin_binary_vs_lcase_less_than" ->
+      "SELECT 'a' < 'B', 'a' COLLATE UTF8_LCASE < 'B' COLLATE UTF8_LCASE",
+    "collatepin_lcase_inequality_still_distinguishes" ->
+      "SELECT 'ab' COLLATE UTF8_LCASE = 'ac', 'ab' COLLATE UTF8_LCASE < 'AC' COLLATE UTF8_LCASE",
+    "collatepin_collation_of_expressions" ->
+      "SELECT collation('x'), collation('x' COLLATE UTF8_LCASE), collation('x' COLLATE UNICODE_CI)",
+    "collatepin_order_by_lcase_with_binary_tiebreak" ->
+      "SELECT s FROM VALUES ('b'),('A'),('a'),('B') t(s) ORDER BY s COLLATE UTF8_LCASE, s",
+    "collatepin_order_by_binary_upper_block_first" ->
+      "SELECT s FROM VALUES ('b'),('A'),('a'),('B') t(s) ORDER BY s",
+    "collatepin_group_by_lcase_merges_case_variants" ->
+      "SELECT count(DISTINCT s COLLATE UTF8_LCASE), count(DISTINCT s) FROM VALUES ('aa'),('AA'),('aA'),('bb') t(s)",
+    "collatepin_group_by_lcase_counts" ->
+      "SELECT lower(c), n FROM (SELECT s COLLATE UTF8_LCASE AS c, count(*) AS n FROM VALUES ('x'),('X'),('y') t(s) GROUP BY 1) ORDER BY 1",
+    "collatepin_join_on_lcase_keys" ->
+      "SELECT a.s, b.t FROM VALUES ('Foo') a(s) JOIN VALUES ('foo') b(t) ON a.s COLLATE UTF8_LCASE = b.t COLLATE UTF8_LCASE",
+    "collatepin_join_on_binary_keys_misses" ->
+      "SELECT count(*) FROM VALUES ('Foo') a(s) JOIN VALUES ('foo') b(t) ON a.s = b.t",
+    "collatepin_min_max_under_lcase" ->
+      "SELECT min(s COLLATE UTF8_LCASE), max(s COLLATE UTF8_LCASE), min(s), max(s) FROM VALUES ('a'),('B') t(s)",
+    "collatepin_in_list_lcase" ->
+      "SELECT 'ABC' COLLATE UTF8_LCASE IN ('abc', 'xyz'), 'ABC' IN ('abc', 'xyz')",
+    "collatepin_case_when_comparison" ->
+      "SELECT CASE WHEN 'A' COLLATE UTF8_LCASE = 'a' THEN 'ci' ELSE 'cs' END",
+    "collatepin_contains_startswith_endswith_lcase" ->
+      "SELECT contains('GRAFT' COLLATE UTF8_LCASE, 'raf'), startswith('GRAFT' COLLATE UTF8_LCASE, 'gr'), endswith('GRAFT' COLLATE UTF8_LCASE, 'FT' COLLATE UTF8_LCASE)",
+    "collatepin_instr_locate_binary_baseline" ->
+      "SELECT instr('GRAFT', 'raf'), instr('GRAFT', 'RAF')",
+    "collatepin_unicode_ci_accents_fold_case_only" ->
+      "SELECT 'é' COLLATE UNICODE_CI = 'É', 'e' COLLATE UNICODE_CI = 'é'",
+    "collatepin_unicode_order_vs_binary" ->
+      "SELECT 'ä' < 'z', 'ä' COLLATE UNICODE < 'z' COLLATE UNICODE",
+    "collatepin_lcase_distinct_count_one" ->
+      "SELECT count(*) FROM (SELECT DISTINCT s COLLATE UTF8_LCASE AS c FROM VALUES ('x'),('X') t(s))",
+    "collatepin_greatest_least_lcase" ->
+      "SELECT greatest('a' COLLATE UTF8_LCASE, 'B' COLLATE UTF8_LCASE), least('a' COLLATE UTF8_LCASE, 'B' COLLATE UTF8_LCASE)",
+    "collatepin_array_sort_collated_elements" ->
+      "SELECT array_sort(array('b' COLLATE UTF8_LCASE, 'A' COLLATE UTF8_LCASE, 'a' COLLATE UTF8_LCASE))",
+    "collatepin_array_contains_lcase" ->
+      "SELECT array_contains(array('Foo' COLLATE UTF8_LCASE, 'Bar' COLLATE UTF8_LCASE), 'foo')",
+    "collatepin_nullif_lcase" ->
+      "SELECT nullif('A' COLLATE UTF8_LCASE, 'a' COLLATE UTF8_LCASE), nullif('A', 'a')",
+    "collatepin_between_lcase" ->
+      "SELECT 'm' COLLATE UTF8_LCASE BETWEEN 'A' COLLATE UTF8_LCASE AND 'Z' COLLATE UTF8_LCASE, 'm' BETWEEN 'A' AND 'Z'",
+    "collatepin_cast_strips_to_default" ->
+      "SELECT collation(CAST('x' COLLATE UTF8_LCASE AS STRING))",
+    "collatepin_concat_preserves_collation" ->
+      "SELECT collation(concat('a' COLLATE UTF8_LCASE, 'b' COLLATE UTF8_LCASE))",
+    "collatepin_upper_lower_on_collated" ->
+      "SELECT upper('graft' COLLATE UTF8_LCASE), lower('GRAFT' COLLATE UTF8_LCASE)",
+    "collatepin_typeof_collated_string" ->
+      "SELECT typeof('x' COLLATE UTF8_LCASE)")
+
   private val apiPinned: Seq[(String, org.apache.spark.sql.SparkSession =>
       org.apache.spark.sql.DataFrame)] = {
     import org.apache.spark.sql.{functions => F}
@@ -3539,7 +3708,11 @@ class SparkSemanticsSpec extends AnyFunSuite {
   /** every golden-pinned entry with its renderer; the "sql" column for
     * API pins is the label itself (shown on failure instead of SQL) */
   private val allPinned: Seq[(String, String, String => String)] =
-    (pinned ++ decimalPinned ++ parseModePinned).map { case (l, s) => (l, s, render(_)) } ++
+    (pinned ++ decimalPinned ++ parseModePinned ++ collatePinned).map { case (l, s) => (l, s, render(_)) } ++
+      // interval wave runs under BOTH ansi modes: ANSI interval types
+      // overflow-check independent of the flag, and the pins prove it
+      intervalPinned.map { case (l, s) => (l, s, render(_)) } ++
+      intervalPinned.map { case (l, s) => (s"nonansi_$l", s, renderNonAnsi(_)) } ++
       noCodegenPinned.map { case (l, s) => (l, s, renderNoCodegen(_)) } ++
       nonAnsiPinned.map { case (l, s) => (l, s, renderNonAnsi(_)) } ++
       tzPinned ++
@@ -3580,6 +3753,24 @@ class SparkSemanticsSpec extends AnyFunSuite {
       val e = intercept[Exception] { spark.sql(sql).collect() }
       assert(e.getMessage.contains(condition),
         s"expected error condition $condition, got: ${e.getMessage.take(300)}")
+    }
+  }
+
+  // interval overflow raises under BOTH ansi modes — the ANSI interval
+  // types carry their own range checks, unlike int/long arithmetic
+  // whose raising is ansi-gated (wave 10a contracts)
+  intervalErrors.foreach { case (label, sql, condition) =>
+    test(s"pinned: $label (both ansi modes)") {
+      for (ansi <- Seq("true", "false")) {
+        val orig = spark.conf.getOption("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+        try {
+          val e = intercept[Exception] { spark.sql(sql).collect() }
+          assert(e.getMessage.toLowerCase.contains(condition.toLowerCase),
+            s"ansi=$ansi: expected '$condition' in: ${e.getMessage.take(300)}")
+        } finally orig.fold(spark.conf.unset("spark.sql.ansi.enabled"))(
+          spark.conf.set("spark.sql.ansi.enabled", _))
+      }
     }
   }
 }
