@@ -45,6 +45,38 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Exact row count + average per-row UNCOMPRESSED bytes of one column,
+    * read straight from the parquet footers — no Spark job, no scan.
+    * Operators that size a plan from corpus statistics (the containment
+    * verify's broadcast budget gate, corpus-scaled distinct widths) use
+    * this instead of `count()`/sampling actions: footer totals cover
+    * EVERY file, so the estimate cannot inherit head-of-file bias, and
+    * query construction stays free of Spark jobs. On a real cluster the
+    * footer reads are a handful of driver-side metadata RPCs — the same
+    * cost class as file listing. */
+  private[graft] def parquetFooterStats(spark: SparkSession, dir: String,
+      name: String, column: String): (Long, Double) = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = path.getFileSystem(conf)
+    val files = (if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq
+      else Seq(fs.getFileStatus(path)))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    var rows = 0L
+    var bytes = 0L
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try reader.getFooter.getBlocks.forEach { b =>
+        rows += b.getRowCount
+        b.getColumns.forEach { c =>
+          if (c.getPath.toDotString == column) bytes += c.getTotalUncompressedSize
+        }
+      } finally reader.close()
+    }
+    (rows, if (rows > 0) bytes.toDouble / rows else 0.0)
+  }
+
   // ---- determinism helpers shared by the query library -----------------
   // Money columns are stored as DOUBLE with 2-decimal values. Summing
   // doubles is order-dependent (parallel partial aggregation!), so every

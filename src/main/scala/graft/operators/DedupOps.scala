@@ -353,7 +353,13 @@ object DedupOps {
     * collision (~1e-11 over this vocabulary) would perturb a count and
     * fail the oracle, so the hash gate itself polices the assumption.
     */
-  private val dedupContainment: Q = (s, dir) => {
+  /** The containment verify pipeline up to (but not including) the
+    * survivor checkpoint — factored out so specs can assert the verify
+    * plan's shape (single BroadcastExchange + ReusedExchange for the
+    * two set-table sides) without executing it. Returns the survivor
+    * plan and the `groups` cache handle the caller owns (the query
+    * releases it right after the eager checkpoint). */
+  private[graft] def containmentPlan(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val t = 0.5
     // Candidate-side threshold relaxed by 1e-6 (advisor, r9): the FINAL
     // gate is round(containment, 6) >= t, which accepts raw values in
@@ -412,8 +418,10 @@ object DedupOps {
     // per 1k docs (candidate rows grow superlinearly in docs on a
     // dup-dense corpus; 500k docs → ~1.8B candidates → 500 tasks of
     // ~3.5M rows). Floor = session shuffle partitions so small corpora
-    // keep their plan; docCount is a parquet-footer count (no scan).
-    val docCount = load(s, dir, "documents").count()
+    // keep their plan; docCount comes straight from the parquet
+    // footers — no Spark job at plan time (advisor r10: the previous
+    // load().count() made query CONSTRUCTION run a job).
+    val (docCount, avgTextBytes) = parquetFooterStats(s, dir, "documents", "text")
     val candParts = math.max(
       s.sessionState.conf.numShufflePartitions, (docCount / 1000L).toInt)
     val cand = clusteredDistinct(
@@ -440,17 +448,30 @@ object DedupOps {
     // plan, which a multi-executor cluster absorbs — same adaptive
     // shape as the LSH verify's broadcast gate above.
     val cBudget = graft.GraftConf.getLong(s, graft.GraftConf.DedupContainmentBroadcastMaxBytes)
-    val avgSetBytes = {
-      val sample = perDoc.select(size(col("hs")).as("n")).limit(1000)
-        .agg(avg(col("n"))).head
-      val avgSz = if (sample.isNullAt(0)) 64.0 else sample.getDouble(0)
-      (avgSz * 8L).toLong + 48L // hs longs + members/na/row overhead
-    }
+    // Set-table size bound from the SAME footer stats — corpus-exact
+    // text bytes, not a head-of-file sample (advisor r10: limit(1000)
+    // reads whatever rows sit first in the first file; short docs there
+    // underestimated the table and could force-broadcast past the
+    // budget). Only the words-per-byte ratio is heuristic: ≥1 word per
+    // 5 text bytes (4-char word + separator) bounds the underestimate
+    // at 2.5x even for a degenerate 1-char-word corpus — the budget
+    // default (512 MB) sits far enough under executor memory to absorb
+    // that; the old sample bias was unbounded. Per doc: ≤(words−2)
+    // 8-byte shingle hashes + an 8-byte member id + group-row overhead.
+    val avgSetBytes = (avgTextBytes * 8.0 / 5.0).toLong + 64L
     val bcastSets = docCount * avgSetBytes <= cBudget // docCount >= |distinct sets|
     def gate(df: DataFrame): DataFrame = if (bcastSets) broadcast(df) else df
-    val hsU = gate(groups.select(col("gid").as("u"), col("hs").as("hsu"),
+    // ONE canonical set-table projection, broadcast ONCE: the u- and
+    // v-side lookups are alias-only projections over it, which
+    // canonicalize identically, so the physical plan builds a single
+    // BroadcastExchange and the second join gets a ReusedExchange —
+    // half the broadcast memory and one torrent broadcast on a real
+    // cluster (advisor r10: the previous per-side projections differed
+    // in column names BELOW the hint and broadcast the table twice).
+    val setsTab = groups.select(col("gid"), col("hs"), col("na"), col("members"))
+    val hsU = gate(setsTab.select(col("gid").as("u"), col("hs").as("hsu"),
       col("na").as("nu"), col("members").as("mu")))
-    val hsV = gate(groups.select(col("gid").as("v"), col("hs").as("hsv"),
+    val hsV = gate(setsTab.select(col("gid").as("v"), col("hs").as("hsv"),
       col("na").as("nv"), col("members").as("mv")))
     val crossPairs = cand.join(hsU, Seq("u")).join(hsV, Seq("v"))
       .withColumn("i", GraftExpressions.sorted_intersect_count(col("hsu"), col("hsv")))
@@ -473,6 +494,15 @@ object DedupOps {
       .select(col("doc_a"), explode(col("members")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"), lit(1.0).as("containment"))
+    (crossPairs.unionByName(withinPairs), groups)
+  }
+
+  /** NOTE: constructing this query EXECUTES the verify pipeline (the
+    * eager survivor checkpoint below is load-bearing); harnesses time
+    * construction + action together (Bench's timer opens before the
+    * query function is applied). */
+  private val dedupContainment: Q = (s, dir) => {
+    val (pre, groups) = containmentPlan(s, dir)
     // materialize survivors BEFORE the global sort: orderBy's range
     // partitioner SAMPLES its input by executing the child plan, so an
     // unmaterialized verify pipeline runs TWICE (measured at 100x:
@@ -482,8 +512,14 @@ object DedupOps {
     // the default deserialized MEMORY_AND_DISK level held 41M rows as
     // Java objects next to the two verify broadcasts — measured heap
     // death at 100x/6 GiB; disk read-back of narrow rows is trivial.
-    val survivors = crossPairs.unionByName(withinPairs)
+    val survivors = pre
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // the groups cache exists to share the set table across the six
+    // subtrees of the ONE materialization above; after the eager
+    // checkpoint it is dead weight (advisor r10) — release before
+    // returning so back-to-back containment passes in a long-lived
+    // session do not accumulate set-table blocks
+    groups.unpersist(blocking = false)
     survivors.orderBy(col("doc_a"), col("doc_b"))
   }
 

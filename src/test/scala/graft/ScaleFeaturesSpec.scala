@@ -293,6 +293,44 @@ class ScaleFeaturesSpec extends AnyFunSuite {
       "releaseCaches() must return storage to the pre-dedup baseline")
   }
 
+  test("containment verify broadcasts the set table ONCE (advisor r10: hsU/hsV double broadcast)") {
+    // the u- and v-side set lookups are alias-only projections of one
+    // canonical broadcast projection; they canonicalize identically, so
+    // the physical plan must serve the v side from a ReusedExchange —
+    // one torrent broadcast and half the executor broadcast memory on a
+    // real cluster. AQE off: the static ReuseExchangeAndSubquery rule is
+    // the contract under test (AQE's runtime stage cache reuses by the
+    // same canonical key).
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val (pre, groups) = operators.DedupOps.containmentPlan(spark, dir)
+      try {
+        val plan = pre.queryExecution.executedPlan.toString
+        assert("""ReusedExchange \[[^\]]*hsv""".r.findFirstIn(plan).isDefined,
+          "v-side set lookup must be a ReusedExchange of the u-side broadcast:\n" +
+            plan.take(4000))
+      } finally groups.unpersist(blocking = false)
+    }
+  }
+
+  test("back-to-back containment passes release the set-table cache (advisor r10)") {
+    // dedupContainment cache()s its distinct-set table to share it
+    // across the verify subtrees of the ONE eager materialization; the
+    // query must release it before returning so a long-lived pipeline
+    // session running many containment passes does not accumulate
+    // set-table blocks (mirror of the capped-LSH spec above)
+    def cachedBlocks: Int = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spark.catalog.clearCache()
+    val baseline = cachedBlocks
+    operators.DedupOps.queries("dedup_containment")(spark, dir).collect()
+    assert(cachedBlocks == baseline,
+      "first containment pass must release its groups cache on return")
+    operators.DedupOps.queries("dedup_containment")(spark, dir).collect()
+    assert(cachedBlocks == baseline,
+      "second containment pass must not stack set-table blocks")
+    spark.catalog.clearCache()
+  }
+
   test("ANALYZE TABLE feeds CBO: column stats exist and shrink filter estimates") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS cbo_probe")

@@ -2889,8 +2889,12 @@ class SparkSemanticsSpec extends AnyFunSuite {
     // raising face is the int-days overflow, not a calendar ceiling
     ("intervalpin_date_plus_ym_overflow_errors",
       "SELECT DATE'2020-01-01' + INTERVAL '178956970' YEAR", "overflow"),
+    // raises the RAW JVM face (java.lang.ArithmeticException "long
+    // overflow" from the micros addExact), not a Spark error condition —
+    // pin the real substring (advisor r10: the previous "" pin made
+    // contains() vacuously true)
     ("intervalpin_ts_plus_dt_overflow_errors",
-      "SELECT TIMESTAMP'2020-01-01 00:00:00' + INTERVAL '106751991' DAY", ""),
+      "SELECT TIMESTAMP'2020-01-01 00:00:00' + INTERVAL '106751991' DAY", "long overflow"),
     ("intervalpin_divide_by_zero_ym_errors",
       "SELECT INTERVAL '1' YEAR / 0", "INTERVAL_DIVIDED_BY_ZERO"))
 
