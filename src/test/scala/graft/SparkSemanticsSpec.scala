@@ -2958,6 +2958,234 @@ class SparkSemanticsSpec extends AnyFunSuite {
     "collatepin_typeof_collated_string" ->
       "SELECT typeof('x' COLLATE UTF8_LCASE)")
 
+  // ---- wave 11a: correlated-subquery corner cases (round-10 verdict
+  // item 5; the GlutenSubquerySuite analog beyond wave 6d's basics).
+  // NULL-aware anti-join semantics, the COUNT-on-empty-group "count
+  // bug", decorrelation of inequality/LIMIT/ORDER BY shapes, lateral
+  // correlation, and the analysis limits (outer refs reach ONE level).
+  private val subqPinned: Seq[(String, String)] = Seq(
+    "subqpin_not_in_null_in_subquery_empty" ->
+      "SELECT k FROM VALUES (1),(2) t(k) WHERE k NOT IN (SELECT v FROM VALUES (1),(NULL) s(v))",
+    "subqpin_not_in_null_probe_and_null_subquery_empty" ->
+      "SELECT k FROM VALUES (CAST(NULL AS INT)),(2) t(k) WHERE k NOT IN (SELECT v FROM VALUES (1),(NULL) s(v))",
+    "subqpin_not_in_filtered_empty_subquery_keeps_all" ->
+      "SELECT k FROM VALUES (CAST(NULL AS INT)),(2) t(k) WHERE k NOT IN (SELECT v FROM VALUES (1) s(v) WHERE v > 9) ORDER BY k",
+    "subqpin_not_in_constant_false_subquery_keeps_all" ->
+      "SELECT k FROM VALUES (CAST(NULL AS INT)),(2) t(k) WHERE k NOT IN (SELECT v FROM VALUES (1) s(v) WHERE 1=0) ORDER BY k",
+    "subqpin_correlated_not_in" ->
+      "SELECT k FROM VALUES (1),(2),(3) t(k) WHERE k NOT IN (SELECT v FROM VALUES (1,1),(2,5) s(v, g) WHERE s.g = t.k) ORDER BY k",
+    // the "count bug": COUNT over an empty correlated group is 0, not
+    // NULL — a naive decorrelating join would fabricate NULL
+    "subqpin_count_bug_empty_group_zero" ->
+      "SELECT k, (SELECT count(*) FROM VALUES (1) s(v) WHERE s.v = t.k) AS c FROM VALUES (1),(5) t(k) ORDER BY k",
+    "subqpin_sum_empty_group_null" ->
+      "SELECT k, (SELECT sum(v) FROM VALUES (1) s(v) WHERE s.v = t.k) AS c FROM VALUES (1),(5) t(k) ORDER BY k",
+    "subqpin_correlated_group_having_empty_null" ->
+      "SELECT k, (SELECT count(*) FROM VALUES (1) s(v) WHERE s.v = t.k GROUP BY v) AS c FROM VALUES (1),(5) t(k) ORDER BY k",
+    "subqpin_nested_exists_two_level" ->
+      "SELECT k FROM VALUES (1),(2) t(k) WHERE EXISTS (SELECT 1 FROM VALUES (1),(2) s(v) WHERE s.v = t.k AND EXISTS (SELECT 1 FROM VALUES (1) u(w) WHERE u.w = s.v))",
+    "subqpin_tuple_in" ->
+      "SELECT k FROM VALUES (1),(2) t(k) WHERE (k, k+1) IN (SELECT v, v+1 FROM VALUES (1) s(v))",
+    "subqpin_left_lateral_empty_null" ->
+      "SELECT t.k, l.m FROM VALUES (1),(2) t(k) LEFT JOIN LATERAL (SELECT v AS m FROM VALUES (1) s(v) WHERE s.v = t.k) l ON true ORDER BY t.k",
+    "subqpin_lateral_aggregate" ->
+      "SELECT t.k, l.m FROM VALUES (1),(2) t(k), LATERAL (SELECT max(v) AS m FROM VALUES (1),(2) s(v) WHERE s.v <= t.k) l ORDER BY t.k",
+    "subqpin_correlated_inequality_count" ->
+      "SELECT k, (SELECT count(*) FROM VALUES (1),(2),(3) s(v) WHERE s.v < t.k) AS c FROM VALUES (2),(4) t(k) ORDER BY k",
+    "subqpin_having_scalar" ->
+      "SELECT k, count(*) AS n FROM VALUES (1),(1),(2) t(k) GROUP BY k HAVING count(*) > (SELECT min(v) FROM VALUES (1) s(v)) ORDER BY k",
+    "subqpin_case_when_in" ->
+      "SELECT k, CASE WHEN k IN (SELECT v FROM VALUES (1) s(v)) THEN 'in' ELSE 'out' END FROM VALUES (1),(2) t(k) ORDER BY k",
+    "subqpin_scalar_null_comparison_empty" ->
+      "SELECT k FROM VALUES (1),(2) t(k) WHERE k > (SELECT CAST(NULL AS INT))",
+    // a NULL join key matches nothing: EXISTS drops the NULL row,
+    // NOT EXISTS keeps it — the semi/anti asymmetry
+    "subqpin_exists_null_key_drops_null_row" ->
+      "SELECT k FROM VALUES (CAST(NULL AS INT)),(1) t(k) WHERE EXISTS (SELECT 1 FROM VALUES (1),(NULL) s(v) WHERE s.v = t.k)",
+    "subqpin_not_exists_null_key_keeps_null_row" ->
+      "SELECT k FROM VALUES (CAST(NULL AS INT)),(1) t(k) WHERE NOT EXISTS (SELECT 1 FROM VALUES (1),(NULL) s(v) WHERE s.v = t.k)",
+    "subqpin_scalar_struct" -> "SELECT (SELECT struct(1 AS a, 'x' AS b))",
+    "subqpin_in_type_coercion" ->
+      "SELECT k FROM VALUES ('1'),('2') t(k) WHERE k IN (SELECT v FROM VALUES (1) s(v))",
+    "subqpin_correlated_limit_one" ->
+      "SELECT k, (SELECT v FROM VALUES (1,'a'),(2,'b') s(v, w) WHERE s.v = t.k LIMIT 1) AS c FROM VALUES (1),(3) t(k) ORDER BY k",
+    "subqpin_correlated_orderby_limit" ->
+      "SELECT k, (SELECT w FROM VALUES (1,'z'),(1,'a'),(2,'b') s(v, w) WHERE s.v = t.k ORDER BY w LIMIT 1) AS c FROM VALUES (1),(2) t(k) ORDER BY k",
+    "subqpin_exists_with_having_agg" ->
+      "SELECT k FROM VALUES (1),(2) t(k) WHERE EXISTS (SELECT max(v) FROM VALUES (1) s(v) WHERE s.v = t.k HAVING max(v) > 0)",
+    "subqpin_group_by_on_scalar_output" ->
+      "SELECT k, (SELECT count(*) FROM VALUES (1),(1),(2) s(v) WHERE s.v = t.k) AS c FROM VALUES (1),(2) t(k) GROUP BY k, c ORDER BY k",
+    "subqpin_exists_under_or" ->
+      "SELECT k FROM VALUES (1),(2),(3) t(k) WHERE k = 3 OR EXISTS (SELECT 1 FROM VALUES (1) s(v) WHERE s.v = t.k) ORDER BY k",
+    "subqpin_exists_limit_zero_false" ->
+      "SELECT k FROM VALUES (1) t(k) WHERE EXISTS (SELECT 1 FROM VALUES (1) s(v) LIMIT 0)",
+    "subqpin_scalar_inside_aggregate" ->
+      "SELECT max(k + (SELECT min(v) FROM VALUES (5),(7) s(v))) FROM VALUES (1),(2) t(k)",
+    "subqpin_in_subquery_orderby_limit" ->
+      "SELECT k FROM VALUES (1),(2) t(k) WHERE k IN (SELECT v FROM VALUES (2),(1) s(v) ORDER BY v DESC LIMIT 1)",
+    "subqpin_scalar_under_join" ->
+      "SELECT t.k, (SELECT count(*) FROM VALUES (1),(2) s(v) WHERE s.v <= t.k) AS c FROM VALUES (1),(2) t(k) JOIN VALUES (1) u(z) ON t.k >= u.z ORDER BY t.k")
+
+  // ---- wave 11b: char/varchar padding semantics (round-10 verdict
+  // item 5; the reference runs Spark's char/varchar suites). The
+  // LOAD-BEARING asymmetries: a CHAR(n) TABLE COLUMN reads back
+  // space-padded to n and comparisons against STRING literals pad the
+  // literal — but string-function, LIKE and cross-relation JOIN
+  // semantics see the raw padded value; expression-level CAST to
+  // CHAR/VARCHAR neither pads nor truncates; VARCHAR trims trailing
+  // spaces to fit on write but never pads a comparison.
+  private var charTableReady = false
+  private def ensureCharTable(): Unit = synchronized {
+    if (!charTableReady) {
+      spark.sql("DROP TABLE IF EXISTS charpin_t")
+      spark.sql("CREATE TABLE charpin_t (c CHAR(5), v VARCHAR(5)) USING parquet")
+      spark.sql("INSERT INTO charpin_t VALUES ('ab', 'ab'), (NULL, NULL)")
+      // 'abc   ' is OVER the VARCHAR(5) limit but only in trailing
+      // spaces: the write trims to fit instead of raising
+      spark.sql("INSERT INTO charpin_t VALUES ('abcde', 'abc   ')")
+      charTableReady = true
+    }
+  }
+  private def renderChar(sql: String): String = { ensureCharTable(); render(sql) }
+  private val charPinned: Seq[(String, String)] = Seq(
+    "charpin_read_pads_to_width" ->
+      "SELECT c, length(c) FROM charpin_t WHERE c IS NOT NULL ORDER BY c",
+    "charpin_varchar_write_trims_trailing_to_fit" ->
+      "SELECT v, length(v) FROM charpin_t WHERE v IS NOT NULL ORDER BY v",
+    "charpin_eq_string_literal_pads_literal" ->
+      "SELECT c = 'ab', c = 'ab   ' FROM charpin_t WHERE rtrim(c) = 'ab'",
+    "charpin_varchar_eq_never_pads" ->
+      "SELECT v = 'abc', v = 'abc  ' FROM charpin_t WHERE rtrim(v) = 'abc'",
+    "charpin_group_by_padded_key" ->
+      "SELECT c, count(*) FROM charpin_t WHERE c IS NOT NULL GROUP BY c ORDER BY c",
+    "charpin_distinct_padded" ->
+      "SELECT DISTINCT c FROM charpin_t WHERE rtrim(c) = 'ab'",
+    "charpin_concat_keeps_padding" ->
+      "SELECT concat(c, 'X'), concat(v, 'X') FROM charpin_t WHERE rtrim(c) = 'ab'",
+    "charpin_like_sees_padding" ->
+      "SELECT c LIKE 'ab', c LIKE 'ab%', c LIKE 'ab   ' FROM charpin_t WHERE rtrim(c) = 'ab'",
+    // literal padding is a COMPARISON-WITH-LITERAL rule, not a join
+    // rule: the same 'ab' arriving through a relation does NOT pad, so
+    // the join finds nothing
+    "charpin_join_with_relation_literal_no_pad" ->
+      "SELECT a.c FROM charpin_t a JOIN (SELECT 'ab' AS k) b ON a.c = b.k",
+    "charpin_join_char_char_matches" ->
+      "SELECT a.c FROM charpin_t a JOIN charpin_t b ON a.c = b.c WHERE a.v = 'ab'",
+    "charpin_in_list_pads_literals" ->
+      "SELECT count(*) FROM charpin_t WHERE c IN ('ab', 'zz')",
+    "charpin_between_pads_bounds" ->
+      "SELECT count(*) FROM charpin_t WHERE c BETWEEN 'aa' AND 'ac'",
+    "charpin_substr_sees_pad_chars" ->
+      "SELECT substr(c, 1, 3), length(substr(c, 1, 3)) FROM charpin_t WHERE rtrim(c) = 'ab'",
+    "charpin_upper_preserves_padding" ->
+      "SELECT upper(c), length(upper(c)) FROM charpin_t WHERE rtrim(c) = 'ab'",
+    "charpin_cast_to_string_keeps_pad" ->
+      "SELECT CAST(c AS STRING), length(CAST(c AS STRING)) FROM charpin_t WHERE rtrim(c) = 'ab'",
+    "charpin_cast_col_to_shorter_varchar_no_trunc" ->
+      "SELECT CAST(c AS VARCHAR(2)) FROM charpin_t WHERE rtrim(c) = 'ab'",
+    "charpin_order_by_padded" ->
+      "SELECT c FROM charpin_t WHERE c IS NOT NULL ORDER BY c",
+    "charpin_union_char_varchar_widens_to_string" ->
+      "SELECT x, length(x) FROM (SELECT c AS x FROM charpin_t UNION ALL SELECT v FROM charpin_t) WHERE x IS NOT NULL ORDER BY x, length(x)",
+    "charpin_rpad_idempotent_on_char" ->
+      "SELECT rpad(c, 5) = c FROM charpin_t WHERE c IS NOT NULL ORDER BY c",
+    "charpin_null_roundtrip" ->
+      "SELECT c, v FROM charpin_t WHERE c IS NULL",
+    "charpin_trim_removes_padding" ->
+      "SELECT count(*) FROM charpin_t WHERE trim(c) = 'ab'",
+    "charpin_min_max_padded" ->
+      "SELECT min(c), max(c), length(min(c)) FROM charpin_t",
+    // expression-level casts: no pad, no truncation — char/varchar
+    // width is enforced on TABLE WRITES only
+    "charpin_cast_literal_char_no_pad" ->
+      "SELECT CAST('a' AS CHAR(3)), length(CAST('a' AS CHAR(3)))",
+    "charpin_cast_literal_char_no_trunc" ->
+      "SELECT CAST('abcd' AS CHAR(3)), length(CAST('abcd' AS CHAR(3)))",
+    "charpin_cast_literal_varchar_no_trunc" ->
+      "SELECT CAST('abcdef' AS VARCHAR(3)), length(CAST('abcdef' AS VARCHAR(3)))",
+    "charpin_where_eq_count" ->
+      "SELECT count(*) FROM charpin_t WHERE c = 'ab'")
+
+  // ---- wave 11c: decimal aggregate overflow faces (round-10 verdict
+  // item 5; GlutenDataFrameAggregateSuite's overflow coverage). Value
+  // faces under ANSI-on here; the overflow→NULL/wrap faces re-render
+  // under ANSI-off below; the RAISING faces are contract-pinned with
+  // their exact error conditions (note there are TWO: the expression
+  // path raises NUMERIC_VALUE_OUT_OF_RANGE, the grouped sum raises
+  // ARITHMETIC_OVERFLOW "Overflow in sum of decimals").
+  private val dec38max = "CAST(99999999999999999999999999999999999999 AS DECIMAL(38,0))"
+  private val decaggPinned: Seq[(String, String)] = Seq(
+    "decaggpin_try_sum_dec38_overflow_null" ->
+      s"SELECT try_sum(v) FROM VALUES ($dec38max), ($dec38max) t(v)",
+    "decaggpin_try_avg_dec38_overflow_null" ->
+      s"SELECT try_avg(v) FROM VALUES ($dec38max), ($dec38max) t(v)",
+    "decaggpin_try_sum_long_overflow_null" ->
+      "SELECT try_sum(v) FROM VALUES (9223372036854775807L), (1L) t(v)",
+    "decaggpin_try_sum_window_overflow_null" ->
+      s"SELECT try_sum(v) OVER () FROM VALUES ($dec38max), ($dec38max) t(v)",
+    "decaggpin_sum_widens_precision_plus10" ->
+      "SELECT sum(v) FROM VALUES (CAST(1.50 AS DECIMAL(5,2))) t(v)",
+    "decaggpin_avg_scale_plus4" ->
+      "SELECT avg(v) FROM VALUES (CAST(1.50 AS DECIMAL(5,2))), (CAST(2.00 AS DECIMAL(5,2))) t(v)",
+    "decaggpin_avg_long_is_double_no_overflow" ->
+      "SELECT avg(v) FROM VALUES (9223372036854775807L), (9223372036854775807L) t(v)",
+    "decaggpin_sum_distinct_dec" ->
+      "SELECT sum(DISTINCT v) FROM VALUES (CAST(1.5 AS DECIMAL(5,2))), (CAST(1.5 AS DECIMAL(5,2))), (CAST(2.5 AS DECIMAL(5,2))) t(v)",
+    "decaggpin_sum_empty_null_count_zero" ->
+      "SELECT avg(v), sum(v), count(v) FROM VALUES (CAST(1 AS DECIMAL(5,2))) t(v) WHERE v > 100",
+    "decaggpin_sum_dec38_exact_fit_no_overflow" ->
+      s"SELECT sum(v) FROM VALUES ($dec38max), (CAST(-1 AS DECIMAL(38,0))) t(v)")
+  // ANSI-off: aggregate overflow degrades to NULL per group (decimal)
+  // or WRAPS silently (long sum — the two's-complement face), never
+  // raises; rendered with the nonansi_ prefix like the interval wave
+  private val decaggNonAnsiPinned: Seq[(String, String)] = Seq(
+    "decaggpin_sum_dec38_overflow_null" ->
+      s"SELECT sum(v) FROM VALUES ($dec38max), ($dec38max) t(v)",
+    "decaggpin_avg_dec38_overflow_null" ->
+      s"SELECT avg(v) FROM VALUES ($dec38max), ($dec38max) t(v)",
+    "decaggpin_sum_long_overflow_wraps" ->
+      "SELECT sum(v) FROM VALUES (9223372036854775807L), (1L) t(v)",
+    "decaggpin_sum_groupby_overflow_null_per_group" ->
+      s"SELECT k, sum(v) FROM VALUES (1, $dec38max), (1, $dec38max), (2, CAST(1 AS DECIMAL(38,0))) t(k, v) GROUP BY k ORDER BY k",
+    "decaggpin_window_sum_overflow_null" ->
+      s"SELECT sum(v) OVER () FROM VALUES ($dec38max), ($dec38max) t(v)",
+    "decaggpin_dec_multiply_overflow_null" ->
+      "SELECT CAST(99999999999999999999 AS DECIMAL(38,0)) * CAST(99999999999999999999 AS DECIMAL(38,0))",
+    "decaggpin_avg_long_is_double_both_modes" ->
+      "SELECT avg(v) FROM VALUES (9223372036854775807L), (9223372036854775807L) t(v)")
+
+  // raising contracts for waves 11a/11c (exact error conditions; the
+  // analysis errors raise in BOTH ansi modes, the decimal-agg overflow
+  // raising is ANSI-gated — its ANSI-off twins are value-pinned above)
+  private val wave11Errors: Seq[(String, String, String)] = Seq(
+    ("subqpin_outer_ref_two_levels_errors",
+      "SELECT k FROM VALUES (1),(2) t(k) WHERE EXISTS (SELECT 1 FROM VALUES (1),(2) s(v) WHERE EXISTS (SELECT 1 FROM VALUES (1) u(w) WHERE u.w = t.k))",
+      "UNRESOLVED_COLUMN"),
+    ("subqpin_scalar_multi_column_errors",
+      "SELECT (SELECT v, w FROM VALUES (1, 2) s(v, w))",
+      "SCALAR_SUBQUERY_RETURN_MORE_THAN_ONE_OUTPUT_COLUMN"),
+    ("subqpin_agg_mixing_outer_and_local_refs_errors",
+      "SELECT k, (SELECT sum(v + t.k) FROM VALUES (1),(2) s(v)) FROM VALUES (10),(20) t(k)",
+      "AGGREGATE_FUNCTION_MIXED_OUTER_LOCAL_REFERENCES"),
+    ("decaggpin_sum_dec38_overflow_errors",
+      s"SELECT sum(v) FROM VALUES ($dec38max), ($dec38max) t(v)",
+      "NUMERIC_VALUE_OUT_OF_RANGE"),
+    ("decaggpin_sum_groupby_overflow_errors",
+      s"SELECT k, sum(v) FROM VALUES (1, $dec38max), (1, $dec38max) t(k, v) GROUP BY k",
+      "ARITHMETIC_OVERFLOW"),
+    ("decaggpin_sum_long_overflow_errors",
+      "SELECT sum(v) FROM VALUES (9223372036854775807L), (1L) t(v)",
+      "ARITHMETIC_OVERFLOW"),
+    ("decaggpin_avg_dec38_overflow_errors",
+      s"SELECT avg(v) FROM VALUES ($dec38max), ($dec38max) t(v)",
+      "NUMERIC_VALUE_OUT_OF_RANGE"),
+    ("decaggpin_sum_distinct_overflow_errors",
+      s"SELECT sum(DISTINCT v) FROM VALUES ($dec38max), (CAST(89999999999999999999999999999999999999 AS DECIMAL(38,0))) t(v)",
+      "ARITHMETIC_OVERFLOW"),
+    ("decaggpin_window_sum_overflow_errors",
+      s"SELECT sum(v) OVER () FROM VALUES ($dec38max), ($dec38max) t(v)",
+      "NUMERIC_VALUE_OUT_OF_RANGE"))
+
   private val apiPinned: Seq[(String, org.apache.spark.sql.SparkSession =>
       org.apache.spark.sql.DataFrame)] = {
     import org.apache.spark.sql.{functions => F}
@@ -3712,7 +3940,10 @@ class SparkSemanticsSpec extends AnyFunSuite {
   /** every golden-pinned entry with its renderer; the "sql" column for
     * API pins is the label itself (shown on failure instead of SQL) */
   private val allPinned: Seq[(String, String, String => String)] =
-    (pinned ++ decimalPinned ++ parseModePinned ++ collatePinned).map { case (l, s) => (l, s, render(_)) } ++
+    (pinned ++ decimalPinned ++ parseModePinned ++ collatePinned ++
+      subqPinned ++ decaggPinned).map { case (l, s) => (l, s, render(_)) } ++
+      charPinned.map { case (l, s) => (l, s, renderChar(_)) } ++
+      decaggNonAnsiPinned.map { case (l, s) => (s"nonansi_$l", s, renderNonAnsi(_)) } ++
       // interval wave runs under BOTH ansi modes: ANSI interval types
       // overflow-check independent of the flag, and the pins prove it
       intervalPinned.map { case (l, s) => (l, s, render(_)) } ++
@@ -3757,6 +3988,32 @@ class SparkSemanticsSpec extends AnyFunSuite {
       val e = intercept[Exception] { spark.sql(sql).collect() }
       assert(e.getMessage.contains(condition),
         s"expected error condition $condition, got: ${e.getMessage.take(300)}")
+    }
+  }
+
+  // wave 11a/11c raising contracts (ANSI-on session default; the
+  // decimal-agg overflow raising is ansi-gated and its ANSI-off
+  // degrade-to-NULL twins are value-pinned as nonansi_decaggpin_*)
+  wave11Errors.foreach { case (label, sql, condition) =>
+    test(s"pinned: $label") {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.getMessage.contains(condition),
+        s"expected error condition $condition, got: ${e.getMessage.take(300)}")
+    }
+  }
+
+  // char/varchar width enforcement on table writes (needs the charpin_t
+  // setup; raises in BOTH ansi modes — the length check is a
+  // char/varchar constraint, not an ANSI gate). Non-trailing-space
+  // excess raises; trailing-space excess is trimmed to fit (the
+  // charpin_varchar_write_trims_trailing_to_fit value pin above).
+  test("pinned: charpin_insert_over_length_errors (char and varchar)") {
+    ensureCharTable()
+    for (ins <- Seq("INSERT INTO charpin_t VALUES ('ab', 'abcdef')",
+                    "INSERT INTO charpin_t VALUES ('abcdef', 'ab')")) {
+      val e = intercept[Exception] { spark.sql(ins).collect() }
+      assert(e.getMessage.contains("EXCEED_LIMIT_LENGTH"),
+        s"$ins => ${e.getMessage.take(300)}")
     }
   }
 
