@@ -11,7 +11,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * stream out per completed stage, not at the end).
   *
   * `runMain graft.tools.StageProfile [sfDir] [query]`
-  * (heap via SPARK_DRIVER_MEM, width via SPARK_GRAFT_CPUS)
+  * (heap via SPARK_DRIVER_MEM, width via SPARK_GRAFT_CPUS;
+  * SPARK_GRAFT_PROFILE_ENGINE=vanilla profiles the same query on a
+  * STOCK session — no extensions, stock planner confs, same
+  * master/width/UTC — so a graft-vs-stock wall delta can be attributed
+  * stage by stage instead of guessed at)
   */
 object StageProfile {
   def main(args: Array[String]): Unit = {
@@ -19,7 +23,13 @@ object StageProfile {
     val name = if (args.length > 1) args(1) else "dedup_containment"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val spark = graft.GraftSession.builder(master, cpus.toInt)
+    val vanilla = sys.env.get("SPARK_GRAFT_PROFILE_ENGINE").contains("vanilla")
+    val builder =
+      if (vanilla) org.apache.spark.sql.SparkSession.builder().master(master)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+      else graft.GraftSession.builder(master, cpus.toInt)
+    val spark = builder
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val listener = new SparkListener {
@@ -42,7 +52,8 @@ object StageProfile {
     graft.SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(1000)
-    println(f"STAGE_PROFILE query=$name master=$master wall=$wall%.2f")
+    val engine = if (vanilla) "vanilla" else "graft"
+    println(f"STAGE_PROFILE query=$name engine=$engine master=$master wall=$wall%.2f")
     spark.stop()
   }
 }
