@@ -59,9 +59,21 @@ object Tables {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val conf = spark.sessionState.newHadoopConf()
     val fs = path.getFileSystem(conf)
-    val files = (if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq
-      else Seq(fs.getFileStatus(path)))
+    // RECURSIVE listing: a partitioned/nested layout keeps its data
+    // files under key=value subdirectories — a top-level-only listing
+    // would silently return (0, 0.0) and feed planners a zero estimate
+    // (advisor r11). Zero data files is a planner-input error, not a
+    // size-0 table: fail loudly so the caller never sizes a plan from
+    // a layout this reader did not understand.
+    val files = (if (fs.getFileStatus(path).isDirectory) {
+      val it = fs.listFiles(path, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    } else Seq(fs.getFileStatus(path)))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty,
+      s"parquetFooterStats: no *.parquet data files under $path — cannot size a plan from this layout")
     var rows = 0L
     var bytes = 0L
     files.foreach { f =>

@@ -448,18 +448,31 @@ object DedupOps {
     // plan, which a multi-executor cluster absorbs — same adaptive
     // shape as the LSH verify's broadcast gate above.
     val cBudget = graft.GraftConf.getLong(s, graft.GraftConf.DedupContainmentBroadcastMaxBytes)
-    // Set-table size bound from the SAME footer stats — corpus-exact
-    // text bytes, not a head-of-file sample (advisor r10: limit(1000)
+    // Set-table size bound from the SAME footer stats — corpus-exact and
+    // full-coverage, not a head-of-file sample (advisor r10: limit(1000)
     // reads whatever rows sit first in the first file; short docs there
     // underestimated the table and could force-broadcast past the
-    // budget). Only the words-per-byte ratio is heuristic: ≥1 word per
+    // budget). NOTE the footer figure is POST-ENCODING bytes (after
+    // parquet dictionary/RLE), not raw text bytes, so a heavily
+    // dictionary-encoded text column reads smaller than its logical
+    // size. That is safe HERE because text compresses under dictionary
+    // encoding only when values repeat EXACTLY — and exact-equal text
+    // ⇒ identical shingle set ⇒ the identical-set collapse above folds
+    // those docs into ONE group row, shrinking the broadcast table by
+    // at least the same factor the encoding shrank the estimate
+    // (advisor r11: this reasoning is load-bearing for the 2.5x bound;
+    // a future change to the collapse keying must re-derive it). The
+    // words-per-byte ratio is the only other heuristic: ≥1 word per
     // 5 text bytes (4-char word + separator) bounds the underestimate
     // at 2.5x even for a degenerate 1-char-word corpus — the budget
     // default (512 MB) sits far enough under executor memory to absorb
     // that; the old sample bias was unbounded. Per doc: ≤(words−2)
     // 8-byte shingle hashes + an 8-byte member id + group-row overhead.
     val avgSetBytes = (avgTextBytes * 8.0 / 5.0).toLong + 64L
-    val bcastSets = docCount * avgSetBytes <= cBudget // docCount >= |distinct sets|
+    // docCount == 0 means the stats saw an empty table; never broadcast
+    // on a zero estimate — the shuffle plan is the safe fallback
+    val bcastSets = docCount > 0 &&
+      docCount * avgSetBytes <= cBudget // docCount >= |distinct sets|
     def gate(df: DataFrame): DataFrame = if (bcastSets) broadcast(df) else df
     // ONE canonical set-table projection, broadcast ONCE: the u- and
     // v-side lookups are alias-only projections over it, which
