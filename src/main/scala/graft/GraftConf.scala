@@ -80,6 +80,20 @@ object GraftConf {
     "neighbors returned per query vector")
   val SimLshBits: Entry[Int] = Entry("spark.graft.similarity.lsh.bits", 8,
     "random-hyperplane signature bits for ANN bucketing")
+  val SimLshBucketTarget: Entry[Int] = Entry("spark.graft.similarity.lsh.bucketTarget", 256,
+    "target mean bucket occupancy for the CORPUS-SCALED hyperplane LSH " +
+      "paths (embedding near-dup, ANN margin mining): the plane count " +
+      "grows as ceil(log2(corpusRows / bucketTarget)) above its floor, " +
+      "so candidate-pair volume scales ~n*log n instead of n^2/2^bits " +
+      "with a fixed bit width. Corpus size comes from parquet footer " +
+      "stats — no plan-time Spark job")
+  val SimSemanticClusterTarget: Entry[Int] = Entry("spark.graft.similarity.semantic.clusterTarget", 500,
+    "target mean cluster occupancy for SemDeDup's k-means stage: " +
+      "k = max(4, ceil(corpusRows / clusterTarget)), so the within-" +
+      "cluster quadratic verify stays bounded per cluster and total " +
+      "pair volume scales ~n*clusterTarget instead of n^2/4. At the " +
+      "oracle SFs (<= 2000 vectors) k stays at the pinned 4 the DuckDB " +
+      "oracle unrolls")
 
   def getInt(spark: SparkSession, e: Entry[Int]): Int =
     spark.conf.getOption(e.key).map(_.toInt).getOrElse(e.default)
@@ -99,5 +113,6 @@ object GraftConf {
       DedupVocabInlineMax, DedupBroadcastMaxBytes, DedupLshBucketCap,
       DedupLshBucketAutoThreshold, DedupContainmentBroadcastMaxBytes,
       RecursiveBroadcastMaxBytes, ForceShuffledHashJoin,
-      SkipPartialAggregate, SimTopK, SimLshBits)
+      SkipPartialAggregate, SimTopK, SimLshBits, SimLshBucketTarget,
+      SimSemanticClusterTarget)
 }

@@ -1205,16 +1205,31 @@ object DedupOps {
       |  true AS exact_dups_hamming_zero
       |FROM g""".stripMargin
 
-  /** Embedding-LSH gate at the pinned 4-bit operating point: DuckDB
-    * recomputes the exact cos≥0.4 pair count; the booleans assert the
-    * measured pair recall ≥ 0.5 and that every LSH pair is also an
-    * exact pair (precision 1.0 — the verify step applies the exact
-    * threshold, so a false positive here means a broken verifier). */
+  /** Embedding-LSH gate: the exact cos≥0.4 reference is restricted to a
+    * FIXED PROBE PANEL (pairs whose lower id is < 256) so the in-query
+    * exact side stays O(panel × corpus) — linear in corpus size — and
+    * this exported face is also the honest scale-bench query (the r11
+    * O(n²) exact reference made the gate quadratic by construction; at
+    * the sf0.01 oracle corpus of 500 vectors the panel covers half the
+    * id space and the recall measurement keeps its teeth). The approx
+    * side runs the FULL corpus-wide LSH pipeline at corpus-scaled bits
+    * ([[graft.operators.SimilarityOps.autoLshBits]], floor = the pinned
+    * 4-bit operating point — every oracle SF stays at 4). DuckDB
+    * recomputes the panel's exact pair count; the booleans assert
+    * measured panel recall ≥ 0.5 and that every LSH pair in the panel
+    * is also an exact pair (precision 1.0 — the verify step applies the
+    * exact threshold, so a false positive here means a broken
+    * verifier). */
   private val dedupEmbeddingLshGate: Q = (s, dir) => {
-    val approx = dedupEmbeddingLshAt(s, dir, 4).select(col("id_a"), col("id_b"))
-    val exact = dedupEmbedding(s, dir).select(col("id_a"), col("id_b"))
+    val bits = SimilarityOps.autoLshBits(s, dir, 4)
+    val approx = dedupEmbeddingLshAt(s, dir, bits).select(col("id_a"), col("id_b"))
+    // the id_a < 256 predicate pushes below the nested-loop join onto
+    // the probe side: 256 × corpus work, not corpus²
+    val exact = dedupEmbedding(s, dir).filter(col("id_a") < 256)
+      .select(col("id_a"), col("id_b"))
     val captured = exact.join(approx, Seq("id_a", "id_b"))
-    val spurious = approx.join(exact, Seq("id_a", "id_b"), "left_anti")
+    val spurious = approx.filter(col("id_a") < 256)
+      .join(exact, Seq("id_a", "id_b"), "left_anti")
     exact.agg(count(lit(1)).as("exact_pairs"))
       .crossJoin(captured.agg(count(lit(1)).as("captured")))
       .crossJoin(spurious.agg(count(lit(1)).as("spurious")))
@@ -1236,6 +1251,7 @@ object DedupOps {
       |dt AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      |    AND a.vec_id < 256
       |  GROUP BY a.vec_id, b.vec_id)
       |SELECT COUNT(*) AS exact_pairs, true AS recall_floor_met,
       |  true AS all_lsh_pairs_exact

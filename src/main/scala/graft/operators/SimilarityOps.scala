@@ -258,6 +258,30 @@ object SimilarityOps {
       when(GraftExpressions.dot_product(emb, plane) > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** CORPUS-SCALED plane count for the symmetric LSH paths (both join
+    * sides are the corpus, unlike the 10-query ANN probes): with fixed
+    * bits the bucket join emits ~n²·(1+bits)/2^bits pairs — quadratic in
+    * corpus size. Growing the signature as ceil(log2(n/bucketTarget))
+    * keeps mean occupancy at bucketTarget, so candidate volume scales
+    * ~n·bucketTarget·(1+bits) — the n·log n shape that survives 100 TB.
+    * `floor` pins the small-corpus operating point (the oracle gates are
+    * measured at 4 bits; every oracle SF stays at the floor). Corpus
+    * size comes from parquet footers — no plan-time Spark job. */
+  private[graft] def autoLshBits(s: SparkSession, dir: String, floor: Int): Int = {
+    val (rows, _) = parquetFooterStats(s, dir, "embeddings", "vec_id")
+    val target = math.max(1, graft.GraftConf.getInt(s, graft.GraftConf.SimLshBucketTarget))
+    val scaled = math.ceil(math.log(math.max(1.0, rows.toDouble / target)) / math.log(2.0)).toInt
+    math.max(floor, scaled)
+  }
+
+  /** corpus-scaled SemDeDup cluster count (k-means k): see
+    * [[graft.GraftConf.SimSemanticClusterTarget]] */
+  private[graft] def semanticK(s: SparkSession, dir: String): Int = {
+    val (rows, _) = parquetFooterStats(s, dir, "embeddings", "vec_id")
+    val target = math.max(1, graft.GraftConf.getInt(s, graft.GraftConf.SimSemanticClusterTarget))
+    math.max(4, math.ceil(rows.toDouble / target).toInt)
+  }
+
   /** approximate top-3 with MULTI-PROBE: each query probes its own LSH
     * bucket plus every bucket at hamming distance 1 (9 of 256) — the
     * standard recall lever that multiplies only the (tiny, broadcast)
@@ -716,16 +740,30 @@ object SimilarityOps {
     * would only bake in a driver-OOM (the recursive-CTE lesson).
     * Cosines round to 6 dp before the windows so both engines agree
     * on every top-k and argmax boundary. */
-  private val marginMining: Q = (s, dir) => {
+  private val marginMining: Q = (s, dir) =>
+    marginSurvivors(marginPairsExact(s, dir))
+
+  /** the exact pair table: full even×odd cross product (oracle scale
+    * only — see the doc above) */
+  private def marginPairsExact(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
     val src = e.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("sid"), col("embedding").as("s_emb"))
     val tgt = e.filter(col("vec_id") % 2 =!= 0)
       .select(col("vec_id").as("tid"), col("embedding").as("t_emb"))
-    val pairs = tgt.crossJoin(src)
+    tgt.crossJoin(src)
       .withColumn("cos",
         round(GraftExpressions.cosine_sim(col("s_emb"), col("t_emb")), 6))
       .select(col("sid"), col("tid"), col("cos"))
+  }
+
+  /** the margin math downstream of pair generation — SHARED between the
+    * exact cross-product oracle and the ANN-shortlist scale path, so the
+    * two variants differ ONLY in which candidate pairs exist. Per side,
+    * top-4 neighborhood means over the pair table; margin = cos to the
+    * ratio of the two means; each source keeps its best target iff
+    * margin ≥ 1.05. */
+  private def marginSurvivors(pairs: DataFrame): DataFrame = {
     val wS = Window.partitionBy(col("sid")).orderBy(col("cos").desc, col("tid"))
     val wT = Window.partitionBy(col("tid")).orderBy(col("cos").desc, col("sid"))
     val ranked = pairs
@@ -751,6 +789,42 @@ object SimilarityOps {
       .orderBy(col("sid"))
   }
 
+  /** ANN-shortlist candidate pairs for margin mining: both sides hashed
+    * once into corpus-scaled hyperplane buckets; the source side
+    * multi-probes its bucket plus every hamming-1 neighbor (the recall
+    * lever), targets stay single-bucket, so each (sid, tid) candidate
+    * is emitted by EXACTLY ONE probe (XOR injectivity — no distinct
+    * needed). Shuffle volume: (1+bits)×|src| + |tgt| skinny rows into
+    * the bucket join; candidate volume ~n·bucketTarget·(1+bits) at
+    * corpus-scaled bits — no all-pairs product anywhere. */
+  private[graft] def marginMiningAnnPairs(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .withColumn("bucket", lshBucket(col("embedding"), bits))
+    val probeMasks = array((lit(0) +: (0 until bits).map(i => lit(1 << i))): _*)
+    val src = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("sid"), col("embedding").as("s_emb"), col("bucket"))
+      .withColumn("mask", explode(probeMasks))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("mask")))
+      .drop("mask")
+    val tgt = e.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id").as("tid"), col("embedding").as("t_emb"), col("bucket"))
+    tgt.join(src, Seq("bucket"))
+      .withColumn("cos",
+        round(GraftExpressions.cosine_sim(col("s_emb"), col("t_emb")), 6))
+      .select(col("sid"), col("tid"), col("cos"))
+  }
+
+  /** the scalable margin-mining pipeline (library surface): LSH
+    * candidate pairs → the UNCHANGED margin math. Candidate pairs are
+    * persisted for the duration of the margin windows — the pair table
+    * feeds three consumers (rs ranking, rt ranking, the final margin
+    * join) and the bucket join is the expensive leg at corpus scale. */
+  private[graft] def marginMiningAnn(s: SparkSession, dir: String): DataFrame = {
+    val pairs = marginMiningAnnPairs(s, dir, autoLshBits(s, dir, 4))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    marginSurvivors(pairs)
+  }
+
   private val marginMiningSql =
     """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
@@ -773,6 +847,118 @@ object SimilarityOps {
       |SELECT sid, tid, cos, margin FROM b WHERE rk = 1 AND margin >= 1.05
       |ORDER BY sid""".stripMargin
 
+  /** Oracled gate face of the ANN-shortlist margin miner (the scale
+    * path whose candidate pairs come from [[marginMiningAnnPairs]]
+    * instead of the O(n²) cross product). Same contract shape as the
+    * `sim_ann_*` gates: a fixed 10-source probe panel (the lowest even
+    * vec_ids < 20) gets an EXACT reference computed in-query at linear
+    * cost — best-target cosine over ALL targets, plus the exact margin
+    * of that best pair (a_src = the probe's top-4 mean over all
+    * targets; a_tgt = the winning target's top-4 mean over ALL
+    * sources — the same definitions the full exact miner uses, each
+    * O(panel×corpus)) — all DuckDB-recomputable. The booleans are
+    * measured in-query from the FULL corpus-wide ANN pipeline:
+    *  - `recall_floor_met`: ≥ 30% of probes have their exact best
+    *    target inside the ANN candidate set (measured 0.50 at sf0.01,
+    *    4-bit operating point — one plane-flip per 66° pair, the same
+    *    operating regime the sim_ann_lsh gate pins at 0.30);
+    *  - `agreement_floor_met`: of the probes whose best-cos pair
+    *    exactly clears margin ≥ 1.05, ≥ 30% are emitted by the ANN
+    *    survivors with that same target (measured 0.56 at sf0.01; the
+    *    ANN winner may differ when its margin argmax ≠ cos argmax).
+    * A recall or agreement regression flips every row and fails the
+    * driver's hash compare. The probe reference stays linear at any
+    * corpus size, so this exported face is also the scale-bench query. */
+  private val marginMiningAnnGate: Q = (s, dir) => {
+    val bits = autoLshBits(s, dir, 4)
+    val e = load(s, dir, "embeddings")
+    val probes = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 20)
+      .select(col("vec_id").as("sid"), col("embedding").as("s_emb"))
+    val tgt = e.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id").as("tid"), col("embedding").as("t_emb"))
+    val wS = Window.partitionBy(col("sid")).orderBy(col("cos").desc, col("tid"))
+    val rankedP = tgt.crossJoin(broadcast(probes))
+      .withColumn("cos",
+        round(GraftExpressions.cosine_sim(col("s_emb"), col("t_emb")), 6))
+      .select(col("sid"), col("tid"), col("cos"))
+      .withColumn("rs", row_number().over(wS))
+    val aSrc = rankedP.filter(col("rs") <= 4)
+      .groupBy(col("sid")).agg(round(avg(col("cos")), 8).as("a_src"))
+    val best = rankedP.filter(col("rs") === 1)
+      .select(col("sid"), col("tid").as("best_tid"), col("cos").as("exact_best_cos"))
+    // a_tgt for the ≤10 winning targets: top-4 over ALL sources
+    val srcAll = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("sid2"), col("embedding").as("s_emb2"))
+    val btEmb = tgt.join(broadcast(best.select(col("best_tid")).distinct()),
+      col("tid") === col("best_tid")).select(col("tid"), col("t_emb"))
+    val wT = Window.partitionBy(col("tid")).orderBy(col("cos2").desc, col("sid2"))
+    val aTgt = srcAll.crossJoin(broadcast(btEmb))
+      .withColumn("cos2",
+        round(GraftExpressions.cosine_sim(col("s_emb2"), col("t_emb")), 6))
+      .withColumn("rt", row_number().over(wT))
+      .filter(col("rt") <= 4)
+      .groupBy(col("tid")).agg(round(avg(col("cos2")), 8).as("a_tgt"))
+    val exact = best.join(aSrc, "sid")
+      .join(aTgt, col("best_tid") === aTgt("tid"))
+      .withColumn("exact_margin",
+        round(col("exact_best_cos") / ((col("a_src") + col("a_tgt")) / 2), 6))
+      .withColumn("exact_survivor", col("exact_margin") >= 1.05)
+      .select(col("sid"), col("best_tid"), col("exact_best_cos"),
+        col("exact_margin"), col("exact_survivor"))
+    // full corpus-wide ANN pipeline — candidates persisted once (three
+    // consumers: the two ranking passes + the margin join + the recall
+    // lookup below), DISK_ONLY so 100× replicas never squeeze the heap
+    val annPairs = marginMiningAnnPairs(s, dir, bits)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val annWinners = marginSurvivors(annPairs)
+      .select(col("sid"), col("tid").as("best_tid"), lit(true).as("ann_winner"))
+    val flagged = exact
+      .join(annPairs.select(col("sid"), col("tid").as("best_tid"),
+        lit(true).as("in_cand")), Seq("sid", "best_tid"), "left")
+      .join(annWinners, Seq("sid", "best_tid"), "left")
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nSurv = sum(when(col("exact_survivor"), 1).otherwise(0)).over(wAll)
+    val nAgree = sum(when(col("exact_survivor") &&
+      coalesce(col("ann_winner"), lit(false)), 1).otherwise(0)).over(wAll)
+    flagged.select(col("sid"), col("exact_best_cos"), col("exact_margin"),
+        col("exact_survivor"),
+        ((sum(when(coalesce(col("in_cand"), lit(false)), 1).otherwise(0)).over(wAll)
+          .cast("double") / count(lit(1)).over(wAll)) >= 0.30).as("recall_floor_met"),
+        when(nSurv > 0, (nAgree.cast("double") / nSurv.cast("double")) >= 0.30)
+          .otherwise(lit(true)).as("agreement_floor_met"))
+      .orderBy(col("sid"))
+  }
+
+  private val marginMiningAnnGateSql =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |dt AS (SELECT s.vec_id AS sid, t.vec_id AS tid, SUM(s.x * t.x) AS dot
+      |       FROM e s JOIN e t ON s.i = t.i
+      |         AND s.vec_id % 2 = 0 AND s.vec_id < 20 AND t.vec_id % 2 = 1
+      |       GROUP BY 1, 2),
+      |cs AS (SELECT sid, tid, round(dot / (ns.nrm * nt.nrm), 6) AS cos
+      |       FROM dt JOIN n ns ON ns.vec_id = sid JOIN n nt ON nt.vec_id = tid),
+      |r AS (SELECT sid, tid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, tid) AS rs FROM cs),
+      |asrc AS (SELECT sid, round(avg(cos), 8) AS a_src FROM r WHERE rs <= 4 GROUP BY 1),
+      |best AS (SELECT sid, tid AS best_tid, cos AS exact_best_cos FROM r WHERE rs = 1),
+      |dt2 AS (SELECT s.vec_id AS sid2, t.vec_id AS tid, SUM(s.x * t.x) AS dot
+      |        FROM e s JOIN e t ON s.i = t.i AND s.vec_id % 2 = 0
+      |          AND t.vec_id IN (SELECT best_tid FROM best)
+      |        GROUP BY 1, 2),
+      |cs2 AS (SELECT sid2, tid, round(dot / (ns.nrm * nt.nrm), 6) AS cos2
+      |        FROM dt2 JOIN n ns ON ns.vec_id = sid2 JOIN n nt ON nt.vec_id = tid),
+      |r2 AS (SELECT tid, cos2,
+      |         ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cos2 DESC, sid2) AS rt FROM cs2),
+      |atgt AS (SELECT tid, round(avg(cos2), 8) AS a_tgt FROM r2 WHERE rt <= 4 GROUP BY 1)
+      |SELECT b.sid, b.exact_best_cos,
+      |  round(b.exact_best_cos / ((a.a_src + g.a_tgt) / 2), 6) AS exact_margin,
+      |  (round(b.exact_best_cos / ((a.a_src + g.a_tgt) / 2), 6) >= 1.05) AS exact_survivor,
+      |  true AS recall_floor_met, true AS agreement_floor_met
+      |FROM best b JOIN asrc a ON a.sid = b.sid JOIN atgt g ON g.tid = b.best_tid
+      |ORDER BY b.sid""".stripMargin
+
   /** SemDeDup (semantic dedup, Abbas et al. 2023): cluster the corpus
     * with the SAME 2-round distributed Lloyd's k-means as
     * `sim_kmeans_clusters`, then drop any vector whose cosine to a
@@ -785,10 +971,18 @@ object SimilarityOps {
     * finds 59 pairs at the same threshold, the clustered pass drops 29
     * docs — cross-cluster near-dups are unseen by design. Exact given
     * the cluster assignment, so fully ORACLED (the oracle unrolls the
-    * same two Lloyd's rounds). */
+    * same two Lloyd's rounds). k is CORPUS-SCALED ([[semanticK]]):
+    * k = max(4, ceil(n/clusterTarget)) keeps mean cluster occupancy at
+    * clusterTarget, so within-cluster pair volume is ~n·target/2
+    * instead of n²/4 — the actual SemDeDup scale lever (the paper runs
+    * k ∝ corpus). Every oracle SF (≤ 2000 vectors at clusterTarget
+    * 500) stays at the pinned k=4 the static DuckDB oracle unrolls;
+    * the 100× replica corpus runs k=400 with the identical plan shape
+    * (assignment is still one shuffle-free scan against a k×64 driver
+    * literal, the mean shuffle still k×64 groups). */
   private val dedupSemantic: Q = (s, dir) => {
     val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    var cents = kmeansInit(e, 4)
+    var cents = kmeansInit(e, semanticK(s, dir))
     for (_ <- 0 until 2) cents = kmeansStep(e, cents)
     val assigned = kmeansAssign(e, cents)
       .select(col("vec_id"), col("embedding"), col("cl"))
@@ -1140,6 +1334,7 @@ object SimilarityOps {
     "sim_power_iteration" -> powerIteration,
     "sim_pca_top2" -> pcaTop2,
     "sim_margin_mining" -> marginMining,
+    "sim_margin_mining_ann" -> marginMiningAnnGate,
     "dedup_semantic" -> dedupSemantic,
     "sim_quantize_int8" -> quantize,
     "sim_ann_brute_topk" -> annBrute,
@@ -1173,6 +1368,7 @@ object SimilarityOps {
     "sim_power_iteration" -> powerIterationSql,
     "sim_pca_top2" -> pcaTop2Sql,
     "sim_margin_mining" -> marginMiningSql,
+    "sim_margin_mining_ann" -> marginMiningAnnGateSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_quantize_int8" -> quantizeSql,
     "sim_ann_brute_topk" -> annBruteSql,

@@ -165,6 +165,23 @@ object QualityGates {
       if (embExact.isEmpty) 1.0 else approx.count(embExact).toDouble / embExact.size
     }
 
+    // ---- ANN margin mining: survivor recall vs the exact O(n²) miner --
+    // (gate-measurement scale only — the exact miner is the documented
+    // all-pairs correctness baseline). Recall = fraction of exact
+    // surviving (sid, tid) pairs the ANN-shortlist pipeline emits
+    // identically; misses come from candidate-set gaps AND from the
+    // margin argmax shifting when the neighborhood means are estimated
+    // over candidates only.
+    val marginExact = qs("sim_margin_mining")(spark, sfDir)
+      .select(col("sid"), col("tid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val marginAnn = graft.operators.SimilarityOps.marginMiningAnn(spark, sfDir)
+      .select(col("sid"), col("tid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val marginRecall =
+      if (marginExact.isEmpty) 1.0
+      else marginExact.count(marginAnn).toDouble / marginExact.size
+
     // ---- native hashes: deterministic across reruns -------------------
     val hashSame = qs("fn_hash_native")(spark, sfDir).collect().toSeq ==
       qs("fn_hash_native")(spark, sfDir).collect().toSeq
@@ -183,6 +200,8 @@ object QualityGates {
         1.0, rerunSame),
       Gate("dedup_embedding_lsh", "pair_recall_vs_exact_4bit", embLshRecall, 0.50,
         embLshRecall >= 0.50),
+      Gate("sim_margin_mining_ann", "survivor_recall_vs_exact", marginRecall, 0.30,
+        marginRecall >= 0.30),
       Gate("agg_approx_sketch", "hll_max_relative_error", maxRelErr, 0.15, maxRelErr <= 0.15),
       Gate("fn_hash_native", "rerun_deterministic", if (hashSame) 1.0 else 0.0, 1.0, hashSame))
   }

@@ -20,9 +20,23 @@ import org.apache.spark.sql.functions._
   *    each other (cross-replica word-set Jaccard ≈ 0.78 < the 0.9
   *    threshold) while in-replica near-dup structure is preserved — a
   *    10x corpus with ~10x the dup clusters, not one giant clique;
-  *  - `embeddings`: each component scaled by a per-(id, dim) factor in
-  *    [0.997, 1.003] — vectors stay near their originals (realistic
-  *    neighborhoods) but are pairwise distinct;
+  *  - `embeddings`: each replica is a deterministic per-replica
+  *    ORTHOGONAL map of the base cloud (dimension permutation +
+  *    block-Givens rotation, [[rotateEmbedding]]): within a replica
+  *    every pairwise cosine — hence the whole near-dup structure — is
+  *    EXACTLY preserved, while a replica of a vector points in an
+  *    effectively random direction relative to every other replica.
+  *    The r11 scheme (per-component ±0.3% scaling) kept every
+  *    replica's DIRECTION, so all ~factor replicas of a vector were
+  *    mutual true near-pairs at cos ≥ 0.4 and the owed near-dup
+  *    output grew ~factor²·n — degenerate (measured: neither
+  *    embedding-dedup query finished at 100×). After the rotation
+  *    fix the cross-replica cosine distribution matches the corpus
+  *    background (this corpus is ISOTROPIC: cos mean ≈ 0, sd ≈
+  *    1/√64 ≈ 0.125, so the cos ≥ 0.4 base rate is tail mass,
+  *    ~4.6e-4 per pair slot at sf0.1) — the scaled corpus's per-slot
+  *    near-pair rate equals the base corpus's, which is the best any
+  *    faithful replication can do (ScaleUpSpec pins both properties);
   *  - `events`: user ids shifted per replica (10x users, same per-user
   *    session shape); `ts` kept as raw int64 nanos so `Tables.load`'s
   *    nanos handling applies to the scaled copy identically.

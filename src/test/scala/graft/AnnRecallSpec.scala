@@ -48,6 +48,37 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN-shortlist margin mining meets its pinned survivor-recall floor") {
+    // pair-level agreement with the exact O(n²) miner: an exact
+    // surviving (sid, tid) pair counts as recalled only when the ANN
+    // pipeline emits the identical pair. Misses come from LSH
+    // candidate gaps AND from the margin argmax shifting when the
+    // neighborhood means are estimated over candidates only — both are
+    // deterministic on a fixed corpus (hash-derived hyperplanes), so
+    // the floor fails on any bucketing/margin-math regression.
+    // Measured 0.48 at the 500-vector corpus, 4-bit operating point.
+    val exact = SparkEntry.queries("sim_margin_mining")(spark, dir)
+      .select(col("sid"), col("tid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = graft.operators.SimilarityOps.marginMiningAnn(spark, dir)
+      .select(col("sid"), col("tid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = if (exact.isEmpty) 1.0 else exact.count(ann).toDouble / exact.size
+    info(f"sim_margin_mining_ann survivor recall vs exact = $r%.3f over ${exact.size} exact survivors")
+    assert(r >= 0.30, f"margin-mining ANN survivor recall regressed: $r%.3f")
+    // the approximate path must never emit a pair whose cosine it
+    // mis-states: every ANN survivor's cos must equal the exact cosine
+    // of that pair (the margin is estimate-dependent, the cosine is not)
+    val exCos = SparkEntry.queries("sim_margin_mining")(spark, dir)
+      .select(col("sid"), col("tid"), col("cos")).collect()
+      .map(r2 => ((r2.getLong(0), r2.getLong(1)), r2.getDouble(2))).toMap
+    val annCos = graft.operators.SimilarityOps.marginMiningAnn(spark, dir)
+      .select(col("sid"), col("tid"), col("cos")).collect()
+      .map(r2 => ((r2.getLong(0), r2.getLong(1)), r2.getDouble(2)))
+    annCos.filter(p => exCos.contains(p._1)).foreach { case (k, c) =>
+      assert(c == exCos(k), s"cos mismatch on shared survivor $k") }
+  }
+
   test("IVF coarse-quantized ANN meets its pinned recall@3 floor") {
     val ivf = topSets(graft.operators.SimilarityOps.rawAnn("sim_ann_ivf")(spark, dir), 3)
     val r = recallAt3(ivf, exact3)
