@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-up generator for larger-SF performance runs: replicates the
@@ -47,6 +47,53 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_BENCH_SET=tpch / =pipeline against the output.
   */
 object ScaleUp {
+
+  /** deterministic angle unit in [0, 1) for (replica i, dim-pair p) —
+    * the same Catalyst-XxHash64 derivation the LSH hyperplanes use
+    * (SimilarityOps.planeWeightValue), different seed, so every run of
+    * the generator produces bit-identical corpora with no RNG state. */
+  private def angleUnit(i: Int, p: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(i.toLong * 32L + p)), 1042L).eval(null).asInstanceOf[Long]
+    val m = h % 100000L
+    val q = if (m < 0) m + 100000L else m
+    q.toDouble / 100000.0
+  }
+
+  /** Per-replica deterministic ORTHOGONAL map over the 64-dim embedding
+    * column: a dimension permutation (seeded shuffle) composed with a
+    * block-diagonal Givens rotation (per-(replica, pair) angle on dim
+    * pairs (2p, 2p+1)). Orthogonal ⇒ norms and ALL within-replica
+    * pairwise cosines are preserved exactly — replica i is the base
+    * cloud rigidly rotated — while cos(v, rotate_i(v)) and every other
+    * cross-replica cosine lands in the corpus's background distribution
+    * (isotropic: mean 0, sd ≈ 1/√64) instead of ≈ 1. Replica 0 is the
+    * identity (base rows verbatim). Arithmetic is double-precision with
+    * a final FLOAT cast, mirroring the engine's own vector paths. */
+  def rotateEmbedding(emb: Column, replica: Int): Column =
+    if (replica == 0) emb else {
+      val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ replica.toLong)
+      val perm = rnd.shuffle((0 until 64).toVector)
+      val px = perm.map(j => element_at(emb, j + 1).cast("double"))
+      val out = (0 until 32).flatMap { p =>
+        val th = 2.0 * math.Pi * angleUnit(replica, p)
+        val (c, s) = (math.cos(th), math.sin(th))
+        val (a, b) = (px(2 * p), px(2 * p + 1))
+        Seq(a * c - b * s, a * s + b * c)
+      }
+      array(out.map(_.cast("float")): _*)
+    }
+
+  /** factor-way replication of an embeddings table with key shift +
+    * per-replica rotation (the spec hook; main uses it too) */
+  def replicateEmbeddings(base: DataFrame, factor: Int): DataFrame = {
+    val stride = base.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    (0 until factor).map { i =>
+      base.withColumn("vec_id", col("vec_id") + lit(i * stride))
+        .withColumn("embedding", rotateEmbedding(col("embedding"), i))
+    }.reduce(_ union _)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
@@ -112,20 +159,10 @@ object ScaleUp {
       }.reduce(_ union _)
       write(docs, "documents")
 
-      // embeddings: tiny deterministic per-(id, dim) scaling keeps
-      // neighborhoods realistic while making all vectors distinct
-      val vecStride = stride("embeddings", "vec_id")
-      val embs = (0 until factor).map { i =>
-        val base = tbl("embeddings").withColumn("vec_id", col("vec_id") + lit(i * vecStride))
-        if (i == 0) base
-        else base.withColumn("embedding",
-          zip_with(col("embedding"),
-            sequence(lit(0), size(col("embedding")) - 1),
-            (x, j) => (x.cast("double") *
-              (lit(1.0) + (pmod(col("vec_id") * 37 + j * 13 + lit(i), lit(7)) - lit(3))
-                * lit(0.001))).cast("float")))
-      }.reduce(_ union _)
-      write(embs, "embeddings")
+      // embeddings: per-replica rigid rotation (see rotateEmbedding) —
+      // within-replica near-dup structure preserved exactly, replicas
+      // mutually background-random instead of mutual near-pairs
+      write(replicateEmbeddings(tbl("embeddings"), factor), "embeddings")
 
       // events: ts stays raw int64 nanos (the physical type Tables.load
       // expects to convert); user ids shift per replica
