@@ -59,6 +59,120 @@ class SourcesSpec extends AnyFunSuite {
       Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING").count())
   }
 
+  // ---- wave 12: parquet read-path PLAN contracts (the value pins for
+  // these faces are the pqpin_* golden entries in SparkSemanticsSpec;
+  // reference: the GlutenParquetV1FilterSuite /
+  // GlutenParquetV1SchemaPruningSuite enablement in
+  // gluten-ut/spark35/.../velox/VeloxTestSettings.scala) ---------------
+
+  /** full (untruncated) metadata of the first FileSourceScanExec — the
+    * plan STRING truncates long filter lists at maxToStringFields */
+  private def scanMeta(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+    df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata
+    }.get
+
+  test("typed data filters reach the parquet scan as PushedFilters") {
+    val path = tmp("pushdown")
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .write.parquet(path)
+    val q = spark.read.parquet(path)
+      .filter(col("o_totalprice") > 1000.0 && col("o_orderdate") >= "1995-01-01" &&
+        col("o_custkey").isNotNull)
+      .select("o_orderkey")
+    val m = scanMeta(q)
+    val pushed = m("PushedFilters")
+    assert(pushed.contains("GreaterThan(o_totalprice,1000.0)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate,"), pushed)
+    assert(pushed.contains("IsNotNull(o_custkey)"), pushed)
+    // column pruning: only the filter + projection columns are read
+    // (o_orderdate ships as TIMESTAMP_NTZ in this testdata)
+    assert(m("ReadSchema").contains("struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_totalprice:double,o_orderdate:timestamp_ntz>"), m("ReadSchema"))
+  }
+
+  test("string and IN predicates push down; disabling the conf removes them") {
+    val path = tmp("pushdown2")
+    Tables.load(spark, dir, "nation").write.parquet(path)
+    def q() = spark.read.parquet(path)
+      .filter(col("n_name").startsWith("A") && col("n_regionkey").isin(0, 1))
+    val on = scanMeta(q())("PushedFilters")
+    assert(on.contains("StringStartsWith(n_name,A)"), on)
+    assert(on.contains("In(n_regionkey, [0,1])"), on)
+    // spark.sql.parquet.filterPushdown gates the READER's use of the
+    // filters (row-group skipping), not the plan metadata — flipping it
+    // must never change results, only the scan's work
+    val key = "spark.sql.parquet.filterPushdown"
+    val orig = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      assert(q().collect().toSeq == q().collect().toSeq)
+      assert(scanMeta(q())("PushedFilters") == on,
+        "plan metadata should be conf-independent; the reader is what changes")
+    } finally orig.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("nested schema pruning narrows ReadSchema to the accessed subfields") {
+    val path = tmp("nestprune")
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        struct(col("c_name").as("name"),
+          struct(col("c_mktsegment").as("seg"), col("c_acctbal").as("bal")).as("contact"))
+          .as("info"))
+      .write.parquet(path)
+    val q = spark.read.parquet(path).select(col("c_custkey"), col("info.contact.seg"))
+    // only info.contact.seg survives in the scan schema — name and
+    // bal are pruned away (spark.sql.optimizer.nestedSchemaPruning is
+    // the engine default)
+    val rs = scanMeta(q)("ReadSchema")
+    assert(rs.contains("struct<c_custkey:bigint,info:struct<contact:struct<seg:string>>>"), rs)
+  }
+
+  test("partition filters prune at planning: pruned scan reads fewer files") {
+    val path = tmp("partprune")
+    Tables.load(spark, dir, "customer")
+      .write.partitionBy("c_mktsegment").parquet(path)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    val all = scanOf(spark.read.parquet(path).select(col("c_custkey")))
+    val pruned = scanOf(spark.read.parquet(path)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
+    assert(pruned.relation.location.inputFiles.length == all.relation.location.inputFiles.length)
+    // the FILE SELECTION after partition pruning is what shrinks
+    assert(pruned.metadata("PartitionFilters").contains("c_mktsegment"),
+      pruned.metadata.toString)
+    val allFiles = all.selectedPartitions.totalNumberOfFiles
+    val prunedFiles = pruned.selectedPartitions.totalNumberOfFiles
+    assert(prunedFiles < allFiles, s"pruned $prunedFiles vs all $allFiles")
+    // and the partition column itself is NOT in the data ReadSchema
+    assert(!pruned.metadata("ReadSchema").contains("c_mktsegment"))
+  }
+
+  test("aggregate pushdown: MIN/MAX/COUNT answered from parquet footers") {
+    // the engine sets spark.sql.parquet.aggregatePushdown=true; the
+    // pushdown itself is a DSv2 ParquetScan capability (V1 FileScan has
+    // no aggregate interface), so route this read through the V2 path
+    val path = tmp("aggpush")
+    Tables.load(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      .write.parquet(path)
+    val key = "spark.sql.sources.useV1SourceList"
+    val orig = spark.conf.getOption(key)
+    spark.conf.set(key, "")
+    try {
+      val q = spark.read.parquet(path)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")), count(lit(1)))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(
+        "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]"), plan.take(2000))
+      val expected = Tables.load(spark, dir, "orders")
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")), count(lit(1))).head
+      assert(q.head == expected)
+    } finally orig.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("catalog table: saveAsTable then spark.table + insertInto append") {
     spark.sql("DROP TABLE IF EXISTS graft_nation")
     nation.write.saveAsTable("graft_nation")

@@ -3412,7 +3412,368 @@ class SparkSemanticsSpec extends AnyFunSuite {
             .orderBy(F.col("id").asc_nulls_last)
         }))
     }
-    base ++ dsv2Pinned ++ encoderPinned ++ parseModeFiles
+    base ++ dsv2Pinned ++ encoderPinned ++ parseModeFiles ++ pqPinned
+  }
+
+  // ---- wave 12: parquet read-path pins (VERDICT r11 item 3 — the
+  // ~35 GlutenParquet* file-source suites the reference enables in
+  // gluten-ut/spark35/.../velox/VeloxTestSettings.scala:
+  // GlutenParquetV1FilterSuite, GlutenParquetV1SchemaPruningSuite,
+  // GlutenParquetV1PartitionDiscoverySuite,
+  // GlutenParquetRebaseDatetimeV1Suite,
+  // GlutenParquetFileMetadataStructRowIndexSuite,
+  // GlutenParquetFieldIdIOSuite, …). Each pin writes a DETERMINISTIC
+  // little parquet layout under /tmp/graft_pqpin (once per JVM) and
+  // golden-pins what a read through the graft session returns:
+  // pushdown corners (typed predicates, nested fields, missing
+  // columns under schema merge, partition×data interaction), V1
+  // partition discovery (type inference, mixed types,
+  // __HIVE_DEFAULT_PARTITION__, basePath, escaping), the _metadata
+  // struct (schema, row_index values, per-file restart — value pins
+  // avoid the nondeterministic path/size/mtime fields, which are
+  // asserted as booleans), and LEGACY/CORRECTED datetime rebase
+  // round-trips. Plan-shape assertions (PushedFilters content,
+  // pruned ReadSchema, partition pruning) live in SourcesSpec —
+  // golden pins carry VALUES.
+  private val pqBase = "/tmp/graft_pqpin"
+  private var pqBuilt = false
+  private def pqFix(s: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!pqBuilt) {
+      import org.apache.spark.sql.{functions => F, Row}
+      import org.apache.spark.sql.types._
+      import scala.jdk.CollectionConverters._
+      // flat: ONE file (coalesce 1) so row_index is globally stable
+      val flatSchema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", IntegerType), StructField("s", StringType),
+        StructField("d", DateType), StructField("ts", TimestampType),
+        StructField("dec", DecimalType(10, 2)), StructField("b", BooleanType),
+        StructField("f", FloatType), StructField("sh", ShortType),
+        StructField("arr", ArrayType(IntegerType)),
+        StructField("m", MapType(StringType, IntegerType))))
+      def dt(x: String) = java.sql.Date.valueOf(x)
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      def bd(x: String) = new java.math.BigDecimal(x)
+      val flatRows = Seq(
+        Row(1L, 10, "alpha", dt("2020-01-01"), ts("2020-01-01 00:00:01"), bd("12.34"),
+          true, 1.5f, 7.toShort, Seq(1, 2), Map("a" -> 1)),
+        Row(2L, 20, "beta", dt("2020-06-15"), ts("2020-06-15 12:00:00"), bd("0.05"),
+          false, Float.NaN, 8.toShort, Seq(3), Map("b" -> 2)),
+        Row(3L, null, null, null, null, null, null, null, null, null, null),
+        Row(4L, 40, "alphabet", dt("2021-01-01"), ts("2021-01-01 23:59:59"), bd("99999999.99"),
+          true, -0.0f, 9.toShort, Seq.empty[Int], Map.empty[String, Int]),
+        Row(5L, 50, "gamma", dt("2022-02-28"), ts("2022-02-28 06:30:00"), bd("-1.00"),
+          false, 2.25f, 10.toShort, Seq(4, 5, 6), Map("c" -> 3)))
+      s.createDataFrame(flatRows.asJava, flatSchema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$pqBase/flat")
+      // nested: struct-in-struct + array-of-struct (schema pruning faces)
+      val nestedSchema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("person", StructType(Seq(
+          StructField("name", StringType), StructField("age", IntegerType),
+          StructField("addr", StructType(Seq(
+            StructField("city", StringType), StructField("zip", StringType))))))),
+        StructField("contacts", ArrayType(StructType(Seq(
+          StructField("kind", StringType), StructField("value", StringType)))))))
+      val nestedRows = Seq(
+        Row(1L, Row("ann", 34, Row("oslo", "0150")), Seq(Row("mail", "a@x"))),
+        Row(2L, Row("bob", 28, Row("rome", "00100")), Seq(Row("tel", "1"), Row("mail", "b@x"))),
+        Row(3L, Row("cid", null, Row(null, "777")), Seq.empty[Row]),
+        Row(4L, null, null))
+      s.createDataFrame(nestedRows.asJava, nestedSchema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$pqBase/nested")
+      // parts: int-valued partition col + a NULL partition
+      import s.implicits._
+      Seq((1L, Some(1), "x"), (2L, Some(1), "y"), (3L, Some(2), "z"), (4L, None, "w"))
+        .toDF("id", "p", "v")
+        .write.mode("overwrite").partitionBy("p").parquet(s"$pqBase/parts")
+      // mixedparts: "1" and "abc" partition dirs → inference falls to string
+      Seq((1L, "1"), (2L, "abc")).toDF("id", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(s"$pqBase/mixedparts")
+      // dateparts: ISO-date partition values → inferred DATE
+      Seq((1L, "2020-01-01"), (2L, "2020-06-01")).toDF("id", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(s"$pqBase/dateparts")
+      // twolevel: country=…/city=… nested discovery
+      Seq((1L, "no", "oslo"), (2L, "no", "bergen"), (3L, "it", "rome"))
+        .toDF("id", "country", "city")
+        .write.mode("overwrite").partitionBy("country", "city").parquet(s"$pqBase/twolevel")
+      // escparts: partition value needing URL escaping in the dir name
+      Seq((1L, "a b"), (2L, "c/d")).toDF("id", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(s"$pqBase/escparts")
+      // evo: two files with DIFFERENT schemas in one directory
+      Seq((1L, 10), (2L, 20)).toDF("id", "a")
+        .coalesce(1).write.mode("overwrite").parquet(s"$pqBase/evo")
+      Seq((3L, 30, "x"), (4L, 40, "y")).toDF("id", "a", "b")
+        .coalesce(1).write.mode("append").parquet(s"$pqBase/evo")
+      // rebase: ancient dates/timestamps under LEGACY vs CORRECTED write
+      def withWriteConf(pairs: (String, String)*)(body: => Unit): Unit = {
+        val origs = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+        pairs.foreach { case (k, v) => s.conf.set(k, v) }
+        try body finally origs.foreach { case (k, o) =>
+          o.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      }
+      val ancient = Seq(
+        (1L, dt("1500-03-01"), ts("1500-03-01 12:00:00")),
+        (2L, dt("1582-10-04"), ts("1582-10-04 00:00:00")),
+        (3L, dt("2020-01-01"), ts("2020-01-01 00:00:00")))
+        .toDF("id", "d", "ts")
+      withWriteConf(
+        "spark.sql.parquet.datetimeRebaseModeInWrite" -> "LEGACY") {
+        ancient.coalesce(1).write.mode("overwrite").parquet(s"$pqBase/rebase_legacy")
+      }
+      withWriteConf(
+        "spark.sql.parquet.datetimeRebaseModeInWrite" -> "CORRECTED") {
+        ancient.coalesce(1).write.mode("overwrite").parquet(s"$pqBase/rebase_corrected")
+      }
+      withWriteConf(
+        "spark.sql.parquet.outputTimestampType" -> "INT96",
+        "spark.sql.parquet.int96RebaseModeInWrite" -> "LEGACY") {
+        ancient.select($"id", $"ts").coalesce(1)
+          .write.mode("overwrite").parquet(s"$pqBase/rebase_int96")
+      }
+      // ntz: TIMESTAMP_NTZ physical round-trip
+      s.sql("SELECT 1L AS id, TIMESTAMP_NTZ '2020-03-01 07:00:00' AS tn")
+        .coalesce(1).write.mode("overwrite").parquet(s"$pqBase/ntz")
+      pqBuilt = true
+    }
+  }
+
+  // lazy: referenced from apiPinned, which is declared earlier in the
+  // class body (a strict val here would still be null at that point)
+  private lazy val pqPinned: Seq[(String, org.apache.spark.sql.SparkSession =>
+      org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.{functions => F}
+    def rd(s: org.apache.spark.sql.SparkSession, sub: String) = {
+      pqFix(s); s.read.parquet(s"$pqBase/$sub")
+    }
+    Seq(
+      // -- GlutenParquetV1FilterSuite faces: typed predicate pushdown --
+      ("pqpin_filter_long_eq", s => rd(s, "flat").filter(F.col("id") === 2L).select("id", "v")),
+      ("pqpin_filter_int_lt", s =>
+        rd(s, "flat").filter(F.col("v") < 30).select("id", "v").orderBy("id")),
+      ("pqpin_filter_int_between", s =>
+        rd(s, "flat").filter(F.col("v").between(20, 45)).select("id", "v").orderBy("id")),
+      ("pqpin_filter_date_gt", s =>
+        rd(s, "flat").filter(F.col("d") > F.lit("2020-06-01").cast("date"))
+          .select("id", "d").orderBy("id")),
+      ("pqpin_filter_ts_range", s =>
+        rd(s, "flat").filter(F.col("ts") >= F.lit("2020-06-15 00:00:00").cast("timestamp") &&
+          F.col("ts") < F.lit("2021-06-01 00:00:00").cast("timestamp"))
+          .select("id", "ts").orderBy("id")),
+      ("pqpin_filter_decimal_ge", s =>
+        rd(s, "flat").filter(F.col("dec") >= F.lit("12.34").cast("decimal(10,2)"))
+          .select("id", "dec").orderBy("id")),
+      ("pqpin_filter_decimal_eq_exact", s =>
+        rd(s, "flat").filter(F.col("dec") === F.lit("0.05").cast("decimal(10,2)"))
+          .select("id", "dec")),
+      ("pqpin_filter_string_startswith", s =>
+        rd(s, "flat").filter(F.col("s").startsWith("alpha")).select("id", "s").orderBy("id")),
+      ("pqpin_filter_string_endswith", s =>
+        rd(s, "flat").filter(F.col("s").endsWith("bet")).select("id", "s")),
+      ("pqpin_filter_string_contains", s =>
+        rd(s, "flat").filter(F.col("s").contains("amm")).select("id", "s")),
+      ("pqpin_filter_in_set", s =>
+        rd(s, "flat").filter(F.col("v").isin(10, 50, 99)).select("id", "v").orderBy("id")),
+      ("pqpin_filter_isnull", s =>
+        rd(s, "flat").filter(F.col("v").isNull).select("id", "v")),
+      ("pqpin_filter_isnotnull", s =>
+        rd(s, "flat").filter(F.col("s").isNotNull).select(F.count(F.lit(1)).as("n"))),
+      ("pqpin_filter_not_predicate", s =>
+        rd(s, "flat").filter(!(F.col("v") > 20)).select("id", "v").orderBy("id")),
+      ("pqpin_filter_and_or_mix", s =>
+        rd(s, "flat").filter((F.col("v") === 10 || F.col("v") === 50) && F.col("b") === false)
+          .select("id", "v", "b").orderBy("id")),
+      ("pqpin_filter_boolean_eq", s =>
+        rd(s, "flat").filter(F.col("b") === true).select("id", "b").orderBy("id")),
+      ("pqpin_filter_null_never_matches_eq", s =>
+        rd(s, "flat").filter(F.col("v") === 10 || F.col("v").isNull)
+          .select("id", "v").orderBy("id")),
+      // NaN semantics through the parquet scan: = NaN matches NaN rows
+      // (Spark's NaN-normalized equality), and NaN sorts ABOVE +inf
+      ("pqpin_filter_float_nan_eq", s =>
+        rd(s, "flat").filter(F.col("f") === F.lit(Float.NaN)).select("id", "f")),
+      ("pqpin_sort_float_nan_greatest", s =>
+        rd(s, "flat").filter(F.col("f").isNotNull).select("id", "f")
+          .orderBy(F.col("f").desc).limit(1)),
+      ("pqpin_filter_negative_zero_eq_positive", s =>
+        rd(s, "flat").filter(F.col("f") === 0.0f).select("id", "f")),
+      ("pqpin_short_type_roundtrip", s =>
+        rd(s, "flat").filter(F.col("sh") === 8.toShort).select("id", "sh")),
+      ("pqpin_array_column_roundtrip", s =>
+        rd(s, "flat").filter(F.size(F.col("arr")) >= 2).select("id", "arr").orderBy("id")),
+      ("pqpin_map_column_roundtrip", s =>
+        rd(s, "flat").filter(F.col("id") === 5L).select("id", "m")),
+      ("pqpin_empty_array_vs_null", s =>
+        rd(s, "flat").select(F.col("id"), F.col("arr").isNull.as("arr_null"),
+          F.size(F.col("arr")).as("sz")).orderBy("id")),
+      // -- GlutenParquetV1SchemaPruningSuite faces: nested access ------
+      ("pqpin_nested_field_select", s =>
+        rd(s, "nested").select(F.col("id"), F.col("person.name")).orderBy("id")),
+      ("pqpin_nested_deep_select", s =>
+        rd(s, "nested").select(F.col("id"), F.col("person.addr.city")).orderBy("id")),
+      ("pqpin_nested_field_filter", s =>
+        rd(s, "nested").filter(F.col("person.age") > 30)
+          .select(F.col("id"), F.col("person.age"))),
+      ("pqpin_nested_field_isnull_struct", s =>
+        rd(s, "nested").filter(F.col("person").isNull).select("id")),
+      ("pqpin_nested_inner_null_outer_present", s =>
+        rd(s, "nested").filter(F.col("person.addr.city").isNull && F.col("person").isNotNull)
+          .select(F.col("id"), F.col("person.addr.zip"))),
+      ("pqpin_nested_array_of_struct_explode", s =>
+        rd(s, "nested").select(F.col("id"), F.explode(F.col("contacts")).as("c"))
+          .select(F.col("id"), F.col("c.kind"), F.col("c.value")).orderBy("id", "kind")),
+      // -- schema evolution / merge ------------------------------------
+      ("pqpin_evo_merge_schema_union", s => {
+        pqFix(s)
+        s.read.option("mergeSchema", "true").parquet(s"$pqBase/evo").orderBy("id")
+      }),
+      ("pqpin_evo_missing_col_isnull", s => {
+        pqFix(s)
+        s.read.option("mergeSchema", "true").parquet(s"$pqBase/evo")
+          .filter(F.col("b").isNull).select("id", "a").orderBy("id")
+      }),
+      ("pqpin_evo_filter_on_missing_col", s => {
+        pqFix(s)
+        s.read.option("mergeSchema", "true").parquet(s"$pqBase/evo")
+          .filter(F.col("b") === "y").select("id", "a", "b")
+      }),
+      ("pqpin_evo_user_schema_superset", s => {
+        pqFix(s)
+        s.read.schema("id BIGINT, a INT, b STRING, zzz DOUBLE").parquet(s"$pqBase/evo")
+          .orderBy("id")
+      }),
+      ("pqpin_user_schema_subset_prunes", s => {
+        pqFix(s)
+        s.read.schema("id BIGINT, s STRING").parquet(s"$pqBase/flat").orderBy("id")
+      }),
+      ("pqpin_case_insensitive_column_match", s => {
+        pqFix(s)
+        // session default is case-insensitive resolution; "ID"/"S"
+        // resolve against the file's lower-case columns
+        s.read.parquet(s"$pqBase/flat").select(F.col("ID"), F.col("S")).orderBy("ID")
+      }),
+      // -- GlutenParquetV1PartitionDiscoverySuite faces ------------------
+      ("pqpin_partdisc_int_inference", s =>
+        rd(s, "parts").select(F.col("p")).distinct().orderBy(F.col("p").asc_nulls_first)),
+      ("pqpin_partdisc_int_schema", s => {
+        import s.implicits._
+        Seq(rd(s, "parts").schema("p").dataType.simpleString).toDF("p_type")
+      }),
+      ("pqpin_partdisc_null_partition_read", s =>
+        rd(s, "parts").filter(F.col("p").isNull).select("id", "p", "v")),
+      ("pqpin_partdisc_null_partition_dirname", s => {
+        import s.implicits._
+        pqFix(s)
+        val found = new java.io.File(s"$pqBase/parts")
+          .listFiles().exists(_.getName == "p=__HIVE_DEFAULT_PARTITION__")
+        Seq(found).toDF("hive_default_dir_exists")
+      }),
+      ("pqpin_partdisc_mixed_types_string", s => {
+        import s.implicits._
+        Seq(rd(s, "mixedparts").schema("p").dataType.simpleString).toDF("p_type")
+      }),
+      ("pqpin_partdisc_mixed_values", s =>
+        rd(s, "mixedparts").select("id", "p").orderBy("id")),
+      ("pqpin_partdisc_date_inference", s => {
+        import s.implicits._
+        Seq(rd(s, "dateparts").schema("p").dataType.simpleString).toDF("p_type")
+      }),
+      ("pqpin_partdisc_inference_disabled_string", s => {
+        pqFix(s)
+        val k = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val orig = s.conf.getOption(k)
+        s.conf.set(k, "false")
+        try {
+          import s.implicits._
+          Seq(s.read.parquet(s"$pqBase/parts").schema("p").dataType.simpleString)
+            .toDF("p_type")
+        } finally orig.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }),
+      ("pqpin_partdisc_two_levels", s =>
+        rd(s, "twolevel").filter(F.col("country") === "no")
+          .select("id", "country", "city").orderBy("id")),
+      ("pqpin_partdisc_leaf_dir_loses_partition_col", s => {
+        import s.implicits._
+        pqFix(s)
+        // reading a leaf dir directly: no partition column discovered
+        val cols = s.read.parquet(s"$pqBase/parts/p=1").columns.mkString(",")
+        Seq(cols).toDF("columns")
+      }),
+      ("pqpin_partdisc_base_path_keeps_partition_col", s => {
+        pqFix(s)
+        s.read.option("basePath", s"$pqBase/parts").parquet(s"$pqBase/parts/p=1")
+          .select("id", "p", "v").orderBy("id")
+      }),
+      ("pqpin_partdisc_escaped_value_roundtrip", s =>
+        rd(s, "escparts").select("id", "p").orderBy("id")),
+      // -- partition × data pushdown interaction -------------------------
+      ("pqpin_partfilter_only", s =>
+        rd(s, "parts").filter(F.col("p") === 1).select("id", "v").orderBy("id")),
+      ("pqpin_partfilter_and_data_filter", s =>
+        rd(s, "parts").filter(F.col("p") === 1 && F.col("v") === "y").select("id", "p", "v")),
+      ("pqpin_partfilter_in", s =>
+        rd(s, "parts").filter(F.col("p").isin(1, 2)).select("id", "p").orderBy("id")),
+      ("pqpin_partfilter_isnotnull", s =>
+        rd(s, "parts").filter(F.col("p").isNotNull).select(F.count(F.lit(1)).as("n"))),
+      ("pqpin_partcol_in_projection_only", s =>
+        rd(s, "twolevel").select("country").distinct().orderBy("country")),
+      // -- GlutenParquetFileMetadataStructRowIndexSuite faces -------------
+      ("pqpin_meta_struct_schema", s => {
+        import s.implicits._
+        val t = rd(s, "flat").select(F.col("_metadata")).schema.head.dataType.simpleString
+        Seq(t).toDF("metadata_type")
+      }),
+      ("pqpin_meta_row_index_single_file", s =>
+        rd(s, "flat").select(F.col("id"), F.col("_metadata.row_index").as("ri"))
+          .orderBy("id")),
+      ("pqpin_meta_row_index_survives_filter", s =>
+        rd(s, "flat").filter(F.col("v") > 15)
+          .select(F.col("id"), F.col("_metadata.row_index").as("ri")).orderBy("id")),
+      ("pqpin_meta_row_index_restarts_per_file", s => {
+        import s.implicits._
+        pqFix(s)
+        val zeroes = s.read.parquet(s"$pqBase/evo")
+          .select(F.col("_metadata.row_index").as("ri"))
+          .filter(F.col("ri") === 0L).count()
+        Seq(zeroes).toDF("files_with_row_zero")
+      }),
+      ("pqpin_meta_file_name_suffix", s =>
+        rd(s, "flat").select(
+          F.col("_metadata.file_name").endsWith(".parquet").as("is_parquet")).distinct()),
+      ("pqpin_meta_file_path_contains_dir", s =>
+        rd(s, "flat").select(
+          F.col("_metadata.file_path").contains("graft_pqpin/flat").as("in_dir")).distinct()),
+      ("pqpin_meta_file_size_and_mtime_present", s =>
+        rd(s, "flat").select(
+          (F.col("_metadata.file_size") > 0L).as("size_pos"),
+          F.col("_metadata.file_modification_time").isNotNull.as("mtime_set")).distinct()),
+      ("pqpin_meta_file_block_fields", s =>
+        rd(s, "flat").select(
+          (F.col("_metadata.file_block_start") >= 0L).as("blk_start_ok"),
+          (F.col("_metadata.file_block_length") > 0L).as("blk_len_pos")).distinct()),
+      // -- GlutenParquetRebaseDatetimeV1Suite faces ----------------------
+      // LEGACY-written files carry the writer marker, so a plain read
+      // auto-rebases back to the proleptic values — round-trip exact
+      ("pqpin_rebase_legacy_write_roundtrip_date", s =>
+        rd(s, "rebase_legacy").select("id", "d").orderBy("id")),
+      ("pqpin_rebase_legacy_write_roundtrip_ts", s =>
+        rd(s, "rebase_legacy").select("id", "ts").orderBy("id")),
+      ("pqpin_rebase_corrected_write_roundtrip_date", s =>
+        rd(s, "rebase_corrected").select("id", "d").orderBy("id")),
+      ("pqpin_rebase_corrected_write_roundtrip_ts", s =>
+        rd(s, "rebase_corrected").select("id", "ts").orderBy("id")),
+      ("pqpin_rebase_legacy_vs_corrected_same_logical", s => {
+        pqFix(s)
+        // the two writes used DIFFERENT physical encodings of the
+        // ancient dates; both reads must surface identical logical rows
+        s.read.parquet(s"$pqBase/rebase_legacy").select("id", "d", "ts")
+          .except(s.read.parquet(s"$pqBase/rebase_corrected").select("id", "d", "ts"))
+      }),
+      ("pqpin_rebase_int96_legacy_roundtrip", s =>
+        rd(s, "rebase_int96").select("id", "ts").orderBy("id")),
+      ("pqpin_rebase_modern_date_unaffected", s =>
+        rd(s, "rebase_legacy").filter(F.col("id") === 3L).select("id", "d", "ts")),
+      ("pqpin_ntz_roundtrip", s => rd(s, "ntz").select("id", "tn")))
   }
 
   // ---- wave 8b: typed Dataset / encoder pins (GlutenDatasetSuite /
