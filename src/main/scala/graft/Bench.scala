@@ -80,6 +80,7 @@ object Bench {
     "text_bm25_topk", "graph_pagerank", "ev_funnel_conversion",
     "dedup_containment", "sim_ann_pq", "docs_pipeline_e2e",
     "docs_lm_quality_buckets", "dedup_semantic", "sim_margin_mining",
+    "sim_margin_mining_ann",
     "text_quality_classifier",
     "graph_triangle_count", "text_bpe_merges", "ev_pref_bradley_terry",
     "dedup_substring_windows",
@@ -106,6 +107,11 @@ object Bench {
     "docs_pipeline_e2e", "docs_lm_quality_buckets",
     "text_quality_classifier",
     "sim_ann_brute_topk", "sim_ann_lsh", "sim_ann_ivf",
+    // the embedding dedup family and ANN margin mining re-entered the
+    // scaling set in round 12: the ScaleUp rotation fix ended the
+    // replica degeneracy and all three complete sub-quadratically at
+    // 100x (previously structurally degenerate / O(n^2)-only)
+    "dedup_embedding_lsh", "dedup_semantic", "sim_margin_mining_ann",
     "dedup_url", "sim_knn_classify", "text_greedy_tokenize",
     "graph_triangle_count", "text_bpe_merges", "dedup_substring_windows",
     "graph_label_propagation", "text_pmi_collocations",
