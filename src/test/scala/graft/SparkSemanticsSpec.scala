@@ -4378,6 +4378,45 @@ class SparkSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  // wave-12 parquet read-path error contracts (the raising faces of
+  // the pqpin_* value wave)
+  test("pinned: pqpin_read_nonexistent_path_errors") {
+    val e = intercept[Exception] {
+      spark.read.parquet("/tmp/graft_pqpin/definitely_not_there").collect()
+    }
+    assert(e.getMessage.contains("PATH_NOT_FOUND"), e.getMessage.take(300))
+  }
+
+  test("pinned: pqpin_merge_incompatible_types_errors") {
+    // two files whose shared column disagrees on type: schema merge
+    // must REFUSE, not silently coerce
+    pqFix(spark)
+    import spark.implicits._
+    val dir2 = s"$pqBase/evo_conflict"
+    Seq((1L, 10)).toDF("id", "a").coalesce(1).write.mode("overwrite").parquet(dir2)
+    Seq((2L, "x")).toDF("id", "a").coalesce(1).write.mode("append").parquet(dir2)
+    val e = intercept[Exception] {
+      spark.read.option("mergeSchema", "true").parquet(dir2).collect()
+    }
+    assert(e.getMessage.contains("CANNOT_MERGE_SCHEMAS") ||
+      e.getMessage.contains("Failed merging schema"), e.getMessage.take(400))
+  }
+
+  test("pinned: pqpin_case_sensitive_missing_column_errors") {
+    // under case-SENSITIVE resolution the upper-cased column no longer
+    // resolves against the file's lower-case schema
+    pqFix(spark)
+    val k = "spark.sql.caseSensitive"
+    val orig = spark.conf.getOption(k)
+    spark.conf.set(k, "true")
+    try {
+      val e = intercept[Exception] {
+        spark.read.parquet(s"$pqBase/flat").select("ID").collect()
+      }
+      assert(e.getMessage.contains("UNRESOLVED_COLUMN"), e.getMessage.take(300))
+    } finally orig.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+  }
+
   // interval overflow raises under BOTH ansi modes — the ANSI interval
   // types carry their own range checks, unlike int/long arithmetic
   // whose raising is ansi-gated (wave 10a contracts)
