@@ -448,6 +448,109 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** k-means assignment: argmin over a driver-held centroid matrix,
+    * returning struct(cl, dist) — the corpus-scale loop of every
+    * Lloyd's pass (assignment, refinement input, SemDeDup clustering).
+    * Bit-identical to the composed form it replaces —
+    * `transform(centArr, c => round(sq_distance(emb, c), 6))` +
+    * `array_min` + `element_at(idArr, array_position(...))` — which is
+    * a HigherOrderFunction in Spark (CodegenFallback: one interpreted
+    * lambda invocation per centroid per row; at corpus-scaled k=400
+    * over 200k rows × ~5 scans that is ~4×10⁸ boxed calls and it
+    * dominated dedup_semantic's 100× wall). Same double fold order
+    * inside each distance, same half-up round-6 per centroid, same
+    * strictly-less-than first-minimum tie-break (= array_position of
+    * array_min), same NULL face (null input / length mismatch / null
+    * element / empty centroid set → null struct, exactly like the
+    * composed form's all-null dists column). `cents` and `ids` ride as
+    * reference objects like the PQ codebooks. Parity pinned in
+    * GraftExpressionsSpec on real embeddings. */
+  case class KmeansArgmin(child: Expression,
+      cents: Array[Array[Double]], ids: Array[Int])
+      extends UnaryExpression {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("cl", IntegerType, nullable = false),
+      StructField("dist", DoubleType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def prettyName: String = "kmeans_argmin"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      vecTypeCheck(prettyName, Seq(child.dataType))
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val tp = elemType(child)
+      val n = v.numElements()
+      var best = Double.PositiveInfinity
+      var bestI = -1
+      var c = 0
+      while (c < cents.length) {
+        val ct = cents(c)
+        if (ct.length != n) return null
+        var s = 0.0
+        var j = 0
+        while (j < n) {
+          if (v.isNullAt(j)) return null
+          val d = vecGet(v, tp, j) - ct(j)
+          s += d * d
+          j += 1
+        }
+        val dist = GraftExpressions.round6(s)
+        if (dist < best) { best = dist; bestI = c }
+        c += 1
+      }
+      if (bestI < 0) null
+      else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ids(bestI), best))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val centsRef = ctx.addReferenceObj("kmCents", cents, "double[][]")
+        val idsRef = ctx.addReferenceObj("kmIds", ids, "int[]")
+        val n = ctx.freshName("n"); val c = ctx.freshName("c")
+        val j = ctx.freshName("j"); val s = ctx.freshName("s")
+        val d = ctx.freshName("d"); val ct = ctx.freshName("ct")
+        val best = ctx.freshName("best"); val bestI = ctx.freshName("bestI")
+        val dist = ctx.freshName("dist")
+        s"""
+           |int $n = $v.numElements();
+           |double $best = Double.POSITIVE_INFINITY; int $bestI = -1;
+           |for (int $c = 0; !${ev.isNull} && $c < $centsRef.length; $c++) {
+           |  double[] $ct = $centsRef[$c];
+           |  if ($ct.length != $n) { ${ev.isNull} = true; break; }
+           |  double $s = 0.0;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    if ($v.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |    double $d = ${vecGetCode(v, elemType(child), j)} - $ct[$j];
+           |    $s += $d * $d;
+           |  }
+           |  if (${ev.isNull}) break;
+           |  double $dist = ${round6Code(s)};
+           |  if ($dist < $best) { $best = $dist; $bestI = $c; }
+           |}
+           |if (!${ev.isNull} && $bestI < 0) { ${ev.isNull} = true; }
+           |if (!${ev.isNull}) {
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |    new Object[]{ java.lang.Integer.valueOf($idsRef[$bestI]),
+           |                  java.lang.Double.valueOf($best) });
+           |}
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** column face of [[KmeansArgmin]]: centroids as the driver-held
+    * (id, float-quantized values) list every Lloyd's helper carries */
+  def kmeans_argmin(emb: Column, cents: Seq[(Int, Seq[Float])]): Column =
+    ColumnBridge.column(KmeansArgmin(ColumnBridge.expression(emb),
+      cents.map(_._2.map(_.toDouble).toArray).toArray,
+      cents.map(_._1).toArray))
+
   /** ADC lookup-sum: Σ_sp tab[sp][code[sp]] rounded half-up to 6 dp —
     * the per-(query, vector) scoring pass of the PQ pipeline, the other
     * corpus-scale loop. `tab` is array<array<double>> (the broadcast

@@ -347,19 +347,23 @@ object SimilarityOps {
   private def sqDist(emb: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
     round(GraftExpressions.sq_distance(emb, c), 6)
 
-  /** map-side cluster assignment: centroids are a driver-held literal
+  /** map-side cluster assignment: centroids are driver-held state
     * (k×64 floats — bounded, the state real distributed k-means keeps on
     * the driver), so assignment is one scan with NO shuffle; ties take
-    * the lowest cluster id (first minimum in cl order). */
-  private def kmeansAssign(e: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame = {
-    val centArr = array(cents.map { case (_, c) => array(c.map(lit(_)): _*) }: _*)
-    val idArr = array(cents.map { case (id, _) => lit(id) }: _*)
-    e.withColumn("dists", transform(centArr, c => sqDist(col("embedding"), c)))
-      .withColumn("dist", array_min(col("dists")))
-      .withColumn("cl",
-        element_at(idArr, array_position(col("dists"), col("dist")).cast("int")))
-      .drop("dists")
-  }
+    * the lowest cluster id (first minimum in cl order). The argmin loop
+    * is the native codegen [[GraftExpressions.KmeansArgmin]] expression
+    * (centroids ride as a reference object): the previous
+    * transform∘sq_distance∘array_min∘array_position composition is a
+    * HigherOrderFunction — CodegenFallback, one interpreted lambda per
+    * centroid per row — and at corpus-scaled k (SemDeDup k=400 at 100×)
+    * those ~4×10⁸ boxed calls dominated the wall. Arithmetic, rounding
+    * and tie-break are bit-identical (parity-pinned in
+    * GraftExpressionsSpec); the oracle is untouched. */
+  private def kmeansAssign(e: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame =
+    e.withColumn("asg", GraftExpressions.kmeans_argmin(col("embedding"), cents))
+      .withColumn("dist", col("asg").getField("dist"))
+      .withColumn("cl", col("asg").getField("cl"))
+      .drop("asg")
 
   /** one Lloyd's refinement: recompute per-cluster means (positional
     * explode → partial-agg shuffle of only k×64 groups) and pull the new

@@ -154,6 +154,50 @@ class GraftExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("KmeansArgmin matches the composed HOF assignment bit-for-bit (incl. ties and k=40)") {
+    // the native expression replaced transform∘sq_distance∘array_min∘
+    // array_position in kmeansAssign (the corpus-scale loop of every
+    // Lloyd's pass); pin cl AND dist equality on real embeddings for a
+    // small and a corpus-scaled k, plus the first-min tie-break with a
+    // DUPLICATED centroid (both formulations must pick the lower id)
+    val e = load().limit(300)
+    def composed(cents: Seq[(Int, Seq[Float])]) = {
+      val centArr = array(cents.map { case (_, c) => array(c.map(lit(_)): _*) }: _*)
+      val idArr = array(cents.map { case (id, _) => lit(id) }: _*)
+      val dists = transform(centArr, c =>
+        round(graft.functions.GraftExpressions.sq_distance(col("embedding"), c), 6))
+      struct(
+        element_at(idArr, array_position(dists, array_min(dists)).cast("int")).as("cl"),
+        array_min(dists).as("dist"))
+    }
+    val seed = e.orderBy(col("vec_id")).limit(40)
+      .collect().map(r => r.getSeq[Float](1).toSeq)
+    for (k <- Seq(4, 40)) {
+      val cents = (0 until k).map(i => (i + 1, seed(i))).toSeq
+      val both = e.select(col("vec_id"),
+        graft.functions.GraftExpressions.kmeans_argmin(col("embedding"), cents).as("native"),
+        composed(cents).as("composedv"))
+      assert(both.filter(not(col("native") <=> col("composedv"))).count() == 0,
+        s"native argmin must equal the composed formulation at k=$k")
+    }
+    // tie: centroid 2 duplicates centroid 1 — first minimum (lower id) wins
+    val tied = Seq((1, seed(0)), (2, seed(0)), (3, seed(1)))
+    val t = e.select(
+      graft.functions.GraftExpressions.kmeans_argmin(col("embedding"), tied).as("native"),
+      composed(tied).as("composedv"))
+    assert(t.filter(not(col("native") <=> col("composedv"))).count() == 0)
+    assert(t.filter(col("native.cl") === 2).count() == 0,
+      "a tie must resolve to the FIRST centroid in cl order")
+    // null face: empty centroid set and a length-mismatched centroid → null
+    val emptyC = e.limit(5).select(
+      graft.functions.GraftExpressions.kmeans_argmin(col("embedding"), Seq.empty).as("n"))
+    assert(emptyC.filter(col("n").isNotNull).count() == 0)
+    val mism = e.limit(5).select(
+      graft.functions.GraftExpressions.kmeans_argmin(col("embedding"),
+        Seq((1, Seq(1.0f, 2.0f)))).as("n"))
+    assert(mism.filter(col("n").isNotNull).count() == 0)
+  }
+
   test("PQ expressions: NaN/Infinity propagate like round(); malformed inputs error, not garbage") {
     // round6 mirrors Spark's RoundBase double path: NaN/Infinity pass
     // through unchanged (BigDecimal.valueOf(NaN) would throw). A vector
