@@ -173,6 +173,40 @@ class SourcesSpec extends AnyFunSuite {
     } finally orig.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("ORC: typed filters reach the scan, nested ReadSchema prunes, footer aggregates push down") {
+    val path = tmp("orcplan")
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        struct(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri")).as("meta"))
+      .write.orc(path)
+    // V1 ORC scan: pushed filters + nested schema pruning
+    val q = spark.read.orc(path)
+      .filter(col("o_totalprice") > 1000.0 && col("o_custkey").isNotNull)
+      .select(col("o_orderkey"), col("meta.pri"))
+    val m = q.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata
+    }.get
+    assert(m("PushedFilters").contains("GreaterThan(o_totalprice,1000.0)"), m("PushedFilters"))
+    assert(m("PushedFilters").contains("IsNotNull(o_custkey)"), m("PushedFilters"))
+    assert(m("ReadSchema").contains("meta:struct<pri:string>") &&
+      !m("ReadSchema").contains("st:string"), m("ReadSchema"))
+    // DSv2 ORC scan: MIN/MAX/COUNT answered from file statistics
+    val keys = Seq("spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.orc.aggregatePushdown" -> "true")
+    val origs = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = spark.read.orc(path)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")), count(lit(1)))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains(
+        "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]"), plan.take(2000))
+      val expected = Tables.load(spark, dir, "orders")
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")), count(lit(1))).head
+      assert(agg.head == expected)
+    } finally origs.foreach { case (k, o) => o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("catalog table: saveAsTable then spark.table + insertInto append") {
     spark.sql("DROP TABLE IF EXISTS graft_nation")
     nation.write.saveAsTable("graft_nation")

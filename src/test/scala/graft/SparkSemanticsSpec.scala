@@ -3534,6 +3534,37 @@ class SparkSemanticsSpec extends AnyFunSuite {
       // ntz: TIMESTAMP_NTZ physical round-trip
       s.sql("SELECT 1L AS id, TIMESTAMP_NTZ '2020-03-01 07:00:00' AS tn")
         .coalesce(1).write.mode("overwrite").parquet(s"$pqBase/ntz")
+      // ---- wave 12b: the SAME logical fixtures as ORC (the
+      // GlutenOrc* read-path suites mirror the parquet family) plus
+      // CSV/JSON read-schema-evolution files (*ReadSchemaSuite)
+      s.createDataFrame(flatRows.asJava, flatSchema)
+        .coalesce(1).write.mode("overwrite").orc(s"$pqBase/orc_flat")
+      s.createDataFrame(nestedRows.asJava, nestedSchema)
+        .coalesce(1).write.mode("overwrite").orc(s"$pqBase/orc_nested")
+      Seq((1L, Some(1), "x"), (2L, Some(1), "y"), (3L, Some(2), "z"), (4L, None, "w"))
+        .toDF("id", "p", "v")
+        .write.mode("overwrite").partitionBy("p").orc(s"$pqBase/orc_parts")
+      Seq((1L, 10), (2L, 20)).toDF("id", "a")
+        .coalesce(1).write.mode("overwrite").orc(s"$pqBase/orc_evo")
+      Seq((3L, 30, "x"), (4L, 40, "y")).toDF("id", "a", "b")
+        .coalesce(1).write.mode("append").orc(s"$pqBase/orc_evo")
+      // csv evolution: same header width, a SHORT row, and a second
+      // file with an extra trailing column
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$pqBase/csv_evo"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$pqBase/csv_evo/a.csv"),
+        "id,a\n1,10\n2\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$pqBase/csv_evo/b.csv"),
+        "id,a,b\n3,30,x\n")
+      // json evolution: int-vs-long widths, missing and extra fields,
+      // nested subfield present in only one document
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$pqBase/evo.json"),
+        """{"id": 1, "a": 10, "nest": {"x": 1}}
+          |{"id": 2147483648, "a": 20, "extra": "ignored"}
+          |{"id": 3, "nest": {"x": 2, "y": "only-here"}}
+          |""".stripMargin)
       pqBuilt = true
     }
   }
@@ -3545,6 +3576,9 @@ class SparkSemanticsSpec extends AnyFunSuite {
     import org.apache.spark.sql.{functions => F}
     def rd(s: org.apache.spark.sql.SparkSession, sub: String) = {
       pqFix(s); s.read.parquet(s"$pqBase/$sub")
+    }
+    def ro(s: org.apache.spark.sql.SparkSession, sub: String) = {
+      pqFix(s); s.read.orc(s"$pqBase/$sub")
     }
     Seq(
       // -- GlutenParquetV1FilterSuite faces: typed predicate pushdown --
@@ -3773,7 +3807,138 @@ class SparkSemanticsSpec extends AnyFunSuite {
         rd(s, "rebase_int96").select("id", "ts").orderBy("id")),
       ("pqpin_rebase_modern_date_unaffected", s =>
         rd(s, "rebase_legacy").filter(F.col("id") === 3L).select("id", "d", "ts")),
-      ("pqpin_ntz_roundtrip", s => rd(s, "ntz").select("id", "tn")))
+      ("pqpin_ntz_roundtrip", s => rd(s, "ntz").select("id", "tn")),
+
+      // ---- wave 12b: the ORC read-path twins (GlutenOrcV1FilterSuite /
+      // GlutenOrcV1SchemaPruningSuite / GlutenOrcV1PartitionDiscoverySuite /
+      // GlutenOrcReadSchemaSuite / GlutenOrcSourceSuite) — same logical
+      // fixtures as the parquet wave, read through the ORC reader, so a
+      // format-specific semantics drift (predicate handling, nulls,
+      // temporal/decimal encodings, evolution) pins red on exactly the
+      // face that moved
+      ("orcpin_filter_long_eq", s => ro(s, "orc_flat").filter(F.col("id") === 2L).select("id", "v")),
+      ("orcpin_filter_int_lt", s =>
+        ro(s, "orc_flat").filter(F.col("v") < 30).select("id", "v").orderBy("id")),
+      ("orcpin_filter_string_startswith", s =>
+        ro(s, "orc_flat").filter(F.col("s").startsWith("alpha")).select("id", "s").orderBy("id")),
+      ("orcpin_filter_in_set", s =>
+        ro(s, "orc_flat").filter(F.col("v").isin(10, 50, 99)).select("id", "v").orderBy("id")),
+      ("orcpin_filter_isnull", s =>
+        ro(s, "orc_flat").filter(F.col("v").isNull).select("id", "v")),
+      ("orcpin_filter_date_gt", s =>
+        ro(s, "orc_flat").filter(F.col("d") > F.lit("2020-06-01").cast("date"))
+          .select("id", "d").orderBy("id")),
+      ("orcpin_filter_decimal_ge", s =>
+        ro(s, "orc_flat").filter(F.col("dec") >= F.lit("12.34").cast("decimal(10,2)"))
+          .select("id", "dec").orderBy("id")),
+      ("orcpin_filter_boolean_eq", s =>
+        ro(s, "orc_flat").filter(F.col("b") === true).select("id", "b").orderBy("id")),
+      ("orcpin_filter_float_nan_eq", s =>
+        ro(s, "orc_flat").filter(F.col("f") === F.lit(Float.NaN)).select("id", "f")),
+      ("orcpin_temporal_roundtrip", s =>
+        ro(s, "orc_flat").filter(F.col("ts").isNotNull).select("id", "d", "ts").orderBy("id")),
+      ("orcpin_array_map_roundtrip", s =>
+        ro(s, "orc_flat").filter(F.col("id") === 5L).select("id", "arr", "m")),
+      ("orcpin_nested_field_select", s =>
+        ro(s, "orc_nested").select(F.col("id"), F.col("person.addr.city")).orderBy("id")),
+      ("orcpin_nested_field_filter", s =>
+        ro(s, "orc_nested").filter(F.col("person.age") > 30)
+          .select(F.col("id"), F.col("person.age"))),
+      ("orcpin_partdisc_int_inference", s => {
+        import s.implicits._
+        Seq(ro(s, "orc_parts").schema("p").dataType.simpleString).toDF("p_type")
+      }),
+      ("orcpin_partdisc_null_partition_read", s =>
+        ro(s, "orc_parts").filter(F.col("p").isNull).select("id", "p", "v")),
+      ("orcpin_partfilter_and_data_filter", s =>
+        ro(s, "orc_parts").filter(F.col("p") === 1 && F.col("v") === "y").select("id", "p", "v")),
+      ("orcpin_evo_merge_schema_union", s => {
+        pqFix(s)
+        s.read.option("mergeSchema", "true").orc(s"$pqBase/orc_evo").orderBy("id")
+      }),
+      ("orcpin_evo_missing_col_isnull", s => {
+        pqFix(s)
+        s.read.option("mergeSchema", "true").orc(s"$pqBase/orc_evo")
+          .filter(F.col("b").isNull).select("id", "a").orderBy("id")
+      }),
+      ("orcpin_user_schema_subset_prunes", s => {
+        pqFix(s)
+        s.read.schema("id BIGINT, s STRING").orc(s"$pqBase/orc_flat").orderBy("id")
+      }),
+      ("orcpin_case_insensitive_column_match", s => {
+        pqFix(s)
+        s.read.orc(s"$pqBase/orc_flat").select(F.col("ID"), F.col("S")).orderBy("ID")
+      }),
+      // ORC _metadata carries the FILE fields only — row_index is a
+      // parquet-reader capability; pin the schema so that contract is
+      // explicit
+      ("orcpin_meta_struct_schema_no_row_index", s => {
+        import s.implicits._
+        val t = ro(s, "orc_flat").select(F.col("_metadata")).schema.head.dataType.simpleString
+        Seq(t).toDF("metadata_type")
+      }),
+
+      // ---- wave 12b: CSV/JSON read-schema evolution faces
+      // (Gluten{CSV,Header CSV,Json}ReadSchemaSuite)
+      ("rspin_csv_short_row_fills_null", s => {
+        pqFix(s)
+        s.read.schema("id BIGINT, a INT").option("header", "true")
+          .csv(s"$pqBase/csv_evo/a.csv").orderBy("id")
+      }),
+      ("rspin_csv_wider_user_schema_nulls", s => {
+        pqFix(s)
+        s.read.schema("id BIGINT, a INT, b STRING, zzz DOUBLE").option("header", "true")
+          .csv(s"$pqBase/csv_evo").orderBy("id")
+      }),
+      ("rspin_csv_narrower_user_schema_drops_trailing", s => {
+        pqFix(s)
+        // positional mapping: the b.csv file's extra trailing column is
+        // dropped when the user schema stops at (id, a)
+        s.read.schema("id BIGINT, a INT").option("header", "true")
+          .csv(s"$pqBase/csv_evo/b.csv").orderBy("id")
+      }),
+      ("rspin_csv_enforce_schema_ignores_header_names", s => {
+        pqFix(s)
+        // enforceSchema=true (the default): header names are NOT
+        // matched against the user schema — mapping is positional
+        s.read.schema("renamed BIGINT, other INT").option("header", "true")
+          .option("enforceSchema", "true")
+          .csv(s"$pqBase/csv_evo/a.csv").orderBy("renamed")
+      }),
+      ("rspin_json_type_widened_long", s => {
+        pqFix(s)
+        s.read.schema("id BIGINT, a INT").json(s"$pqBase/evo.json").orderBy("id")
+      }),
+      ("rspin_json_missing_field_null", s => {
+        pqFix(s)
+        s.read.schema("id BIGINT, a INT").json(s"$pqBase/evo.json")
+          .filter(F.col("a").isNull).select("id")
+      }),
+      ("rspin_json_extra_fields_ignored", s => {
+        pqFix(s)
+        s.read.schema("id BIGINT").json(s"$pqBase/evo.json")
+          .select(F.count(F.lit(1)).as("n"))
+      }),
+      ("rspin_json_nested_missing_subfield_null", s => {
+        pqFix(s)
+        s.read.schema("id BIGINT, nest STRUCT<x: INT, y: STRING>")
+          .json(s"$pqBase/evo.json")
+          .select(F.col("id"), F.col("nest.x"), F.col("nest.y"))
+          .orderBy("id")
+      }),
+      ("rspin_json_inferred_schema_unions_fields", s => {
+        import s.implicits._
+        pqFix(s)
+        Seq(s.read.json(s"$pqBase/evo.json").schema.simpleString).toDF("inferred")
+      }),
+      // the JSON PARSER matches schema fields against document keys
+      // case-sensitively regardless of spark.sql.caseSensitive (that
+      // conf governs catalyst resolution, not Jackson field lookup):
+      // an upper-cased user schema reads all-NULL from lower-case docs
+      ("rspin_json_schema_field_case_must_match_document", s => {
+        pqFix(s)
+        s.read.schema("ID BIGINT, A INT").json(s"$pqBase/evo.json").orderBy("ID")
+      }))
   }
 
   // ---- wave 8b: typed Dataset / encoder pins (GlutenDatasetSuite /
