@@ -20,6 +20,25 @@ object Tables {
   val extra = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ extra
 
+  /** Inferred parquet schema per table path, memoized for the JVM.
+    * A schema-inferring `spark.read.parquet` runs a one-task footer
+    * job on EVERY call (Spark reads footers through
+    * `mergeSchemasInParallel` even for a single file), so without the
+    * memo every query CONSTRUCTION pays a Spark job per table touched
+    * — noise at test SFs, and at cluster scale a per-query driver
+    * round-trip that LazyContainmentSpec's zero-jobs-at-construction
+    * contract forbids. Schema is a property of the files; file
+    * LISTING stays live (the session's FileStatusCache governs it), so
+    * a regenerated corpus with the same schema is picked up normally.
+    * Keyed by absolute path only — deliberately session-independent. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readMemoized(spark: SparkSession, path: String): DataFrame = {
+    val s = schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(s).parquet(path)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (early
@@ -30,7 +49,7 @@ object Tables {
       // microsecond-resolution, so the nanos→micros truncation is
       // lossless.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val raw = readMemoized(spark, s"$dir/$name.parquet")
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else
@@ -39,7 +58,7 @@ object Tables {
         // downstream query sees the exact type/values the NANOS path
         // produced
         raw.withColumn("ts", col("ts").cast("timestamp"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else readMemoized(spark, s"$dir/$name.parquet")
 
   /** Register all tables as temp views named exactly as the files. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -451,7 +451,8 @@ object GraftExpressions {
   /** k-means assignment: argmin over a driver-held centroid matrix,
     * returning struct(cl, dist) — the corpus-scale loop of every
     * Lloyd's pass (assignment, refinement input, SemDeDup clustering).
-    * Bit-identical to the composed form it replaces —
+    * Bit-identical ON WELL-FORMED CENTROID SETS to the composed form
+    * it replaces —
     * `transform(centArr, c => round(sq_distance(emb, c), 6))` +
     * `array_min` + `element_at(idArr, array_position(...))` — which is
     * a HigherOrderFunction in Spark (CodegenFallback: one interpreted
@@ -460,9 +461,17 @@ object GraftExpressions {
     * dominated dedup_semantic's 100× wall). Same double fold order
     * inside each distance, same half-up round-6 per centroid, same
     * strictly-less-than first-minimum tie-break (= array_position of
-    * array_min), same NULL face (null input / length mismatch / null
-    * element / empty centroid set → null struct, exactly like the
-    * composed form's all-null dists column). `cents` and `ids` ride as
+    * array_min). Well-formed = every centroid non-null with the input
+    * vector's width (always true in the Lloyd's pipeline: centroids
+    * are per-cluster means of corpus rows, so they share the corpus
+    * dim). On null input, null vector element, or empty centroid set
+    * both forms agree (null struct / null dists); on MALFORMED sets
+    * the faces diverge (advisor r12): a length-mismatched centroid
+    * nulls the whole struct here, while the composed form skips only
+    * that centroid's dist (argmin over the rest), and an
+    * all-mismatched set yields struct(null,null) there vs null here.
+    * Downstream `getField` equalizes the struct-null faces; the
+    * parity spec pins the well-formed cases. `cents` and `ids` ride as
     * reference objects like the PQ codebooks. Parity pinned in
     * GraftExpressionsSpec on real embeddings. */
   case class KmeansArgmin(child: Expression,

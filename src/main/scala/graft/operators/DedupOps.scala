@@ -510,31 +510,56 @@ object DedupOps {
     (crossPairs.unionByName(withinPairs), groups)
   }
 
-  /** NOTE: constructing this query EXECUTES the verify pipeline (the
-    * eager survivor checkpoint below is load-bearing); harnesses time
-    * construction + action together (Bench's timer opens before the
-    * query function is applied). */
+  /** Construction is LAZY (r12 verdict item 7 closed the standing
+    * nit): building the DataFrame runs NO job — an explain-service /
+    * plan-cache caller pays only analysis — and the verify pipeline
+    * executes on the FIRST ACTION. The old eager localCheckpoint is
+    * replaced by a lazy DISK_ONLY persist: registering the cache is
+    * job-free, the first job to touch the plan (orderBy's
+    * range-partitioner sample pass) computes the pipeline once and
+    * populates the cache, and the sort pass reads the cached batches
+    * back, so the single-materialization contract that motivated the
+    * checkpoint still holds. (eager=false localCheckpoint would NOT
+    * work here: its queryExecution.toRdd materializes every
+    * intermediate AQE query stage at construction — jobs run.)
+    * LazyContainmentSpec pins both halves: zero jobs at
+    * construction + explain, one verify pass at action. Harnesses
+    * time construction + action together as before. */
   private val dedupContainment: Q = (s, dir) => {
+    // retire the previous run's caches BEFORE registering the new
+    // ones — Dataset.unpersist removes cache entries by CANONICAL PLAN
+    // match, so retiring afterwards would also evict the new entries
+    // whenever two containment runs share a corpus (identical plans —
+    // the back-to-back-call shape specs and pipelines actually use)
+    lastContainmentCaches.getAndSet(Nil).foreach(_.unpersist(blocking = false))
     val (pre, groups) = containmentPlan(s, dir)
-    // materialize survivors BEFORE the global sort: orderBy's range
+    // cache survivors BEFORE the global sort: orderBy's range
     // partitioner SAMPLES its input by executing the child plan, so an
-    // unmaterialized verify pipeline runs TWICE (measured at 100x:
-    // two full 1.76B-row aggregate+verify passes, ~5.5 min each). The
-    // checkpoint is survivor-sized (~41M rows at 100x), not
-    // candidate-sized — the cheap side of the asymmetry. DISK_ONLY:
-    // the default deserialized MEMORY_AND_DISK level held 41M rows as
-    // Java objects next to the two verify broadcasts — measured heap
-    // death at 100x/6 GiB; disk read-back of narrow rows is trivial.
-    val survivors = pre
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // the groups cache exists to share the set table across the six
-    // subtrees of the ONE materialization above; after the eager
-    // checkpoint it is dead weight (advisor r10) — release before
-    // returning so back-to-back containment passes in a long-lived
-    // session do not accumulate set-table blocks
-    groups.unpersist(blocking = false)
+    // uncached verify pipeline runs TWICE (measured at 100x: two full
+    // 1.76B-row aggregate+verify passes, ~5.5 min each). The cache is
+    // survivor-sized (~41M rows at 100x), not candidate-sized — the
+    // cheap side of the asymmetry. DISK_ONLY: a deserialized level
+    // would hold 41M rows as Java objects next to the two verify
+    // broadcasts — measured heap death at 100x/6 GiB; disk read-back
+    // of narrow columnar batches is trivial.
+    val survivors = pre.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // the groups cache shares the set table across the six subtrees of
+    // the ONE materialization above. Under lazy construction both
+    // caches must stay registered until that materialization actually
+    // runs, so they are retired via the session-wide single-slot cache
+    // (the NEXT containment build, or releaseCaches(), unpersists
+    // them) instead of the old unpersist-at-construction — same
+    // deferred-release discipline as the capped-banding cache, no
+    // accumulation across back-to-back containment passes in a
+    // long-lived session.
+    lastContainmentCaches.set(Seq(groups, survivors))
     survivors.orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** The live containment caches (set table + survivors), if any —
+    * exactly one pair per session (see [[dedupContainment]]). */
+  private val lastContainmentCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
 
   private val dedupContainmentSql =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -862,8 +887,10 @@ object DedupOps {
     * accumulate anyway; a long-lived pipeline session calls this when
     * its dedup work is done. Safe at any time: an unpersisted plan
     * recomputes transparently if still referenced. */
-  def releaseCaches(): Unit =
+  def releaseCaches(): Unit = {
     lastCapCache.getAndSet(None).foreach(_.unpersist(blocking = false))
+    lastContainmentCaches.getAndSet(Nil).foreach(_.unpersist(blocking = false))
+  }
 
   /** Connected components over an undirected pair graph via alternating
     * LARGE-STAR / SMALL-STAR rounds (the MapReduce CC formulation of

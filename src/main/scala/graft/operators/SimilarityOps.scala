@@ -822,12 +822,44 @@ object SimilarityOps {
     * candidate pairs → the UNCHANGED margin math. Candidate pairs are
     * persisted for the duration of the margin windows — the pair table
     * feeds three consumers (rs ranking, rt ranking, the final margin
-    * join) and the bucket join is the expensive leg at corpus scale. */
+    * join) and the bucket join is the expensive leg at corpus scale.
+    * The persist is retired via [[retireMarginCache]]: exactly one live
+    * candidate cache per session (the next margin run, or an explicit
+    * [[releaseCaches]], unpersists the previous one) — the same
+    * deferred-release discipline DedupOps' capped-banding cache uses,
+    * so library callers that never `clearCache()` do not accumulate
+    * DISK_ONLY blocks across repeated margin runs. */
   private[graft] def marginMiningAnn(s: SparkSession, dir: String): DataFrame = {
-    val pairs = marginMiningAnnPairs(s, dir, autoLshBits(s, dir, 4))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val pairs = registerMarginCache(
+      marginMiningAnnPairs(s, dir, autoLshBits(s, dir, 4)))
     marginSurvivors(pairs)
   }
+
+  /** The live margin-candidate DISK_ONLY cache, if any — exactly one
+    * per session (see [[marginMiningAnn]]). */
+  private val lastMarginCache =
+    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+
+  /** Retire the previous margin run's candidate cache, THEN persist and
+    * register `next` as the live one. Order matters: Dataset.unpersist
+    * removes cache entries by CANONICAL PLAN match, so retiring after
+    * the new persist would evict the new entry too whenever two margin
+    * runs share a corpus (identical plans — the back-to-back shape
+    * AnnRecallSpec and pipeline callers use). Safe at any time: an
+    * unpersisted plan recomputes transparently if still referenced. */
+  private def registerMarginCache(next: DataFrame): DataFrame = {
+    lastMarginCache.getAndSet(None).foreach(_.unpersist(blocking = false))
+    val persisted = next.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    lastMarginCache.set(Some(persisted))
+    persisted
+  }
+
+  /** Release SimilarityOps-held persisted blocks (the margin-mining
+    * candidate cache). Harnesses that `clearCache()` per query never
+    * accumulate anyway; a long-lived pipeline session calls this when
+    * its mining work is done. */
+  def releaseCaches(): Unit =
+    lastMarginCache.getAndSet(None).foreach(_.unpersist(blocking = false))
 
   private val marginMiningSql =
     """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -911,9 +943,10 @@ object SimilarityOps {
         col("exact_margin"), col("exact_survivor"))
     // full corpus-wide ANN pipeline — candidates persisted once (three
     // consumers: the two ranking passes + the margin join + the recall
-    // lookup below), DISK_ONLY so 100× replicas never squeeze the heap
-    val annPairs = marginMiningAnnPairs(s, dir, bits)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // lookup below), DISK_ONLY so 100× replicas never squeeze the heap;
+    // registered with the session-wide single-slot cache (see
+    // marginMiningAnn) so repeated gate runs retire their predecessor
+    val annPairs = registerMarginCache(marginMiningAnnPairs(s, dir, bits))
     val annWinners = marginSurvivors(annPairs)
       .select(col("sid"), col("tid").as("best_tid"), lit(true).as("ann_winner"))
     val flagged = exact

@@ -6,14 +6,16 @@ import scala.collection.concurrent.TrieMap
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.{Literal => CatalystLiteral}
-import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, MetadataColumn, ProcedureCatalog, SupportsDeleteV2, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, FunctionCatalog, Identifier, MetadataColumn, ProcedureCatalog, SupportsDeleteV2, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
@@ -56,8 +58,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Enable: `spark.sql.catalog.lake=graft.sources.GraftLakeCatalog`.
   */
-class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
+class GraftLakeCatalog extends TableCatalog with ProcedureCatalog with FunctionCatalog {
   private var catalogName: String = _
+
+  // ---- FunctionCatalog face: the `bucket` partition transform -------
+  // Storage-partitioned joins on bucket-partitioned tables need the
+  // catalog to resolve the transform to a V2 function (Spark's
+  // V2ScanPartitioningAndOrdering rule binds `bucket(n, col)` through
+  // the scan relation's FunctionCatalog; identity transforms resolve
+  // as plain attributes and need nothing). Both join sides compare the
+  // bound function's canonicalName, so one shared definition makes two
+  // same-bucketing lake tables co-partitioned.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") LakeBucketFunction
+    else throw new NoSuchFunctionException(ident)
 
   /** table state is keyed by catalog NAME, shared across catalog
     * instances: cloned sessions (foreachBatch, thread pools) construct
@@ -362,8 +378,43 @@ object LakePartField {
     case u: UTF8String => u.toString
     case other => other
   }
+  /** inverse of [[normalize]] for handing manifest partition values
+    * back to Spark as CATALYST values (`HasPartitionKey` rows) */
+  def denormalize(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
   def bucketOf(v: Any, n: Int): Int =
     if (v == null) 0 else ((v.hashCode % n) + n) % n
+}
+
+/** The catalog's `bucket(n, col)` partition transform as a V2 function
+  * (FunctionCatalog face) — what lets Spark's storage-partitioned-join
+  * machinery treat two bucket-partitioned lake tables as
+  * co-partitioned. The bound function's semantics are EXACTLY the
+  * write path's ([[LakePartField.eval]]): normalize the catalyst value
+  * (UTF8String → String) then `((hashCode % n) + n) % n` — evaluated
+  * by Spark only on the partially-clustered paths; plain SPJ compares
+  * partition VALUES from the manifests plus this `canonicalName`. */
+object LakeBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String = "graft lake bucket partition transform"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket expects (numBuckets, col), got ${inputType.catalogString}")
+    val valueType = inputType(1).dataType
+    new ScalarFunction[Integer] {
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.lake.bucket"
+      override def inputTypes(): Array[DataType] =
+        Array(org.apache.spark.sql.types.IntegerType, valueType)
+      override def resultType(): DataType = org.apache.spark.sql.types.IntegerType
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        LakePartField.bucketOf(LakePartField.normalize(input.get(1, valueType)), n)
+      }
+    }
+  }
 }
 
 /** schema-stable partition spec entry: tracks its source column by
@@ -875,8 +926,39 @@ class LakeScanBuilder(state: LakeTableState, snapshot: LakeSnapshot,
 }
 
 class LakeScan(state: LakeTableState, snapshot: LakeSnapshot,
-    files: Vector[LakeDataFile], required: StructType) extends Scan with Batch {
+    files: Vector[LakeDataFile], required: StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
+
+  /** Report the manifest's partition layout as KeyGroupedPartitioning
+    * (r12 verdict item 3 — the Iceberg storage-partitioned-join
+    * feature): every data file carries its partition tuple, each input
+    * partition exposes it via [[HasPartitionKey]], and Spark groups
+    * same-key partitions into one task, so a join/aggregate whose keys
+    * cover the partition transforms needs NO Exchange on this side.
+    * numPartitions = distinct partition tuples IN THIS SCAN (post
+    * file-pruning — the contract is over the partitions actually
+    * planned). Unpartitioned or empty scans report unknown: zero-key
+    * grouping is meaningless and Spark treats empty KeyGrouped
+    * partitionings inconsistently. */
+  override def outputPartitioning(): Partitioning =
+    if (state.partSpecs.isEmpty || files.isEmpty)
+      new UnknownPartitioning(planned._1.length)
+    else {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      val keys = state.partSpecs.indices.map { i =>
+        // resolve names against the SNAPSHOT schema: a time-travel or
+        // branch scan must report the column names its own output uses
+        val name = snapshot.schema(
+          snapshot.fieldIds.indexOf(state.partSpecs(i).fieldId)).name
+        if (state.partSpecs(i).bucket == 0)
+          Expressions.identity(name): org.apache.spark.sql.connector.expressions.Expression
+        else
+          Expressions.bucket(state.partSpecs(i).bucket, name)
+            : org.apache.spark.sql.connector.expressions.Expression
+      }.toArray
+      new KeyGroupedPartitioning(keys, files.map(_.partition).distinct.length)
+    }
   override def description(): String =
     s"graft-lake ${state.tableName} snapshot=v${snapshot.version} " +
       s"files=${files.length}/${snapshot.files.length} " +
@@ -918,7 +1000,8 @@ class LakeScan(state: LakeTableState, snapshot: LakeSnapshot,
         funcs.length - 1
       })
       LakeFilePartition(f.path, readerId, bindings, prunedTypes,
-        f.partition.mkString("/")): InputPartition
+        f.partition.mkString("/"),
+        f.partition.map(LakePartField.denormalize).toArray): InputPartition
     }.toArray
     (parts, funcs.toArray)
   }
@@ -969,9 +1052,16 @@ class LakeScan(state: LakeTableState, snapshot: LakeSnapshot,
 }
 
 /** manifest-entry partition: parquet path + output binding table
-  * (readerId indexes the factory's shared reader functions) */
+  * (readerId indexes the factory's shared reader functions).
+  * `partKeyValues` is the file's partition tuple as CATALYST values —
+  * the [[HasPartitionKey]] face Spark's storage-partitioned-join
+  * grouping keys on (same tuple → same task, both join sides). */
 case class LakeFilePartition(path: String, readerId: Int, bindings: Array[Int],
-    prunedTypes: Array[DataType], partLabel: String) extends InputPartition
+    prunedTypes: Array[DataType], partLabel: String,
+    partKeyValues: Array[Any] = Array.empty)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(partKeyValues)
+}
 
 /** driver-local fixed row set (metadata tables, procedure outputs) */
 case class LakeRowsPartition(rows: Array[InternalRow]) extends InputPartition

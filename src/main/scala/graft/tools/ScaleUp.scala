@@ -81,7 +81,16 @@ object ScaleUp {
         val (a, b) = (px(2 * p), px(2 * p + 1))
         Seq(a * c - b * s, a * s + b * c)
       }
-      array(out.map(_.cast("float")): _*)
+      // fail-loud width gate (advisor r12): the permutation and Givens
+      // block structure are hard-wired to 64 dims; on any other width
+      // the element_at reads past the array end would return null
+      // (non-ANSI) and silently emit corrupt replica vectors. A corpus
+      // shape change must abort the generator, like the footer-stats
+      // path does — the guard is one size() per row at generation time.
+      when(size(emb) === 64, array(out.map(_.cast("float")): _*))
+        .otherwise(raise_error(concat(
+          lit("ScaleUp.rotateEmbedding requires 64-dim embeddings, got "),
+          size(emb).cast("string"))))
     }
 
   /** factor-way replication of an embeddings table with key shift +

@@ -312,22 +312,31 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     }
   }
 
-  test("back-to-back containment passes release the set-table cache (advisor r10)") {
+  test("back-to-back containment passes do not stack set-table caches (advisor r10, lazy r12)") {
     // dedupContainment cache()s its distinct-set table to share it
-    // across the verify subtrees of the ONE eager materialization; the
-    // query must release it before returning so a long-lived pipeline
-    // session running many containment passes does not accumulate
-    // set-table blocks (mirror of the capped-LSH spec above)
-    def cachedBlocks: Int = spark.sparkContext.getPersistentRDDs.values
-      .count(_.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // across the verify subtrees of the ONE materialization. Since the
+    // r12 lazy-construction change the caches must stay registered
+    // until the pipeline actually RUNS, so release is DEFERRED: the
+    // NEXT containment build (or releaseCaches()) retires the previous
+    // pair — a long-lived session holds at most one pass's blocks, and
+    // repeated passes must not accumulate (same single-slot discipline
+    // as the capped-LSH spec above)
+    def cachedEntries: Int = spark.sparkContext.getPersistentRDDs.values
+      .count(l => l.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK ||
+        l.getStorageLevel == org.apache.spark.storage.StorageLevel.DISK_ONLY)
     spark.catalog.clearCache()
-    val baseline = cachedBlocks
+    val baseline = cachedEntries
     operators.DedupOps.queries("dedup_containment")(spark, dir).collect()
-    assert(cachedBlocks == baseline,
-      "first containment pass must release its groups cache on return")
+    val afterFirst = cachedEntries
     operators.DedupOps.queries("dedup_containment")(spark, dir).collect()
-    assert(cachedBlocks == baseline,
-      "second containment pass must not stack set-table blocks")
+    assert(cachedEntries <= afterFirst,
+      s"second containment pass stacked cache entries: $afterFirst -> $cachedEntries")
+    operators.DedupOps.releaseCaches()
+    // give the async (blocking=false) unpersists a moment to land
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (cachedEntries > baseline && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(cachedEntries <= baseline,
+      "releaseCaches() must drop the final pass's set-table + survivor blocks")
     spark.catalog.clearCache()
   }
 

@@ -116,4 +116,22 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(scaledRate <= baseRate * 3 && scaledRate >= baseRate / 3,
       f"per-slot near-pair rate moved: base $baseRate%.2e vs scaled $scaledRate%.2e")
   }
+
+  test("rotation fails loudly on a non-64-dim embedding (advisor r12)") {
+    import spark.implicits._
+    // the permutation/Givens structure is hard-wired to 64 dims; a
+    // corpus-shape change must abort the generator, not silently emit
+    // null-padded replica vectors (element_at past the end is null
+    // under non-ANSI)
+    val bad = Seq((1L, Array.fill(32)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      bad.select(graft.tools.ScaleUp.rotateEmbedding(col("embedding"), 2)).collect()
+    }
+    assert(e.getMessage.contains("requires 64-dim embeddings"),
+      s"expected the width-gate error, got: ${e.getMessage.take(200)}")
+    // replica 0 is the identity and passes any width through verbatim
+    val id = bad.select(graft.tools.ScaleUp.rotateEmbedding(col("embedding"), 0))
+      .head.getSeq[Float](0)
+    assert(id.length == 32)
+  }
 }

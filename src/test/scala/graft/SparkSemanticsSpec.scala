@@ -3412,7 +3412,7 @@ class SparkSemanticsSpec extends AnyFunSuite {
             .orderBy(F.col("id").asc_nulls_last)
         }))
     }
-    base ++ dsv2Pinned ++ encoderPinned ++ parseModeFiles ++ pqPinned
+    base ++ dsv2Pinned ++ encoderPinned ++ parseModeFiles ++ pqPinned ++ wrPinned
   }
 
   // ---- wave 12: parquet read-path pins (VERDICT r11 item 3 — the
@@ -4200,6 +4200,413 @@ class SparkSemanticsSpec extends AnyFunSuite {
         Seq(u).toDS().toDF()
       }))
     encBase ++ cachePinned
+  }
+
+  // ---- wave 13a: write-path pins (VERDICT r12 item 1 — the write-side
+  // gluten-ut battery the reference enables:
+  // GlutenFileFormatWriterSuite VeloxTestSettings.scala:460,
+  // GlutenV1WriteCommandSuite :494, GlutenPartitionedWriteSuite :590,
+  // GlutenParquetCompressionCodecPrecedenceSuite :341). Each pin
+  // performs a REAL write under /tmp/graft_wrpin (cleaned per entry,
+  // deterministic inputs, single-task where file counts matter) and
+  // golden-pins what comes back: dynamic vs static partition
+  // overwrite, SaveMode faces, maxRecordsPerFile splitting (option vs
+  // conf precedence), parquet codec precedence (option > conf) via
+  // file extensions, partition-directory value rendering (escaping,
+  // nulls, timestamps under two session time zones), insertInto's
+  // by-POSITION vs saveAsTable-append's by-NAME resolution, and
+  // CSV/JSON writer option semantics read back as raw text. File
+  // names are normalized (the task uuid stripped) so layout pins are
+  // run-stable; plan-shape contracts (the Sort below WriteFiles, the
+  // file-per-partition clustering) live in WritePathSpec — golden
+  // pins carry VALUES.
+  private val wrBase = "/tmp/graft_wrpin"
+  private lazy val wrPinned: Seq[(String, org.apache.spark.sql.SparkSession =>
+      org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.{functions => F}
+    def clean(sub: String): String = {
+      val root = new java.io.File(wrBase, sub)
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(root)
+      root.toString
+    }
+    /** sorted relative ON-DISK paths of DATA files (no _SUCCESS/.crc) */
+    def realFiles(sub: String): Seq[String] = {
+      val root = java.nio.file.Paths.get(wrBase, sub)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      java.nio.file.Files.walk(root).forEach { p =>
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && n != "_SUCCESS" &&
+            !n.endsWith(".crc"))
+          buf += root.relativize(p).toString
+      }
+      buf.sorted.toSeq
+    }
+    /** [[realFiles]] with the task uuid stripped so names are
+      * run-stable for golden pinning */
+    def files(sub: String): Seq[String] = realFiles(sub)
+      .map(_.replaceAll("part-(\\d+)-[0-9a-fA-F-]{36}", "part-$1")).sorted
+    def strDf(s: org.apache.spark.sql.SparkSession, vals: Seq[String], col: String) = {
+      import s.implicits._
+      vals.toDF(col)
+    }
+    def withConf[T](s: org.apache.spark.sql.SparkSession, kvs: (String, String)*)(
+        body: => T): T = {
+      val olds = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+      kvs.foreach { case (k, v) => s.conf.set(k, v) }
+      try body
+      finally olds.foreach { case (k, o) => o.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    }
+    def kv(s: org.apache.spark.sql.SparkSession, rows: Seq[(Int, String)]) = {
+      import s.implicits._
+      rows.toDF("k", "p").repartition(1)
+    }
+
+    Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)](
+      // -- partition-directory layout and value rendering ------------
+      ("wrpin_partitioned_layout_one_file_per_value", s => {
+        val p = clean("layout1")
+        kv(s, Seq(1 -> "a", 2 -> "b", 3 -> "a")).write.partitionBy("p").parquet(p)
+        strDf(s, files("layout1"), "f")
+      }),
+      ("wrpin_partitioned_nested_two_level_dirs", s => {
+        import s.implicits._
+        val p = clean("layout2")
+        Seq((1, "x", 10), (2, "y", 20), (3, "x", 20)).toDF("k", "p1", "p2")
+          .repartition(1).write.partitionBy("p1", "p2").parquet(p)
+        strDf(s, files("layout2"), "f")
+      }),
+      ("wrpin_partition_value_escaping_dirs", s => {
+        val p = clean("esc")
+        kv(s, Seq(1 -> "a b", 2 -> "a:b", 3 -> "a/b", 4 -> "a=b"))
+          .write.partitionBy("p").parquet(p)
+        strDf(s, files("esc"), "f")
+      }),
+      ("wrpin_partition_value_escaping_roundtrip", s => {
+        // the escaped directory names must decode back to the exact
+        // original values on read
+        s.read.parquet(s"$wrBase/esc").select("k", "p").orderBy("k")
+      }),
+      ("wrpin_partition_null_default_dir", s => {
+        import s.implicits._
+        val p = clean("nullp")
+        Seq((1, Option("a")), (2, None: Option[String])).toDF("k", "p")
+          .repartition(1).write.partitionBy("p").parquet(p)
+        strDf(s, files("nullp"), "f")
+      }),
+      ("wrpin_partition_null_roundtrip_as_null", s =>
+        s.read.parquet(s"$wrBase/nullp").select("k", "p")
+          .orderBy(F.col("k"))),
+      ("wrpin_partition_timestamp_dir_utc", s => {
+        import s.implicits._
+        val p = clean("tsp")
+        Seq((1, java.sql.Timestamp.valueOf("2020-01-02 03:04:05")))
+          .toDF("k", "ts").repartition(1).write.partitionBy("ts").parquet(p)
+        strDf(s, files("tsp"), "f")
+      }),
+      ("wrpin_partition_timestamp_dir_la_tz", s => {
+        // timezone-SENSITIVE partition rendering (the
+        // GlutenPartitionedWriteSuite face): the same instant renders
+        // as a different directory name under another session zone
+        import s.implicits._
+        val p = clean("tsp2")
+        withConf(s, "spark.sql.session.timeZone" -> "America/Los_Angeles") {
+          Seq((1, java.sql.Timestamp.from(
+              java.time.Instant.parse("2020-01-02T03:04:05Z"))))
+            .toDF("k", "ts").repartition(1).write.partitionBy("ts").parquet(p)
+        }
+        strDf(s, files("tsp2"), "f")
+      }),
+      ("wrpin_partition_date_dir", s => {
+        import s.implicits._
+        val p = clean("dp")
+        Seq((1, java.sql.Date.valueOf("2020-02-29"))).toDF("k", "d")
+          .repartition(1).write.partitionBy("d").parquet(p)
+        strDf(s, files("dp"), "f")
+      }),
+      ("wrpin_partition_int_col_type_discovered", s => {
+        import s.implicits._
+        val p = clean("intp")
+        Seq((1, 7), (2, 8)).toDF("k", "p").repartition(1)
+          .write.partitionBy("p").parquet(p)
+        // partition discovery types p back as INT (the schema prints in
+        // the golden render)
+        s.read.parquet(p).select("k", "p").orderBy("k")
+      }),
+      ("wrpin_partition_col_dropped_from_data_files", s => {
+        // the partition column must NOT be duplicated inside the data
+        // file: read one part file directly (no discovery) — only `k`
+        val f = realFiles("intp").head
+        s.read.parquet(s"$wrBase/intp/$f")
+      }),
+      ("wrpin_empty_unpartitioned_write_keeps_schema", s => {
+        import s.implicits._
+        val p = clean("empty1")
+        Seq((1, "a")).toDF("k", "v").filter(F.lit(false)).repartition(1)
+          .write.parquet(p)
+        val back = s.read.parquet(p)
+        Seq((files("empty1").length, back.count(), back.schema.simpleString))
+          .toDF("n_files", "rows", "schema")
+      }),
+      ("wrpin_empty_partitioned_write_no_dirs", s => {
+        import s.implicits._
+        val p = clean("empty2")
+        Seq((1, "a")).toDF("k", "p").filter(F.lit(false)).repartition(1)
+          .write.partitionBy("p").parquet(p)
+        Seq(files("empty2").length).toDF("n_files")
+      }),
+
+      // -- dynamic vs static partition overwrite ---------------------
+      ("wrpin_dynamic_overwrite_replaces_touched_only", s => {
+        val p = clean("dyn1")
+        kv(s, Seq(1 -> "a", 2 -> "b", 3 -> "c")).write.partitionBy("p").parquet(p)
+        kv(s, Seq(20 -> "b")).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").partitionBy("p").parquet(p)
+        s.read.parquet(p).orderBy("k")
+      }),
+      ("wrpin_static_overwrite_truncates_table", s => {
+        val p = clean("stat1")
+        kv(s, Seq(1 -> "a", 2 -> "b", 3 -> "c")).write.partitionBy("p").parquet(p)
+        kv(s, Seq(20 -> "b")).write.mode("overwrite").partitionBy("p").parquet(p)
+        s.read.parquet(p).orderBy("k")
+      }),
+      ("wrpin_overwrite_mode_option_beats_conf", s => {
+        // conf says dynamic, the write option says static → the static
+        // truncate wins (per-write option precedence)
+        val p = clean("prec1")
+        kv(s, Seq(1 -> "a", 2 -> "b")).write.partitionBy("p").parquet(p)
+        withConf(s, "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+          kv(s, Seq(20 -> "b")).write.mode("overwrite")
+            .option("partitionOverwriteMode", "static").partitionBy("p").parquet(p)
+        }
+        s.read.parquet(p).orderBy("k")
+      }),
+      ("wrpin_dynamic_overwrite_conf_applies", s => {
+        val p = clean("dyn2")
+        kv(s, Seq(1 -> "a", 2 -> "b")).write.partitionBy("p").parquet(p)
+        withConf(s, "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+          kv(s, Seq(20 -> "b", 30 -> "d")).write.mode("overwrite")
+            .partitionBy("p").parquet(p)
+        }
+        // b replaced, d added, a untouched
+        s.read.parquet(p).orderBy("k")
+      }),
+      ("wrpin_insert_overwrite_static_partition_spec", s => {
+        // a static PARTITION (p='a') spec replaces ONLY that partition
+        // even in static mode (the spec IS the overwrite scope)
+        s.sql("DROP TABLE IF EXISTS wrpin_t1")
+        s.sql("CREATE TABLE wrpin_t1 (k INT) USING parquet PARTITIONED BY (p STRING)")
+        s.sql("INSERT INTO wrpin_t1 PARTITION (p='a') VALUES (1)")
+        s.sql("INSERT INTO wrpin_t1 PARTITION (p='b') VALUES (2)")
+        s.sql("INSERT OVERWRITE wrpin_t1 PARTITION (p='a') VALUES (10)")
+        s.table("wrpin_t1").orderBy("k")
+      }),
+      ("wrpin_insert_overwrite_sql_dynamic_conf", s => {
+        s.sql("DROP TABLE IF EXISTS wrpin_t2")
+        s.sql("CREATE TABLE wrpin_t2 (k INT) USING parquet PARTITIONED BY (p STRING)")
+        s.sql("INSERT INTO wrpin_t2 PARTITION (p='a') VALUES (1)")
+        s.sql("INSERT INTO wrpin_t2 PARTITION (p='b') VALUES (2)")
+        withConf(s, "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+          s.sql("INSERT OVERWRITE wrpin_t2 VALUES (20, 'b')")
+        }
+        s.table("wrpin_t2").orderBy("k")
+      }),
+
+      // -- SaveMode faces --------------------------------------------
+      ("wrpin_savemode_append_accumulates", s => {
+        val p = clean("sm_app")
+        kv(s, Seq(1 -> "a")).write.parquet(p)
+        kv(s, Seq(2 -> "b")).write.mode("append").parquet(p)
+        s.read.parquet(p).orderBy("k")
+      }),
+      ("wrpin_savemode_ignore_is_noop_on_existing", s => {
+        val p = clean("sm_ign")
+        kv(s, Seq(1 -> "a")).write.parquet(p)
+        kv(s, Seq(2 -> "b")).write.mode("ignore").parquet(p)
+        s.read.parquet(p).orderBy("k")
+      }),
+      ("wrpin_savemode_overwrite_replaces_and_removes_stale", s => {
+        import s.implicits._
+        val p = clean("sm_ovr")
+        // three-task first write → three files; single-task overwrite
+        // must leave exactly ONE file (no stale parts)
+        (1 to 9).map(i => (i, "x")).toDF("k", "p").repartition(3).write.parquet(p)
+        kv(s, Seq(100 -> "y")).write.mode("overwrite").parquet(p)
+        Seq((files("sm_ovr").length,
+          s.read.parquet(p).collect().map(_.getInt(0)).toSeq.sorted.mkString(",")))
+          .toDF("n_files", "ks")
+      }),
+      ("wrpin_savemode_errorifexists_raises", s => {
+        import s.implicits._
+        val p = clean("sm_err")
+        kv(s, Seq(1 -> "a")).write.parquet(p)
+        val caught = try {
+          kv(s, Seq(2 -> "b")).write.mode("errorifexists").parquet(p); "none"
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            if (e.getMessage.contains("already exists")) "already-exists"
+            else "other-analysis"
+        }
+        Seq(caught).toDF("err")
+      }),
+
+      // -- maxRecordsPerFile splitting -------------------------------
+      ("wrpin_max_records_per_file_option_splits", s => {
+        import s.implicits._
+        val p = clean("mrf1")
+        (1 to 10).map(i => (i, "x")).toDF("k", "p").repartition(1)
+          .write.option("maxRecordsPerFile", "3").parquet(p)
+        val perFile = realFiles("mrf1").map(f =>
+          s.read.parquet(s"$wrBase/mrf1/$f").count()).sorted
+        Seq((files("mrf1").length, perFile.mkString(","),
+          s.read.parquet(p).count())).toDF("n_files", "per_file", "rows")
+      }),
+      ("wrpin_max_records_per_file_conf_applies", s => {
+        import s.implicits._
+        val p = clean("mrf2")
+        withConf(s, "spark.sql.files.maxRecordsPerFile" -> "4") {
+          (1 to 10).map(i => (i, "x")).toDF("k", "p").repartition(1)
+            .write.parquet(p)
+        }
+        Seq((files("mrf2").length, s.read.parquet(p).count()))
+          .toDF("n_files", "rows")
+      }),
+      ("wrpin_max_records_option_beats_conf", s => {
+        import s.implicits._
+        val p = clean("mrf3")
+        withConf(s, "spark.sql.files.maxRecordsPerFile" -> "2") {
+          (1 to 10).map(i => (i, "x")).toDF("k", "p").repartition(1)
+            .write.option("maxRecordsPerFile", "5").parquet(p)
+        }
+        Seq((files("mrf3").length, s.read.parquet(p).count()))
+          .toDF("n_files", "rows")
+      }),
+
+      // -- parquet compression codec precedence ----------------------
+      ("wrpin_codec_option_extension", s => {
+        val p = clean("cod1")
+        kv(s, Seq(1 -> "a")).write.option("compression", "gzip").parquet(p)
+        strDf(s, files("cod1"), "f")
+      }),
+      ("wrpin_codec_conf_extension", s => {
+        val p = clean("cod2")
+        withConf(s, "spark.sql.parquet.compression.codec" -> "zstd") {
+          kv(s, Seq(1 -> "a")).write.parquet(p)
+        }
+        strDf(s, files("cod2"), "f")
+      }),
+      ("wrpin_codec_option_beats_conf", s => {
+        val p = clean("cod3")
+        withConf(s, "spark.sql.parquet.compression.codec" -> "gzip") {
+          kv(s, Seq(1 -> "a")).write.option("compression", "snappy").parquet(p)
+        }
+        strDf(s, files("cod3"), "f")
+      }),
+      ("wrpin_codec_uncompressed_plain_extension", s => {
+        val p = clean("cod4")
+        kv(s, Seq(1 -> "a")).write.option("compression", "uncompressed").parquet(p)
+        strDf(s, files("cod4"), "f")
+      }),
+      ("wrpin_codec_gzip_readback_identical", s => {
+        import s.implicits._
+        val p = clean("cod5")
+        Seq((1, "alpha", 1.5), (2, "beta", 2.5)).toDF("k", "v", "x")
+          .repartition(1).write.option("compression", "gzip").parquet(p)
+        s.read.parquet(p).orderBy("k")
+      }),
+
+      // -- insertInto vs saveAsTable resolution ----------------------
+      ("wrpin_insertinto_resolves_by_position", s => {
+        import s.implicits._
+        s.sql("DROP TABLE IF EXISTS wrpin_t3")
+        s.sql("CREATE TABLE wrpin_t3 (a INT, b INT) USING parquet")
+        // columns NAMED the other way round: insertInto ignores names
+        // and maps by position — a=10, b=1
+        Seq((10, 1)).toDF("b", "a").write.insertInto("wrpin_t3")
+        s.table("wrpin_t3").orderBy("a")
+      }),
+      ("wrpin_saveastable_append_resolves_by_name", s => {
+        import s.implicits._
+        s.sql("DROP TABLE IF EXISTS wrpin_t4")
+        s.sql("CREATE TABLE wrpin_t4 (a INT, b INT) USING parquet")
+        // saveAsTable in append mode matches by NAME — a=1, b=10
+        Seq((10, 1)).toDF("b", "a").write.mode("append").saveAsTable("wrpin_t4")
+        s.table("wrpin_t4").orderBy("a")
+      }),
+      ("wrpin_bucketby_plain_path_save_errors", s => {
+        import s.implicits._
+        val p = clean("bk_err")
+        val caught = try {
+          Seq((1, "a")).toDF("k", "v").write.bucketBy(4, "k").parquet(p); "none"
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            if (e.getMessage.toLowerCase.contains("bucket")) "bucket-needs-table"
+            else "other-analysis"
+        }
+        Seq(caught).toDF("err")
+      }),
+
+      // -- CSV / JSON writer option semantics (raw text pinned) ------
+      ("wrpin_csv_write_header_null_roundtrip", s => {
+        import s.implicits._
+        val p = clean("csv1")
+        Seq((1, Option("a")), (2, None: Option[String])).toDF("k", "v")
+          .coalesce(1).sortWithinPartitions("k")
+          .write.option("header", "true").option("nullValue", "NA").csv(p)
+        strDf(s, s.read.text(p).collect().map(_.getString(0)).toSeq.sorted, "line")
+      }),
+      ("wrpin_csv_write_dateformat_applied", s => {
+        import s.implicits._
+        val p = clean("csv2")
+        Seq((1, java.sql.Date.valueOf("2020-02-29"))).toDF("k", "d")
+          .coalesce(1).write.option("dateFormat", "dd/MM/yyyy").csv(p)
+        strDf(s, s.read.text(p).collect().map(_.getString(0)).toSeq.sorted, "line")
+      }),
+      ("wrpin_csv_write_quotes_only_when_needed", s => {
+        import s.implicits._
+        val p = clean("csv3")
+        Seq((1, "plain"), (2, "has,comma"), (3, "has\"quote")).toDF("k", "v")
+          .coalesce(1).sortWithinPartitions("k").write.csv(p)
+        strDf(s, s.read.text(p).collect().map(_.getString(0)).toSeq.sorted, "line")
+      }),
+      ("wrpin_json_write_drops_null_fields_by_default", s => {
+        import s.implicits._
+        val p = clean("json1")
+        Seq((1, Option("a")), (2, None: Option[String])).toDF("k", "v")
+          .coalesce(1).sortWithinPartitions("k").write.json(p)
+        strDf(s, s.read.text(p).collect().map(_.getString(0)).toSeq.sorted, "line")
+      }),
+      ("wrpin_json_write_keeps_null_fields_on_option", s => {
+        import s.implicits._
+        val p = clean("json2")
+        Seq((1, Option("a")), (2, None: Option[String])).toDF("k", "v")
+          .coalesce(1).sortWithinPartitions("k")
+          .write.option("ignoreNullFields", "false").json(p)
+        strDf(s, s.read.text(p).collect().map(_.getString(0)).toSeq.sorted, "line")
+      }),
+      ("wrpin_text_write_requires_single_string_column", s => {
+        import s.implicits._
+        val p = clean("txt1")
+        // pin the ERROR CONDITION (stable error class), not message text
+        val caught = try {
+          Seq((1, "a")).toDF("k", "v").write.text(p); "none"
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            Option(e.getCondition).getOrElse("no-condition")
+        }
+        Seq(caught).toDF("err")
+      }),
+      ("wrpin_coalesce_one_single_file", s => {
+        import s.implicits._
+        val p = clean("co1")
+        (1 to 12).map(i => (i, "x")).toDF("k", "p").repartition(3)
+          .coalesce(1).write.parquet(p)
+        Seq((files("co1").length, s.read.parquet(p).count()))
+          .toDF("n_files", "rows")
+      }))
   }
 
   // ---- wave 8d: cache/persist pins (GlutenCachedTableSuite /
