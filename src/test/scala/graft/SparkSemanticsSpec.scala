@@ -4606,6 +4606,183 @@ class SparkSemanticsSpec extends AnyFunSuite {
           .coalesce(1).write.parquet(p)
         Seq((files("co1").length, s.read.parquet(p).count()))
           .toDF("n_files", "rows")
+      })) ++ buckPinned
+  }
+
+  // ---- wave 13b: bucketing value pins (VERDICT r12 item 2 — the
+  // GlutenBucketedRead/WriteWithoutHiveSupportSuite value half; plan
+  // contracts live in BucketingSpec). The bucket id function is
+  // `pmod(hash(col), n)` (Murmur3, seed 42) — pinned directly so a
+  // hash regression moves rows across buckets VISIBLY, plus pinned
+  // evidence that written files actually contain only their bucket's
+  // keys, that two inserts stack per-bucket files, and that DESCRIBE
+  // reports the bucket spec.
+  private var buckBuilt = false
+  private def buckFix(s: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!buckBuilt) {
+      import s.implicits._
+      Seq("bkpin8a", "bkpin8b").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      s.sql("""CREATE TABLE bkpin8a (k INT, v STRING) USING parquet
+               CLUSTERED BY (k) SORTED BY (k) INTO 8 BUCKETS""")
+      s.sql("""CREATE TABLE bkpin8b (k INT, w INT) USING parquet
+               CLUSTERED BY (k) INTO 8 BUCKETS""")
+      (1 to 40).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartition(1).write.mode("append").insertInto("bkpin8a")
+      (1 to 40).map(i => (i, i * 10)).toDF("k", "w")
+        .repartition(1).write.mode("append").insertInto("bkpin8b")
+      buckBuilt = true
+    }
+  }
+  private def buckLoc(s: org.apache.spark.sql.SparkSession, t: String): String =
+    s.sql(s"DESCRIBE EXTENDED $t")
+      .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+      .head.getString(1).stripPrefix("file:")
+  private lazy val buckPinned: Seq[(String, org.apache.spark.sql.SparkSession =>
+      org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.{functions => F}
+    Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)](
+      ("bucketpin_hash_bucket_ids_int", s =>
+        s.sql("""SELECT k, pmod(hash(k), 8) AS b
+                 FROM VALUES (0),(1),(2),(42),(100),(-7) t(k) ORDER BY k""")),
+      ("bucketpin_hash_int_vs_long_differ", s =>
+        // bucketing is TYPE-sensitive: INT 42 and BIGINT 42 hash
+        // differently, so a schema-width change silently re-buckets
+        s.sql("""SELECT pmod(hash(42), 8) AS bi,
+                        pmod(hash(CAST(42 AS BIGINT)), 8) AS bl,
+                        pmod(hash(42), 8) = pmod(hash(CAST(42 AS BIGINT)), 8) AS same""")),
+      ("bucketpin_hash_string_and_null", s =>
+        s.sql("""SELECT pmod(hash('alpha'), 8) AS ba, pmod(hash(''), 8) AS be,
+                        pmod(hash(CAST(NULL AS INT)), 8) AS bn""")),
+      ("bucketpin_filter_eq_values", s => {
+        buckFix(s)
+        s.table("bkpin8a").filter(F.col("k").isin(7, 8, 9)).orderBy("k")
+      }),
+      ("bucketpin_cobucket_join_values", s => {
+        buckFix(s)
+        s.table("bkpin8a").join(s.table("bkpin8b").hint("merge"), Seq("k"))
+          .filter(F.col("k") <= 5).orderBy("k")
+      }),
+      ("bucketpin_groupby_values", s => {
+        buckFix(s)
+        s.table("bkpin8a").groupBy(F.pmod(F.col("k"), F.lit(3)).as("g"))
+          .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("k")).as("sk")).orderBy("g")
+      }),
+      ("bucketpin_file_contains_only_its_bucket_keys", s => {
+        buckFix(s)
+        // read ONE bucket file directly: every row's pmod(hash(k),8)
+        // must equal the _0000N tag in its file name
+        val loc = buckLoc(s, "bkpin8a")
+        val f = new java.io.File(loc).listFiles()
+          .map(_.getName).filter(n => n.contains("_00003") && !n.endsWith(".crc"))
+          .sorted.head
+        s.read.parquet(s"$loc/$f")
+          .select(F.countDistinct(F.pmod(F.hash(F.col("k")), F.lit(8))).as("n_distinct"),
+            F.min(F.pmod(F.hash(F.col("k")), F.lit(8))).as("the_bucket"))
+      }),
+      ("bucketpin_second_insert_stacks_per_bucket_files", s => {
+        buckFix(s)
+        import s.implicits._
+        s.sql("DROP TABLE IF EXISTS bkpin_tw")
+        s.sql("""CREATE TABLE bkpin_tw (k INT) USING parquet
+                 CLUSTERED BY (k) INTO 4 BUCKETS""")
+        (1 to 20).map(i => (i)).toDF("k").repartition(1)
+          .write.mode("append").insertInto("bkpin_tw")
+        (1 to 20).map(i => (i)).toDF("k").repartition(1)
+          .write.mode("append").insertInto("bkpin_tw")
+        val names = new java.io.File(buckLoc(s, "bkpin_tw")).listFiles()
+          .map(_.getName).filter(n => n != "_SUCCESS" && !n.endsWith(".crc"))
+        val perBucket = names.flatMap(n =>
+          "_(\\d{5})".r.findFirstMatchIn(n).map(_.group(1))).groupBy(identity)
+          .map { case (b, fs) => (b, fs.length) }.toSeq.sortBy(_._1)
+        import s.implicits._
+        perBucket.toDF("bucket", "n_files")
+      }),
+      ("bucketpin_describe_reports_bucket_spec", s => {
+        buckFix(s)
+        s.sql("DESCRIBE EXTENDED bkpin8a")
+          .filter(F.col("col_name").isin("Num Buckets", "Bucket Columns", "Sort Columns"))
+          .select("col_name", "data_type").orderBy("col_name")
+      })) ++ dppPinned
+  }
+
+  // ---- wave 13c: DPP value pins (VERDICT r12 item 4; the four
+  // reference suite modes `VeloxTestSettings.scala:765-768` distilled:
+  // plan contracts — reuse-broadcast, standalone-subquery fallback,
+  // SPARK-38148 static suppression, files-skipped metrics, ×AQE —
+  // live in DppSpec). Every mode below must produce the SAME values;
+  // a pruning filter that drops or duplicates rows fails with the
+  // drifted aggregate.
+  private var dppBuilt = false
+  private def dppFix(s: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!dppBuilt) {
+      import s.implicits._
+      Seq("dpppin_f", "dpppin_d").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      s.sql("CREATE TABLE dpppin_f (k INT) USING parquet PARTITIONED BY (p INT)")
+      (1 to 120).map(i => (i, i % 12)).toDF("k", "p")
+        .repartition(1).write.mode("append").insertInto("dpppin_f")
+      (0 to 11).map(p => (p, if (p < 3) "hot" else "cold")).toDF("p", "cat")
+        .write.saveAsTable("dpppin_d")
+      dppBuilt = true
+    }
+  }
+  private lazy val dppPinned: Seq[(String, org.apache.spark.sql.SparkSession =>
+      org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.{functions => F}
+    def withConf[T](s: org.apache.spark.sql.SparkSession, kvs: (String, String)*)(
+        body: => T): T = {
+      val olds = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+      kvs.foreach { case (k, v) => s.conf.set(k, v) }
+      try body
+      finally olds.foreach { case (k, o) => o.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    }
+    def pruned(s: org.apache.spark.sql.SparkSession, hint: Option[String]) = {
+      dppFix(s)
+      val dim0 = s.table("dpppin_d").filter(F.col("cat") === "hot")
+      val dim = hint.fold(dim0)(dim0.hint(_))
+      s.table("dpppin_f").join(dim, Seq("p"))
+        .groupBy(F.col("p")).agg(F.count(F.lit(1)).as("n"), F.sum(F.col("k")).as("sk"))
+        .orderBy("p")
+    }
+    Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)](
+      ("dpppin_bhj_reuse_values", s => { pruned(s, None).collect(); pruned(s, None) }),
+      ("dpppin_smj_fallback_values", s =>
+        withConf(s,
+          "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+          "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10") {
+          // collect INSIDE the conf scope so the fallback path executes
+          val df = pruned(s, Some("merge"))
+          import s.implicits._
+          df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+            .toDF("p", "n", "sk")
+        }),
+      ("dpppin_disabled_same_values", s =>
+        withConf(s, "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "false") {
+          val df = pruned(s, None)
+          import s.implicits._
+          df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+            .toDF("p", "n", "sk")
+        }),
+      ("dpppin_aqe_off_same_values", s =>
+        withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+          val df = pruned(s, None)
+          import s.implicits._
+          df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+            .toDF("p", "n", "sk")
+        }),
+      ("dpppin_static_suppressed_same_values", s => {
+        dppFix(s)
+        s.table("dpppin_f").filter(F.col("p") =!= 0)
+          .join(s.table("dpppin_d").filter(F.col("cat") === "hot"), Seq("p"))
+          .groupBy(F.col("p")).agg(F.count(F.lit(1)).as("n")).orderBy("p")
+      }),
+      ("dpppin_left_outer_keeps_unmatched_partitions", s => {
+        dppFix(s)
+        // LEFT OUTER preserves the fact side: DPP must NOT prune (a
+        // pruned partition would silently drop preserved rows)
+        s.table("dpppin_f")
+          .join(s.table("dpppin_d").filter(F.col("cat") === "hot"), Seq("p"), "left")
+          .groupBy(F.col("cat")).agg(F.count(F.lit(1)).as("n"))
+          .orderBy(F.col("cat").asc_nulls_first)
       }))
   }
 
