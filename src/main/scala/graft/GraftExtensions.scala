@@ -109,6 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .toAggregateExpression()))
     ext.injectOptimizerRule(_ => EliminateRedundantToDate)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.DeferredMaterializeStrategy)
     ext.injectQueryStagePrepRule(graft.plans.MergeTwoPhaseAggregate.apply)
     ext.injectQueryStagePrepRule(graft.plans.SkipPartialAggregate.apply)
     // before EnsureRequirements: SMJ→SHJ rewrite leaves no orphaned sorts

@@ -513,51 +513,55 @@ object DedupOps {
   /** Construction is LAZY (r12 verdict item 7 closed the standing
     * nit): building the DataFrame runs NO job — an explain-service /
     * plan-cache caller pays only analysis — and the verify pipeline
-    * executes on the FIRST ACTION. The old eager localCheckpoint is
-    * replaced by a lazy DISK_ONLY persist: registering the cache is
-    * job-free, the first job to touch the plan (orderBy's
-    * range-partitioner sample pass) computes the pipeline once and
-    * populates the cache, and the sort pass reads the cached batches
-    * back, so the single-materialization contract that motivated the
-    * checkpoint still holds. (eager=false localCheckpoint would NOT
-    * work here: its queryExecution.toRdd materializes every
-    * intermediate AQE query stage at construction — jobs run.)
-    * LazyContainmentSpec pins both halves: zero jobs at
-    * construction + explain, one verify pass at action. Harnesses
-    * time construction + action together as before. */
+    * executes on the FIRST ACTION, through exactly the r12 recipe: an
+    * EAGER DISK_ONLY survivor localCheckpoint wrapped in a
+    * [[graft.plans.DeferredMaterialize]] leaf whose thunk fires inside
+    * the first action. The checkpoint exists because orderBy's range
+    * partitioner SAMPLES its input by executing the child plan — an
+    * unmaterialized verify pipeline runs TWICE (measured at 100x: two
+    * full 1.76B-row aggregate+verify passes, ~5.5 min each); the
+    * checkpoint is survivor-sized (~41M rows at 100x), DISK_ONLY so
+    * the rows never sit as heap objects next to the verify broadcast.
+    * Two alternatives were MEASURED AND REJECTED: eager=false
+    * localCheckpoint still materializes every AQE stage at
+    * construction (toRdd — jobs run), and a lazy Dataset-level
+    * DISK_ONLY persist regressed the 100x/6 GiB point (396 s vs the
+    * checkpoint's ~340 and the VANILLA column died building the verify
+    * broadcast — columnar cache-batch building holds more memory than
+    * streaming UnsafeRows to checkpoint blocks). The deferred leaf is
+    * explain-opaque; plan contracts read the inner plan via
+    * [[containmentPlan]] (ScaleFeaturesSpec's ReusedExchange assert).
+    * LazyContainmentSpec pins zero jobs at construction + explain and
+    * thunk memoization across re-actions. Harnesses time
+    * construction + action together as before. */
   private val dedupContainment: Q = (s, dir) => {
-    // retire the previous run's caches BEFORE registering the new
-    // ones — Dataset.unpersist removes cache entries by CANONICAL PLAN
-    // match, so retiring afterwards would also evict the new entries
+    // retire the previous run's groups cache BEFORE registering the new
+    // one — Dataset.unpersist removes cache entries by CANONICAL PLAN
+    // match, so retiring afterwards would also evict the new entry
     // whenever two containment runs share a corpus (identical plans —
     // the back-to-back-call shape specs and pipelines actually use)
     lastContainmentCaches.getAndSet(Nil).foreach(_.unpersist(blocking = false))
     val (pre, groups) = containmentPlan(s, dir)
-    // cache survivors BEFORE the global sort: orderBy's range
-    // partitioner SAMPLES its input by executing the child plan, so an
-    // uncached verify pipeline runs TWICE (measured at 100x: two full
-    // 1.76B-row aggregate+verify passes, ~5.5 min each). The cache is
-    // survivor-sized (~41M rows at 100x), not candidate-sized — the
-    // cheap side of the asymmetry. DISK_ONLY: a deserialized level
-    // would hold 41M rows as Java objects next to the two verify
-    // broadcasts — measured heap death at 100x/6 GiB; disk read-back
-    // of narrow columnar batches is trivial.
-    val survivors = pre.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // the groups cache shares the set table across the six subtrees of
-    // the ONE materialization above. Under lazy construction both
-    // caches must stay registered until that materialization actually
-    // runs, so they are retired via the session-wide single-slot cache
-    // (the NEXT containment build, or releaseCaches(), unpersists
-    // them) instead of the old unpersist-at-construction — same
-    // deferred-release discipline as the capped-banding cache, no
-    // accumulation across back-to-back containment passes in a
-    // long-lived session.
-    lastContainmentCaches.set(Seq(groups, survivors))
+    // the one materialization; under lazy construction it must stay
+    // registered until the thunk actually runs, so it lives in the
+    // session-wide single-slot cache until then (the thunk, the NEXT
+    // containment build, or releaseCaches() retires it)
+    lastContainmentCaches.set(Seq(groups))
+    val survivors = graft.plans.DeferredMaterialize.dataFrame(s, pre) { () =>
+      val chk = pre.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // after the eager checkpoint the set-table cache is dead weight
+      // (advisor r10) — release at materialization, exactly the r12
+      // post-checkpoint point; the checkpoint blocks themselves are
+      // RDD-level and ContextCleaner-managed, as before
+      groups.unpersist(blocking = false)
+      chk
+    }
     survivors.orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The live containment caches (set table + survivors), if any —
-    * exactly one pair per session (see [[dedupContainment]]). */
+  /** The live containment set-table cache, if any — exactly one per
+    * session (see [[dedupContainment]]). */
   private val lastContainmentCaches =
     new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
 

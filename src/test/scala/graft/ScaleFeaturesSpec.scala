@@ -321,9 +321,12 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     // pair — a long-lived session holds at most one pass's blocks, and
     // repeated passes must not accumulate (same single-slot discipline
     // as the capped-LSH spec above)
+    // count only the cache()-level (MEMORY_AND_DISK) entries — the
+    // groups set-table caches this test polices; the survivor
+    // localCheckpoint RDDs register at DISK_ONLY and are RDD-level,
+    // ContextCleaner-managed state (r12 parity), not leakable entries
     def cachedEntries: Int = spark.sparkContext.getPersistentRDDs.values
-      .count(l => l.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK ||
-        l.getStorageLevel == org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .count(_.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     spark.catalog.clearCache()
     val baseline = cachedEntries
     operators.DedupOps.queries("dedup_containment")(spark, dir).collect()
