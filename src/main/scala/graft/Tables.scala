@@ -27,15 +27,40 @@ object Tables {
     * memo every query CONSTRUCTION pays a Spark job per table touched
     * — noise at test SFs, and at cluster scale a per-query driver
     * round-trip that LazyContainmentSpec's zero-jobs-at-construction
-    * contract forbids. Schema is a property of the files; file
-    * LISTING stays live (the session's FileStatusCache governs it), so
-    * a regenerated corpus with the same schema is picked up normally.
-    * Keyed by absolute path only — deliberately session-independent. */
-  private val schemaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    * contract forbids. The memo is GUARDED by a filesystem fingerprint
+    * (file names + lengths + mtimes from one listStatus — a metadata
+    * RPC, never a Spark job): a file REGENERATED at the same path with
+    * a different schema (events.parquet has shipped with two distinct
+    * ts physical types; ScaleUp and test fixtures rewrite corpora in
+    * place) invalidates the entry instead of silently serving the
+    * stale schema to load()'s type-dispatch (advisor r13). Values are
+    * replaced, not accumulated, so regeneration cannot grow the map. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.types.StructType)]()
+
+  /** Cheap content fingerprint of a parquet file/dir: fold of
+    * (name, length, mtime) over the direct children (or the file
+    * itself). Non-recursive by design — a rewrite of a nested
+    * partition dir still bumps the direct child dir's mtime on every
+    * POSIX/HDFS-like filesystem the engine targets. */
+  private def pathFingerprint(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    val children =
+      if (st.isDirectory) fs.listStatus(p).toSeq else Seq(st)
+    children.foldLeft(17L) { (acc, f) =>
+      var h = acc * 31 + f.getPath.getName.hashCode
+      h = h * 31 + f.getLen
+      h * 31 + f.getModificationTime
+    }
+  }
 
   private def readMemoized(spark: SparkSession, path: String): DataFrame = {
-    val s = schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val fp = pathFingerprint(spark, path)
+    val s = schemaMemo.compute(path, (p, old) =>
+      if (old != null && old._1 == fp) old
+      else (fp, spark.read.parquet(p).schema))._2
     spark.read.schema(s).parquet(path)
   }
 

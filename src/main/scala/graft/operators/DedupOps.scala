@@ -535,26 +535,44 @@ object DedupOps {
     * thunk memoization across re-actions. Harnesses time
     * construction + action together as before. */
   private val dedupContainment: Q = (s, dir) => {
-    // retire the previous run's groups cache BEFORE registering the new
-    // one — Dataset.unpersist removes cache entries by CANONICAL PLAN
-    // match, so retiring afterwards would also evict the new entry
-    // whenever two containment runs share a corpus (identical plans —
-    // the back-to-back-call shape specs and pipelines actually use)
-    lastContainmentCaches.getAndSet(Nil).foreach(_.unpersist(blocking = false))
     val (pre, groups) = containmentPlan(s, dir)
-    // the groups cache shares the set table across the six subtrees of
-    // the one materialization; under lazy construction it must stay
-    // registered until the thunk actually runs, so it lives in the
-    // session-wide single-slot cache until then (the thunk, the NEXT
-    // containment build, or releaseCaches() retires it)
-    lastContainmentCaches.set(Seq(groups))
+    // Single-slot set-table cache protocol. The groups cache shares the
+    // set table across the six subtrees of the one materialization;
+    // under lazy construction it must stay registered until the thunk
+    // actually runs. Dataset.unpersist evicts by CANONICAL PLAN match,
+    // which shapes both rules below (advisor r13):
+    //  - retire a predecessor only when its plan DIFFERS from this
+    //    build's — a same-plan predecessor (back-to-back builds over one
+    //    corpus, the shape specs and pipelines actually use) shares the
+    //    ONE cache entry, so unpersisting it would also evict the entry
+    //    this build just registered AND strand the predecessor's unfired
+    //    thunk without its cache;
+    //  - a thunk releases the entry only while its build still OWNS the
+    //    slot (CAS on instance identity): if a newer same-plan build has
+    //    taken the slot, the entry is left for that build's thunk (or
+    //    releaseCaches) to retire.
+    // Net: two containment DataFrames built over the same corpus share
+    // the set table no matter which is acted on first
+    // (LazyContainmentSpec pins it); the first thunk to fire while
+    // still owning the slot releases it.
+    // the slot token is this exact Seq INSTANCE: AtomicReference.
+    // compareAndSet compares references, so the thunk's ownership check
+    // must CAS on the very object stored here
+    val slotToken = Seq(groups)
+    val prev = lastContainmentCaches.getAndSet(slotToken)
+    prev.foreach { p =>
+      if (!p.queryExecution.analyzed.sameResult(groups.queryExecution.analyzed))
+        p.unpersist(blocking = false)
+    }
     val survivors = graft.plans.DeferredMaterialize.dataFrame(s, pre) { () =>
       val chk = pre.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       // after the eager checkpoint the set-table cache is dead weight
       // (advisor r10) — release at materialization, exactly the r12
-      // post-checkpoint point; the checkpoint blocks themselves are
+      // post-checkpoint point, but only while this build still owns the
+      // slot (see protocol above); the checkpoint blocks themselves are
       // RDD-level and ContextCleaner-managed, as before
-      groups.unpersist(blocking = false)
+      if (lastContainmentCaches.compareAndSet(slotToken, Nil))
+        groups.unpersist(blocking = false)
       chk
     }
     survivors.orderBy(col("doc_a"), col("doc_b"))

@@ -207,12 +207,8 @@ object AsOfJoinApi {
       s"direction must be backward|forward, got $direction")
     val spark = leftDf.sparkSession
     // robust in sessions built without GraftExtensions: register the
-    // planner strategy on demand
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy) &&
-        !spark.sessionState.planner.strategies.contains(AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    }
+    // planner strategy on demand (synchronized — see OnDemandStrategy)
+    OnDemandStrategy.register(spark, AsOfJoinStrategy)
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String) =

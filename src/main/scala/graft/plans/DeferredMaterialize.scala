@@ -15,12 +15,24 @@ import org.apache.spark.sql.graft.ColumnBridge
   * localCheckpoint, which exists so the global sort's range-partitioner
   * sample pass cannot re-execute the verify pipeline). Building a
   * DataFrame over this node runs NO job and plans instantly; the thunk
-  * fires once per physical-plan instance, inside the first action, and
-  * its result RDD is memoized for every later consumer of the same
-  * Dataset (the sort's sample pass and sort pass share it). The
-  * execution-time behavior of the wrapped recipe is preserved
+  * fires inside the first action and the result RDD is memoized for
+  * every later consumer (the sort's sample pass and sort pass share
+  * it). The execution-time behavior of the wrapped recipe is preserved
   * bit-for-bit — this node only MOVES it from construction to first
   * action.
+  *
+  * MEMOIZATION CONTRACT: one materialization per [[DeferredMaterialize
+  * .dataFrame]] CALL, not per physical-plan instance and not per
+  * logical query. The single-flight memo lives in the thunk CLOSURE
+  * that `dataFrame` builds, so plan copies made after planning
+  * (makeCopy/clone by a prep rule, future AQE re-planning of the leaf)
+  * all return the one materialized RDD — the eager recipe can never run
+  * twice behind one Dataset. Conversely, two SEPARATE `dataFrame` calls
+  * over the same operator are two closures and fire two independent
+  * materializations (each correct); callers wanting cross-Dataset
+  * sharing must go through the operator's own cache (containment's
+  * single-slot set-table cache). DeferredMaterializeSpec pins both
+  * directions.
   *
   * The price is explain opacity: the deferred subtree prints as this
   * leaf. Operators that use it must expose their inner plan for plan
@@ -37,8 +49,10 @@ case class DeferredMaterialize(output: Seq[Attribute],
 
 case class DeferredMaterializeExec(output: Seq[Attribute],
     thunk: () => RDD[InternalRow]) extends LeafExecNode {
-  // memoized: the range-sample job and the sort job (and any re-action
-  // on the same Dataset) all read the one materialized RDD
+  // The real memoization is single-flight INSIDE the thunk closure
+  // (built by DeferredMaterialize.dataFrame), shared by every copy of
+  // this node; the lazy val here only spares the same-instance calls
+  // the closure's volatile read.
   @transient private lazy val materialized: RDD[InternalRow] = thunk()
   override protected def doExecute(): RDD[InternalRow] = materialized
   override def withNewChildrenInternal(
@@ -52,23 +66,55 @@ object DeferredMaterializeStrategy extends SparkStrategy {
   }
 }
 
+/** On-demand planner-strategy registration, synchronized: the naive
+  * read-check-then-reassign of `spark.experimental.extraStrategies` (a
+  * plain var) is a race — two first builds on concurrent threads of one
+  * session could register a strategy twice or drop a concurrently
+  * appended one. All of the engine's on-demand registrations
+  * (DeferredMaterialize, AsOfJoinApi) go through here. */
+object OnDemandStrategy {
+  def register(spark: SparkSession, strategy: SparkStrategy): Unit =
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.contains(strategy) &&
+          !spark.sessionState.planner.strategies.contains(strategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ strategy
+      }
+    }
+}
+
 object DeferredMaterialize {
   /** DataFrame whose schema (and output attribute identity) comes from
     * `schemaSource`'s analyzed plan — analysis only, no job — and whose
     * rows come from `thunk()` at first action. The thunk's DataFrame
-    * must produce `schemaSource`'s columns positionally. */
+    * must produce `schemaSource`'s columns positionally.
+    *
+    * The returned DataFrame materializes ONCE per call: the thunk is
+    * wrapped single-flight here, in the closure every plan copy shares,
+    * because the raw thunk (an eager localCheckpoint in DedupOps) is
+    * NOT idempotent — memoizing only on the exec-node instance would
+    * re-run the full materialization whenever a prep rule or AQE copies
+    * the leaf after planning. */
   def dataFrame(spark: SparkSession, schemaSource: DataFrame)(
       thunk: () => DataFrame): DataFrame = {
     // robust in sessions built without GraftExtensions (the Bench
-    // vanilla column runs this same library code): register the
-    // planner strategy on demand, like AsOfJoinApi
-    if (!spark.experimental.extraStrategies.contains(DeferredMaterializeStrategy) &&
-        !spark.sessionState.planner.strategies.contains(DeferredMaterializeStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ DeferredMaterializeStrategy
-    }
+    // vanilla column runs this same library code)
+    OnDemandStrategy.register(spark, DeferredMaterializeStrategy)
     val out = schemaSource.queryExecution.analyzed.output
-    ColumnBridge.dataFrame(spark,
-      DeferredMaterialize(out, () => thunk().queryExecution.toRdd))
+    val memo = new java.util.concurrent.atomic.AtomicReference[RDD[InternalRow]]()
+    val once = () => {
+      val hit = memo.get()
+      if (hit != null) hit
+      else memo.synchronized {
+        val again = memo.get()
+        if (again != null) again
+        else {
+          val r = thunk().queryExecution.toRdd
+          memo.set(r)
+          r
+        }
+      }
+    }
+    ColumnBridge.dataFrame(spark, DeferredMaterialize(out, once))
   }
 }

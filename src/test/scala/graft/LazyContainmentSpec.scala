@@ -68,6 +68,43 @@ class LazyContainmentSpec extends AnyFunSuite {
     operators.DedupOps.releaseCaches()
   }
 
+  test("two same-corpus builds share the set-table cache whichever acts first") {
+    // advisor r13: building containment B used to unpersist build A's
+    // set-table cache entry even with A's thunk unfired — and, the plans
+    // being identical, that eviction also removed the entry B itself had
+    // just registered, so whichever build acted next recomputed the set
+    // table once per verify subtree. The slot protocol now retires a
+    // predecessor only when its plan DIFFERS, and a thunk releases only
+    // while its build still owns the slot.
+    spark.catalog.clearCache()
+    operators.DedupOps.releaseCaches()
+    val q = operators.DedupOps.queries("dedup_containment")
+    val df1 = q(spark, GraftSparkSession.sfDir)
+    val df2 = q(spark, GraftSparkSession.sfDir)
+    // a probe with the same canonical plan as the internal groups cache:
+    // a FRESH Dataset derived from it per check gets a fresh
+    // QueryExecution, whose withCachedData substitutes an
+    // InMemoryRelation exactly when the cache entry is live
+    // (constructing the probe re-registers at most a no-op over it)
+    val probe = operators.DedupOps.containmentPlan(spark, GraftSparkSession.sfDir)._2
+    def setTableCacheLive(): Boolean =
+      probe.select(org.apache.spark.sql.functions.col("gid"))
+        .queryExecution.withCachedData.exists {
+          case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+          case _ => false
+        }
+    assert(setTableCacheLive(), "set-table cache entry missing after the second build")
+    val n1 = df1.count()
+    // df1's thunk must NOT release the shared entry: df2 owns the slot
+    assert(setTableCacheLive(),
+      "acting on the FIRST build evicted the set table the second build still needs")
+    val n2 = df2.count()
+    assert(n1 == n2 && n1 > 0)
+    // df2 owned the slot, so its thunk released the shared entry
+    operators.DedupOps.releaseCaches()
+    assert(!setTableCacheLive(), "set-table cache entry leaked past the owning thunk")
+  }
+
   test("the verify pipeline materializes once: second action reads the cache") {
     spark.catalog.clearCache()
     val q = operators.DedupOps.queries("dedup_containment")
