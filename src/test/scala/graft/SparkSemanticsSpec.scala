@@ -4783,6 +4783,119 @@ class SparkSemanticsSpec extends AnyFunSuite {
           .join(s.table("dpppin_d").filter(F.col("cat") === "hot"), Seq("p"), "left")
           .groupBy(F.col("cat")).agg(F.count(F.lit(1)).as("n"))
           .orderBy(F.col("cat").asc_nulls_first)
+      })) ++ spjPinned
+  }
+
+  // ---- wave 14a: storage-partitioned-join value pins (VERDICT r13
+  // Missing #2 — the partial-compatibility faces of
+  // `GlutenKeyGroupedPartitioningSuite`: partiallyClusteredDistribution
+  // and join-keys-subset-of-partition-keys; plan contracts live in
+  // LakeSpjSpec). Every conf face must produce IDENTICAL values, and
+  // the shuffled-or-not behavior per face is itself pinned as data so
+  // a Spark-side or scan-side change that silently starts (or stops)
+  // exchanging fails the suite with the drifted face table.
+  private var spjBuilt = false
+  private def spjFix(s: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!spjBuilt) {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.spjpin",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      Seq("pa", "pb").foreach(t => s.sql(s"DROP TABLE IF EXISTS spjpin.$t"))
+      Seq("pa", "pb").foreach(t => s.sql(
+        s"""CREATE TABLE spjpin.$t (id BIGINT, region STRING, v DOUBLE)
+            PARTITIONED BY (region, bucket(4, id))"""))
+      def rows(n: Int) = (1 to n).map(i => (i.toLong, s"r${i % 3}", i * 1.0))
+        .toDF("id", "region", "v")
+      rows(24).writeTo("spjpin.pa").append()
+      // second append on pa: multiple files per partition tuple (the
+      // split shape partially-clustered distribution exists for)
+      rows(24).writeTo("spjpin.pa").append()
+      rows(18).writeTo("spjpin.pb").append()
+      spjBuilt = true
+    }
+  }
+  private lazy val spjPinned: Seq[(String, org.apache.spark.sql.SparkSession =>
+      org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.{functions => F}
+    def withConf[T](s: org.apache.spark.sql.SparkSession, kvs: (String, String)*)(
+        body: => T): T = {
+      val olds = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+      kvs.foreach { case (k, v) => s.conf.set(k, v) }
+      try body
+      finally olds.foreach { case (k, o) => o.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    }
+    val subsetConfs = Seq(
+      "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val pcConfs = Seq(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true")
+    // full-key join: both partition transforms covered (region + id)
+    def fullKeyJoin(s: org.apache.spark.sql.SparkSession) =
+      s.table("spjpin.pa").as("a")
+        .join(s.table("spjpin.pb").hint("merge").as("b"), Seq("region", "id"))
+        .groupBy(F.col("region")).agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("a.v") + F.col("b.v")).as("x"))
+        .orderBy("region")
+    // subset join: region only; keeps both ids in flight so the bucket
+    // transform resolves against the scan output (a pruned partition
+    // source column silently discards the reported partitioning)
+    def subsetJoin(s: org.apache.spark.sql.SparkSession) =
+      s.table("spjpin.pa").as("a")
+        .join(s.table("spjpin.pb").hint("merge").as("b"), Seq("region"))
+        .groupBy(F.col("region")).agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("a.id") + F.col("b.id")).cast("double").as("x"))
+        .orderBy("region")
+    def materialize(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        .toDF("region", "n", "x")
+    }
+    def shuffled(df: org.apache.spark.sql.DataFrame): Boolean = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.contains("Exchange")
+    }
+    Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)](
+      ("spjpin_fullkey_join_values", s => {
+        spjFix(s)
+        materialize(s, fullKeyJoin(s))
+      }),
+      ("spjpin_partially_clustered_same_values", s => {
+        spjFix(s)
+        withConf(s, pcConfs: _*) {
+          materialize(s, fullKeyJoin(s))
+        }
+      }),
+      ("spjpin_subset_keys_same_values", s => {
+        spjFix(s)
+        withConf(s, subsetConfs: _*) {
+          materialize(s, subsetJoin(s))
+        }
+      }),
+      ("spjpin_subset_keys_default_same_values", s => {
+        spjFix(s)
+        materialize(s, subsetJoin(s))
+      }),
+      ("spjpin_exchange_faces", s => {
+        spjFix(s)
+        import s.implicits._
+        // BARE joins (no aggregate above): `shuffled` must reflect the
+        // JOIN's exchanges — a groupBy(region) on top re-clusters on a
+        // key subset and adds its own Exchange in every face
+        def fullKeyBare = s.table("spjpin.pa").as("a")
+          .join(s.table("spjpin.pb").hint("merge").as("b"), Seq("region", "id"))
+          .select(F.col("id"), (F.col("a.v") + F.col("b.v")).as("x"))
+        def subsetBare = s.table("spjpin.pa").as("a")
+          .join(s.table("spjpin.pb").hint("merge").as("b"), Seq("region"))
+          .select((F.col("a.id") + F.col("b.id")).as("x"))
+        Seq(
+          ("fullkey_default", shuffled(fullKeyBare)),
+          ("fullkey_partially_clustered",
+            withConf(s, pcConfs: _*) { shuffled(fullKeyBare) }),
+          ("subset_default", shuffled(subsetBare)),
+          ("subset_allowed",
+            withConf(s, subsetConfs: _*) { shuffled(subsetBare) }))
+          .toDF("face", "shuffled")
       }))
   }
 
