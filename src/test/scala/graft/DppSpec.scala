@@ -40,12 +40,16 @@ class DppSpec extends AnyFunSuite {
   /** numFiles metric of the FACT scan after execution (AQE-aware:
     * QueryStageExec nodes are LEAVES wrapping their materialized
     * subtree, so the walk must recurse into `stage.plan` explicitly) */
-  private def factFilesRead(df: DataFrame): Long = {
+  private def factFilesRead(df: DataFrame, table: String = "dppf"): Long = {
     df.collect()
     def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
       val here = p.collectWithSubqueries {
         case f: FileSourceScanExec
-          if f.metadata.get("Location").exists(_.contains("dppf")) => Seq(f)
+          // exact table-dir match on the relation's root paths ("dppf"
+          // must not also match "dppg"; the rendered Location metadata
+          // string is length-truncated and unreliable)
+          if f.relation.location.rootPaths.exists(p =>
+            p.getName == table || p.toString.contains(s"/$table/")) => Seq(f)
         case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
       }
@@ -63,6 +67,14 @@ class DppSpec extends AnyFunSuite {
       .repartition(1).write.mode("append").insertInto("dppf")
     (0 to 11).map(p => (p, if (p < 3) "hot" else "cold")).toDF("p", "cat")
       .write.saveAsTable("dppd")
+  }
+
+  private lazy val fixture2: Unit = {
+    spark.sql("DROP TABLE IF EXISTS dppg")
+    spark.sql("CREATE TABLE dppg (w INT) USING parquet PARTITIONED BY (p INT)")
+    import spark.implicits._
+    (1 to 60).map(i => (i * 2, i % 12)).toDF("w", "p")
+      .repartition(1).write.mode("append").insertInto("dppg")
   }
 
   private def prunedJoin: DataFrame =
@@ -141,6 +153,48 @@ class DppSpec extends AnyFunSuite {
       .join(spark.table("dppd").filter(col("cat") === "hot"), Seq("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("n"))) == 11)
     assert(df.count() == 2)
+  }
+
+  test("DPP keyed off a build side holding an AGGREGATE subquery") {
+    // r13 verdict task 5: the reference suite also prunes off a BHJ
+    // build side that is itself an aggregate — the pruning subquery
+    // then wraps the aggregated keys, not a bare filtered scan
+    fixture
+    def q() = spark.table("dppf")
+      .join(spark.table("dppd").filter(col("cat") === "hot")
+        .groupBy(col("p")).agg(count(lit(1)).as("c")), Seq("p"))
+      .groupBy(col("p")).agg(sum(col("k")).as("sk"))
+    val df = q()
+    val plan = finalPlan(df)
+    assert(hasLiveDpp(plan),
+      "aggregate build side must still drive partition pruning:\n" + plan.take(4000))
+    assert(factFilesRead(q()) == 3,
+      "build-side-aggregate DPP must read 3 of 12 partition files")
+    assert(df.count() == 3)
+  }
+
+  test("DPP prunes BOTH partitioned legs of a three-way join") {
+    fixture
+    fixture2
+    // each fact joins the hot dim DIRECTLY (the shape where
+    // reuse-broadcast DPP can serve both legs from ONE dim broadcast);
+    // a chained (f ⋈ dim) ⋈ g leaves g unpruned under
+    // reuseBroadcastOnly — the pruning subquery for g would need a
+    // broadcast of the whole joined subtree, which never exists
+    def q() = {
+      val dim = spark.table("dppd").filter(col("cat") === "hot")
+      spark.table("dppf").join(dim, Seq("p"))
+        .join(spark.table("dppg").join(dim, Seq("p")), Seq("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    }
+    val df = q()
+    val plan = finalPlan(df)
+    assert(hasLiveDpp(plan))
+    assert(factFilesRead(q(), "dppf") == 3,
+      "first leg must read 3 of 12 partition files")
+    assert(factFilesRead(q(), "dppg") == 3,
+      "second leg must read 3 of 12 partition files")
+    assert(df.count() == 3)
   }
 
   test("a static filter on a NON-partition column leaves DPP active") {

@@ -4783,6 +4783,27 @@ class SparkSemanticsSpec extends AnyFunSuite {
           .join(s.table("dpppin_d").filter(F.col("cat") === "hot"), Seq("p"), "left")
           .groupBy(F.col("cat")).agg(F.count(F.lit(1)).as("n"))
           .orderBy(F.col("cat").asc_nulls_first)
+      }),
+      // wave 14b: the build-side-aggregate and both-legs faces (plan +
+      // files-read contracts in DppSpec); values must equal the plain
+      // pruned join's groups
+      ("dpppin_build_side_aggregate_values", s => {
+        dppFix(s)
+        s.table("dpppin_f")
+          .join(s.table("dpppin_d").filter(F.col("cat") === "hot")
+            .groupBy(F.col("p")).agg(F.count(F.lit(1)).as("c")), Seq("p"))
+          .groupBy(F.col("p")).agg(F.count(F.lit(1)).as("n"), F.sum(F.col("k")).as("sk"))
+          .orderBy("p")
+      }),
+      ("dpppin_both_legs_values", s => {
+        dppFix(s)
+        val dim = s.table("dpppin_d").filter(F.col("cat") === "hot")
+        s.table("dpppin_f").join(dim, Seq("p"))
+          .join(s.table("dpppin_f").as("g").join(dim, Seq("p"))
+            .select(F.col("p"), F.col("k").as("k2")), Seq("p"))
+          .groupBy(F.col("p")).agg(F.count(F.lit(1)).as("n"),
+            F.sum(F.col("k") + F.col("k2")).as("sk"))
+          .orderBy("p")
       })) ++ spjPinned
   }
 
