@@ -2143,39 +2143,54 @@ object RelationalOps {
     * both engines walk the identical double sequence; DuckDB mirrors
     * the fold with `list_reduce` over `list_slice` prefixes. */
   private val evEwma: Q = (s, dir) => {
-    val alpha = 0.3
+    // INTEGER-EXACT formulation on the 1e-6 grid (round 14): the old
+    // per-step round(double, 6) walk diverged from DuckDB by 1e-6 on 3
+    // of ~2000 sf1 rows — round-on-double is engine-dependent exactly
+    // at .5e-6 boundaries, and a longer corpus eventually lands on one.
+    // Now every quantity is a BIGINT of micro-units: the daily mean is
+    // the half-up integer division 2500·Σvq/cnt (m·1e6 = Σvq/cnt/400 ·
+    // 1e6), and the recurrence s_i = (3·x_i + 7·s_{i−1} + 5) div 10 is
+    // exact integer arithmetic both engines compute bit-identically; no
+    // float participates until the final exact /1e6 renders. floor(n/d)
+    // is built from pmod so the double division is of two exact
+    // multiples (quotient < 2^53 — exact).
+    def floorDiv(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      ((n - pmod(n, d)) / d).cast("long")
     val daily = load(s, dir, "events")
       .withColumn("vq", round(col("value") * 400).cast("long"))
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg((sum(col("vq")).cast("double") / count(lit(1)) / 400).as("m"))
+      .agg(sum(col("vq")).as("sq"), count(lit(1)).as("cnt"))
+      // x' = round_half_up(2500·sq/cnt) = floor((5000·sq + cnt) / (2·cnt))
+      .withColumn("xq", floorDiv(lit(5000L) * col("sq") + col("cnt"), lit(2L) * col("cnt")))
     val series = daily.groupBy(col("event_type"))
-      .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("sv"))
-      .withColumn("ms", transform(col("sv"), x => round(x.getField("m"), 6)))
+      .agg(sort_array(collect_list(struct(col("d"), col("xq")))).as("sv"))
+      .withColumn("ms", transform(col("sv"), x => x.getField("xq")))
     series
       .select(col("event_type"), col("ms"),
         posexplode(col("sv")).as(Seq("i0", "e")))
       .select(col("event_type"), col("e.d").cast("string").as("d"),
-        round(col("e.m"), 6).as("mean_v"),
-        aggregate(slice(col("ms"), lit(2), col("i0")), element_at(col("ms"), 1),
-          (acc, x) => round(lit(alpha) * x + lit(1 - alpha) * acc, 6))
-          .as("ewma"))
+        (col("e.xq").cast("double") / 1e6).as("mean_v"),
+        (aggregate(slice(col("ms"), lit(2), col("i0")), element_at(col("ms"), 1),
+          (acc, x) => floorDiv(lit(3L) * x + lit(7L) * acc + lit(5L), lit(10L)))
+          .cast("double") / 1e6).as("ewma"))
       .orderBy(col("event_type"), col("d"))
   }
 
   private val evEwmaSql =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d,
-      |    CAST(SUM(CAST(round(value * 400) AS BIGINT)) AS DOUBLE)
-      |      / COUNT(*) / 400 AS m
+      |    (5000 * SUM(CAST(round(value * 400) AS BIGINT)) + COUNT(*))
+      |      // (2 * COUNT(*)) AS xq
       |  FROM events GROUP BY 1, 2),
       |series AS (
       |  SELECT event_type,
       |    list(CAST(d AS VARCHAR) ORDER BY d) AS ds,
-      |    list(round(m, 6) ORDER BY d) AS ms
+      |    list(xq ORDER BY d) AS ms
       |  FROM daily GROUP BY 1)
-      |SELECT event_type, ds[i] AS d, ms[i] AS mean_v,
-      |  list_reduce(list_slice(ms, 1, i),
-      |    (acc, x) -> round(0.3e0 * x + 0.7e0 * acc, 6)) AS ewma
+      |SELECT event_type, ds[i] AS d,
+      |  CAST(ms[i] AS DOUBLE) / 1000000 AS mean_v,
+      |  CAST(list_reduce(list_slice(ms, 1, i),
+      |    (acc, x) -> (3 * x + 7 * acc + 5) // 10) AS DOUBLE) / 1000000 AS ewma
       |FROM series, unnest(generate_series(1, len(ms))) AS t(i)
       |ORDER BY event_type, d""".stripMargin
 

@@ -258,6 +258,27 @@ object SimilarityOps {
       when(GraftExpressions.dot_product(emb, plane) > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Query-directed hamming-2 probe masks: the C(4,2)=6 two-bit masks
+    * over THIS row's 4 weakest planes (smallest |projection| — the
+    * planes a true near neighbor most likely lands on the other side
+    * of; Lv et al., "Multi-Probe LSH"). Returned alongside the standard
+    * {0} ∪ hamming-1 ring they extend; all masks are distinct, so
+    * XOR-injectivity of bucket probing is preserved. */
+  private[operators] def weakPairMasks(emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    // sort (|dot|, planeIdx) structs ascending; struct ordering compares
+    // fields in declaration order, so the 4 weakest planes come first
+    val ranked = array_sort(array((0 until bits).map { j =>
+      val plane = array((0L until 64L).map(i => lit(planeWeightValue(i, j))): _*)
+      struct(abs(GraftExpressions.dot_product(emb, plane)).as("a"), lit(j).as("j"))
+    }: _*))
+    // 1 << j as exact double pow (j <= 30 here; functions.shiftleft only
+    // accepts a literal shift amount)
+    def bit(k: Int) =
+      pow(lit(2.0), element_at(ranked, k + 1).getField("j")).cast("int")
+    array((for (a <- 0 until 4; b <- a + 1 until 4) yield
+      bit(a).bitwiseOR(bit(b))): _*)
+  }
+
   /** CORPUS-SCALED plane count for the symmetric LSH paths (both join
     * sides are the corpus, unlike the 10-query ANN probes): with fixed
     * bits the bucket join emits ~n²·(1+bits)/2^bits pairs — quadratic in
@@ -324,11 +345,23 @@ object SimilarityOps {
         transform(col("pairs"), p => p.getField("cx").cast("float")).as("centroid"))
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    // CORPUS-SCALED probe count: with a fixed 4-cell label quantizer,
+    // a corpus whose labels have weak geometric meaning (ScaleUp's
+    // rotation replicas are the measured worst case: recall@3 0.30 at
+    // sf0.01 → 0.20 at sf1 under nprobe=2; RECALL_SF1.json, round 14)
+    // spreads true neighbors across cells, so big corpora probe 3 of 4
+    // — the standard IVF recall lever (nprobe↑ when the quantizer's
+    // selectivity can't be trusted). The 16k gate keeps every oracle-SF
+    // plan byte-identical; the learned-centroid variant (ivf_kmeans)
+    // stays at 2 probes — its quantizer is fitted to the actual corpus
+    // geometry and holds 0.87 recall at sf1.
+    val (ivfRows, _) = parquetFooterStats(s, dir, "embeddings", "vec_id")
+    val nprobe = if (ivfRows > 16384) 3 else 2
     val wc = Window.partitionBy(col("qid")).orderBy(col("c_cos").desc, col("c_label"))
     val probes = queries.crossJoin(broadcast(cent))
       .withColumn("c_cos", GraftExpressions.cosine_sim(col("q_emb"), col("centroid")))
       .withColumn("c_rnk", row_number().over(wc))
-      .filter(col("c_rnk") <= 2)
+      .filter(col("c_rnk") <= nprobe)
       .select(col("qid"), col("q_emb"), col("c_label"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     load(s, dir, "embeddings").filter(col("vec_id") >= 10)
@@ -575,13 +608,24 @@ object SimilarityOps {
     // standard ADC+refine pipeline: exact FLOPs touch 32 candidates per
     // query, not the corpus).
     val ws = Window.partitionBy(col("qid")).orderBy(col("ad").desc, col("cid"))
+    // CORPUS-SCALED shortlist width: with a fixed 32-candidate refine,
+    // recall@3 collapses as the corpus grows (distractors with higher
+    // ADC scores than the true neighbors accumulate linearly in corpus
+    // size — measured 0.83 at sf0.01 vs 0.43 at sf1 under the fixed 32,
+    // and still 0.47 at one-per-500; RECALL_SF1.json, round 14). One
+    // refine candidate per 100 corpus vectors keeps the exact re-rank
+    // at ~1% of the corpus — trivial next to the ADC scan at any
+    // scale — and the 32 floor keeps every corpus under 3.2k vectors
+    // (all oracle SFs) byte-identical.
+    val (corpusRows, _) = parquetFooterStats(s, dir, "embeddings", "vec_id")
+    val refine = math.max(32, math.ceil(corpusRows / 100.0).toInt)
     // ADC lookup-sum as the native PqAdcScore expression — the other
     // corpus-scale loop (|corpus|·|Q| rows × m lookups each)
     val shortlist = codes.crossJoin(broadcast(qtab.select(col("qid"), col("tab"))))
       .select(col("qid"), col("cid"),
         graft.functions.GraftExpressions.pq_adc_score(col("tab"), col("codes")).as("ad"))
       .withColumn("srk", row_number().over(ws))
-      .filter(col("srk") <= 32)
+      .filter(col("srk") <= refine)
       .select(col("qid"), col("cid"))
       .join(broadcast(qtab.select(col("qid"), col("q_emb"))), "qid")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
@@ -804,7 +848,20 @@ object SimilarityOps {
   private[graft] def marginMiningAnnPairs(s: SparkSession, dir: String, bits: Int): DataFrame = {
     val e = load(s, dir, "embeddings")
       .withColumn("bucket", lshBucket(col("embedding"), bits))
-    val probeMasks = array((lit(0) +: (0 until bits).map(i => lit(1 << i))): _*)
+    // probe ring: {0} ∪ hamming-1, PLUS — once corpus-scaled bits reach
+    // 6 — the query-directed hamming-2 masks over each source row's 4
+    // weakest planes. The deeper ring exists because recall under a
+    // fixed ring COLLAPSES as bits grow (a neighbor disagreeing on ≤1
+    // of 4 planes is likely; on ≤1 of 13 planes it is not — measured:
+    // survivor recall 0.48 at 4 bits / sf0.01 vs 0.25 at 10 bits / sf1
+    // with the hamming-1 ring; RECALL_SF1.json, round 14). Perturbing
+    // only the weakest planes buys most of the hamming-2 recall mass
+    // for +6 probes instead of +C(bits,2). The bits<6 gate keeps every
+    // oracle-SF plan byte-identical (sf0.01 runs at the 4-bit floor).
+    val ring1 = (lit(0) +: (0 until bits).map(i => lit(1 << i))): Seq[org.apache.spark.sql.Column]
+    val probeMasks = // evaluated after the select below: the vector column is s_emb
+      if (bits < 6) array(ring1: _*)
+      else concat(array(ring1: _*), weakPairMasks(col("s_emb"), bits))
     val src = e.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("sid"), col("embedding").as("s_emb"), col("bucket"))
       .withColumn("mask", explode(probeMasks))

@@ -110,18 +110,34 @@ object TextOps {
     * (graft.functions.TopKFreq): constant-memory mergeable sketch —
     * no full-word shuffle at scale. Capacity 64 ≥ this corpus's
     * vocabulary, so the sketch is exact and oracle-checkable. */
-  private val textTopWords: Q = (s, dir) =>
-    load(s, dir, "documents")
+  /** Sketch-then-recount top words (round 14): the space-saving sketch
+    * nominates candidates, an exact recount of ONLY those candidates
+    * scores them, and the exact top-32 ships. The r13 face dumped the
+    * raw capacity-64 sketch with a full-vocabulary oracle — exact only
+    * because the sf0.01 vocabulary (64 words) happened to fit the
+    * capacity; the sf1 corpus (76 drifted words) overflowed it and the
+    * oracle diverged (r14 sf1 pass). This shape is also what a 100 TB
+    * pipeline runs: sketch pass + a broadcast-candidate recount, exact
+    * whenever every true top-32 word clears the space-saving retention
+    * bound N/128 — a property the recount makes VISIBLE as a count
+    * mismatch instead of silently wrong sketch estimates. */
+  private val textTopWords: Q = (s, dir) => {
+    val words = load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
-      .agg(graft.functions.TopKFreq.topk_freq(col("w"), 64).as("sketch"))
+    val cand = words
+      .agg(graft.functions.TopKFreq.topk_freq(col("w"), 128).as("sketch"))
       .select(explode(col("sketch")).as("s"))
-      .select(col("s.word").as("word"), col("s.cnt").as("cnt"))
+      .select(col("s.word").as("word"))
+    words.join(broadcast(cand), col("w") === col("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
+      .limit(32)
+  }
 
   private val textTopWordsSql =
     """SELECT w AS word, COUNT(*) AS cnt
       |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-      |GROUP BY w ORDER BY cnt DESC, word""".stripMargin
+      |GROUP BY w ORDER BY cnt DESC, word LIMIT 32""".stripMargin
 
   /** Benchmark decontamination: training docs sharing any 4-word shingle
     * with the benchmark slice (doc_id < 20) are flagged with their

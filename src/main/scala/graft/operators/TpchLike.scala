@@ -37,7 +37,13 @@ object TpchLike {
         dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
         dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
         dbl(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
-        dbl(sum(revenue(col("l_extendedprice"), col("l_discount")) * (oneDec + rate(col("l_tax"))))).as("sum_charge"),
+        // charge is a scale-6 decimal sum that reaches 17 significant
+        // digits at sf1 — past double's mantissa, so the two engines'
+        // (both correct) decimal->double casts can differ by 1 ulp.
+        // Round the EXACT decimal to money precision first: the 2-dp
+        // value is exactly representable through either cast path
+        // (surfaced by the r14 sf1 oracle pass).
+        dbl(round(sum(revenue(col("l_extendedprice"), col("l_discount")) * (oneDec + rate(col("l_tax")))), 2)).as("sum_charge"),
         (dbl(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
         (dbl(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
         (dbl(sum(rate(col("l_discount")))) / count(lit(1))).as("avg_disc"),
@@ -50,7 +56,7 @@ object TpchLike {
        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
        |  CAST(SUM($rev1) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM($rev1 * (CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       |  CAST(ROUND(SUM($rev1 * (CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
        |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,

@@ -151,6 +151,15 @@ object ScaleUp {
         "l_suppkey" -> suppStride), "lineitem")
     }
 
+    if (tables == "lake") {
+      // orders only: the lake_* connector queries rebuild their tables
+      // from orders slices, so the 100x lake measurement needs nothing
+      // else — writing the full tpch group at factor 100 would spend
+      // minutes and gigabytes on lineitem the run never reads
+      write(replicate(tbl("orders"),
+        "o_orderkey" -> orderStride, "o_custkey" -> custStride), "orders")
+    }
+
     if (tables == "pipeline" || tables == "all") {
       // documents: per-replica word drift (hash-selected 1/8 of words get
       // a replica suffix; replica 0 keeps the original text verbatim) —

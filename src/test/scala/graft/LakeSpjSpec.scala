@@ -190,6 +190,38 @@ class LakeSpjSpec extends AnyFunSuite {
     assert(jOff.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == expected)
   }
 
+  test("one-side key-grouped join shuffles ONLY the other side (bucketing.shuffle)") {
+    // third face of r13 Missing #2's suite: a lake (key-grouped) table
+    // joined to a plain in-memory relation. Default: both sides
+    // exchange. With spark.sql.sources.v2.bucketing.shuffle.enabled,
+    // Spark shuffles only the non-grouped side INTO the storage
+    // partitioning — at 100 TB that halves the shuffle of every
+    // fact-to-staged-delta join.
+    fresh("spj_one", "bucket(8, id)")
+    rows(200, 0).writeTo("lake.spj_one").append()
+    val other = rows(120, 0)
+    def q() = spark.table("lake.spj_one").as("a")
+      .join(other.hint("merge").as("b"), Seq("id"))
+      .select(col("id"), (col("a.v") + col("b.v")).as("s"))
+    withConf("spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
+      val j = q()
+      val plan = finalPlan(j)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      val kgExchanges = "Exchange keygroupedpartitioning".r.findAllIn(plan).size
+      assert(exchanges + kgExchanges == 1,
+        s"one-side-grouped join must exchange exactly the plain side " +
+          s"(hash=$exchanges kg=$kgExchanges):\n" + plan.take(3000))
+      assert(j.count() == 120)
+    }
+    // default: the scan-side KeyGroupedPartitioning cannot host the
+    // plain side, both sides exchange
+    val jOff = q()
+    val planOff = finalPlan(jOff)
+    assert("Exchange".r.findAllIn(planOff).size >= 2,
+      "without bucketing.shuffle both sides must exchange:\n" + planOff.take(3000))
+    assert(jOff.count() == 120)
+  }
+
   test("SPJ survives partition pruning on one side (pushPartValues)") {
     fresh("spj_p", "region"); fresh("spj_q", "region")
     rows(100, 0).writeTo("lake.spj_p").append()
