@@ -205,12 +205,19 @@ class LakeSpjSpec extends AnyFunSuite {
       .select(col("id"), (col("a.v") + col("b.v")).as("s"))
     withConf("spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
       val j = q()
-      val plan = finalPlan(j)
+      // count exchanges in the FINAL adaptive segment only (the explain
+      // string repeats the plan under "== Initial Plan ==")
+      val full = finalPlan(j)
+      val plan = { val cut = full.indexOf("== Initial Plan =="); if (cut >= 0) full.substring(0, cut) else full }
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
       val kgExchanges = "Exchange keygroupedpartitioning".r.findAllIn(plan).size
       assert(exchanges + kgExchanges == 1,
         s"one-side-grouped join must exchange exactly the plain side " +
           s"(hash=$exchanges kg=$kgExchanges):\n" + plan.take(3000))
+      // and the one exchange is INTO the scan's storage partitioning —
+      // the lake side itself never moves
+      assert(kgExchanges == 1,
+        "the plain side must shuffle into keygroupedpartitioning:\n" + plan.take(3000))
       assert(j.count() == 120)
     }
     // default: the scan-side KeyGroupedPartitioning cannot host the
