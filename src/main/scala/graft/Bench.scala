@@ -229,7 +229,7 @@ object Bench {
     * directory). Used only when the artifact's sf matches this run's —
     * cross-SF walls are not comparable. Any parse problem degrades to
     * "no prior" (the ledger then runs on ratio/spread triggers only). */
-  private def priorWalls(sfDir: String): Map[String, Double] =
+  private def priorWalls(sfDir: String, setName: String): Map[String, Double] =
     try {
       val f = new java.io.File(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_COMPACT.json"))
@@ -237,8 +237,14 @@ object Bench {
       else {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
         val sfOk = node.get("sf") != null && node.get("sf").asText() == sfDir
+        // the prior must come from the SAME bench set: a corpus-sweep
+        // wall is not comparable to a headline wall of the same query
+        // (different warmup neighborhood and set ordering) — round 14's
+        // corpus run drift-flagged half the battery against the r13
+        // HEADLINE artifact before this guard
+        val setOk = node.get("set") == null || node.get("set").asText() == setName
         val qs = node.get("queries")
-        if (!sfOk || qs == null) Map.empty
+        if (!sfOk || !setOk || qs == null) Map.empty
         else {
           val b = Map.newBuilder[String, Double]
           val it = qs.fields()
@@ -377,7 +383,8 @@ object Bench {
     // verdict noise-vs-reproduces) is published in BENCH_FULL.json.
     def spread(xs: List[Double]): Double =
       if (xs.size < 2 || xs.min <= 0) 0.0 else xs.max / xs.min - 1.0
-    val prior: Map[String, Double] = priorWalls(sfDir)
+    val setName = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "full")
+    val prior: Map[String, Double] = priorWalls(sfDir, setName)
     var ledger: Seq[(String, String)] = Nil // query -> ledger JSON object
     if (rounds > 1 && withVanilla) {
       def reasons(n: String): Seq[String] = {
@@ -385,11 +392,17 @@ object Bench {
         if (gs.isEmpty) Nil
         else {
           val ratio = if (vs.nonEmpty && vs.min > 0) gs.min / vs.min else 1.0
+          // spread/drift only matter above a wall floor: sub-0.3 s walls
+          // are JIT/page-cache dominated and their spreads are
+          // meaningless (the round-14 corpus sweep flagged 214 of 382
+          // without the floor); the ratio trigger keeps every wall —
+          // a tiny query at 1.3x is still worth one solo attribution
+          val bigEnough = gs.min >= 0.3 || prior.get(n).exists(_ >= 0.3)
           Seq(
-            if (spread(gs) > 0.3 || spread(vs) > 0.3) Some("spread") else None,
+            if (bigEnough && (spread(gs) > 0.3 || spread(vs) > 0.3)) Some("spread") else None,
             if (ratio >= 1.2 || ratio <= (1 / 1.2)) Some("ratio") else None,
             prior.get(n).collect {
-              case p if p > 0 && math.abs(gs.min - p) / p > 0.15 => "drift_vs_prior"
+              case p if bigEnough && p > 0 && math.abs(gs.min - p) / p > 0.15 => "drift_vs_prior"
             }).flatten
         }
       }
@@ -505,7 +518,7 @@ object Bench {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${toJson2(kept)}""" +
         om + vanillaCompact + moverCompact +
-        s""","detail":"BENCH_FULL.json","sf":"$sfDir"}"""
+        s""","set":"$setName","detail":"BENCH_FULL.json","sf":"$sfDir"}"""
     }
     var kept = results
     var line = compactLine(kept, 0)

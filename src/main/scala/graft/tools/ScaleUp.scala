@@ -113,6 +113,14 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, src, out, factor, tables)
+    finally spark.stop()
+  }
+
+  /** the generator body, session-agnostic (ScaleUpSpec drives it inside
+    * the shared test session — main() owns session lifecycle, not this) */
+  def run(spark: org.apache.spark.sql.SparkSession, src: String, out: String,
+      factor: Int, tables: String): Unit = {
 
     def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit = {
@@ -194,6 +202,5 @@ object ScaleUp {
       }.reduce(_ union _)
       write(events, "events")
     }
-    spark.stop()
   }
 }

@@ -117,6 +117,22 @@ class ScaleUpSpec extends AnyFunSuite {
       f"per-slot near-pair rate moved: base $baseRate%.2e vs scaled $scaledRate%.2e")
   }
 
+  test("the lake table group writes disjoint-key orders replicas and nothing else") {
+    // round 14: `tables=lake` replicates ONLY orders (the lake_*
+    // connector queries rebuild from orders slices; writing lineitem at
+    // factor 100 would cost minutes and GBs the run never reads)
+    val out = java.nio.file.Files.createTempDirectory("scaleup_lake").toString
+    graft.tools.ScaleUp.run(spark, dir, out, 3, "lake")
+    val files = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(files == Set("orders.parquet"),
+      s"lake group must write orders only, got $files")
+    val base = Tables.load(spark, dir, "orders")
+    val scaled = spark.read.parquet(s"$out/orders.parquet")
+    assert(scaled.count() == 3 * base.count())
+    // replica key-shifts keep o_orderkey disjoint (no collided keys)
+    assert(scaled.select(col("o_orderkey")).distinct().count() == scaled.count())
+  }
+
   test("rotation fails loudly on a non-64-dim embedding (advisor r12)") {
     import spark.implicits._
     // the permutation/Givens structure is hard-wired to 64 dims; a
