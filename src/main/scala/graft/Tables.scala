@@ -38,22 +38,30 @@ object Tables {
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, org.apache.spark.sql.types.StructType)]()
 
-  /** Cheap content fingerprint of a parquet file/dir: fold of
+  /** Cheap content fingerprint of a parquet file/dir: per-child hash of
     * (name, length, mtime) over the direct children (or the file
-    * itself). Non-recursive by design — a rewrite of a nested
-    * partition dir still bumps the direct child dir's mtime on every
-    * POSIX/HDFS-like filesystem the engine targets. */
+    * itself), combined ORDER-INDEPENDENTLY (sum) — `listStatus` order
+    * is unspecified for RawLocalFileSystem (it is `File.list`), and an
+    * order-sensitive fold would let a mere reordered listing change the
+    * hash and spuriously re-pay the footer read the memo exists to
+    * avoid (advisor r14). Non-recursive by design: a rewrite that
+    * adds/removes/renames entries in a nested partition dir bumps that
+    * direct child dir's mtime on every POSIX/HDFS-like filesystem the
+    * engine targets. Known limitation: an in-place overwrite of a
+    * GRANDCHILD file (same name, no parent-dir entry change) is not
+    * seen — safe for every current caller because Spark writers always
+    * create fresh part-file names per commit. */
   private def pathFingerprint(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val st = fs.getFileStatus(p)
     val children =
       if (st.isDirectory) fs.listStatus(p).toSeq else Seq(st)
-    children.foldLeft(17L) { (acc, f) =>
-      var h = acc * 31 + f.getPath.getName.hashCode
+    children.map { f =>
+      var h = 17L * 31 + f.getPath.getName.hashCode
       h = h * 31 + f.getLen
       h * 31 + f.getModificationTime
-    }
+    }.sum
   }
 
   private def readMemoized(spark: SparkSession, path: String): DataFrame = {

@@ -2153,7 +2153,10 @@ object RelationalOps {
     // exact integer arithmetic both engines compute bit-identically; no
     // float participates until the final exact /1e6 renders. floor(n/d)
     // is built from pmod so the double division is of two exact
-    // multiples (quotient < 2^53 — exact).
+    // multiples (quotient < 2^53 — exact). This floors toward -inf for
+    // NEGATIVE n too, and the oracle SQL mirrors the same pmod floor
+    // explicitly (DuckDB's bare `//` truncates toward zero) — parity
+    // holds for all inputs, not just the value>=0 corpora ship today.
     def floorDiv(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
       ((n - pmod(n, d)) / d).cast("long")
     val daily = load(s, dir, "events")
@@ -2176,12 +2179,23 @@ object RelationalOps {
       .orderBy(col("event_type"), col("d"))
   }
 
+  // DuckDB's integer `//` TRUNCATES toward zero (-7//2 = -3) while the
+  // engine's pmod-built floorDiv floors toward -inf — divergent by 1
+  // micro-unit the moment any operand goes negative (advisor r14). The
+  // oracle therefore floors EXPLICITLY with the same pmod construction:
+  // (n - ((n % d + d) % d)) // d — the numerator is then an exact
+  // multiple of d, and truncating division of an exact multiple IS
+  // floor. Pure integer arithmetic, engine-independent for ALL inputs
+  // (current corpora have value >= 0, but parity must not rely on it).
   private val evEwmaSql =
-    """WITH daily AS (
+    """WITH daily0 AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d,
-      |    (5000 * SUM(CAST(round(value * 400) AS BIGINT)) + COUNT(*))
-      |      // (2 * COUNT(*)) AS xq
+      |    5000 * SUM(CAST(round(value * 400) AS BIGINT)) + COUNT(*) AS n,
+      |    2 * COUNT(*) AS dd
       |  FROM events GROUP BY 1, 2),
+      |daily AS (
+      |  SELECT event_type, d, (n - ((n % dd + dd) % dd)) // dd AS xq
+      |  FROM daily0),
       |series AS (
       |  SELECT event_type,
       |    list(CAST(d AS VARCHAR) ORDER BY d) AS ds,
@@ -2190,7 +2204,9 @@ object RelationalOps {
       |SELECT event_type, ds[i] AS d,
       |  CAST(ms[i] AS DOUBLE) / 1000000 AS mean_v,
       |  CAST(list_reduce(list_slice(ms, 1, i),
-      |    (acc, x) -> (3 * x + 7 * acc + 5) // 10) AS DOUBLE) / 1000000 AS ewma
+      |    (acc, x) -> (3 * x + 7 * acc + 5
+      |                 - (((3 * x + 7 * acc + 5) % 10 + 10) % 10)) // 10)
+      |    AS DOUBLE) / 1000000 AS ewma
       |FROM series, unnest(generate_series(1, len(ms))) AS t(i)
       |ORDER BY event_type, d""".stripMargin
 

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the mover auto-ledger's four-way verdict taxonomy
+  * ([[Bench.moverVerdict]], judge r14): the binary noise/reproduces
+  * enum conflated improvement rows and graft-only drift rows with the
+  * actionable slow movers — a reader had to eyeball 19 ledger rows to
+  * find the 2 that mattered. The contract: "slower" is EXACTLY the
+  * actionable class (graft slower than its twin, or a reproduced
+  * twin-parity wall regression); "faster" is an improvement; "no_twin"
+  * is reproduced drift with no vanilla ratio to anchor a direction
+  * call; "noise" is everything the solo minimums fail to reproduce. */
+class BenchLedgerSpec extends AnyFunSuite {
+
+  test("slower: solo ratio >= 1.2 with a twin") {
+    assert(Bench.moverVerdict(hasTwin = true, 1.27, None) === "slower")
+    assert(Bench.moverVerdict(hasTwin = true, 1.2, Some(0.0)) === "slower")
+  }
+
+  test("slower: twin-parity ratio but reproduced wall drift UP vs prior") {
+    assert(Bench.moverVerdict(hasTwin = true, 1.05, Some(0.3)) === "slower")
+  }
+
+  test("faster: solo ratio <= 1/1.2, or reproduced drift DOWN") {
+    assert(Bench.moverVerdict(hasTwin = true, 0.8, None) === "faster")
+    // the r14 class: 17 of 19 "reproduces" rows were walls DROPPING
+    // >15% vs prior — improvements, not regressions
+    assert(Bench.moverVerdict(hasTwin = true, 1.0, Some(-0.25)) === "faster")
+  }
+
+  test("no_twin: vanilla skipped/failed + reproduced drift, either way") {
+    assert(Bench.moverVerdict(hasTwin = false, 0.0, Some(0.3)) === "no_twin")
+    assert(Bench.moverVerdict(hasTwin = false, 0.0, Some(-0.3)) === "no_twin")
+  }
+
+  test("noise: nothing trigger-class holds on the solo minimums") {
+    assert(Bench.moverVerdict(hasTwin = true, 1.1, Some(0.1)) === "noise")
+    assert(Bench.moverVerdict(hasTwin = true, 0.95, None) === "noise")
+    assert(Bench.moverVerdict(hasTwin = false, 0.0, Some(0.05)) === "noise")
+    assert(Bench.moverVerdict(hasTwin = false, 0.0, None) === "noise")
+  }
+
+  test("ratio boundaries: 1.2 is slower-inclusive, 1/1.2 faster-inclusive") {
+    assert(Bench.moverVerdict(hasTwin = true, 1.19, None) === "noise")
+    assert(Bench.moverVerdict(hasTwin = true, 1.0 / 1.2, None) === "faster")
+    assert(Bench.moverVerdict(hasTwin = true, 0.84, None) === "noise")
+  }
+}

@@ -39,6 +39,54 @@ def cmp_cell(a, b) -> bool:
     return a == b
 
 
+def run_with_budget(con, sql: str, budget: float):
+    """Run one oracle query under a wall budget. Returns (df, timed_out).
+
+    Race hardening (advisor r14): a bare Timer(budget, con.interrupt)
+    can fire in the window after con.sql() returns but before
+    timer.cancel(), leaving a pending interrupt that aborts the NEXT
+    query — which would then be misrecorded as SKIP (a feasible check
+    silently dropped). Two guards: (1) the timer only interrupts while
+    the query is still marked running (flag flipped under a lock in the
+    finally, shrinking the window to the lock handoff); (2) an
+    interrupt is classified as a timeout ONLY when the measured elapsed
+    wall actually reached the budget — an early interrupt (a stray one
+    from a prior query's timer) is re-run once instead of skipped.
+    """
+    import threading
+    import time
+    for attempt in range(2):
+        lock = threading.Lock()
+        running = [True]
+
+        def _fire():
+            with lock:
+                if running[0]:
+                    con.interrupt()
+
+        timer = threading.Timer(budget, _fire)
+        t0 = time.monotonic()
+        timer.start()
+        try:
+            return con.sql(sql).df(), False
+        except Exception as e:
+            elapsed = time.monotonic() - t0
+            is_intr = isinstance(e, getattr(duckdb, "InterruptException", ())) \
+                or "INTERRUPT" in str(e)[:200].upper()
+            if not is_intr:
+                raise
+            if elapsed >= budget * 0.95:
+                return None, True
+            if attempt == 0:
+                continue  # stray interrupt before the budget: re-run once
+            raise
+        finally:
+            with lock:
+                running[0] = False
+            timer.cancel()
+    return None, True
+
+
 def main() -> None:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -91,25 +139,18 @@ def main() -> None:
             # OOM-killing the whole battery.
             budget = float(os.environ.get("DUCKDB_QUERY_TIMEOUT_S", "0"))
             if budget > 0:
-                import threading
-                timer = threading.Timer(budget, con.interrupt)
-                timer.start()
-                try:
-                    duck_df = con.sql(sql).df()
-                finally:
-                    timer.cancel()
+                duck_df, timed_out = run_with_budget(con, sql, budget)
+                if timed_out:
+                    print(f"SKIP {name}: oracle SQL exceeded {budget:.0f}s "
+                          "budget (quadratic oracle formulation at this SF)")
+                    continue
             else:
                 duck_df = con.sql(sql).df()
-        except getattr(duckdb, "InterruptException", ()) as _:
-            print(f"SKIP {name}: oracle SQL exceeded {budget:.0f}s budget "
-                  "(quadratic oracle formulation at this SF)")
-            continue
         except Exception as e:
+            # run_with_budget already classified genuine timeouts as SKIP;
+            # an interrupt that reaches here fired twice BEFORE the budget
+            # elapsed — not a timeout, and must not be silently skipped
             msg = str(e)[:200]
-            if "INTERRUPT" in msg.upper():
-                print(f"SKIP {name}: oracle SQL exceeded {budget:.0f}s budget "
-                      "(quadratic oracle formulation at this SF)")
-                continue
             print(f"FAIL {name}: oracle SQL error: {msg}")
             n_fail += 1
             continue
