@@ -118,6 +118,16 @@ def main() -> None:
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # DUCKDB_PY_ORACLES=1: replace the deliberately-naive quadratic SQL
+    # formulations with the exact linear/near-linear Python references
+    # in py_oracles.py (union-find CC, prefix-filtered Jaccard, blocked
+    # BLAS cosine) — the scale gate that shrank the sf1 skip list from
+    # 7 to 0 (round 15). Default stays SQL: the sf0.01 driver gate runs
+    # the SQL formulations and local runs should mirror it.
+    py_oracles = {}
+    if os.environ.get("DUCKDB_PY_ORACLES") == "1":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from py_oracles import PY_ORACLES as py_oracles
     n_pass = n_fail = 0
     only = sys.argv[3:] or None
     for name, sql in sorted(oracle.items()):
@@ -138,7 +148,9 @@ def main() -> None:
             # query as SKIP (oracle-infeasible) rather than stalling or
             # OOM-killing the whole battery.
             budget = float(os.environ.get("DUCKDB_QUERY_TIMEOUT_S", "0"))
-            if budget > 0:
+            if name in py_oracles:
+                duck_df = py_oracles[name](con, sf_dir)
+            elif budget > 0:
                 duck_df, timed_out = run_with_budget(con, sql, budget)
                 if timed_out:
                     print(f"SKIP {name}: oracle SQL exceeded {budget:.0f}s "
