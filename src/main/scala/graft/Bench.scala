@@ -99,7 +99,7 @@ object Bench {
     "graph_connected_components",
     "dedup_url", "sim_knn_classify", "text_greedy_tokenize",
     "lake_time_travel", "lake_merge", "lake_cdf_scan", "lake_zorder_skip",
-    "lake_branch_wap", "lake_spj")
+    "lake_branch_wap", "lake_spj", "lake_spj_skew")
 
   /** the data-pipeline operator set for scaling runs (ScaleUp's
     * perturbed 10x documents/embeddings/events): everything that must
@@ -133,7 +133,7 @@ object Bench {
     * cannot plan on a stock session */
   val graftOnly: Set[String] = Set(
     "ev_asof_join_custom", "lake_time_travel", "lake_merge", "lake_cdf_scan",
-    "lake_zorder_skip", "lake_branch_wap", "lake_spj")
+    "lake_zorder_skip", "lake_branch_wap", "lake_spj", "lake_spj_skew")
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     val qs = SparkEntry.queries

@@ -246,13 +246,80 @@ object LakeOps {
       |FROM e JOIN o ON e.o_custkey = o.o_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Storage-partitioned join under SKEW — the measured face of
+    * `partiallyClusteredDistribution` (VERDICT r14 task 5; the
+    * reference's GlutenKeyGroupedPartitioningSuite exercises the same
+    * knob, gluten-ut/spark35/.../VeloxTestSettings.scala:66). Fact side
+    * `a`: every 5th order re-keys to customer 7, so ONE of the 16
+    * buckets carries ~24% of the rows, written in FOUR appends (four
+    * files per bucket — the split granularity partially-clustered mode
+    * preserves). Profile side `b`: one bucketed row per customer (the
+    * per-key aggregate of the odd orders), so the join fan-out is
+    * exactly |a| — skew lives in BUCKET OCCUPANCY, not pair explosion.
+    * Grouped SPJ (default) fuses the hot bucket's four files into one
+    * straggler task; with
+    * `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+    * .enabled=true` the skewed side's splits stay apart and `b`'s
+    * matching partition is replicated across them — still zero
+    * Exchange, hot-bucket work spread over its file count. The
+    * correctness gate runs the (default) grouped mode; the 100× bench
+    * measures both modes via SPARK_GRAFT_BENCH_CONF (the on/off pair in
+    * BENCH_PIPE_SCALING `.scale_100x`, like the lake_spj SPJ bisect). */
+  private val lakeSpjSkew: Q = (s, dir) => {
+    s.conf.set("spark.sql.catalog.lake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS lake.bench_spj_skew_a")
+    s.sql("""CREATE TABLE lake.bench_spj_skew_a (o_orderkey BIGINT,
+            |  o_custkey BIGINT, o_totalprice DOUBLE)
+            |  PARTITIONED BY (bucket(16, o_custkey))""".stripMargin)
+    s.sql("DROP TABLE IF EXISTS lake.bench_spj_skew_b")
+    s.sql("""CREATE TABLE lake.bench_spj_skew_b (o_custkey BIGINT,
+            |  profile_total DOUBLE) PARTITIONED BY (bucket(16, o_custkey))""".stripMargin)
+    val skewKey = when(col("o_orderkey") % 5 === 0, lit(7L))
+      .otherwise(col("o_custkey"))
+    val src = load(s, dir, "orders")
+      .select(col("o_orderkey"), skewKey.as("o_custkey"), col("o_totalprice"))
+    (0 until 4).foreach { i =>
+      src.filter(col("o_orderkey") % 8 === i * 2)
+        .writeTo("lake.bench_spj_skew_a").append()
+    }
+    src.filter(col("o_orderkey") % 2 === 1)
+      .groupBy(col("o_custkey"))
+      .agg(dbl(sum(dec(col("o_totalprice")))).as("profile_total"))
+      .writeTo("lake.bench_spj_skew_b").append()
+    s.table("lake.bench_spj_skew_a").as("a")
+      .join(s.table("lake.bench_spj_skew_b").hint("merge").as("b"), Seq("o_custkey"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_facts"),
+        dbl(sum(dec(col("a.o_totalprice")))).as("fact_total"),
+        max(col("b.profile_total")).as("profile_total"))
+      .orderBy(col("custkey"))
+  }
+
+  private val lakeSpjSkewSql =
+    """WITH a AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 7 ELSE o_custkey END AS ck,
+      |    o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |b AS (
+      |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN 7 ELSE o_custkey END AS ck,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS pt
+      |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+      |SELECT a.ck AS custkey, COUNT(*) AS n_facts,
+      |  CAST(SUM(CAST(a.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS fact_total,
+      |  MAX(b.pt) AS profile_total
+      |FROM a JOIN b ON a.ck = b.ck
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "lake_time_travel" -> lakeTimeTravel,
     "lake_merge" -> lakeMerge,
     "lake_cdf_scan" -> lakeCdf,
     "lake_zorder_skip" -> lakeZOrderSkip,
     "lake_branch_wap" -> lakeBranchWap,
-    "lake_spj" -> lakeSpj)
+    "lake_spj" -> lakeSpj,
+    "lake_spj_skew" -> lakeSpjSkew)
 
   val oracles: Map[String, String] = Map(
     "lake_time_travel" -> lakeTimeTravelSql,
@@ -260,5 +327,6 @@ object LakeOps {
     "lake_cdf_scan" -> lakeCdfSql,
     "lake_zorder_skip" -> lakeZOrderSkipSql,
     "lake_branch_wap" -> lakeBranchWapSql,
-    "lake_spj" -> lakeSpjSql)
+    "lake_spj" -> lakeSpjSql,
+    "lake_spj_skew" -> lakeSpjSkewSql)
 }
