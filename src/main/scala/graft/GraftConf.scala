@@ -87,6 +87,19 @@ object GraftConf {
       "so candidate-pair volume scales ~n*log n instead of n^2/2^bits " +
       "with a fixed bit width. Corpus size comes from parquet footer " +
       "stats — no plan-time Spark job")
+  val SimLshRingWidth: Entry[Int] = Entry("spark.graft.similarity.lsh.ringWidth", 0,
+    "hamming-2 probe-ring width (number of weakest planes whose pair " +
+      "perturbations join the ring once bits >= 6) for the symmetric " +
+      "LSH paths. 0 = corpus-scaled: min(bits, 4 + max(0, bits-7)) — " +
+      "the round-14 width 4 at the sf1 operating point (7 bits), " +
+      "widening LINEARLY with the signature because a fixed ring's " +
+      "recall collapses geometrically in bits. The growth is linear, " +
+      "not the full C(bits,2): measured at the 100x corpus (10 bits) " +
+      "the full ring buys overall recall 0.17->0.29 almost entirely " +
+      "on weak 0.4-0.55-cosine pairs while the margin wall rises " +
+      "56->226 s. Recall-critical corpora pin a larger width here " +
+      "(e.g. =bits for the full hamming-2 ring); the measured " +
+      "recall/wall curve is in RECALL_100X.json")
   val SimSemanticClusterTarget: Entry[Int] = Entry("spark.graft.similarity.semantic.clusterTarget", 500,
     "target mean cluster occupancy for SemDeDup's k-means stage: " +
       "k = max(4, ceil(corpusRows / clusterTarget)), so the within-" +
@@ -114,5 +127,6 @@ object GraftConf {
       DedupLshBucketAutoThreshold, DedupContainmentBroadcastMaxBytes,
       RecursiveBroadcastMaxBytes, ForceShuffledHashJoin,
       SkipPartialAggregate, SimTopK, SimLshBits, SimLshBucketTarget,
+      SimLshRingWidth,
       SimSemanticClusterTarget)
 }

@@ -1202,7 +1202,7 @@ object DedupOps {
     * size, and (by XOR-injectivity + the id_a<id_b emission rule)
     * exactly the full pipeline's id_a<probeMax subset. The recall-floor
     * contract is measured here at the PINNED 4-bit operating point. */
-  private def dedupEmbeddingLshPanelAt(s: SparkSession, dir: String, bits: Int,
+  private[graft] def dedupEmbeddingLshPanelAt(s: SparkSession, dir: String, bits: Int,
       probeMax: Long): DataFrame = dedupEmbeddingLshImpl(s, dir, bits, probeMax)
 
   private def dedupEmbeddingLshImpl(s: SparkSession, dir: String, bits: Int,
@@ -1222,9 +1222,10 @@ object DedupOps {
     val probeMasks =
       if (bits < 6) array(ring1: _*)
       // plane-projection ORDER and SIGNS are scale-invariant, so the
-      // weakest-4 planes of the unit vector are exactly those of the raw
+      // weakest planes of the unit vector are exactly those of the raw
       // embedding the bucket column was hashed from
-      else concat(array(ring1: _*), SimilarityOps.weakPairMasks(col("unit_a"), bits))
+      else concat(array(ring1: _*), SimilarityOps.weakPairMasks(col("unit_a"), bits,
+        SimilarityOps.ringWidth(s, bits)))
     val a = e.filter(col("vec_id") < probeMax)
       .select(col("vec_id").as("id_a"), col("unit").as("unit_a"), col("bucket"))
       .withColumn("mask", explode(probeMasks))

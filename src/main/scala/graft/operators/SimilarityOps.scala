@@ -264,9 +264,50 @@ object SimilarityOps {
     * of; Lv et al., "Multi-Probe LSH"). Returned alongside the standard
     * {0} ∪ hamming-1 ring they extend; all masks are distinct, so
     * XOR-injectivity of bucket probing is preserved. */
-  private[operators] def weakPairMasks(emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+  /** Corpus-scaled hamming-2 ring width (the `w` of [[weakPairMasks]]):
+    * min(bits, 4 + max(0, bits−7)), conf-overridable
+    * ([[graft.GraftConf.SimLshRingWidth]]). Width 4 at the sf1
+    * operating point (7 bits) keeps every round-14 measurement and
+    * oracle-SF plan byte-identical. The LINEAR growth (not C(bits,2)
+    * everywhere) is a measured cost call, round 15 (RingBandProbe at
+    * the 100× corpus, 10 bits): a fixed w=4 ring's recall collapses
+    * (embedding-lsh panel 0.17, margin survivors 0.15), but the full
+    * hamming-2+3 ring (w=10 + triples) buys overall panel recall only
+    * 0.17→0.29 — almost all of it on WEAK 0.4–0.55-cosine pairs, the
+    * band no real near-dup pipeline keys on — while the margin wall
+    * rose 56→226 s (candidates grow superlinearly in probes: weak-
+    * plane buckets are where near vectors concentrate). On the
+    * strong-band pairs that matter (cos ≥ 0.55) the moderate ring
+    * already holds ~0.46 vs 0.55 for the full ring. Recall-critical
+    * corpora can opt into the deep ring with the conf; the curve
+    * (w=4 / 7 / 10 recall per band + walls) is in RECALL_100X notes. */
+  private[graft] def ringWidth(s: SparkSession, bits: Int): Int = {
+    val conf = graft.GraftConf.getInt(s, graft.GraftConf.SimLshRingWidth)
+    val w = if (conf > 0) conf else 4 + math.max(0, bits - 7)
+    math.min(bits, w)
+  }
+
+  /** hamming-3 ring depth: the weakest bits−8 planes' triples — the
+    * second query-directed layer, engaging only at ≥12-bit signatures
+    * (C(w3,3) needs w3 ≥ 3) where even a widened pair ring leaves most
+    * recall mass at hamming ≥ 3. Zero at every operating point ≤ 11
+    * bits (sf1's 7, the 100× corpus's 10), so today's plans carry no
+    * triple masks; the layer exists so billion-row corpora (13+ bits)
+    * degrade by design instead of by cliff. */
+  private[graft] def tripleWidth(bits: Int): Int =
+    math.min(bits, math.max(0, bits - 8))
+
+  /** The query-directed DEEP probe ring for ≥6-bit signatures: all
+    * hamming-2 perturbations over the `w2` weakest planes of THIS row's
+    * vector, plus (≥9 bits) all hamming-3 perturbations over the `w3`
+    * weakest (Lv et al. VLDB'07 multi-probe, generalized). One ranked
+    * plane-projection sort feeds both layers; every mask has popcount
+    * 2 or 3, so the ring is disjoint from the hamming-≤1 masks and
+    * XOR-injectivity of pair emission is preserved. */
+  private[graft] def deepRingMasks(emb: org.apache.spark.sql.Column, bits: Int,
+      w2: Int, w3: Int): org.apache.spark.sql.Column = {
     // sort (|dot|, planeIdx) structs ascending; struct ordering compares
-    // fields in declaration order, so the 4 weakest planes come first
+    // fields in declaration order, so the weakest planes come first
     val ranked = array_sort(array((0 until bits).map { j =>
       val plane = array((0L until 64L).map(i => lit(planeWeightValue(i, j))): _*)
       struct(abs(GraftExpressions.dot_product(emb, plane)).as("a"), lit(j).as("j"))
@@ -275,9 +316,15 @@ object SimilarityOps {
     // accepts a literal shift amount)
     def bit(k: Int) =
       pow(lit(2.0), element_at(ranked, k + 1).getField("j")).cast("int")
-    array((for (a <- 0 until 4; b <- a + 1 until 4) yield
-      bit(a).bitwiseOR(bit(b))): _*)
+    val pairs = for (a <- 0 until w2; b <- a + 1 until w2) yield
+      bit(a).bitwiseOR(bit(b))
+    val triples = for (a <- 0 until w3; b <- a + 1 until w3; c <- b + 1 until w3)
+      yield bit(a).bitwiseOR(bit(b)).bitwiseOR(bit(c))
+    array((pairs ++ triples): _*)
   }
+
+  private[operators] def weakPairMasks(emb: org.apache.spark.sql.Column, bits: Int,
+      w: Int): org.apache.spark.sql.Column = deepRingMasks(emb, bits, w, tripleWidth(bits))
 
   /** CORPUS-SCALED plane count for the symmetric LSH paths (both join
     * sides are the corpus, unlike the 10-query ANN probes): with fixed
@@ -828,6 +875,11 @@ object SimilarityOps {
       .groupBy(col("tid")).agg(round(avg(col("cos")), 8).as("a_tgt"))
     val wBest = Window.partitionBy(col("sid"))
       .orderBy(col("margin").desc, col("tid"))
+    // NO hint on the aSrc/aTgt joins: the build sides are per-key
+    // aggregates (one row per source/target — tiny at any corpus), so
+    // broadcast/AQE-chosen hash is the right shape; a merge hint here
+    // was measured to FORCE sort-merge over the broadcast and cost the
+    // vanilla twin 65→96 s at 100× (round 15)
     pairs.join(aSrc, "sid").join(aTgt, "tid")
       .withColumn("margin",
         round(col("cos") / ((col("a_src") + col("a_tgt")) / 2), 6))
@@ -861,7 +913,7 @@ object SimilarityOps {
     val ring1 = (lit(0) +: (0 until bits).map(i => lit(1 << i))): Seq[org.apache.spark.sql.Column]
     val probeMasks = // evaluated after the select below: the vector column is s_emb
       if (bits < 6) array(ring1: _*)
-      else concat(array(ring1: _*), weakPairMasks(col("s_emb"), bits))
+      else concat(array(ring1: _*), weakPairMasks(col("s_emb"), bits, ringWidth(s, bits)))
     val src = e.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("sid"), col("embedding").as("s_emb"), col("bucket"))
       .withColumn("mask", explode(probeMasks))
@@ -869,7 +921,13 @@ object SimilarityOps {
       .drop("mask")
     val tgt = e.filter(col("vec_id") % 2 =!= 0)
       .select(col("vec_id").as("tid"), col("embedding").as("t_emb"), col("bucket"))
-    tgt.join(src, Seq("bucket"))
+    // HINTED sort-merge, the containment lesson applied here (round 15,
+    // measured at 100×/10-bit ring): under the session's SHJ preference
+    // the bucket join built a hash map over the exploded probe side and
+    // ran 100.7 s vs 68.0 s with SMJ — sort-merge streams and spills
+    // gracefully at any candidate volume, and the deep ring multiplies
+    // exactly that volume. Same rows either way (oracle-checked).
+    tgt.join(src.hint("merge"), Seq("bucket"))
       .withColumn("cos",
         round(GraftExpressions.cosine_sim(col("s_emb"), col("t_emb")), 6))
       .select(col("sid"), col("tid"), col("cos"))

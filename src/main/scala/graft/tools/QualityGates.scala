@@ -206,6 +206,112 @@ object QualityGates {
       Gate("fn_hash_native", "rerun_deterministic", if (hashSame) 1.0 else 0.0, 1.0, hashSame))
   }
 
+  /** 100×-feasible recall gates (VERDICT r14 task 7): the probe-ring /
+    * scaled-lever operators measured AT the big corpus's operating
+    * points with NO O(n²) reference anywhere — [[measure]]'s exact
+    * embedding-pair and margin-miner references are all-pairs and
+    * cannot run at a multi-million-vector corpus (the r14 100× recall
+    * floors were asserted by extrapolation for exactly that reason).
+    *
+    *  - ANN recall@3 (pq / ivf-kmeans / ivf / lsh): exact reference is
+    *    the brute top-3 — LINEAR (10 queries × corpus) — so these run
+    *    directly on the big corpus at its true corpus-scaled operating
+    *    points (pq refine 1-per-100, nprobe 3, autoLshBits).
+    *  - Embedding-LSH pair recall: exact reference restricted to the
+    *    fixed probe panel (id_a < 256 — panel × corpus work; by
+    *    XOR-injectivity the panel-probe pipeline output IS the full
+    *    pipeline's id_a<256 slice). Measured at BOTH the pinned 4-bit
+    *    contract point and the corpus-scaled bits the operator really
+    *    runs at this corpus.
+    *  - Margin-ANN survivor recall: the exact miner is inherently
+    *    all-pairs (per-TARGET neighborhood means — no panel restriction
+    *    is sound), so its recall at the BIG corpus's bits is measured
+    *    on `refDir` (a corpus where the exact miner is feasible) with
+    *    the bucket-target conf pinned so autoLshBits lands on the big
+    *    corpus's value. Ring recall is a plane-agreement geometry
+    *    property of the hash family — independent of bucket occupancy
+    *    — so the operating point transfers; occupancy affects cost and
+    *    precision, which the big-corpus bench rows carry. */
+  def measureAtScale(spark: SparkSession, bigDir: String, refDir: String): Seq[Gate] = {
+    val qs = graft.SparkEntry.queries
+    val rawAnn = graft.operators.SimilarityOps.rawAnn
+    val exact3 = topSets(qs("sim_ann_brute_topk")(spark, bigDir), 3)
+    def annRecall(name: String): Double =
+      recallAt3(topSets(rawAnn(name)(spark, bigDir), 3), exact3)
+    val pqRecall = annRecall("sim_ann_pq")
+    val ivfKmeansRecall = annRecall("sim_ann_ivf_kmeans")
+    val ivfRecall = annRecall("sim_ann_ivf")
+    val lshRecall = withConf(spark, graft.GraftConf.SimLshBits.key, "4") {
+      annRecall("sim_ann_lsh")
+    }
+
+    val bits = graft.operators.SimilarityOps.autoLshBits(spark, bigDir, 4)
+    // panel-exact embedding pairs (with exact cosines): id_a < 256
+    // pushes onto the probe side of the nested-loop join — panel ×
+    // corpus, never corpus²
+    val exactPanel = qs("dedup_embedding")(spark, bigDir)
+      .filter(col("id_a") < 256).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val exactAll = exactPanel.map(_._1).toSet
+    // the strong band is where real near-dup semantics live; the
+    // 0.4–0.55 background pairs are the geometric worst case for any
+    // bounded-probe hyperplane ring and decay at scaled bits by design
+    // (measured and documented — RingBandProbe)
+    val exactStrong = exactPanel.filter(_._2 >= 0.55).map(_._1).toSet
+    def panelPairs(atBits: Int): Set[(Long, Long)] =
+      graft.operators.DedupOps
+        .dedupEmbeddingLshPanelAt(spark, bigDir, atBits, probeMax = 256L)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
+      if (exact.isEmpty) 1.0 else approx.count(exact).toDouble / exact.size
+    val embLsh4 = recallOf(panelPairs(4), exactAll)
+    val scaledPairs = panelPairs(bits)
+    val embLshScaled = recallOf(scaledPairs, exactAll)
+    val embLshScaledStrong = recallOf(scaledPairs, exactStrong)
+
+    // margin-ANN at the big corpus's bits, measured on the reference
+    // corpus where the exact all-pairs miner is feasible
+    val (refRows, _) =
+      graft.Tables.parquetFooterStats(spark, refDir, "embeddings", "vec_id")
+    val refTarget = math.max(1, math.ceil(refRows.toDouble / (1L << bits)).toInt)
+    val (marginRecall, refBits) =
+      withConf(spark, graft.GraftConf.SimLshBucketTarget.key, refTarget.toString) {
+        val rb = graft.operators.SimilarityOps.autoLshBits(spark, refDir, 4)
+        val exact = qs("sim_margin_mining")(spark, refDir)
+          .select(col("sid"), col("tid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val ann = graft.operators.SimilarityOps.marginMiningAnn(spark, refDir)
+          .select(col("sid"), col("tid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        spark.catalog.clearCache()
+        (if (exact.isEmpty) 1.0 else exact.count(ann).toDouble / exact.size, rb)
+      }
+    require(refBits == bits,
+      s"operating-point transfer broken: refDir bits $refBits != big-corpus bits $bits")
+
+    Seq(
+      Gate("sim_ann_pq", "recall_at_3_vs_brute", pqRecall, 0.50, pqRecall >= 0.50),
+      Gate("sim_ann_ivf_kmeans", "recall_at_3_vs_brute", ivfKmeansRecall, 0.25,
+        ivfKmeansRecall >= 0.25),
+      Gate("sim_ann_ivf", "recall_at_3_vs_brute", ivfRecall, 0.20, ivfRecall >= 0.20),
+      Gate("sim_ann_lsh", "recall_at_3_vs_brute_4bit", lshRecall, 0.30, lshRecall >= 0.30),
+      Gate("dedup_embedding_lsh", "panel_pair_recall_4bit", embLsh4, 0.50, embLsh4 >= 0.50),
+      // scaled-bits floors pinned at the DEFAULT ring's measured
+      // operating point (w2 = 4+(bits-7), round 15): overall recall is
+      // dominated by the 0.4–0.55 background band where bounded-probe
+      // recall decays geometrically in bits by design; the strong band
+      // (cos ≥ 0.55) carries the tighter floor. Deep-ring opt-in
+      // (SimLshRingWidth = bits) lifts overall ~0.19→0.29 at ~4× the
+      // margin wall — the measured curve is in the RECALL_100X notes.
+      Gate("dedup_embedding_lsh", s"panel_pair_recall_scaled_${bits}bit", embLshScaled,
+        0.15, embLshScaled >= 0.15),
+      Gate("dedup_embedding_lsh", s"panel_pair_recall_scaled_${bits}bit_cos055",
+        embLshScaledStrong, 0.30, embLshScaledStrong >= 0.30),
+      Gate("sim_margin_mining_ann", s"survivor_recall_at_${bits}bit_ref_corpus",
+        marginRecall, 0.18, marginRecall >= 0.18))
+  }
+
   /** render gates as a JSON object keyed by query name */
   def toJson(gates: Seq[Gate]): String =
     gates.groupBy(_.query).toSeq.sortBy(_._1).map { case (q, gs) =>
