@@ -288,19 +288,21 @@ object SimilarityOps {
   }
 
   /** hamming-3 ring depth: the weakest bits−8 planes' triples — the
-    * second query-directed layer, engaging only at ≥12-bit signatures
-    * (C(w3,3) needs w3 ≥ 3) where even a widened pair ring leaves most
-    * recall mass at hamming ≥ 3. Zero at every operating point ≤ 11
-    * bits (sf1's 7, the 100× corpus's 10), so today's plans carry no
-    * triple masks; the layer exists so billion-row corpora (13+ bits)
-    * degrade by design instead of by cliff. */
+    * second query-directed layer, engaging once bits ≥ 11 (C(w3,3)
+    * needs w3 = bits−8 ≥ 3; one triple at 11 bits, four at 12) where
+    * even a widened pair ring leaves most recall mass at hamming ≥ 3.
+    * Zero at every measured operating point (sf1's 7 bits, the 100×
+    * corpus's 10), so today's plans carry no triple masks; the layer
+    * exists so billion-row corpora (11+ bits) degrade by design
+    * instead of by cliff. */
   private[graft] def tripleWidth(bits: Int): Int =
     math.min(bits, math.max(0, bits - 8))
 
   /** The query-directed DEEP probe ring for ≥6-bit signatures: all
     * hamming-2 perturbations over the `w2` weakest planes of THIS row's
-    * vector, plus (≥9 bits) all hamming-3 perturbations over the `w3`
-    * weakest (Lv et al. VLDB'07 multi-probe, generalized). One ranked
+    * vector, plus (once `w3` ≥ 3, i.e. ≥11 bits) all hamming-3
+    * perturbations over the `w3` weakest (Lv et al. VLDB'07
+    * multi-probe, generalized). One ranked
     * plane-projection sort feeds both layers; every mask has popcount
     * 2 or 3, so the ring is disjoint from the hamming-≤1 masks and
     * XOR-injectivity of pair emission is preserved. */
