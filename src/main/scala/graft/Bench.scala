@@ -50,6 +50,22 @@ import org.apache.spark.sql.SparkSession
   * ship an unattributed mover and the actionable class (slower, with
   * twin) is machine-findable.
   *
+  * Fresh-JVM confirmation (round 15): even the SOLO re-runs share the
+  * battery's hot JVM — and three rounds in a row the published
+  * "slower" reading was overturned by hand-run fresh-JVM sessions
+  * (r13 q36 1.29→0.91, r14 containment 1.27→0.80/0.96, r15-sf1
+  * containment 1.29→1.02/0.95: each time the in-battery vanilla twin
+  * drew a warm-session minimum graft didn't). So any solo verdict of
+  * "slower" is now re-measured in a CHILD JVM (same heap/add-opens/
+  * classpath, SET=only:that-query, 3 interleaved pairs, ledger
+  * disabled — no recursion), and [[moverVerdict]] is recomputed on the
+  * child's minimums: the published verdict. The row records both
+  * stages (`solo_ratio` + `fresh_*`, `fresh_check`:
+  * confirmed/overturned/failed); at most 3 child JVMs per run
+  * (~2.5 min each), SPARK_GRAFT_BENCH_FRESH_SOLO=0 opts out,
+  * SPARK_GRAFT_BENCH_LEDGER=0 disables the whole ledger stage (set in
+  * the child).
+  *
   * Env knobs: SPARK_GRAFT_BENCH_SET=tpch restricts to the 22 TPC-H
   * queries (used for the sf1 scale run where only TPC-H tables are
   * generated); SPARK_GRAFT_BENCH_VANILLA=0 skips the vanilla passes;
@@ -288,6 +304,64 @@ object Bench {
       else "faster"
     else "noise"
 
+  /** Verdict recomputed on a fresh child JVM's minimums — the same
+    * four-way taxonomy over cleaner numbers (no shared session state).
+    * Returns (verdict, ratio): the verdict is the PUBLISHED one for a
+    * row whose in-battery solo said "slower". */
+  def freshOutcome(freshGraft: Double, freshVanilla: Double,
+      priorWall: Option[Double]): (String, Double) = {
+    val hasTwin = freshVanilla > 0
+    val ratio = if (hasTwin) freshGraft / freshVanilla else 0.0
+    val drift = priorWall.filter(_ > 0).map(p => (freshGraft - p) / p)
+    (moverVerdict(hasTwin, ratio, drift), ratio)
+  }
+
+  /** Run SET=only:<name> in a CHILD JVM (same -Xmx/add-opens/classpath
+    * as this one; ledger + fresh-solo disabled in the child) and return
+    * its (graft, vanilla) minimums — vanilla 0.0 when the child skipped
+    * it. None on spawn failure, nonzero exit, timeout (10 min, child
+    * killed), or missing fields: the caller then keeps the in-battery
+    * verdict and marks the check failed, never blocks the artifact. */
+  private def freshJvmCheck(name: String, sfDir: String): Option[(Double, Double)] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val out = java.io.File.createTempFile(s"bench_fresh_$name-", ".json")
+      out.delete()
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      // replicate this JVM's own flags (heap, JDK-17 add-opens) minus
+      // debug agents that cannot bind their port twice
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq.filterNot(a =>
+          a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
+            a.startsWith("-Xrunjdwp") || a.startsWith("-Xdebug"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_BENCH_SET", s"only:$name")
+      env.put("SPARK_GRAFT_BENCH_ROUNDS", "3")
+      env.put("SPARK_GRAFT_BENCH_OUT", out.getAbsolutePath)
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      env.put("SPARK_GRAFT_BENCH_LEDGER", "0") // no grandchild ledgers/JVMs
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"bench_fresh_$name.log"))
+      val p = pb.start()
+      val done = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); None }
+      else if (p.exitValue() != 0) None
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+        out.delete()
+        // the child also writes its compact twin next to the full artifact
+        new java.io.File(out.getPath.replace(".json", "_COMPACT.json")).delete()
+        def field(obj: String): Option[Double] =
+          Option(node.get(obj)).flatMap(q => Option(q.get(name))).map(_.asDouble())
+        field("queries").map(g => (g, field("vanilla").getOrElse(0.0)))
+      }
+    } catch { case _: Throwable => None }
+
   private def toJson(pairs: Seq[(String, Double)]): String =
     pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
@@ -420,7 +494,17 @@ object Bench {
     val setName = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "full")
     val prior: Map[String, Double] = priorWalls(sfDir, setName)
     var ledger: Seq[(String, String)] = Nil // query -> ledger JSON object
-    if (rounds > 1 && withVanilla) {
+    // SPARK_GRAFT_BENCH_LEDGER=0: no ledger stage at all — set by the
+    // fresh-JVM child so the confirmation pass cannot recurse
+    val ledgerEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEDGER", "1") != "0"
+    val freshEnabled = ledgerEnabled &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH_SOLO", "1") != "0"
+    // spawn cap: headline runs rarely have >1 slower row, but a corpus
+    // sweep against a different-session prior can surface several —
+    // SPARK_GRAFT_BENCH_FRESH_MAX raises the budget for sweep protocols
+    val freshMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH_MAX", "3").toInt
+    var freshSpawned = 0
+    if (rounds > 1 && withVanilla && ledgerEnabled) {
       def reasons(n: String): Seq[String] = {
         val gs = gSamples(n); val vs = vSamples(n)
         if (gs.isEmpty) Nil
@@ -467,7 +551,29 @@ object Bench {
         val hasTwin = vAfter > 0
         val fRatio = if (hasTwin) gAfter / vAfter else 0.0
         val fDrift = prior.get(name).filter(_ > 0).map(p => (gAfter - p) / p)
-        val verdict = moverVerdict(hasTwin, fRatio, fDrift)
+        val soloVerdict = moverVerdict(hasTwin, fRatio, fDrift)
+        // Fresh-JVM confirmation of the actionable class: a "slower"
+        // solo verdict still shares the battery's hot JVM, and that
+        // exact reading was hand-overturned three rounds running (q36,
+        // containment ×2 — each time the in-battery vanilla drew a
+        // warm-session minimum). Re-measure in a child JVM and publish
+        // the verdict recomputed on ITS minimums; both stages stay in
+        // the row. Cap 3 spawns (~2.5 min each); spawn failure keeps
+        // the in-battery verdict with fresh_check:"failed".
+        val (verdict, freshStr) =
+          if (soloVerdict == "slower" && freshEnabled && freshSpawned < freshMax) {
+            freshSpawned += 1
+            freshJvmCheck(name, sfDir) match {
+              case Some((fg, fv)) =>
+                val (fVerdict, fr) = freshOutcome(fg, fv, prior.get(name))
+                val check = if (fVerdict == "slower") "confirmed" else "overturned"
+                val frStr = if (fv > 0)
+                  f""","fresh_vanilla":$fv%.3f,"fresh_ratio":$fr%.3f""" else ""
+                (fVerdict,
+                  f""","fresh_graft":$fg%.3f$frStr,"fresh_check":"$check"""")
+              case None => (soloVerdict, ""","fresh_check":"failed"""")
+            }
+          } else (soloVerdict, "")
         val priorStr = prior.get(name).map(p => f""","prior":$p%.3f""").getOrElse("")
         val driftStr = fDrift.map(d => f""","solo_drift_vs_prior":$d%.3f""").getOrElse("")
         // solo_ratio/vanilla_* are omitted when the twin is skipped — a
@@ -477,7 +583,7 @@ object Bench {
           else ""
         name -> (f"""{"reasons":${why.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
           f""","graft_main":$gBefore%.3f$priorStr,"solo_pairs":3""" +
-          f""","graft_solo":$gAfter%.3f$twinStr$driftStr,"verdict":"$verdict"}""")
+          f""","graft_solo":$gAfter%.3f$twinStr$driftStr$freshStr,"verdict":"$verdict"}""")
       }
     }
     val gTimes: Map[String, Double] = gSamples.map { case (k, v) => k -> v.min }.toMap

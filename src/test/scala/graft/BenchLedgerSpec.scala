@@ -46,4 +46,27 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(Bench.moverVerdict(hasTwin = true, 1.0 / 1.2, None) === "faster")
     assert(Bench.moverVerdict(hasTwin = true, 0.84, None) === "noise")
   }
+
+  // Fresh-JVM confirmation (round 15): an in-battery "slower" verdict
+  // is recomputed on a child JVM's minimums via freshOutcome — the
+  // same taxonomy over numbers with no shared session state. The three
+  // historical overturned readings are the regression fixture.
+  test("fresh-JVM parity overturns an in-battery slower (the r13-r15 class)") {
+    // r15-sf1 containment: in-battery solo 1.293, fresh JVMs 8.34/8.19
+    val (v1, r1) = Bench.freshOutcome(8.34, 8.19, priorWall = Some(8.62))
+    assert(v1 === "noise" && math.abs(r1 - 1.018) < 0.01)
+    // r14 containment: fresh 2.343 vs 2.944 — graft faster
+    assert(Bench.freshOutcome(2.343, 2.944, None)._1 === "faster")
+  }
+
+  test("fresh-JVM reproduction keeps the slower verdict") {
+    assert(Bench.freshOutcome(2.6, 2.0, None)._1 === "slower")
+    // twin-parity ratio but the fresh wall still drifts >15% up vs prior
+    assert(Bench.freshOutcome(2.6, 2.5, priorWall = Some(2.0))._1 === "slower")
+  }
+
+  test("fresh-JVM with a skipped twin and no reproduced drift is noise") {
+    assert(Bench.freshOutcome(2.0, 0.0, priorWall = Some(1.95))._1 === "noise")
+    assert(Bench.freshOutcome(2.5, 0.0, priorWall = Some(2.0))._1 === "no_twin")
+  }
 }
