@@ -42,7 +42,10 @@ import org.apache.spark.sql.SparkSession
   * Mover auto-ledger (round 14): after the interleaved rounds, any
   * comparable whose ratio lands >= 1.2 either way, whose spread exceeds
   * 30%, or whose graft wall drifted > 15% from the PRIOR round's
-  * artifact (SPARK_GRAFT_BENCH_PRIOR, default BENCH_COMPACT.json) is
+  * artifact (SPARK_GRAFT_BENCH_PRIOR, default BENCH_COMPACT.json;
+  * prior walls are session-scale-normalized first, see
+  * [[sessionScale]] — drift measures movement relative to this
+  * session's temperature, published as `prior_session_scale`) is
   * re-run SOLO for 3 adjacent pairs and the attribution — trigger,
   * before/after walls, four-way verdict (noise / faster / slower /
   * no_twin, see [[moverVerdict]]) — is published as `mover_ledger` in
@@ -304,6 +307,27 @@ object Bench {
       else "faster"
     else "noise"
 
+  /** Session-temperature factor for the drift baseline (round 15): the
+    * median of (current wall / prior wall) over matched queries. Two
+    * same-protocol corpus sweeps an hour apart measured the same
+    * battery at 198 vs 245 s with the vanilla column in proportion —
+    * ±25% session swings are normal on this box, and a raw drift
+    * trigger against a cooler prior calls the temperature "slower"
+    * (64 of 374 rows in the hot session). Scaling every prior wall by
+    * the median makes drift measure movement RELATIVE to the session;
+    * the median is robust to the few genuine movers it exists to
+    * expose. Guards: needs >= 8 matched queries, and a median outside
+    * (0.5, 2.0) means the artifacts are not comparable at all (wrong
+    * prior) — both degrade to 1.0 (unscaled). */
+  def sessionScale(prior: Map[String, Double], mins: Map[String, Double]): Double = {
+    val rs = prior.toSeq.flatMap { case (n, p) =>
+      mins.get(n).filter(_ => p > 0).map(_ / p)
+    }.sorted
+    if (rs.size >= 8 && rs(rs.size / 2) > 0.5 && rs(rs.size / 2) < 2.0)
+      rs(rs.size / 2)
+    else 1.0
+  }
+
   /** Verdict recomputed on a fresh child JVM's minimums — the same
     * four-way taxonomy over cleaner numbers (no shared session state).
     * Returns (verdict, ratio): the verdict is the PUBLISHED one for a
@@ -492,7 +516,24 @@ object Bench {
     def spread(xs: List[Double]): Double =
       if (xs.size < 2 || xs.min <= 0) 0.0 else xs.max / xs.min - 1.0
     val setName = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "full")
-    val prior: Map[String, Double] = priorWalls(sfDir, setName)
+    val rawPrior: Map[String, Double] = priorWalls(sfDir, setName)
+    // Session-scale normalization (round 15): two same-protocol sessions
+    // an hour apart measured the SAME battery at 198 vs 245 s total with
+    // the vanilla column moving in proportion (ratio 0.995/0.994) — the
+    // machine's session temperature swings ±25%, so a RAW drift trigger
+    // against a cooler prior flags half the battery and calls the
+    // temperature "slower" (64 rows in the hot session). The drift
+    // baseline is therefore the prior wall × the session-median of
+    // (current wall / prior wall) over all matched queries: the median
+    // absorbs the global temperature (it is robust to the few genuine
+    // movers), and drift measures movement RELATIVE to the session.
+    // Published as prior_session_scale so a reader sees the temperature
+    // itself. Needs >= 8 matched queries to trust the median; a scale
+    // further than 2x from 1.0 means the artifacts are not comparable
+    // (wrong prior?) and degrades to unscaled.
+    val priorScale: Double = sessionScale(rawPrior,
+      gSamples.toMap.collect { case (n, xs) if xs.nonEmpty => n -> xs.min })
+    val prior: Map[String, Double] = rawPrior.map { case (n, p) => n -> p * priorScale }
     var ledger: Seq[(String, String)] = Nil // query -> ledger JSON object
     // SPARK_GRAFT_BENCH_LEDGER=0: no ledger stage at all — set by the
     // fresh-JVM child so the confirmation pass cannot recurse
@@ -667,7 +708,10 @@ object Bench {
       if (rounds > 1 && withVanilla)
         s""","movers_flagged_n":${ledger.size},"movers_slower_n":${vCount("slower")}""" +
           s""","movers_faster_n":${vCount("faster")}""" +
-          s""","movers_no_twin_n":${vCount("no_twin")},"movers_noise_n":${vCount("noise")}"""
+          s""","movers_no_twin_n":${vCount("no_twin")},"movers_noise_n":${vCount("noise")}""" +
+          // the session-temperature factor every prior wall was scaled
+          // by before drift was measured (1.0 = no prior / no scaling)
+          f""","prior_session_scale":$priorScale%.3f"""
       else ""
     def compactLine(kept: Seq[(String, Double)], omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""

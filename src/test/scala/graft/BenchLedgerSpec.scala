@@ -69,4 +69,25 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(Bench.freshOutcome(2.0, 0.0, priorWall = Some(1.95))._1 === "noise")
     assert(Bench.freshOutcome(2.5, 0.0, priorWall = Some(2.0))._1 === "no_twin")
   }
+
+  // Session-scale normalization of the drift baseline (round 15): the
+  // same battery measured 198 vs 245 s across two sessions an hour
+  // apart — drift must be relative to the session, not the box's mood.
+  test("sessionScale is the median current/prior over matched queries") {
+    val prior = (1 to 9).map(i => s"q$i" -> 1.0).toMap
+    // most queries run 1.24x the prior's walls (a hot session); one
+    // genuine mover at 3x and one at 0.4x must not move the median
+    val mins = (1 to 7).map(i => s"q$i" -> 1.24).toMap ++
+      Map("q8" -> 3.0, "q9" -> 0.4)
+    assert(math.abs(Bench.sessionScale(prior, mins) - 1.24) < 1e-9)
+  }
+
+  test("sessionScale degrades to 1.0 on few matches or incomparable artifacts") {
+    val few = (1 to 5).map(i => s"q$i" -> 1.0).toMap
+    assert(Bench.sessionScale(few, few.map { case (k, _) => k -> 1.4 }) === 1.0)
+    val many = (1 to 20).map(i => s"q$i" -> 1.0).toMap
+    // a median past 2x means the prior is not comparable (wrong set/SF)
+    assert(Bench.sessionScale(many, many.map { case (k, _) => k -> 2.5 }) === 1.0)
+    assert(Bench.sessionScale(Map.empty, Map.empty) === 1.0)
+  }
 }
