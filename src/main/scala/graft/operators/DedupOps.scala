@@ -1384,11 +1384,22 @@ object DedupOps {
         explode(expr(s"sequence(1, size(w) - ${w - 1})")).as("i"))
       .select(col("doc_id"),
         md5(expr(s"array_join(slice(w, i, $w), ' ')")).as("wh"))
-    val cnt = wins.groupBy(col("wh")).agg(countDistinct(col("doc_id")).as("nd"))
-    wins.join(cnt, Seq("wh"))
+    // r15: the previous cnt-then-join shape ran the scan+Generate+md5
+    // subtree TWICE (once under the broadcast build, once as the probe)
+    // and paid two full-window-volume exchanges. One aggregation to the
+    // (wh, doc_id) grain + a count window over wh delivers the same
+    // nd (distinct docs per window hash) from a single subtree: the
+    // explode/hash runs once, only one exchange carries window-instance
+    // volume, and the cross-doc count rides the already-reduced grain.
+    // Values are identical: n_windows = Σ c, n_dup_windows = Σ c over
+    // hashes whose partition has ≥ 2 (wh, doc) rows.
+    val perDocHash = wins.groupBy(col("wh"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))
+    perDocHash.withColumn("nd", count(lit(1)).over(wd))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .agg(sum(col("c")).as("n_windows"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_fraction",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
       .orderBy(col("doc_id"))

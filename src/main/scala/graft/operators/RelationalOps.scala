@@ -1947,11 +1947,17 @@ object RelationalOps {
     val w = Window.partitionBy(col("user_id"), col("d"))
       .orderBy(col("cnt").desc, col("event_type"))
     val ranked = byDay.withColumn("rn", row_number().over(w))
-    val duels = ranked.filter(col("rn") === 1)
-      .select(col("user_id"), col("d"), col("event_type").as("win"))
-      .join(ranked.filter(col("rn") === 2)
-        .select(col("user_id"), col("d"), col("event_type").as("lose")),
-        Seq("user_id", "d"))
+    // r15: the rn=1 ⋈ rn=2 self-join planned the groupBy+window subtree
+    // twice and added a (user, d) join; a single conditional aggregate
+    // over rn ≤ 2 rows reuses the window's (user, d) partitioning (no
+    // extra exchange — same keys, guide §2.4) and emits the identical
+    // duel set: a (user, d) with no runner-up has lose NULL and is
+    // filtered exactly like the old inner join dropped it.
+    val duels = ranked.filter(col("rn") <= 2)
+      .groupBy(col("user_id"), col("d"))
+      .agg(max(when(col("rn") === 1, col("event_type"))).as("win"),
+        max(when(col("rn") === 2, col("event_type"))).as("lose"))
+      .filter(col("lose").isNotNull)
     val wins = duels.groupBy(col("win"), col("lose"))
       .agg(count(lit(1)).as("n")).cache()
     val pairs = wins.select(col("win").as("i"), col("lose").as("j"), col("n"))

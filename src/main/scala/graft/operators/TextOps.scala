@@ -1057,6 +1057,15 @@ object TextOps {
   private val textPmiCollocations: Q = (s, dir) => {
     val words = split(col("text"), " ")
     val docs = load(s, dir, "documents")
+    // r15 NOTE: a single-explode rewrite (trailing-sentinel (a, b) pair
+    // per token; unigram marginals derived as Σ_b from the cached
+    // pair-count table) was measured and REVERTED: solo min-of-3 across
+    // two fresh JVM sessions each, sf0.1 — two-explode {2.67, 3.00} s
+    // vs sentinel {3.11, 3.12} s, vanilla twins moving in step. The
+    // sentinel form trades the unigram explode for a cache
+    // materialization of the distinct-pair table plus a second pass
+    // over it, and the explode it removes is the cheap one (token-grain
+    // partial agg collapses map-side). Keeping the two-explode form.
     val uni = docs.select(explode(words).as("t")).filter(col("t") =!= "")
       .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
     val nWords = uni.agg(sum(col("n_t")).cast("double").as("n_words"))

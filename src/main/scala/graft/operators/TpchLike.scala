@@ -125,7 +125,14 @@ object TpchLike {
   // q16: supplier count per part attributes with exclusions
   // (TPC-H Q16 shape over the distinct-pairs surrogate)
   private def q16(s: SparkSession, dir: String): DataFrame = {
-    val pairs = load(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+    // r15: the distinct-pairs pre-pass cost a full-lineitem exchange
+    // before the part join; COUNT(DISTINCT l_suppkey) dedups identical
+    // (partkey, suppkey) pairs by itself, so the raw pair stream joins
+    // the (selective, broadcastable) filtered part table FIRST and only
+    // ~1/7 of lineitem ever reaches the aggregate — same result, one
+    // full-fact shuffle removed (guide §2.4: a distinct whose dedup the
+    // downstream aggregate already performs).
+    val pairs = load(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
     val okSupp = load(s, dir, "supplier").filter(col("s_acctbal") >= 0.0)
     load(s, dir, "part")
       .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
