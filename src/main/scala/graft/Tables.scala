@@ -72,7 +72,72 @@ object Tables {
     spark.read.schema(s).parquet(path)
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** (rows, row-group count) from the parquet footers, memoized on the
+    * same filesystem fingerprint as the schema memo — a metadata read,
+    * never a Spark job (same discipline as [[parquetFooterStats]]). */
+  private val splitsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, (Long, Int))]()
+  private def footerRowsAndGroups(spark: SparkSession, path: String): (Long, Int) = {
+    val fp = pathFingerprint(spark, path)
+    splitsMemo.compute(path, (p, old) =>
+      if (old != null && old._1 == fp) old
+      else {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val conf = spark.sessionState.newHadoopConf()
+        val fs = hp.getFileSystem(conf)
+        val files = (if (fs.getFileStatus(hp).isDirectory) {
+          val it = fs.listFiles(hp, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+          while (it.hasNext) buf += it.next()
+          buf.toSeq
+        } else Seq(fs.getFileStatus(hp)))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        var rows = 0L
+        var groups = 0
+        files.foreach { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+          try reader.getFooter.getBlocks.forEach { b =>
+            rows += b.getRowCount; groups += 1
+          } finally reader.close()
+        }
+        (fp, (rows, groups))
+      })._2
+  }
+
+  /** Content tables (documents/events/embeddings) feed tokenize /
+    * explode / JSON-extract / vector pipelines whose per-row cost far
+    * exceeds the scan itself, but parquet scans cannot parallelize
+    * below a row group: a corpus that ships as one row group pins the
+    * whole tokenize stage to ONE task while every other core idles
+    * (guide §2.5 — input skew from an unsplittable file; measured on
+    * docs_lm_quality_buckets: the 5000-doc explode+partial-agg stage
+    * ran 1-of-32 tasks). Scale-adaptive floor: when the table's
+    * row-group count is below the session's default parallelism, ONE
+    * round-robin repartition right after the read spreads the rows;
+    * at production scale the corpus arrives as thousands of row groups
+    * (>= cores), the condition is false, and no exchange is planted —
+    * so this is a parallelism floor, not a local-mode constant.
+    * Filters and column pruning still reach the scan (Catalyst pushes
+    * both through RoundRobinPartitioning). Relational/dim tables are
+    * left alone: their queries are scan/aggregate-bound with map-side
+    * partials, where a payload shuffle buys nothing. events is also
+    * left alone — measured across the full headline battery, every
+    * events consumer (window/sessionize/funnel/graph/cb families) paid
+    * the extra exchange without a compute win (+0.3–0.7 s each,
+    * fresh-JVM-confirmed movers), because their first shuffle (distinct
+    * / groupBy / window) already arrives within one light map stage,
+    * while the documents/embeddings consumers (tokenize, shingle, md5,
+    * minhash, vector math) won 30–50% each. */
+  private val contentTables = Set("documents", "embeddings")
+  private def parallelismFloor(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    val (rows, groups) = footerRowsAndGroups(spark, path)
+    if (groups < target && rows >= 1000) df.repartition(target) else df
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val base: DataFrame =
     if (name == "events") {
       // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (early
       // testdata drops; Spark's vectorized reader rejects it outright
@@ -92,6 +157,9 @@ object Tables {
         // produced
         raw.withColumn("ts", col("ts").cast("timestamp"))
     } else readMemoized(spark, s"$dir/$name.parquet")
+    if (contentTables(name)) parallelismFloor(spark, s"$dir/$name.parquet", base)
+    else base
+  }
 
   /** Register all tables as temp views named exactly as the files. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -744,7 +744,14 @@ object TextOps {
     val toks = load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
+    // r15: tf is consumed by THREE branches (dl→corpus, df, and the
+    // scoring join) — uncached, each branch re-ran the tokenize+groupBy
+    // subtree over the whole corpus. One cache of the (doc, term, tf)
+    // table (the inverted-index grain a retrieval system persists
+    // anyway) turns the plan into one tokenize pass + cheap cached-side
+    // aggregates (guide §5: reused AND expensive to recompute).
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .cache()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val df = tf.filter(col("term").isin(queryTerms: _*))
