@@ -128,7 +128,12 @@ object Tables {
     * fresh-JVM-confirmed movers), because their first shuffle (distinct
     * / groupBy / window) already arrives within one light map stage,
     * while the documents/embeddings consumers (tokenize, shingle, md5,
-    * minhash, vector math) won 30–50% each. */
+    * minhash, vector math) won 30–50% each.
+    * A lineitem/orders extension was ALSO measured and rejected: the
+    * tpch bench set ran 11.50 → 21.95 s with the fact tables floored —
+    * their queries push selective filters and column pruning into the
+    * scan and feed map-side-combining partials, so the added full-row
+    * exchange dwarfs the single-task scan it parallelizes. */
   private val contentTables = Set("documents", "embeddings")
   private def parallelismFloor(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism

@@ -80,9 +80,11 @@ object DedupOps {
     // NOTE: no repartition before tokenizing — at real scale the corpus
     // arrives as many file splits (scan already parallel) and a
     // round-robin repartition here would shuffle the full text payload
+    // (test-SF corpora get the Tables.load parallelism floor instead)
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), sort_array(array_distinct(split(col("text"), " "))).as("words"))
-    lshPairsFromSets(s, docs)
+    val (rows, avgTextBytes) = graft.Tables.parquetFooterStats(s, dir, "documents", "text")
+    lshPairsFromSets(s, docs, rows, avgTextBytes)
   }
 
   /** distinct() for pair streams with NO map-side reduction: a candidate
@@ -119,7 +121,17 @@ object DedupOps {
     * — word sets (the [[dedupMinhashLsh]] default) or w-shingle sets
     * ([[dedupMinhashShingle]]); element strings are opaque to every
     * stage (signature, banding, vocabulary bitmap verify). */
-  private def lshPairsFromSets(s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
+  /** @param docRows   parquet-footer row count of the input corpus — a
+    *                   free upper bound on distinct sets (metadata only)
+    * @param avgTextBytes parquet-footer average uncompressed text bytes
+    *                   per row — sizes the broadcast-budget estimate
+    *                   without a sampling job (r15: the old
+    *                   `docs.count()` + `limit(1000)` probes each ran a
+    *                   Spark job over the corpus, and under the content-
+    *                   table parallelism floor each job also re-paid the
+    *                   repartition exchange) */
+  private def lshPairsFromSets(s: SparkSession, docs: DataFrame,
+      docRows: Long, avgTextBytes: Double): (DataFrame, DataFrame) = {
     import s.implicits._
     // tunables from the spark.graft.* namespace (defaults = oracled semantics)
     val perms = graft.GraftConf.getInt(s, graft.GraftConf.DedupLshPerms)
@@ -236,21 +248,20 @@ object DedupOps {
     // runtime stats prove a side small.
     val budget = graft.GraftConf.getLong(s, graft.GraftConf.DedupBroadcastMaxBytes)
     // bitmap path: nChunks longs per row. hash-set path (nChunks == -1):
-    // |set| longs per row, estimated from a bounded 1k-row sample of the
-    // input (a single-partition scan — never the group pipeline)
+    // |set| longs per row, upper-bounded from the footer's average text
+    // bytes: whitespace tokens average >= 6 bytes incl. separator, so
+    // bytes/6 bounds the token count (distinct sets are smaller still)
+    // — conservative toward NOT broadcasting, and decided from metadata
+    // instead of a sampling job (the pre-r15 limit(1000) sample ran the
+    // tokenize subtree for 1000 rows plus, under the parallelism floor,
+    // the full repartition exchange feeding it)
     val rowBytes =
       if (nChunks > 0) nChunks * 8L + 32L
-      else {
-        val sample = docs.select(size(col("words")).as("n")).limit(1000)
-          .agg(avg(col("n"))).head
-        val avgSz = if (sample.isNullAt(0)) 64.0 else sample.getDouble(0)
-        (avgSz * 8L).toLong + 32L
-      }
+      else (math.max(16.0, avgTextBytes / 6.0) * 8L).toLong + 32L
     val maxSets = math.min(Int.MaxValue - 1L, budget / rowBytes)
-    // the probe counts the INPUT doc table (a free upper bound on
-    // distinct sets — column pruning reduces it to a parquet row-count
-    // scan; it never touches the expensive group pipeline)
-    val smallSets = maxSets > 0 && docs.count() <= maxSets
+    // docRows is the footer row count of the input corpus (a free upper
+    // bound on distinct sets — pure metadata, no Spark job)
+    val smallSets = maxSets > 0 && docRows <= maxSets
     val maskA = masks.select(col("gid").as("gid_a"), col("mask").as("mask_a"))
     val maskB = masks.select(col("gid").as("gid_b"), col("mask").as("mask_b"))
     // verify kernel per encoding: dense bitmap (inline vocab) vs sorted
@@ -656,7 +667,8 @@ object DedupOps {
     // the set-level cache stays live for the query's execution (like
     // the word-set variant); the Verify/Bench harnesses clear caches
     // between queries
-    lshPairsFromSets(s, sets)._1
+    val (rows, avgTextBytes) = graft.Tables.parquetFooterStats(s, dir, "documents", "text")
+    lshPairsFromSets(s, sets, rows, avgTextBytes)._1
   }
 
   private val dedupMinhashShingleSql =
