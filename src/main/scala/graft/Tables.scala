@@ -141,8 +141,23 @@ object Tables {
     if (groups < target && rows >= 1000) df.repartition(target) else df
   }
 
+  /** [[load]] without the content-table parallelism floor — for the few
+    * documents consumers whose per-row work is LIGHT (a plain token
+    * explode feeding a map-side-combining aggregate): measured on the
+    * full battery, they pay the floor's exchange without a compute win
+    * (text_bm25_topk 0.52 → 1.05 s under the floor), the same class as
+    * the relational tables. Heavy consumers (md5 windows, minhash,
+    * shingles, vector math) keep [[load]]. */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadImpl(spark, dir, name)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val base: DataFrame =
+    val base = loadImpl(spark, dir, name)
+    if (contentTables(name)) parallelismFloor(spark, s"$dir/$name.parquet", base)
+    else base
+  }
+
+  private def loadImpl(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (early
       // testdata drops; Spark's vectorized reader rejects it outright
@@ -162,9 +177,6 @@ object Tables {
         // produced
         raw.withColumn("ts", col("ts").cast("timestamp"))
     } else readMemoized(spark, s"$dir/$name.parquet")
-    if (contentTables(name)) parallelismFloor(spark, s"$dir/$name.parquet", base)
-    else base
-  }
 
   /** Register all tables as temp views named exactly as the files. */
   def registerAll(spark: SparkSession, dir: String): Unit =

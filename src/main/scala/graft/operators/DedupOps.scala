@@ -1445,7 +1445,10 @@ object DedupOps {
     * oracled contract (DuckDB builds the identical string and mirrors
     * the canonicalization with regexes). */
   private val dedupUrl: Q = (s, dir) => {
-    val raw = load(s, dir, "documents").select(col("doc_id"),
+    // loadRaw: per-row URL canonicalization into one hash-agg shuffle is
+    // the light-consumer class the parallelism floor measurably hurts
+    // (0.24 → 0.41 s battery, ledger-confirmed slower)
+    val raw = loadRaw(s, dir, "documents").select(col("doc_id"),
       concat(
         lit("HTTPS://"), upper(col("source")), lit(".Example.COM:443/"),
         col("lang"), lit("/page/"), (col("doc_id") % 40).cast("string"),

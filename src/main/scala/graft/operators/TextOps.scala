@@ -741,17 +741,13 @@ object TextOps {
   private val textBm25: Q = (s, dir) => {
     val k1 = 1.2
     val b = 0.75
-    val toks = load(s, dir, "documents")
+    // loadRaw: a plain token explode into a map-side-combining count is
+    // the light-consumer class the floor measurably hurts (0.52 s
+    // pre-floor vs 1.05 floored, full-battery walls)
+    val toks = loadRaw(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
-    // r15: tf is consumed by THREE branches (dl→corpus, df, and the
-    // scoring join) — uncached, each branch re-ran the tokenize+groupBy
-    // subtree over the whole corpus. One cache of the (doc, term, tf)
-    // table (the inverted-index grain a retrieval system persists
-    // anyway) turns the plan into one tokenize pass + cheap cached-side
-    // aggregates (guide §5: reused AND expensive to recompute).
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .cache()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val df = tf.filter(col("term").isin(queryTerms: _*))
@@ -812,7 +808,10 @@ object TextOps {
     val quotaW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     val packW = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    load(s, dir, "documents")
+    // loadRaw: per-row work here is a stop-ratio filter + md5 feeding
+    // three windows — the floor's exchange was a measured net loss for
+    // this light consumer (0.36 → 0.54 s battery, ledger-confirmed)
+    loadRaw(s, dir, "documents")
       .withColumn("n_tok", nWords)
       .filter(col("n_tok") >= 20 && col("n_tok") <= 400 && stopRatio > 0.02)
       .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
