@@ -93,8 +93,10 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // canonicalized content fingerprint (whitespace-normalized, lowercased)
+  // loadRaw: one md5 per row into a sort — light-consumer class, the
+  // floor's exchange was ledger-confirmed pure cost (r15)
   private val textFingerprint: Q = (s, dir) =>
-    load(s, dir, "documents")
+    loadRaw(s, dir, "documents")
       .select(col("doc_id"),
         md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
         substring(md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 8).as("fp_short"))
@@ -1215,7 +1217,10 @@ object TextOps {
 
   private val textGreedyTokenize: Q = (s, dir) => {
     val vocabArr = array(greedyVocab.map(lit(_)): _*)
-    val words = load(s, dir, "documents")
+    // loadRaw: the expensive greedy-match aggregate runs AFTER the
+    // distinct shuffle (32-way either way); the pre-shuffle side is a
+    // light explode, so the floor only added an exchange (r15 ledger)
+    val words = loadRaw(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .distinct()
     // trip count from the word itself (each iteration consumes >= 1
