@@ -362,7 +362,7 @@ object SimilarityOps {
     annLshAt(s, dir, graft.GraftConf.getInt(s, graft.GraftConf.SimLshBits))
 
   private def annLshAt(s: SparkSession, dir: String, bits: Int): DataFrame = {
-    val e = load(s, dir, "embeddings").withColumn("bucket", lshBucket(col("embedding"), bits))
+    val e = loadRaw(s, dir, "embeddings").withColumn("bucket", lshBucket(col("embedding"), bits))
     val probeMasks = array((lit(0) +: (0 until bits).map(i => lit(1 << i))): _*)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("bucket"))
@@ -384,7 +384,7 @@ object SimilarityOps {
   /** IVF-style: centroids = label means (coarse quantizer); each query
     * probes its 2 nearest centroids' partitions only (rows-only). */
   private val annIvf: Q = (s, dir) => {
-    val e = load(s, dir, "embeddings")
+    val e = loadShared(s, dir, "embeddings")
     // centroid per label: positional explode → mean per (label, dim) → re-assemble
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("cx"))
@@ -413,7 +413,7 @@ object SimilarityOps {
       .filter(col("c_rnk") <= nprobe)
       .select(col("qid"), col("q_emb"), col("c_label"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    load(s, dir, "embeddings").filter(col("vec_id") >= 10)
+    loadShared(s, dir, "embeddings").filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("label"))
       .join(broadcast(probes), col("label") === col("c_label"))
       .withColumn("cos", round(GraftExpressions.cosine_sim(col("q_emb"), col("c_emb")), 6))
@@ -481,7 +481,7 @@ object SimilarityOps {
     * centroid matrix. The shape that holds at 100 TB: corpus rows never
     * leave their partitions, per-iteration cost is exactly one scan. */
   private val kmeansClusters: Q = (s, dir) => {
-    val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e = loadShared(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     var cents = kmeansInit(e, 4)
     for (_ <- 0 until 2) cents = kmeansStep(e, cents)
     kmeansAssign(e, cents)
@@ -530,7 +530,7 @@ object SimilarityOps {
     * its 2 nearest learned centroids. Rows-only (recall < 1 by design);
     * recall@3 floor pinned in AnnRecallSpec + recall_gates.json. */
   private val annIvfKmeans: Q = (s, dir) => {
-    val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e = loadShared(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     var cents = kmeansInit(e, 4)
     for (_ <- 0 until 2) cents = kmeansStep(e, cents)
     val corpus = kmeansAssign(e.filter(col("vec_id") >= 10), cents)
@@ -578,7 +578,7 @@ object SimilarityOps {
     val m = 16
     // normalize once (same path as sim_ann_unit_topk) so the PQ
     // inner-product ADC approximates the cosine the exact ranking uses
-    val e = load(s, dir, "embeddings")
+    val e = loadShared(s, dir, "embeddings")
       .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
         (a, x) => a + x.cast("double") * x.cast("double"))))
       .select(col("vec_id"), transform(col("embedding"),
@@ -701,8 +701,9 @@ object SimilarityOps {
   // available to library users and to AnnRecallSpec/QualityGates via
   // [[rawAnn]].
 
-  private def exactTop3(s: SparkSession, dir: String): DataFrame = {
-    val e = load(s, dir, "embeddings")
+  private def exactTop3(s: SparkSession, dir: String,
+      loader: (SparkSession, String, String) => DataFrame = loadShared): DataFrame = {
+    val e = loader(s, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
     val corpus = e.filter(col("vec_id") >= 10)
@@ -737,7 +738,7 @@ object SimilarityOps {
     * LSH is gated at its 4-bit operating point — this corpus has weak
     * angular structure, so the default 8-bit buckets are near-empty. */
   private val annLshGate: Q = (s, dir) =>
-    recallGated(annLshAt(s, dir, 4), exactTop3(s, dir), 0.30)
+    recallGated(annLshAt(s, dir, 4), exactTop3(s, dir, loadRaw), 0.30)
   private val annIvfGate: Q = (s, dir) =>
     recallGated(annIvf(s, dir), exactTop3(s, dir), 0.25)
   private val annIvfKmeansGate: Q = (s, dir) =>
@@ -773,7 +774,7 @@ object SimilarityOps {
     * FLOAT (bit-exact round-trip) before the cosine, and the final
     * round(…,4) absorbs summation-order jitter in the ratio. */
   private val labelCentroidSim: Q = (s, dir) => {
-    val e = load(s, dir, "embeddings")
+    val e = loadShared(s, dir, "embeddings")
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim")).agg(avg(col("x").cast("double")).as("cx"))
       .groupBy(col("label"))
@@ -843,7 +844,7 @@ object SimilarityOps {
   /** the exact pair table: full even×odd cross product (oracle scale
     * only — see the doc above) */
   private def marginPairsExact(s: SparkSession, dir: String): DataFrame = {
-    val e = load(s, dir, "embeddings")
+    val e = loadShared(s, dir, "embeddings")
     val src = e.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("sid"), col("embedding").as("s_emb"))
     val tgt = e.filter(col("vec_id") % 2 =!= 0)
@@ -1135,7 +1136,7 @@ object SimilarityOps {
     * (assignment is still one shuffle-free scan against a k×64 driver
     * literal, the mean shuffle still k×64 groups). */
   private val dedupSemantic: Q = (s, dir) => {
-    val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e = loadRaw(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     var cents = kmeansInit(e, semanticK(s, dir))
     for (_ <- 0 until 2) cents = kmeansStep(e, cents)
     val assigned = kmeansAssign(e, cents)
@@ -1202,7 +1203,7 @@ object SimilarityOps {
     * kmeans trick) so engine-specific summation order and stddev
     * algorithms (Welford vs naive) can never move a rounded output. */
   private val standardizeDims: Q = (s, dir) => {
-    val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e = loadShared(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val stats = e.select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("dim"))
       .agg(avg(col("x").cast("double")).as("mu"),
@@ -1250,7 +1251,7 @@ object SimilarityOps {
     * quotient eigenvalue estimate (‖u₃‖, the scale of the dominant
     * direction). */
   private val powerIteration: Q = (s, dir) => {
-    val e = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e = loadShared(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     var v: Seq[Float] = Seq.fill(64)(0.125f)
     var eig = 0.0
     for (_ <- 0 until 3) {
@@ -1285,7 +1286,7 @@ object SimilarityOps {
     * mirrored by the unrolled DuckDB CTE chain, so the gate is exact —
     * the same discipline as [[powerIteration]]. */
   private val pcaTop2: Q = (s, dir) => {
-    val e0 = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e0 = loadShared(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     def topEig(df: DataFrame, emb: String): (Seq[Float], Double) = {
       var v: Seq[Float] = Seq.fill(64)(0.125f)
       var eig = 0.0

@@ -9,6 +9,11 @@ import java.nio.file.{Files, Paths}
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: ExplainDump <outDir> <tag> <q1,q2,...> [sfDir=/root/testdata/sf0.1]")
+      sys.exit(1)
+    }
     val outDir = args(0)
     val tag = args(1)
     val names = args(2).split(",").toSeq.filter(_.nonEmpty)
