@@ -571,7 +571,11 @@ object Bench {
       // materialization), and the extra rounds exist to measure THEM, not
       // the heap debt their session neighbors left behind
       if (flagged.nonEmpty) { System.gc(); Thread.sleep(500) }
-      ledger = flagged.map { case (name, why) =>
+      // PASS 1 — solo re-runs for every flagged row (no fresh JVMs yet)
+      case class SoloRow(name: String, why: Seq[String], gBefore: Double,
+        vBefore: Double, gAfter: Double, vAfter: Double, hasTwin: Boolean,
+        ratio: Double, drift: Option[Double], soloVerdict: String)
+      val soloRows = flagged.map { case (name, why) =>
         val gBefore = gSamples(name).min
         val vBefore = if (vSamples(name).nonEmpty) vSamples(name).min else 0.0
         // Solo isolation (advisor r14): the solo verdict must be computed
@@ -592,39 +596,53 @@ object Bench {
         val hasTwin = vAfter > 0
         val fRatio = if (hasTwin) gAfter / vAfter else 0.0
         val fDrift = prior.get(name).filter(_ > 0).map(p => (gAfter - p) / p)
-        val soloVerdict = moverVerdict(hasTwin, fRatio, fDrift)
-        // Fresh-JVM confirmation of the actionable class: a "slower"
-        // solo verdict still shares the battery's hot JVM, and that
-        // exact reading was hand-overturned three rounds running (q36,
-        // containment ×2 — each time the in-battery vanilla drew a
-        // warm-session minimum). Re-measure in a child JVM and publish
-        // the verdict recomputed on ITS minimums; both stages stay in
-        // the row. Cap 3 spawns (~2.5 min each); spawn failure keeps
-        // the in-battery verdict with fresh_check:"failed".
-        val (verdict, freshStr) =
-          if (soloVerdict == "slower" && freshEnabled && freshSpawned < freshMax) {
-            freshSpawned += 1
-            freshJvmCheck(name, sfDir) match {
-              case Some((fg, fv)) =>
-                val (fVerdict, fr) = freshOutcome(fg, fv, prior.get(name))
-                val check = if (fVerdict == "slower") "confirmed" else "overturned"
-                val frStr = if (fv > 0)
-                  f""","fresh_vanilla":$fv%.3f,"fresh_ratio":$fr%.3f""" else ""
-                (fVerdict,
-                  f""","fresh_graft":$fg%.3f$frStr,"fresh_check":"$check"""")
-              case None => (soloVerdict, ""","fresh_check":"failed"""")
-            }
-          } else (soloVerdict, "")
-        val priorStr = prior.get(name).map(p => f""","prior":$p%.3f""").getOrElse("")
-        val driftStr = fDrift.map(d => f""","solo_drift_vs_prior":$d%.3f""").getOrElse("")
+        SoloRow(name, why, gBefore, vBefore, gAfter, vAfter, hasTwin, fRatio,
+          fDrift, moverVerdict(hasTwin, fRatio, fDrift))
+      }
+      // PASS 2 — fresh-JVM confirmation of the actionable class: a
+      // "slower" solo verdict still shares the battery's hot JVM, and
+      // that exact reading was hand-overturned three rounds running
+      // (q36, containment ×2 — each time the in-battery vanilla drew a
+      // warm-session minimum). Re-measure in a child JVM and publish
+      // the verdict recomputed on ITS minimums; both stages stay in the
+      // row. Cap freshMax spawns (~2.5 min each) — and spend the budget
+      // WORST-FIRST (r16): rows with the highest twin ratio, then the
+      // largest |drift|, get the child JVMs. The r16 baseline run burned
+      // all 3 spawns on drift-only noise rows in battery order while the
+      // one ratio-1.4 row of the round went unchecked.
+      val freshOrder = soloRows.filter(_.soloVerdict == "slower")
+        .sortBy(r => (-(if (r.hasTwin) r.ratio else 0.0),
+          -r.drift.map(math.abs).getOrElse(0.0)))
+        .map(_.name)
+      val freshByName: Map[String, (String, String)] =
+        (if (freshEnabled) freshOrder.take(freshMax) else Nil).flatMap { name =>
+          freshSpawned += 1
+          freshJvmCheck(name, sfDir) match {
+            case Some((fg, fv)) =>
+              val (fVerdict, fr) = freshOutcome(fg, fv, prior.get(name))
+              val check = if (fVerdict == "slower") "confirmed" else "overturned"
+              val frStr = if (fv > 0)
+                f""","fresh_vanilla":$fv%.3f,"fresh_ratio":$fr%.3f""" else ""
+              Some(name -> (fVerdict,
+                f""","fresh_graft":$fg%.3f$frStr,"fresh_check":"$check""""))
+            case None => Some(name -> ("", ""","fresh_check":"failed""""))
+          }
+        }.toMap
+      ledger = soloRows.map { r =>
+        val (verdict, freshStr) = freshByName.get(r.name) match {
+          case Some((fv, str)) => (if (fv.nonEmpty) fv else r.soloVerdict, str)
+          case None => (r.soloVerdict, "")
+        }
+        val priorStr = prior.get(r.name).map(p => f""","prior":$p%.3f""").getOrElse("")
+        val driftStr = r.drift.map(d => f""","solo_drift_vs_prior":$d%.3f""").getOrElse("")
         // solo_ratio/vanilla_* are omitted when the twin is skipped — a
         // 0.0 ratio on a graft-only row read as a real mover (judge r14)
-        val twinStr = if (hasTwin)
-          f""","vanilla_main":$vBefore%.3f,"vanilla_solo":$vAfter%.3f,"solo_ratio":$fRatio%.3f"""
+        val twinStr = if (r.hasTwin)
+          f""","vanilla_main":${r.vBefore}%.3f,"vanilla_solo":${r.vAfter}%.3f,"solo_ratio":${r.ratio}%.3f"""
           else ""
-        name -> (f"""{"reasons":${why.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
-          f""","graft_main":$gBefore%.3f$priorStr,"solo_pairs":3""" +
-          f""","graft_solo":$gAfter%.3f$twinStr$driftStr$freshStr,"verdict":"$verdict"}""")
+        r.name -> (f"""{"reasons":${r.why.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+          f""","graft_main":${r.gBefore}%.3f$priorStr,"solo_pairs":3""" +
+          f""","graft_solo":${r.gAfter}%.3f$twinStr$driftStr$freshStr,"verdict":"$verdict"}""")
       }
     }
     val gTimes: Map[String, Double] = gSamples.map { case (k, v) => k -> v.min }.toMap

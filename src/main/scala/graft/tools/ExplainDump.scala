@@ -29,6 +29,10 @@ object ExplainDump {
         .explainString(org.apache.spark.sql.execution.FormattedMode)
       Files.write(Paths.get(outDir, s"${n}_$tag.txt"), plan.getBytes("UTF-8"))
       println(s"[explain] wrote $outDir/${n}_$tag.txt")
+      // a query's persist() registrations must not leak into the NEXT
+      // query's dump (Verify/Bench clearCache() per query — the dump
+      // must show the same per-query plan they run)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
