@@ -1958,10 +1958,21 @@ object RelationalOps {
       .agg(max(when(col("rn") === 1, col("event_type"))).as("win"),
         max(when(col("rn") === 2, col("event_type"))).as("lose"))
       .filter(col("lose").isNotNull)
+    // Everything below the duel extraction is k²-BOUNDED (k = event-type
+    // vocabulary), so the MM tables are a handful of rows at ANY corpus
+    // scale — yet they inherited the session's shuffle width: profiled at
+    // sf0.1/32 cores, the 3 MM rounds ran ~40 stages of 32 tasks over
+    // 15-30-row tables (~1000 task launches of scheduling, no compute).
+    // coalesce(1) pins the bounded tables to SinglePartition, which
+    // satisfies every required distribution (guide §2.4: remove
+    // exchanges outright), so each MM round plans ZERO exchanges and
+    // every stage is one task. Scale-safe BY THE QUERY'S OWN CONTRACT:
+    // the bounded grain is the item vocabulary, not the data.
     val wins = duels.groupBy(col("win"), col("lose"))
-      .agg(count(lit(1)).as("n")).cache()
+      .agg(count(lit(1)).as("n")).coalesce(1).cache()
     val pairs = wins.select(col("win").as("i"), col("lose").as("j"), col("n"))
       .union(wins.select(col("lose").as("i"), col("win").as("j"), col("n")))
+      .coalesce(1)
       .groupBy(col("i"), col("j")).agg(sum(col("n")).cast("double").as("nij"))
       .cache()
     val wt = wins.groupBy(col("win").as("i"))
